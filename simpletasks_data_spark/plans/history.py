@@ -1,0 +1,58 @@
+"""Change-history (CDC) side output.
+
+The reference creates one audit row per updated item that changed at least
+one ``keep_history`` column, with ``old_<col>``/``new_<col>`` pairs and an
+apply-time timestamp (``/root/reference/simpletasks_data/importtask.py:
+37-50, 326-343``). History is emitted on update only, never on create
+(``importtask.py:276``).
+
+Here the history table is declared as data (key column mapping + tracked
+columns), not a callback: the changed-rows slice of the final image already
+holds old (``_orig_<col>``) and new values side by side, so the CDC frame
+is a projection — no extra join, no shuffle.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.merge import CREATING, ORIG
+
+
+@dataclass
+class HistorySpec:
+    """Shape of the history table: ``model_key`` names the FK column in the
+    history output (e.g. ``model_id``), populated from the target's key."""
+
+    tracked_columns: List[str]
+    key_column: str = "id"
+    model_key: str = "model_id"
+    date_column: str = "date"
+    fixed_date: Optional[datetime.datetime] = None  # deterministic runs/tests
+
+
+def changed_expr(cols: List[str]):
+    e = F.lit(False)
+    for c in cols:
+        e = e | ~F.col(c).eqNullSafe(F.col(ORIG + c))
+    return e
+
+
+def build_history(image: DataFrame, spec: HistorySpec) -> DataFrame:
+    """History rows from the working image: non-creating rows where some
+    tracked column changed vs its pre-image."""
+    changed = changed_expr(spec.tracked_columns) & ~F.col(CREATING)
+    date_col = (
+        F.lit(spec.fixed_date).cast("timestamp") if spec.fixed_date is not None else F.current_timestamp()
+    )
+    sel = [F.col(spec.key_column).alias(spec.model_key)]
+    for c in spec.tracked_columns:
+        sel.append(F.col(ORIG + c).alias("old_" + c))
+        sel.append(F.col(c).alias("new_" + c))
+    sel.append(date_col.alias(spec.date_column))
+    return image.where(changed).select(*sel)

@@ -1,0 +1,238 @@
+"""End-to-end golden test, ported from the reference's
+``tests/importtask_test.py``: two sequential sources into a 2-row target,
+asserting the exact counter dict and the exact final table + history rows
+(reference asserts the same state through its validate_updates spies)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from simpletasks_data_spark.mapping import Mapping
+from simpletasks_data_spark.plans import HistorySpec, ImportJob, TargetTable
+from simpletasks_data_spark.sources import GeneratorSource, ImportMode
+
+TARGET_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("col1", T.StringType(), False),
+    T.StructField("col2", T.StringType(), True),
+    T.StructField("col3", T.StringType(), True),
+    T.StructField("col4", T.StringType(), True),
+    T.StructField("col5", T.LongType(), True),
+    T.StructField("col6", T.LongType(), True),
+])
+
+LENGTHS = {"col1": 1, "col2": 256, "col3": 10, "col4": 10}
+
+
+class MappingA(Mapping):
+    def __init__(self):
+        super().__init__()
+        self.id = self.auto()
+        self.col1 = self.auto(keep_history=True)
+        self.col2 = self.auto(should_update=False)
+        self.col3 = self.auto()
+        self.col4 = self.auto()
+        self.col5 = self.auto(warn_on_error=False)
+
+
+class MappingB(Mapping):
+    def __init__(self):
+        super().__init__()
+        self.id = self.auto(should_update=False)
+        self.col6 = self.auto(should_update_only_if_null=True)
+
+    def get_header_line_number(self):
+        return -1
+
+
+SOURCE1_ROWS = [
+    ["0", "0", "0", "0", "0", "0"],          # header — skipped
+    ["1", "ABCDEFG", "B", "C", "D", "1"],    # update: col1 trunc->"A" (history), col5 NULL->1
+    ["2", "E", "F", "G", "H", "2"],          # fully unchanged
+    ["3", "I", "J", "K", "L", "a"],          # create; col5 invalid -> stays NULL
+    ["", "I", "J", "K", "L", "3"],           # missing key
+]
+
+SOURCE2_ROWS = [
+    ["1", "2"],   # col6 non-null -> fill-if-null blocks
+    ["2", "2"],
+    ["3", "2"],   # created by source 1: cross-source visibility; col6 NULL -> 2
+    ["5", ""],    # unknown key + UPDATE-only -> ignored_not_created
+]
+
+
+def make_job(spark, dryrun=True):
+    target_df = spark.createDataFrame(
+        [
+            (1, "", "", "C", "D", None, 1),
+            (2, "E", "F", "G", "H", 2, 1),
+        ],
+        TARGET_SCHEMA,
+    )
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+    sources = [
+        GeneratorSource(SOURCE1_ROWS, MappingA(), mode=ImportMode.CREATE_AND_UPDATE, name="s1"),
+        GeneratorSource(SOURCE2_ROWS, MappingB(), mode=ImportMode.UPDATE, name="s2"),
+    ]
+
+    class MyJob(ImportJob):
+        def pre_process(self):
+            return {"bar": 1}
+
+        def post_process(self):
+            return {"foo": 0}
+
+    return MyJob(
+        spark,
+        target,
+        sources=sources,
+        keep_history=True,
+        history_spec=HistorySpec(tracked_columns=["col1"], key_column="id", fixed_date=None),
+        dryrun=dryrun,
+    )
+
+
+EXPECTED = {
+    "created": 1,
+    "history_created": 1,
+    "postprocess": {"foo": 0},
+    "preprocess": {"bar": 1},
+    "postcommit": {},
+    "precommit": {},
+    "rejected": 0,
+    "updated": 1,
+    "sources": [
+        {
+            "ignored": 0,
+            "ignored_missing_id": 1,
+            "ignored_not_created": 0,
+            "ignored_not_updated": 0,
+            "read": 3,
+            "rejected": 0,
+            "not_found": 0,
+        },
+        {
+            "ignored": 0,
+            "ignored_missing_id": 0,
+            "ignored_not_created": 1,
+            "ignored_not_updated": 0,
+            "read": 3,
+            "rejected": 0,
+            "not_found": 0,
+        },
+    ],
+}
+
+
+def test_nominal_counters(spark):
+    job = make_job(spark)
+    res = job.run()
+    assert res == EXPECTED
+
+
+def test_nominal_final_table(spark):
+    job = make_job(spark)
+    job.run()
+    rows = {r.id: r for r in job.result_df.collect()}
+    assert set(rows) == {1, 2, 3}
+    r1, r2, r3 = rows[1], rows[2], rows[3]
+    assert (r1.col1, r1.col2, r1.col3, r1.col4, r1.col5, r1.col6) == ("A", "", "C", "D", 1, 1)
+    assert (r2.col1, r2.col2, r2.col3, r2.col4, r2.col5, r2.col6) == ("E", "F", "G", "H", 2, 1)
+    assert (r3.col1, r3.col2, r3.col3, r3.col4, r3.col5, r3.col6) == ("I", "J", "K", "L", None, 2)
+
+
+def test_nominal_history(spark):
+    job = make_job(spark)
+    job.run()
+    hist = job.history_df.collect()
+    assert len(hist) == 1
+    h = hist[0]
+    assert (h.model_id, h.old_col1, h.new_col1) == (1, "", "A")
+
+
+def test_create_only(spark):
+    """CREATE-only: existing keys are skipped (ignored_not_updated)."""
+    target_df = spark.createDataFrame([(1, "X", None, None, None, None, None)], TARGET_SCHEMA)
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+    rows = [
+        ["hdr"] * 6,
+        ["1", "Z", "c2", "c3", "c4", "9"],   # exists -> ignored_not_updated
+        ["7", "N", "c2", "c3", "c4", "9"],   # new -> created
+    ]
+    job = ImportJob(
+        spark,
+        target,
+        sources=[GeneratorSource(rows, MappingA(), mode=ImportMode.CREATE, name="s")],
+        dryrun=True,
+    )
+    res = job.run()
+    src = res["sources"][0]
+    assert src["ignored_not_updated"] == 1
+    assert src["read"] == 1
+    assert res["created"] == 1
+    assert res["updated"] == 0
+    rows_out = {r.id: r for r in job.result_df.collect()}
+    assert rows_out[1].col1 == "X"          # untouched
+    assert rows_out[7].col1 == "N"
+
+
+def test_duplicate_last_wins(spark):
+    """Within-source duplicate keys: last occurrence wins per column; a
+    duplicate restoring the stored value cancels the pending update."""
+    target_df = spark.createDataFrame([(1, "A", "orig", None, None, None, None)], TARGET_SCHEMA)
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.col1 = self.auto()
+            self.col3 = self.auto()
+
+        def get_header_line_number(self):
+            return -1
+
+    rows = [
+        ["1", "B", "x"],   # pending col1->B, col3->x
+        ["1", "A", "y"],   # col1 back to stored "A" (cancel), col3->y (last wins)
+    ]
+    job = ImportJob(spark, target, sources=[GeneratorSource(rows, M(), name="s")], dryrun=True)
+    res = job.run()
+    out = job.result_df.collect()[0]
+    assert out.col1 == "A"
+    assert out.col3 == "y"
+    assert res["updated"] == 1
+    assert res["sources"][0]["read"] == 2
+
+
+def test_nonnullable_rejection(spark):
+    """Creating a row whose non-nullable column parses to NULL -> rejected."""
+    target_df = spark.createDataFrame([], TARGET_SCHEMA)
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+    rows = [
+        ["hdr"] * 6,
+        ["5", "", "c2", "c3", "c4", "1"],    # col1 "" -> NULL (non-nullable) -> rejected
+        ["6", "ok", "c2", "c3", "c4", "1"],  # fine
+    ]
+    job = ImportJob(
+        spark, target, sources=[GeneratorSource(rows, MappingA(), name="s")], dryrun=True
+    )
+    res = job.run()
+    assert res["rejected"] == 1
+    assert res["created"] == 1
+    ids = [r.id for r in job.result_df.collect()]
+    assert ids == [6]
+
+
+def test_not_found(spark):
+    """Target rows never matched by the source are counted not_found."""
+    target_df = spark.createDataFrame(
+        [(1, "A", None, None, None, None, None), (2, "B", None, None, None, None, None)],
+        TARGET_SCHEMA,
+    )
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+    rows = [["hdr"] * 6, ["1", "A2", "c", "c", "c", "1"]]
+    job = ImportJob(
+        spark, target, sources=[GeneratorSource(rows, MappingA(), name="s")], dryrun=True
+    )
+    res = job.run()
+    assert res["sources"][0]["not_found"] == 1

@@ -1,0 +1,72 @@
+"""Source adapters: CSV file order, header skip, table source."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from simpletasks_data_spark.mapping import Field, Mapping
+from simpletasks_data_spark.plans import ImportJob, TargetTable
+from simpletasks_data_spark.sources import CsvSource, TableSource
+from simpletasks_data_spark.sources.base import SRC_POS
+
+from test_importjob_e2e import LENGTHS, TARGET_SCHEMA, MappingA
+
+
+def test_csv_source_order_and_quotes(spark, tmp_path):
+    p = os.path.join(tmp_path, "src.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write('id,col1,col2,col3,col4,col5\n')
+        f.write('1,"A,B",c2,c3,c4,5\n')
+        f.write('2,x,y,z,w,6\n')
+    src = CsvSource(p, MappingA())
+    df = src.load_raw(spark).orderBy(SRC_POS)
+    rows = df.collect()
+    assert [r[SRC_POS] for r in rows] == [0, 1, 2]
+    assert rows[1]._c1 == "A,B"  # quoted comma preserved
+
+    target = TargetTable(
+        schema=TARGET_SCHEMA,
+        df=spark.createDataFrame([], TARGET_SCHEMA),
+        primary_keys=("id",),
+        lengths=LENGTHS,
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    assert res["created"] == 2
+    out = {r.id: r for r in job.result_df.collect()}
+    assert out[1].col1 == "A"  # "A,B" truncated to length 1
+    assert out[2].col5 == 6
+
+
+def test_csv_unordered_path(spark, tmp_path):
+    p = os.path.join(tmp_path, "u.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("id,col1\n10,aa\n20,bb\n")
+    src = CsvSource(p, MappingA(), ordered=False)
+    df = src.load_raw(spark)
+    assert SRC_POS in df.columns
+    assert df.count() == 3
+
+
+def test_table_source(spark):
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = Field("s_id")
+            self.col1 = Field("s_name")
+
+    sdf = spark.createDataFrame([(1, "Q"), (9, "R")], "s_id long, s_name string")
+    target = TargetTable(
+        schema=TARGET_SCHEMA,
+        df=spark.createDataFrame([(1, "A", None, None, None, None, None)], TARGET_SCHEMA),
+        primary_keys=("id",),
+        lengths=LENGTHS,
+    )
+    src = TableSource(sdf, M(), name="tbl")
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    assert res["created"] == 1
+    assert res["updated"] == 1
+    out = {r.id: r for r in job.result_df.collect()}
+    assert out[1].col1 == "Q"
+    assert out[9].col1 == "R"
