@@ -1,0 +1,71 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized (count) per run; the session is warmed
+once so JVM startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from simpletasks_data_spark.session import get_spark  # noqa: E402
+from simpletasks_data_spark import queries as catalog  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_parts_per_brand",
+    "merge_upsert",
+    "merge_dedup_last_wins",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "knn_bruteforce",
+    "knn_ivf_signbits",
+    "text_stats",
+    "text_quality",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="simpletasks-data-spark-bench")
+
+    # Warm up the JVM + parquet footers with a trivial action.
+    catalog.load(spark, sf_dir, "region").count()
+
+    q = catalog.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        q[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

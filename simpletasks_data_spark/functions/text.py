@@ -1,0 +1,149 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+All native Column expressions (JVM-side, codegen'd): tokenization, counts,
+quality scoring, n-gram heuristic language ID, and content fingerprints.
+Normalization is deliberately simple (lowercase, strip non-alphanumerics)
+and defined once so every operator — and the external SQL oracles — share
+the exact same token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "token_count",
+    "distinct_token_count",
+    "char_shingles",
+    "punct_ratio",
+    "stopword_ratio",
+    "mean_token_len",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "fingerprint",
+    "STOPWORDS_EN",
+    "LANG_LEXICONS",
+]
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for",
+    "with", "as", "at", "by", "this", "that", "be", "are",
+]
+
+# Tiny per-language function-word lexicons for the n-gram/stopword language
+# heuristic. Deliberately small + fixed so the oracle SQL can embed them.
+LANG_LEXICONS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es", "un", "una"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lowercase; non-[a-z0-9] -> space; squeeze + trim spaces."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column | str) -> Column:
+    """array<string> of normalized tokens (no empties)."""
+    return F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def char_shingles_from_norm(norm: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of an ALREADY-normalized text column.
+    Important: expressions inside higher-order-function lambdas are not
+    CSE'd — pass a materialized column, not the normalize expression, or
+    the regex chain re-evaluates per array element (O(len²) regex work)."""
+    c = _c(norm)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def char_shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (the unit for
+    MinHash / Jaccard dedup). Short texts yield the whole string. Prefer
+    projecting ``normalize_text`` to a column first and calling
+    ``char_shingles_from_norm`` (see its docstring)."""
+    return char_shingles_from_norm(normalize_text(col), n)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-space characters that are not alphanumeric."""
+    c = _c(col)
+    nospace = F.regexp_replace(c, " ", "")
+    nonalnum = F.regexp_replace(nospace, "[a-zA-Z0-9]", "")
+    return F.when(
+        F.length(nospace) > 0, F.length(nonalnum).cast("double") / F.length(nospace)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokens(col)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    return F.when(F.size(toks) > 0, stops.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic [0,1] quality: enough tokens, sane mean word length, some
+    stopwords, little punctuation. Mirrors the shape of common LLM-corpus
+    quality filters (length/punct/stopword gates) as one score."""
+    tc = token_count(col).cast("double")
+    len_ok = F.least(tc / F.lit(20.0), F.lit(1.0))
+    mtl = mean_token_len(col)
+    mtl_ok = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    return F.round((len_ok + mtl_ok + stop_ok + punct_ok) / 4, 4)
+
+
+def lang_scores(col: Column | str) -> list[tuple[str, Column]]:
+    toks = tokens(col)
+    out = []
+    for lang, lex in LANG_LEXICONS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(*lex)))
+        score = F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+        out.append((lang, score))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax language by lexicon hit-rate; 'und' when no hits. Ties break
+    by the fixed lexicon order (en, fr, de, es)."""
+    scores = lang_scores(col)
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, score in reversed(scores):
+        expr = F.when((best_score > 0) & (score == best_score), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the sorted distinct token set — robust to
+    token order and duplication (bag-of-words identity)."""
+    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(col)))))

@@ -1,0 +1,229 @@
+"""Deduplication operators for large-scale corpora.
+
+Five strategies over a ``(id, text)`` document frame, each a pure DataFrame
+composition (no UDFs) so Catalyst plans them and the semantics are portable
+to an external SQL oracle:
+
+- **exact**: md5 of the normalized text; one hash aggregation.
+- **n-gram Jaccard**: char-shingle sets, candidate pairs via a shared-
+  shingle self-join, Jaccard from distinct-shingle counts.
+- **MinHash**: universal-hash family over shingle hashes, per-doc signature
+  by ``min`` aggregation, banded into buckets -> candidate pairs join only
+  inside buckets (the LSH trick: cost ~ bucket sizes, not n²).
+- **SimHash**: 32-bit sign-of-weighted-bit-sums signature; near-dup pairs
+  join on 8-bit bands and filter on Hamming distance (bit_count of xor).
+- **embedding cosine**: exact pairwise above a threshold, bucketed by LSH
+  sign-bits when asked (see ``similarity.py`` for the ANN machinery).
+
+Scale notes: every strategy is one or two shuffles on compact keys
+(hash / shingle / band), with map-side partial aggregation; nothing
+materializes n² rows except within LSH buckets, which is the point of LSH.
+
+Hash portability: shingle/token hashes derive from md5 hex (first 15
+nibbles -> 60-bit int), then a mod-P universal family — both expressible in
+any SQL engine, unlike engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles, normalize_text, tokens
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+# Fixed universal-hash coefficients (a, b) — any odd a works; these are
+# arbitrary but frozen so signatures are stable across runs and engines.
+MINHASH_COEFFS: List[tuple] = [
+    (387, 152), (1093, 901), (2251, 77), (3319, 409),
+    (4447, 1279), (5561, 2069), (6673, 3167), (7793, 4021),
+    (8887, 5279), (10007, 6151), (11113, 7013), (12227, 7919),
+    (13337, 8837), (14461, 9733), (15569, 10627), (16693, 11549),
+]
+
+
+def shingle_hash(sh) -> F.Column:
+    """60-bit int from md5 hex — portable across engines."""
+    return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) texts: (content_hash,
+    canonical_id = min id, n_dups). One hash aggregation."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Two-stage projection: normalize once per row, THEN shingle — keeps the
+    # regex chain out of the per-element lambda (see char_shingles_from_norm).
+    from ..functions.text import char_shingles_from_norm
+
+    normed = df.select(
+        F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    return normed.select(
+        "_id", F.explode(char_shingles_from_norm(F.col("_norm"), n)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over distinct char n-grams. Candidate
+    generation = self-join on shingle (only docs sharing ≥1 shingle meet);
+    set sizes come from one distinct-count aggregation."""
+    sh = _shingle_frame(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))  # shingles already distinct
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, array<long> of length num_hashes).
+    One explode + one hash aggregation with num_hashes min() columns."""
+    assert num_hashes <= len(MINHASH_COEFFS)
+    sh = _shingle_frame(df, id_col, text_col, n)
+    x = shingle_hash(F.col("sh")) % MERSENNE_P
+    mins = [
+        F.min((F.lit(a) * x + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    agg = sh.groupBy("_id").agg(*mins)
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` rows-per-band
+    groups, bucket by the band hash, emit pairs sharing ≥1 bucket. Join cost
+    is per-bucket, not n² — the 100 TB path for fuzzy dedup."""
+    rows_per_band = num_hashes // bands
+    # The signature frame is tiny relative to the corpus (num_hashes longs
+    # per doc) and feeds BOTH sides of the candidate self-join on a
+    # different key than it was aggregated on — materialize it once instead
+    # of recomputing the shingle/hash pipeline per side. (On a cluster this
+    # would be a persist to MEMORY_AND_DISK or a checkpoint.)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
+    # One pass: explode an array of (band, band_hash) structs instead of
+    # unioning per-band frames (which would recompute the signature pipeline
+    # per band).
+    band_structs = []
+    for b in range(bands):
+        cols = [
+            F.col("signature").getItem(i).cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
+        )
+    buckets = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b2 = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over token multiset: per bit, sign of Σ ±1 weighted by
+    whether the token hash has that bit set. One explode + one aggregation
+    with ``bits`` sum() columns."""
+    tok = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("_id", h.alias("h"))
+    sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("_id").agg(*sums)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= k: band the 32 bits into 4
+    bytes (pigeonhole: distance ≤3 ⇒ some byte equal), join per band, filter
+    exact Hamming with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * 8).bitwiseAND(255).alias("bucket"),
+        )
+        for b in range(4)
+    ]
+    allb = sig.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b2 = allb.alias("a"), allb.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

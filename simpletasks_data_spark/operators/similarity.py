@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns.
+
+- ``knn_bruteforce``: exact top-k cosine neighbors for a query subset.
+  The candidate side is broadcast when small; the dot product folds
+  JVM-side (``functions.vectors``). Correctness baseline.
+- ``knn_ivf_signbits``: IVF-style approximate variant — both sides are
+  quantized into 2^bits sign-bit cells and the join only scans the query's
+  own cell (≈ n/2^bits candidates per query). This is the 100 TB path: the
+  cross product never materializes, the join key is a dense int, and recall
+  trades off against ``bits`` exactly like an IVF nprobe=1 index.
+- ``embedding_dedupe_pairs``: near-duplicate pairs above a cosine
+  threshold, within sign-bit cells.
+
+Ranking determinism: neighbors order by cosine rounded to 1e-6 then id, so
+rankings are stable across engines/run orders despite float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, bucket_signbits, cosine, norm2
+
+__all__ = ["knn_bruteforce", "knn_ivf_signbits", "embedding_dedupe_pairs"]
+
+
+def _norm_frame(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{alias}_id"),
+        as_double(vec_col).alias(f"{alias}_vec"),
+        norm2(vec_col).alias(f"{alias}_norm"),
+    )
+
+
+def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("sim_r"), 4).alias("cosine"))
+    )
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Exact top-k: queries × candidates cross join, cosine, window top-k.
+    (query_id, neighbor_id, rank, cosine). Self-matches excluded."""
+    q = _norm_frame(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
+    c = _norm_frame(emb, id_col, vec_col, "c").withColumnRenamed("c_id", "neighbor_id")
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def knn_ivf_signbits(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: equi-join on the sign-bit cell, then per-cell
+    cosine + top-k. Same output shape as brute force; recall < 1."""
+    q = _norm_frame(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
+    c = _norm_frame(emb, id_col, vec_col, "c").withColumnRenamed("c_id", "neighbor_id")
+    q = q.withColumn("cell", bucket_signbits(F.col("q_vec"), bits))
+    c = c.withColumn("cell", bucket_signbits(F.col("c_vec"), bits))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def embedding_dedupe_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 4,
+) -> DataFrame:
+    """Near-duplicate vectors: pairs with cosine >= threshold, candidate
+    generation restricted to matching sign-bit cells (true near-dups almost
+    always agree on sign bits)."""
+    e = _norm_frame(emb, id_col, vec_col, "e").withColumn(
+        "cell", bucket_signbits(F.col("e_vec"), bits)
+    )
+    a = e.select(
+        F.col("e_id").alias("id_a"), F.col("e_vec").alias("va"),
+        F.col("e_norm").alias("na"), "cell",
+    )
+    b = e.select(
+        F.col("e_id").alias("id_b"), F.col("e_vec").alias("vb"),
+        F.col("e_norm").alias("nb"), "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,941 @@
+"""Query catalog: every operator exposed as a (spark, sf_dir) -> DataFrame
+callable plus a matching ANSI-SQL oracle string (DuckDB dialect-compatible).
+
+Parity rules that keep value-hashes identical across engines:
+
+- every aggregate / computed column is aliased identically on both sides;
+- float aggregates are rounded at 4 decimals, chosen OFF the data's natural
+  decimal grid (prices have 2 decimals, so their sums sit ~1e-12 from a
+  2-decimal value — rounding at 4 keeps both engines on the same side);
+- divisions/products are composed in the same order on both sides so IEEE
+  results are bit-identical;
+- hashes are md5-derived (portable), never engine-private hash functions;
+- regexp_replace in the oracle always passes the 'g' flag (Spark replaces
+  globally by default, DuckDB does not);
+- counts are cast to bigint on the Spark side (DuckDB counts are BIGINT).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dumping as DUMP
+from .functions import parsing as P
+from .functions import text as TX
+from .functions import vectors as V
+from .operators import dedupe as DD
+from .operators import similarity as SIM
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: Dict[str, QueryFn] = {}
+_ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # The events parquet stores TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read nanos as long and truncate to micros — exactly what
+        # a micro-resolution engine (e.g. DuckDB) does on the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def queries() -> Dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> Dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ===========================================================================
+# TPC-H-style analytics (bench headliners; exercise agg/join/window pushdown)
+# ===========================================================================
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register("q3_shipping_priority", """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register("q5_local_supplier_volume", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-01-01'
+GROUP BY n_name
+""")
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+@register("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register("top_parts_per_brand", """
+SELECT p_brand, p_partkey, total_qty, rnk FROM (
+  SELECT p_brand, p_partkey,
+         round(sum(l_quantity), 4) AS total_qty,
+         row_number() OVER (PARTITION BY p_brand ORDER BY round(sum(l_quantity), 4) DESC, p_partkey) AS rnk
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+) WHERE rnk <= 3
+""")
+def top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "total_qty", "rnk")
+    )
+
+
+# ===========================================================================
+# Text analysis over `documents` (LLM-pipeline operators)
+# ===========================================================================
+# Shared SQL fragments mirroring functions/text.py exactly (note the 'g'
+# flag: Spark regexp_replace is global by default, DuckDB is not).
+
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+SQL_TOKENS = "list_filter(string_split(" + SQL_NORM + ", ' '), t -> t != '')"
+_STOP_EN = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+
+
+@register("text_stats", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks,
+         {SQL_NORM.format(c='text')} AS norm,
+         regexp_replace(text, ' ', '', 'g') AS nospace
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END, 4) AS mean_token_len,
+       round(CASE WHEN strlen(nospace) > 0
+             THEN CAST(strlen(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / strlen(nospace)
+             ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE) / len(toks)
+             ELSE 0.0 END, 4) AS stopword_ratio
+FROM t
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.distinct_token_count("text").cast("long").alias("n_distinct"),
+        F.round(TX.mean_token_len("text"), 4).alias("mean_token_len"),
+        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+def _langid_sql() -> str:
+    toks = SQL_TOKENS.format(c="text")
+    score_cols = []
+    for lang, lex in TX.LANG_LEXICONS.items():
+        lex_sql = ", ".join(f"'{w}'" for w in lex)
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ({lex_sql}))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_{lang}"
+        )
+    langs = list(TX.LANG_LEXICONS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    # first lang in fixed order reaching the max wins (ties -> lexicon order)
+    pick = "CASE WHEN " + " <= 0 THEN 'und' ".join([best]) + " <= 0 THEN 'und' "
+    pick = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for l in langs:
+        pick += f"WHEN s_{l} = {best} THEN '{l}' "
+    pick += "END"
+    return f"""
+WITH t AS (SELECT doc_id, lang AS labeled_lang, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, labeled_lang, {', '.join(score_cols)} FROM t)
+SELECT doc_id, labeled_lang, {pick} AS detected_lang FROM s
+"""
+
+
+@register("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id("text").alias("detected_lang"),
+    )
+
+
+@register("text_fingerprint", f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({SQL_TOKENS.format(c='text')})), ' ')) AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+@register("text_quality", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks,
+         regexp_replace(text, ' ', '', 'g') AS nospace
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS tc,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stop_r,
+         CASE WHEN strlen(nospace) > 0
+              THEN CAST(strlen(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / strlen(nospace)
+              ELSE 0.0 END AS punct_r
+  FROM t
+)
+SELECT doc_id,
+       round((least(tc / 20.0, 1.0)
+            + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END)
+            + least(stop_r * 4, 1.0)
+            + (1.0 - least(punct_r * 4, 1.0))) / 4, 4) AS quality
+FROM m
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+# ===========================================================================
+# Deduplication over a corpus with PLANTED duplicates (the raw synthetic
+# documents are all unique, so both engines construct the same corpus:
+# exact copies for doc_id % 13 == 0, near-copies for doc_id % 10 == 0).
+# ===========================================================================
+
+SQL_CORPUS = """
+corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS id, text || ' extra token tail' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+    )
+    return (
+        docs.unionByName(exact).unionByName(near).select(F.col("doc_id").alias("id"), "text")
+    )
+
+
+@register("dedup_exact", f"""
+WITH {SQL_CORPUS}
+SELECT md5({SQL_NORM.format(c='text')}) AS content_hash,
+       min(id) AS canonical_id,
+       count(*) AS n_docs
+FROM corpus
+GROUP BY 1 HAVING count(*) > 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedupe(_corpus(spark, sf_dir), "id", "text")
+
+
+SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(strlen({norm}) - 4, 1)),"
+    " i -> substr({norm}, i, 5)))"
+)
+
+
+@register("dedup_ngram_jaccard", f"""
+WITH {SQL_CORPUS},
+n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
+sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+shared AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id < b._id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa._id = id_a
+JOIN sizes sb ON sb._id = id_b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6
+""")
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6)
+
+
+def _minhash_sql() -> str:
+    P = DD.MERSENNE_P
+    mins = ",\n       ".join(
+        f"min(({a} * x + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(DD.MINHASH_COEFFS[:16])
+    )
+    bands = []
+    for b in range(4):
+        cols = ", ".join(f"CAST(h{i} AS VARCHAR)" for i in range(b * 4, (b + 1) * 4))
+        bands.append(
+            f"SELECT _id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
+        )
+    band_sql = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH {SQL_CORPUS},
+n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
+sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+hx AS (SELECT _id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {P} AS x FROM sh),
+sig AS (SELECT _id, {mins} FROM hx GROUP BY _id),
+buckets AS ({band_sql})
+SELECT DISTINCT a._id AS id_a, b._id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+"""
+
+
+@register("dedup_minhash", _minhash_sql())
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_pairs(_corpus(spark, sf_dir), "id", "text", n=5, num_hashes=16, bands=4)
+
+
+def _simhash_sql(pairs: bool) -> str:
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+    )
+    sim = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(32))
+    base = f"""
+WITH {SQL_CORPUS},
+tok AS (SELECT id AS _id, unnest({SQL_TOKENS.format(c='text')}) AS t FROM corpus),
+hx AS (SELECT _id, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
+agg AS (SELECT _id, {sums} FROM hx GROUP BY _id),
+sig AS (SELECT _id, ({sim}) AS simhash FROM agg)"""
+    if not pairs:
+        return base + "\nSELECT _id AS id, simhash FROM sig"
+    return base + f""",
+bands AS (
+  SELECT _id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_signatures", _simhash_sql(pairs=False))
+def dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_corpus(spark, sf_dir), "id", "text")
+
+
+@register("dedup_simhash_pairs", _simhash_sql(pairs=True))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = DD.simhash_pairs(_corpus(spark, sf_dir), "id", "text", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ===========================================================================
+# Similarity search over `embeddings` (ANN machinery)
+# ===========================================================================
+
+SQL_EMB_NORM = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)"""
+
+
+@register("knn_bruteforce", f"""
+WITH {SQL_EMB_NORM},
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 5
+""")
+def knn_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    out = SIM.knn_bruteforce(emb, queries_df, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def _ivf_bucket_sql(src: str, bits: int = 6) -> str:
+    terms = " + ".join(f"CASE WHEN {src}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"({terms})"
+
+
+@register("knn_ivf_signbits", f"""
+WITH {SQL_EMB_NORM},
+cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 5
+""")
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    out = SIM.knn_ivf_signbits(emb, queries_df, k=5, bits=6)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+@register("dedup_embedding_cosine", f"""
+WITH e0 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 17 = 0
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM e0),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v', 4)} AS cell FROM n)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.9
+""")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.where(F.col("vec_id") % 17 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    return SIM.embedding_dedupe_pairs(corpus, threshold=0.9, bits=4)
+
+
+# ===========================================================================
+# Event-stream analytics over `events` (sessionization / windows / JSON)
+# ===========================================================================
+
+@register("events_sessionize", """
+WITH l AS (
+  SELECT event_id, user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL OR date_diff('second', pts, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, session_idx
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = F.lag("ts").over(w)
+    new_s = F.when(
+        pts.isNull() | ((F.unix_timestamp("ts") - F.unix_timestamp(pts)) > 1800), 1
+    ).otherwise(0)
+    ses = ev.withColumn("new_s", new_s).withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return ses.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+@register("events_hourly_rollup", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+@register("events_json_extract", r"""
+SELECT event_type,
+       sum(coalesce(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS total_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long"), F.lit(0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# Scalar parse/dump roundtrip (reference formatting.py semantics) driven
+# over deterministic strings derived from `orders`
+# ===========================================================================
+
+@register("parse_roundtrip", """
+WITH s AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey AS VARCHAR) AS s_int,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'garbage' ELSE CAST(o_totalprice AS VARCHAR) END AS s_float,
+         strftime(o_orderdate, '%d/%m/%Y') AS s_date,
+         CASE WHEN o_orderstatus = 'F' THEN 'yes' ELSE 'no' END AS s_bool,
+         CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE o_orderpriority END AS s_str
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN trim(s_int) ~ '^[+-]?[0-9]+$' THEN CAST(trim(s_int) AS BIGINT) END AS p_int,
+       TRY_CAST(trim(s_float) AS DOUBLE) AS p_float,
+       try_strptime(s_date, '%d/%m/%Y') AS p_date,
+       -(o_orderkey * 10) AS p_amount,
+       lower(s_bool) IN ('yes', 'true', 't', '1', 'oui', 'vrai') AS p_bool,
+       CASE WHEN s_str IS NULL OR trim(s_str) = '' THEN '-' ELSE s_str END AS d_str,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS d_gs,
+       printf('%.1f', CAST(o_orderkey AS DOUBLE)) AS d_pct
+FROM s
+""")
+def parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    s_int = F.col("o_orderkey").cast("string")
+    s_float = F.when(F.col("o_orderkey") % 5 == 0, F.lit("garbage")).otherwise(
+        F.col("o_totalprice").cast("string")
+    )
+    s_date = F.date_format("o_orderdate", "dd/MM/yyyy")
+    s_amount = F.concat(F.lit("("), (F.col("o_orderkey") * 10).cast("string"), F.lit(")"))
+    s_bool = F.when(F.col("o_orderstatus") == "F", F.lit("yes")).otherwise(F.lit("no"))
+    s_str = F.when(F.col("o_orderkey") % 4 == 0, F.lit("")).otherwise(F.col("o_orderpriority"))
+    date_parser = P.parse_shitty_date("fr_FR")
+    return o.select(
+        "o_orderkey",
+        P.str2intnullable.value(s_int).alias("p_int"),
+        P.str2floatnullable.value(s_float).alias("p_float"),
+        date_parser.value(s_date).alias("p_date"),
+        P.str2intamount(s_amount).alias("p_amount"),
+        P.str2bool(s_bool).alias("p_bool"),
+        DUMP.dump_str(s_str).alias("d_str"),
+        DUMP.dump_datetime(F.col("o_orderdate"), "gs").alias("d_gs"),
+        DUMP.dump_percentage(F.col("o_orderkey").cast("double") / 100).alias("d_pct"),
+    )
+
+
+# ===========================================================================
+# Merge/import-task queries: the reference's core capability (SURVEY §2.4),
+# driven through ImportJob over TPC-H tables. The "source" is an orders
+# aggregation; new keys are planted at o_custkey + 1000000 so the CREATE
+# branch is exercised deterministically in both engines.
+# ===========================================================================
+
+from pyspark.sql import types as T  # noqa: E402
+
+from .mapping import ComputedField, Field, Mapping, StaticColumn  # noqa: E402
+from .plans import HistorySpec, ImportJob, TargetTable  # noqa: E402
+from .sources import ImportMode, TableSource  # noqa: E402
+
+SQL_UPSERT_SRC = """
+src AS (
+  SELECT o_custkey AS key, round(sum(o_totalprice), 4) AS total, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+  UNION ALL
+  SELECT o_custkey + 1000000 AS key, round(sum(o_totalprice), 4) AS total, count(*) AS n_orders
+  FROM orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey
+)"""
+
+
+def _upsert_source_df(spark: SparkSession, sf_dir: str, with_new: bool = True) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    if not with_new:
+        return base
+    new = (
+        orders.where(F.col("o_custkey") % 7 == 0)
+        .groupBy((F.col("o_custkey") + 1000000).alias("key"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return base.unionByName(new)
+
+
+class _CustomerUpsertMapping(Mapping):
+    """key -> c_custkey; acctbal updated from order totals; name/segment/
+    nation only set on create (should_update=False)."""
+
+    def __init__(self):
+        super().__init__()
+        self.c_custkey = Field("key")
+        self.c_acctbal = Field("total", keep_history=True)
+        self.c_name = ComputedField(
+            [Field("key")],
+            lambda cols: F.concat(F.lit("new-"), cols[0].cast("string")),
+            should_update=False,
+        )
+        self.c_nationkey = ComputedField(
+            [Field("key")], lambda cols: (cols[0] % 25).cast("int"), should_update=False
+        )
+        self.c_mktsegment = StaticColumn("IMPORTED", should_update=False)
+
+    def get_key_column_name(self):
+        return "c_custkey"
+
+
+def _customer_target(spark: SparkSession, sf_dir: str) -> TargetTable:
+    cust = load(spark, sf_dir, "customer")
+    return TargetTable(schema=cust.schema, df=cust, primary_keys=("c_custkey",))
+
+
+def _run_merge(spark, sf_dir, mode, with_new=True, keep_history=False):
+    target = _customer_target(spark, sf_dir)
+    src = TableSource(_upsert_source_df(spark, sf_dir, with_new), _CustomerUpsertMapping(), mode=mode)
+    job = ImportJob(
+        spark,
+        target,
+        sources=[src],
+        keep_history=keep_history,
+        history_spec=HistorySpec(
+            tracked_columns=["c_acctbal"],
+            key_column="c_custkey",
+            fixed_date=__import__("datetime").datetime(2026, 1, 1),
+        ),
+        dryrun=True,
+    )
+    job.counters = job.run()
+    return job
+
+
+@register("merge_upsert", f"""
+WITH {SQL_UPSERT_SRC}
+SELECT coalesce(c.c_custkey, s.key) AS c_custkey,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+            ELSE 'new-' || CAST(s.key AS VARCHAR) END AS c_name,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.c_nationkey
+            ELSE CAST(s.key % 25 AS INT) END AS c_nationkey,
+       CASE WHEN s.key IS NOT NULL THEN s.total ELSE c.c_acctbal END AS c_acctbal,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE 'IMPORTED' END AS c_mktsegment
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.key
+""")
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_merge(spark, sf_dir, ImportMode.CREATE_AND_UPDATE).result_df
+
+
+@register("merge_update_only", f"""
+WITH {SQL_UPSERT_SRC}
+SELECT c.c_custkey, c.c_name, c.c_nationkey,
+       CASE WHEN s.key IS NOT NULL THEN s.total ELSE c.c_acctbal END AS c_acctbal,
+       c.c_mktsegment
+FROM customer c LEFT JOIN src s ON c.c_custkey = s.key
+""")
+def merge_update_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_merge(spark, sf_dir, ImportMode.UPDATE).result_df
+
+
+@register("merge_create_only", f"""
+WITH {SQL_UPSERT_SRC}
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+UNION ALL
+SELECT s.key AS c_custkey,
+       'new-' || CAST(s.key AS VARCHAR) AS c_name,
+       CAST(s.key % 25 AS INT) AS c_nationkey,
+       s.total AS c_acctbal,
+       'IMPORTED' AS c_mktsegment
+FROM src s LEFT JOIN customer c ON c.c_custkey = s.key
+WHERE c.c_custkey IS NULL
+""")
+def merge_create_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_merge(spark, sf_dir, ImportMode.CREATE).result_df
+
+
+@register("merge_history_cdc", f"""
+WITH {SQL_UPSERT_SRC}
+SELECT c.c_custkey AS model_id,
+       c.c_acctbal AS old_c_acctbal,
+       s.total AS new_c_acctbal,
+       TIMESTAMP '2026-01-01' AS date
+FROM customer c JOIN src s ON c.c_custkey = s.key
+WHERE s.total IS DISTINCT FROM c.c_acctbal
+""")
+def merge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    job = _run_merge(spark, sf_dir, ImportMode.CREATE_AND_UPDATE, keep_history=True)
+    return job.history_df
+
+
+@register("merge_counters", f"""
+WITH {SQL_UPSERT_SRC},
+matched AS (
+  SELECT s.key, s.total, c.c_custkey, c.c_acctbal
+  FROM src s LEFT JOIN customer c ON c.c_custkey = s.key
+)
+SELECT (SELECT count(*) FROM src) AS read,
+       (SELECT count(*) FROM matched WHERE c_custkey IS NULL) AS created,
+       (SELECT count(*) FROM matched
+        WHERE c_custkey IS NOT NULL AND total IS DISTINCT FROM c_acctbal) AS updated,
+       (SELECT count(*) FROM customer c LEFT JOIN src s ON c.c_custkey = s.key
+        WHERE s.key IS NULL) AS not_found
+""")
+def merge_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    job = _run_merge(spark, sf_dir, ImportMode.CREATE_AND_UPDATE)
+    res = job.counters
+    src = res["sources"][0]
+    return job.spark.createDataFrame(
+        [(src["read"], res["created"], res["updated"], src["not_found"])],
+        "read bigint, created bigint, updated bigint, not_found bigint",
+    )
+
+
+class _FillMapping(Mapping):
+    def __init__(self):
+        super().__init__()
+        self.c_custkey = Field("key")
+        self.c_acctbal = Field("fill_val", should_update_only_if_null=True)
+
+    def get_key_column_name(self):
+        return "c_custkey"
+
+
+@register("merge_fill_if_null", """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 3 = 0 THEN 999.0 ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+FROM customer
+""")
+def merge_fill_if_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    holed = cust.withColumn(
+        "c_acctbal", F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_acctbal"))
+    )
+    target = TargetTable(schema=holed.schema, df=holed, primary_keys=("c_custkey",))
+    src_df = cust.select(F.col("c_custkey").alias("key"), F.lit(999.0).alias("fill_val"))
+    job = ImportJob(
+        spark,
+        target,
+        sources=[TableSource(src_df, _FillMapping(), mode=ImportMode.UPDATE)],
+        dryrun=True,
+    )
+    job.run()
+    return job.result_df
+
+
+class _LastWinsMapping(Mapping):
+    def __init__(self):
+        super().__init__()
+        self.okey = Field("l_orderkey")
+        self.qty = Field("l_quantity")
+        self.price = Field("l_extendedprice")
+
+    def get_key_column_name(self):
+        return "okey"
+
+
+@register("merge_dedup_last_wins", """
+WITH o AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice,
+         CAST(l_linenumber AS BIGINT) * 2147483648
+         + CAST(concat('0x', substr(md5(concat_ws(',',
+               CAST(l_quantity AS VARCHAR), CAST(l_extendedprice AS VARCHAR))), 1, 7)) AS BIGINT)
+         AS ord
+  FROM lineitem
+)
+SELECT l_orderkey AS okey,
+       arg_max(l_quantity, ord) AS qty,
+       arg_max(l_extendedprice, ord) AS price
+FROM o GROUP BY l_orderkey
+""")
+def merge_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source duplicate keys (one lineitem row per order line) fold
+    through the merge with last-occurrence-wins per column — order given by
+    l_linenumber (reference semantics §1.3)."""
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
+    # order column adds a content-derived tiebreak: ties then exist only
+    # between value-identical rows, making last-wins deterministic.
+    tiebreak = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(",", F.col("l_quantity").cast("string"),
+                              F.col("l_extendedprice").cast("string"))), 1, 7),
+        16, 10,
+    ).cast("long")
+    li = li.withColumn("_ord", F.col("l_linenumber").cast("long") * 2147483648 + tiebreak)
+    schema = T.StructType([
+        T.StructField("okey", T.LongType(), True),
+        T.StructField("qty", T.DoubleType(), True),
+        T.StructField("price", T.DoubleType(), True),
+    ])
+    target = TargetTable(schema=schema, df=spark.createDataFrame([], schema), primary_keys=("okey",))
+    src = TableSource(li, _LastWinsMapping(), order_col="_ord")
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    job.run()
+    return job.result_df
