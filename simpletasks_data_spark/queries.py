@@ -939,3 +939,78 @@ def merge_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = ImportJob(spark, target, sources=[src], dryrun=True)
     job.run()
     return job.result_df
+
+
+# ===========================================================================
+# Multimodal columns (binary payload + typed metadata; stubbed decode
+# kernels over real mapInPandas plumbing) and Structured Streaming
+# ===========================================================================
+
+from .operators.multimodal import (  # noqa: E402
+    attach_fake_payloads,
+    decode_metadata,
+    extract_features,
+)
+
+
+@register("multimodal_decode", """
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h,
+         16 + octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+)
+SELECT media_id,
+       CAST(1 + CAST(concat('0x', substr(h, 1, 2)) AS INT) % 64 AS INT) AS width,
+       CAST(1 + CAST(concat('0x', substr(h, 3, 2)) AS INT) % 64 AS INT) AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       TRUE AS ok
+FROM m
+""")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode plumbing: payload bytes -> intrinsic metadata through
+    Arrow-batched mapInPandas (stub kernel: first bytes; see
+    operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_payloads(docs, "doc_id", "text")
+    return decode_metadata(media)
+
+
+@register("multimodal_features")  # no SQL oracle: byte-histogram features
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (stub kernel): payload -> fixed-dim
+    normalized byte histogram; returns (media_id, dim, l1) so the weaker
+    rows-only driver check still pins shape + determinism."""
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_payloads(docs, "doc_id", "text")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.size("features").cast("long").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("l1"),
+    )
+
+
+@register("streaming_hourly_rollup", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming run to completion over the bounded events table
+    (memory sink, complete mode): must equal the batch rollup — checked
+    against the SAME SQL oracle as events_hourly_rollup."""
+    import uuid
+
+    from .streaming import stream_events, streaming_hourly_counts
+
+    ev = stream_events(spark, sf_dir)
+    agg = streaming_hourly_counts(ev)
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

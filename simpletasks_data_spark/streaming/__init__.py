@@ -1,0 +1,15 @@
+from .ingest import (
+    events_schema,
+    stream_events,
+    streaming_hourly_counts,
+    streaming_merge_into,
+    streaming_sessions,
+)
+
+__all__ = [
+    "events_schema",
+    "stream_events",
+    "streaming_hourly_counts",
+    "streaming_sessions",
+    "streaming_merge_into",
+]

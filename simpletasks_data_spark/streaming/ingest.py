@@ -1,0 +1,107 @@
+"""Structured Streaming: the engine's stream-ingest surface.
+
+The reference is batch-only (SURVEY §2.6), but an import framework at
+100 TB needs a streaming path. Three composable pieces:
+
+- ``stream_events``: file-source stream over the events table layout
+  (swap for Kafka in production — the downstream plan is identical);
+- ``streaming_hourly_counts`` / ``streaming_sessions``: watermarked
+  event-time aggregation (tumbling window / session window) — late rows
+  beyond the watermark are dropped by the engine, state is bounded;
+- ``streaming_merge_into``: ``foreachBatch`` + the batch merge engine —
+  each micro-batch folds into the target through exactly the same
+  full-outer merge used for batch imports (ImportJob), giving idempotent
+  streaming upserts into a snapshot table.
+
+Tests drive these with a memory sink + ``processAllAvailable`` so a batch
+of parquet rows runs the streaming queries to completion synchronously.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def events_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),  # nanos (see queries.load)
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts -> timestamp).
+    maxFilesPerTrigger=1 keeps micro-batches small and deterministic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(events_schema())
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type with a watermark:
+    state for windows older than the watermark is evicted, so memory is
+    bounded regardless of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows (gap-based) per user — the streaming analogue of the
+    batch sessionization query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_merge_into(
+    events: DataFrame,
+    make_job: Callable[[SparkSession, DataFrame], object],
+    checkpoint_dir: str,
+    query_name: str = "stream_merge",
+):
+    """Fold each micro-batch into a target table through the batch merge
+    engine (exactly-once per micro-batch via foreachBatch + the target's
+    atomic snapshot swap; re-delivered batches are no-ops because the merge
+    is idempotent for unchanged values)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        job = make_job(batch_df.sparkSession, batch_df)
+        job.run()
+
+    return (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )

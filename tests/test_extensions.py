@@ -1,0 +1,79 @@
+"""Multimodal plumbing + Structured Streaming + operator unit checks."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from simpletasks_data_spark import queries as Q
+from simpletasks_data_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_fake_payloads,
+    decode_metadata,
+    extract_features,
+)
+from simpletasks_data_spark.streaming import (
+    stream_events,
+    streaming_hourly_counts,
+    streaming_sessions,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multimodal_payload_schema(spark):
+    docs = Q.load(spark, SF, "documents")
+    media = attach_fake_payloads(docs, "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    row = media.limit(1).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.modality == "image"
+
+
+def test_multimodal_decode_deterministic(spark):
+    docs = Q.load(spark, SF, "documents")
+    media = attach_fake_payloads(docs, "doc_id", "text")
+    d1 = {r.media_id: (r.width, r.height, r.n_bytes) for r in decode_metadata(media).collect()}
+    d2 = {r.media_id: (r.width, r.height, r.n_bytes) for r in decode_metadata(media).collect()}
+    assert d1 == d2
+    assert len(d1) == docs.count()
+    assert all(1 <= w <= 64 and 1 <= h <= 64 for (w, h, _) in d1.values())
+
+
+def test_multimodal_features_shape(spark):
+    docs = Q.load(spark, SF, "documents").limit(20)
+    media = attach_fake_payloads(docs, "doc_id", "text")
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    # normalized histogram sums to ~1
+    assert all(abs(sum(r.features) - 1.0) < 1e-9 for r in rows)
+
+
+def test_streaming_hourly_equals_batch(spark):
+    batch = Q.queries()["events_hourly_rollup"](spark, SF)
+    stream = Q.queries()["streaming_hourly_rollup"](spark, SF)
+    b = {(str(r.hour), r.event_type): (r.n, r.total_value) for r in batch.collect()}
+    s = {(str(r.hour), r.event_type): (r.n, r.total_value) for r in stream.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_streaming_sessions_runs(spark, tmp_path):
+    ev = stream_events(spark, SF)
+    agg = streaming_sessions(ev)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", os.path.join(tmp_path, "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits watermark-closed sessions; bounded input means
+    # the final watermark may hold back the tail — just assert it ran and
+    # produced a sane schema.
+    out = spark.table("sess_test")
+    assert set(out.columns) == {"session_start", "session_end", "user_id", "n_events", "total_value"}
