@@ -67,13 +67,16 @@ def dump_gps(lat: Column | str, lon: Column | str) -> Column:
 
 
 def dump_int(col: Column | str) -> Column:
-    """NULL -> "0"; else %.0f (formatting.py:54-65)."""
-    return F.format_string("%.0f", F.coalesce(_c(col).cast("double"), F.lit(0.0)))
+    """NULL -> "0"; else ``{:.0f}`` (formatting.py:54-65). Python's format
+    rounds half-to-even, so use bround, not Java's %.0f (HALF_UP)."""
+    return F.bround(F.coalesce(_c(col).cast("double"), F.lit(0.0))).cast("decimal(38,0)").cast("string")
 
 
 def dump_percentage(col: Column | str) -> Column:
-    """NULL -> "0.0"; else ``%.1f`` of value*100 (formatting.py:68-79)."""
-    return F.format_string("%.1f", F.coalesce(_c(col).cast("double") * 100, F.lit(0.0)))
+    """NULL -> "0.0"; else ``{:.1f}`` of value*100 (formatting.py:68-79).
+    Half-to-even like Python's format (bround before rendering)."""
+    v = F.bround(F.coalesce(_c(col).cast("double") * 100, F.lit(0.0)), 1)
+    return F.format_string("%.1f", v)
 
 
 def dump_str(col: Column | str) -> Column:

@@ -125,6 +125,12 @@ def merge_source(
     gate = key_ok & F.when(matched_dyn, F.lit(can_update)).otherwise(F.lit(can_create))
     pre = pre.withColumn("_gate", gate).withColumn("_matched", matched_dyn)
 
+    # The parsed projection feeds the counter aggregate AND the merge —
+    # materialize it once instead of re-running scan+parse per consumer.
+    # (Local mode: block-manager checkpoint; on a cluster this would be a
+    # reliable checkpoint or an exchange reuse.)
+    pre = pre.localCheckpoint(eager=False)
+
     # ---- counters over the pre-dedupe projection (one aggregate) ----------
     cnt = pre.agg(
         F.count_if(~imported).alias("ignored"),
@@ -213,6 +219,13 @@ def merge_source(
         F.col("_th").alias("_was_target"),
         F.col("_sh").alias("_seen"),
     )
+
+    # Materialize the merged image ONCE: the not_found/rejected counts, the
+    # next source's fold, and the final apply all read this frame — without
+    # the checkpoint each would re-execute the join. This is also the
+    # cross-source lineage cut (importtask semantics need source N+1 to see
+    # source N's pending state anyway).
+    out = out.localCheckpoint(eager=True)
 
     # ---- per-source validate_updates hook (importsource.py:109-123) -------
     rejected = 0

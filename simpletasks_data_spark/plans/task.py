@@ -97,7 +97,9 @@ class ImportJob:
             bound = source.mapping.bind(self.target.schema, self.target.lengths)
             bounds.append(bound)
             step = merge_source(self.spark, image, source, bound, target_cols)
-            image = step.image.localCheckpoint(eager=True)
+            # merge_source already checkpointed the merged frame; the image
+            # here is a thin projection over it (no re-execution).
+            image = step.image
             per_source.append(step.counters)
         results["sources"] = per_source
 

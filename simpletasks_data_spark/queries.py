@@ -1014,3 +1014,91 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ===========================================================================
+# Export formatters (reference mapping.py:42,66-69 + dump library) and the
+# composed MinHash -> Jaccard verified dedup pipeline
+# ===========================================================================
+
+from .plans.export import default_formatter, export_frame  # noqa: E402
+
+
+@register("export_formatted", """
+SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       printf('%.0f', o_totalprice) AS o_totalprice,
+       CASE WHEN o_orderpriority IS NULL OR trim(o_orderpriority) = ''
+            THEN '-' ELSE o_orderpriority END AS o_orderpriority,
+       coalesce(CAST(o_custkey AS VARCHAR), '') AS o_custkey
+FROM orders
+""")
+def export_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed table -> formatted string frame (the write side of the mapping):
+    gs datetime, %.0f int dump, '-' placeholder strings, default str(x)."""
+    orders = load(spark, sf_dir, "orders")
+    return export_frame(
+        orders,
+        [
+            ("o_orderkey", None),
+            ("o_orderdate", lambda c: DUMP.dump_datetime(c, "gs")),
+            ("o_totalprice", DUMP.dump_int),
+            ("o_orderpriority", DUMP.dump_str),
+            ("o_custkey", None),
+        ],
+    )
+
+
+def _minhash_verified_sql() -> str:
+    # candidates from the LSH band join, verified with exact Jaccard — the
+    # production-shape fuzzy-dedup pipeline (LSH prunes n² -> candidates,
+    # Jaccard confirms).
+    cand = _minhash_sql().strip()
+    return f"""
+WITH cand AS ({cand}),
+{SQL_CORPUS.strip().lstrip()},
+n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
+sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id < b._id
+  JOIN cand ON cand.id_a = a._id AND cand.id_b = b._id
+  GROUP BY 1, 2
+)
+SELECT inter.id_a, inter.id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa._id = inter.id_a
+JOIN sizes sb ON sb._id = inter.id_b
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
+"""
+
+
+@register("dedup_minhash_verified", _minhash_verified_sql())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates -> exact Jaccard verification >= 0.6: candidates
+    bound the pair space (never n²), the verify join only touches shingles
+    of candidate docs."""
+    corpus = _corpus(spark, sf_dir)
+    cand = DD.minhash_pairs(corpus, "id", "text", n=5, num_hashes=16, bands=4)
+    sh = DD._shingle_frame(corpus, "id", "text", 5)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("bid"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("bid")) & (F.col("sh_a") == F.col("sh_b")), "inner")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4)
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
