@@ -266,13 +266,32 @@ def merge_source(
 
     # ---- not_found: target rows whose key never appeared (anti-join
     # semantics of WHEN NOT MATCHED BY SOURCE; importtask.py:299-301) -------
-    not_found = out.where(F.col("_was_target") & ~F.col("_seen")).count()
-    nf_handled = source.on_data_not_found(
-        finalize_image(out.where(F.col("_was_target") & ~F.col("_seen")), target_cols)
-    )
-    # (nf_handled is surfaced via the task when a hook returns a frame.)
+    nf_pred = F.col("_was_target") & ~F.col("_seen")
+    not_found = out.where(nf_pred).count()
+    nf_handled = source.on_data_not_found(finalize_image(out.where(nf_pred), target_cols))
 
     new_image = out.select(*target_cols, *[ORIG + c for c in target_cols], CREATING)
+    if nf_handled is not None:
+        # The hook rewrote the not-found slice (flagged, mutated, or emptied
+        # to delete — importsource.py:125-133 "can delete the item"): splice
+        # it back in. Rows the hook dropped leave the image; rows it changed
+        # keep their pre-image so the edit shows up as a pending update.
+        kept = out.where(~nf_pred).select(
+            *target_cols, *[ORIG + c for c in target_cols], CREATING
+        )
+        nf_orig = out.where(nf_pred).select(
+            bound.normalize_key(F.col(key_name)).alias("_nfk"),
+            *[F.col(ORIG + c) for c in target_cols],
+            F.col(CREATING),
+        )
+        handled = nf_handled.join(
+            nf_orig, bound.normalize_key(nf_handled[key_name]) == nf_orig["_nfk"], "left"
+        ).select(
+            *[nf_handled[c] for c in target_cols],
+            *[F.col(ORIG + c) for c in target_cols],
+            F.coalesce(F.col(CREATING), F.lit(False)).alias(CREATING),
+        )
+        new_image = kept.unionByName(handled)
 
     counters = {
         "read": int(cnt["read"]),

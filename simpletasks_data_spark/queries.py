@@ -1102,3 +1102,142 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ===========================================================================
+# Join/subquery/grouping breadth: semi & anti joins, decorrelated scalar
+# subquery, rollup, pivot, and explicit skew-salted aggregation
+# ===========================================================================
+
+from .operators.skew import salted_aggregate  # noqa: E402
+
+
+@register("q4_late_orders_semijoin", """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""")
+def q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("customers_without_orders_antijoin", """
+SELECT c_mktsegment, count(*) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""")
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("q17_small_quantity_revenue", """
+WITH pa AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice), 4) AS total_small_rev, count(*) AS n_rows
+FROM lineitem JOIN pa ON pa.l_partkey = lineitem.l_partkey
+WHERE l_quantity < half_avg
+""")
+def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-part average), decorrelated into an
+    aggregate + equi-join — the plan Catalyst produces for the subquery
+    form, written explicitly."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total_small_rev"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register("rollup_returnflag_status", """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("flag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("status"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register("pivot_revenue_by_status", """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS rev_O,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS rev_F
+FROM lineitem GROUP BY l_returnflag
+""")
+def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(rev), 4))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("rev_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("rev_F"),
+    )
+
+
+@register("salted_agg_order_priority", """
+SELECT o_orderpriority,
+       round(sum(o_totalprice), 4) AS total,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""")
+def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-salted aggregation over a 5-value hot key — result
+    identical to the direct GROUP BY (the oracle), execution spreads each
+    key over 16 partial reducers first."""
+    orders = load(spark, sf_dir, "orders")
+    return salted_aggregate(
+        orders,
+        keys=["o_orderpriority"],
+        partial={
+            "p_total": F.sum("o_totalprice"),
+            "p_n": F.count(F.lit(1)),
+        },
+        combine={
+            "total": F.round(F.sum("p_total"), 4),
+            "n": F.sum("p_n"),
+        },
+        salt=16,
+        salt_on="o_orderkey",
+    )

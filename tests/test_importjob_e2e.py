@@ -236,3 +236,56 @@ def test_not_found(spark):
     )
     res = job.run()
     assert res["sources"][0]["not_found"] == 1
+
+
+def test_on_data_not_found_delete(spark):
+    """Hook emptying the not-found slice deletes stale target rows
+    (reference importsource.py:125-133: 'can be used to delete')."""
+    from simpletasks_data_spark.sources import GeneratorSource, ImportMode
+
+    target_df = spark.createDataFrame(
+        [(1, "A", None, None, None, None, None), (2, "B", None, None, None, None, None)],
+        TARGET_SCHEMA,
+    )
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+
+    class PurgingSource(GeneratorSource):
+        def on_data_not_found(self, not_found):
+            return not_found.limit(0)  # delete all stale rows
+
+    rows = [["hdr"] * 6, ["1", "A2", "c", "c", "c", "1"]]
+    job = ImportJob(
+        spark, target, sources=[PurgingSource(rows, MappingA(), name="s")], dryrun=True
+    )
+    res = job.run()
+    assert res["sources"][0]["not_found"] == 1
+    ids = sorted(r.id for r in job.result_df.collect())
+    assert ids == [1]  # row 2 deleted
+
+
+def test_on_data_not_found_flag(spark):
+    """Hook mutating the not-found slice (e.g. flag a column)."""
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.sources import GeneratorSource
+
+    target_df = spark.createDataFrame(
+        [(1, "A", None, None, None, None, None), (2, "B", "keep", None, None, None, None)],
+        TARGET_SCHEMA,
+    )
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+
+    class FlaggingSource(GeneratorSource):
+        def on_data_not_found(self, not_found):
+            return not_found.withColumn("col3", F.lit("STALE"))
+
+    rows = [["hdr"] * 6, ["1", "A2", "c", "c", "c", "1"]]
+    job = ImportJob(
+        spark, target, sources=[FlaggingSource(rows, MappingA(), name="s")], dryrun=True
+    )
+    res = job.run()
+    out = {r.id: r for r in job.result_df.collect()}
+    assert out[2].col3 == "STALE"
+    assert out[2].col2 == "keep"
+    # the flag counts as an update of row 2
+    assert res["updated"] == 2
