@@ -76,19 +76,60 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.6,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by Jaccard over distinct char n-grams. Candidate
-    generation = self-join on shingle (only docs sharing ≥1 shingle meet);
-    set sizes come from one distinct-count aggregation."""
+    """Near-dup pairs by EXACT Jaccard over distinct char n-grams.
+
+    Candidate generation uses prefix filtering (the SSJoin/PPJoin family):
+    under a global shingle order (portable hash), two sets with
+    J(A,B) >= t MUST share an element within each set's first
+    ``floor((1-t)*|X|) + 1`` shingles — so the candidate self-join runs on
+    those prefixes only, not on every shingle. Exact Jaccard is then
+    computed just for candidate pairs. ``prefix_filter=False`` falls back
+    to the naive shared-any-shingle join (quadratic on self-similar
+    corpora; correctness baseline)."""
+    from pyspark.sql import Window
+
     sh = _shingle_frame(df, id_col, text_col, n)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))  # shingles already distinct
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+
+    if prefix_filter:
+        ranked = sh.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(shingle_hash(F.col("sh")), F.col("sh"))
+            ),
+        )
+        prefix = ranked.join(sizes, "_id").where(
+            F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
+        )
+        pa, pb = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            pa.join(pb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+        a2 = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b2 = sh.select(F.col("_id").alias("bid"), F.col("sh").alias("sh_b"))
+        shared = (
+            cand.join(a2, "id_a")
+            .join(b2, (F.col("id_b") == F.col("bid")) & (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
