@@ -37,14 +37,20 @@ class CsvSource(Source):
         name: Optional[str] = None,
         num_columns: Optional[int] = None,
         ordered: bool = True,
+        engine: str = "rdd",
         delimiter: str = ",",
         quote: str = '"',
         encoding: str = "UTF-8",
     ) -> None:
+        """``engine`` (for ordered reads): ``"rdd"`` = text RDD +
+        ``from_csv`` per line; ``"datasource"`` = the Spark 4 Python
+        DataSource connector (``datasource.py``) — same ordering contract,
+        plus correct multi-line quoted records."""
         super().__init__(mapping, mode=mode, name=name)
         self.path = path
         self.num_columns = num_columns
         self.ordered = ordered
+        self.engine = engine
         self.delimiter = delimiter
         self.quote = quote
         self.encoding = encoding
@@ -60,6 +66,19 @@ class CsvSource(Source):
     def load_raw(self, spark: SparkSession) -> DataFrame:
         schema = self._csv_schema(spark)
         opts = {"delimiter": self.delimiter, "quote": self.quote, "mode": "PERMISSIVE"}
+        if self.ordered and self.engine == "datasource":
+            from .datasource import register_datasources
+
+            register_datasources(spark)
+            return (
+                spark.read.format("ordered_csv")
+                .option("path", self.path)
+                .option("ncols", str(len(schema.fields)))
+                .option("delimiter", self.delimiter)
+                .option("quote", self.quote)
+                .option("encoding", self.encoding.lower())
+                .load()
+            )
         if self.ordered:
             lines = spark.sparkContext.textFile(self.path).zipWithIndex()
             df = spark.createDataFrame(lines, T.StructType([

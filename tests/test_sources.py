@@ -70,3 +70,71 @@ def test_table_source(spark):
     out = {r.id: r for r in job.result_df.collect()}
     assert out[1].col1 == "Q"
     assert out[9].col1 == "R"
+
+
+def test_ordered_csv_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource connector: exact file order, multiline
+    quoted records (which the per-line from_csv path cannot handle)."""
+    import os
+
+    from simpletasks_data_spark.sources.datasource import register_datasources
+
+    p = os.path.join(tmp_path, "multi.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write('id,note\n')
+        f.write('1,"line one\nline two"\n')
+        f.write('2,plain\n')
+    register_datasources(spark)
+    df = (
+        spark.read.format("ordered_csv")
+        .option("path", p)
+        .option("ncols", "2")
+        .load()
+        .orderBy("_src_pos")
+    )
+    rows = df.collect()
+    assert [r._src_pos for r in rows] == [0, 1, 2]
+    assert rows[1]._c1 == "line one\nline two"  # multiline quoted record
+    assert rows[2]._c0 == "2"
+
+
+def test_ordered_csv_datasource_multifile(spark, tmp_path):
+    import os
+
+    from simpletasks_data_spark.sources.datasource import register_datasources
+
+    for i, name in enumerate(["a.csv", "b.csv"]):
+        with open(os.path.join(tmp_path, name), "w", encoding="utf-8") as f:
+            f.write(f"{i}0\n{i}1\n")
+    register_datasources(spark)
+    df = (
+        spark.read.format("ordered_csv")
+        .option("path", str(tmp_path))
+        .option("ncols", "1")
+        .load()
+        .orderBy("_src_pos")
+    )
+    vals = [r._c0 for r in df.collect()]
+    assert vals == ["00", "01", "10", "11"]  # file order then line order
+
+
+def test_csv_source_datasource_engine(spark, tmp_path):
+    """CsvSource(engine='datasource') runs the full import through the
+    Python DataSource connector."""
+    import os
+
+    p = os.path.join(tmp_path, "src2.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("id,col1,col2,col3,col4,col5\n3,Z,y,x,w,7\n")
+    src = CsvSource(p, MappingA(), engine="datasource")
+    target = TargetTable(
+        schema=TARGET_SCHEMA,
+        df=spark.createDataFrame([], TARGET_SCHEMA),
+        primary_keys=("id",),
+        lengths=LENGTHS,
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    assert res["created"] == 1
+    out = job.result_df.collect()[0]
+    assert (out.id, out.col1, out.col5) == (3, "Z", 7)
