@@ -77,3 +77,59 @@ def test_streaming_sessions_runs(spark, tmp_path):
     # produced a sane schema.
     out = spark.table("sess_test")
     assert set(out.columns) == {"session_start", "session_end", "user_id", "n_events", "total_value"}
+
+
+def test_streaming_merge_into(spark, tmp_path):
+    """foreachBatch bridge: micro-batches fold into a parquet target
+    through the batch merge engine (idempotent streaming upserts)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from simpletasks_data_spark.mapping import Field, Mapping
+    from simpletasks_data_spark.plans import ImportJob, TargetTable
+    from simpletasks_data_spark.sources import TableSource
+    from simpletasks_data_spark.streaming import stream_events, streaming_merge_into
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("last_value", T.DoubleType(), True),
+    ])
+    target = TargetTable(schema=schema, path=os.path.join(tmp_path, "tbl"), primary_keys=("user_id",))
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.user_id = Field("user_id")
+            self.last_value = Field("value")
+
+        def get_key_column_name(self):
+            return "user_id"
+
+    def make_job(sess, batch_df):
+        src_df = batch_df.select("user_id", "value", "event_id")
+        return ImportJob(
+            sess, target, sources=[TableSource(src_df, M(), order_col="event_id")]
+        )
+
+    ev = stream_events(spark, SF)
+    q = streaming_merge_into(ev, make_job, os.path.join(tmp_path, "ck")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(os.path.join(tmp_path, "tbl"))
+    n_users = out.count()
+    assert n_users == Q.load(spark, SF, "events").select("user_id").distinct().count()
+    # last_value per user = value of the max event_id row (order_col semantics)
+    import pyspark.sql.functions as F
+
+    expected = (
+        Q.load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.max_by("value", "event_id").alias("v"))
+    )
+    got = {r.user_id: r.last_value for r in out.collect()}
+    for r in expected.collect():
+        assert abs(got[r.user_id] - r.v) < 1e-9
