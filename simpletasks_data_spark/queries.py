@@ -46,7 +46,20 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """The external driver calls queries with ITS OWN session. Engine
+    semantics assume non-ANSI parsing (failure -> NULL, the reference's
+    try/except model) and a UTC session so timestamps hash-match a
+    UTC-naive oracle; both are runtime-settable, so pin them defensively."""
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _pin_session_confs(spark)
     if table == "events":
         # The events parquet stores TIMESTAMP(NANOS), which Spark's reader
         # rejects; read nanos as long and truncate to micros — exactly what
