@@ -151,7 +151,12 @@ def _str2intnullable_value(col: Column) -> Column:
     return F.when(t.rlike(_INT_RE), t.cast("long"))
 
 
-str2intnullable = SparkParser(_str2intnullable_value, name="str2intnullable")
+# int(None.strip()) raises AttributeError in the reference (only ValueError
+# is caught, formatting.py:240-244) -> NULL input is err (keep-old), while a
+# non-int string swallows to a legitimate NULL.
+str2intnullable = SparkParser(
+    _str2intnullable_value, lambda c: c.isNull(), name="str2intnullable"
+)
 
 
 def _str2floatnullable_value(col: Column) -> Column:
@@ -160,7 +165,10 @@ def _str2floatnullable_value(col: Column) -> Column:
     return py_strip(col).try_cast("double")
 
 
-str2floatnullable = SparkParser(_str2floatnullable_value, name="str2floatnullable")
+# float(None.strip()) -> AttributeError, same as the int case.
+str2floatnullable = SparkParser(
+    _str2floatnullable_value, lambda c: c.isNull(), name="str2floatnullable"
+)
 
 
 def format_montant(col: Column | str, shitty_format: str = "en_US") -> Column:
@@ -234,9 +242,12 @@ def _shitty_date_value(col: Column, shitty_format: str, with_time: bool) -> Colu
 
 def _shitty_err(value_fn: Callable[[Column], Column]) -> Callable[[Column], Column]:
     # The reference raises ValueError when every format fails on a non-empty
-    # string (strptime at formatting.py:327-338); NULL-on-nonempty marks it.
+    # string (strptime at formatting.py:327-338) and AttributeError on None
+    # input (``date.strip()``, formatting.py:324) — both tolerated by the
+    # import loop as keep-old-value. NULL input is therefore err, not a
+    # legitimate NULL.
     def err(col: Column) -> Column:
-        return (py_strip(col) != "") & value_fn(col).isNull()
+        return col.isNull() | ((py_strip(col) != "") & value_fn(col).isNull())
 
     return err
 
@@ -273,8 +284,10 @@ def _shitty_time_value(col: Column) -> Column:
 
 
 def _shitty_time_err(col: Column) -> Column:
+    # None input -> AttributeError in the reference (formatting.py:422) ->
+    # err, same as _shitty_err.
     t = py_strip(col)
-    return (t != "") & _try_ts(t, "H:m:s").isNull()
+    return col.isNull() | ((t != "") & _try_ts(t, "H:m:s").isNull())
 
 
 parse_shitty_time = SparkParser(_shitty_time_value, _shitty_time_err, name="parseShittyTime")

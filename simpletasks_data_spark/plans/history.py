@@ -21,7 +21,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.merge import CREATING, ORIG
+from ..operators.merge import CREATING, HIST, ORIG
 
 
 @dataclass
@@ -44,15 +44,29 @@ def changed_expr(cols: List[str]):
 
 
 def build_history(image: DataFrame, spec: HistorySpec) -> DataFrame:
-    """History rows from the working image: non-creating rows where some
-    tracked column changed vs its pre-image."""
-    changed = changed_expr(spec.tracked_columns) & ~F.col(CREATING)
+    """History rows from the working image: non-creating rows where a
+    tracked column's per-(source,column) history flag is set (the Spark
+    analogue of the reference's per-item history set, importtask.py:
+    326-331). Columns without a surviving flag stay NULL in the audit row,
+    exactly as the reference leaves unset history-model fields at their
+    default. Falls back to change-vs-pre-image when the image carries no
+    flag column (e.g. history built outside an ImportJob run)."""
+
+    def flag(c: str):
+        if HIST + c in image.columns:
+            return F.col(HIST + c)
+        return ~F.col(c).eqNullSafe(F.col(ORIG + c))
+
+    any_flag = F.lit(False)
+    for c in spec.tracked_columns:
+        any_flag = any_flag | flag(c)
+    changed = any_flag & ~F.col(CREATING)
     date_col = (
         F.lit(spec.fixed_date).cast("timestamp") if spec.fixed_date is not None else F.current_timestamp()
     )
     sel = [F.col(spec.key_column).alias(spec.model_key)]
     for c in spec.tracked_columns:
-        sel.append(F.col(ORIG + c).alias("old_" + c))
-        sel.append(F.col(c).alias("new_" + c))
+        sel.append(F.when(flag(c), F.col(ORIG + c)).alias("old_" + c))
+        sel.append(F.when(flag(c), F.col(c)).alias("new_" + c))
     sel.append(date_col.alias(spec.date_column))
     return image.where(changed).select(*sel)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..mapping import BoundMapping
-from ..operators.merge import CREATING, ORIG, finalize_image, init_image, merge_source
+from ..operators.merge import CREATING, HIST, ORIG, finalize_image, init_image, merge_source
 from ..sources.base import Source
 from .history import HistorySpec, build_history
 from .target import TargetTable
@@ -53,6 +53,10 @@ class ImportJob:
         self.dryrun = dryrun
         self.history_df: Optional[DataFrame] = None
         self.result_df: Optional[DataFrame] = None
+        # Per-source warn counts ({column: count}), mirroring the reference's
+        # logger.warning sites (importtask.py:262-284). Kept OUT of the
+        # result dict so the counter shape stays verbatim-reference.
+        self.warnings: List[Dict[str, int]] = []
 
     # -- overridable lifecycle hooks (importtask.py:81-111) -----------------
     def get_sources(self) -> Sequence[Source]:
@@ -89,18 +93,26 @@ class ImportJob:
         results["preprocess"] = self.pre_process()
 
         target_cols = self.target.columns
-        image = init_image(self.get_model_data(), target_cols)
+        sources = list(self.get_sources())
+        bounds: List[BoundMapping] = [
+            source.mapping.bind(self.target.schema, self.target.lengths) for source in sources
+        ]
+        # Columns flagged keep_history by ANY source get a per-row history
+        # flag in the image; each merge step sets/clears its own column's
+        # flag per the *changing* source's spec (reference per-item history
+        # set, importtask.py:152-179).
+        tracked = self._tracked_columns(bounds)
+        image = init_image(self.get_model_data(), target_cols, tuple(tracked))
 
         per_source = []
-        bounds: List[BoundMapping] = []
-        for source in self.get_sources():
-            bound = source.mapping.bind(self.target.schema, self.target.lengths)
-            bounds.append(bound)
+        self.warnings = []
+        for source, bound in zip(sources, bounds):
             step = merge_source(self.spark, image, source, bound, target_cols)
             # merge_source already checkpointed the merged frame; the image
             # here is a thin projection over it (no re-execution).
             image = step.image
             per_source.append(step.counters)
+            self.warnings.append(step.warnings)
         results["sources"] = per_source
 
         results["postprocess"] = self.post_process()
@@ -125,10 +137,12 @@ class ImportJob:
         invalid = pending & ~valid
 
         # ---- final counters in one aggregate (importtask.py:346-377) -----
-        tracked = self._tracked_columns(bounds)
+        # History fires when any per-(source,column) flag survived the folds
+        # — not merely when a tracked column's value changed (the change
+        # could have come from a source whose spec doesn't keep history).
         hist_changed = F.lit(False)
         for c in tracked:
-            hist_changed = hist_changed | ~F.col(c).eqNullSafe(F.col(ORIG + c))
+            hist_changed = hist_changed | F.col(HIST + c)
 
         agg = image.agg(
             F.count_if(invalid).alias("rejected"),
@@ -150,6 +164,10 @@ class ImportJob:
                 *[F.when(invalid, F.col(ORIG + c)).otherwise(F.col(c)).alias(c) for c in target_cols],
                 *[F.col(ORIG + c) for c in target_cols],
                 F.col(CREATING),
+                *[
+                    F.when(invalid, F.lit(False)).otherwise(F.col(HIST + c)).alias(HIST + c)
+                    for c in tracked
+                ],
             )
 
         # ---- history CDC frame (plans/history.py) ------------------------

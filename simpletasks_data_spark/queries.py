@@ -293,7 +293,6 @@ def _langid_sql() -> str:
     langs = list(TX.LANG_LEXICONS)
     best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     # first lang in fixed order reaching the max wins (ties -> lexicon order)
-    pick = "CASE WHEN " + " <= 0 THEN 'und' ".join([best]) + " <= 0 THEN 'und' "
     pick = f"CASE WHEN {best} <= 0 THEN 'und' "
     for l in langs:
         pick += f"WHEN s_{l} = {best} THEN '{l}' "
@@ -638,7 +637,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_json_extract", r"""
 SELECT event_type,
-       sum(coalesce(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS total_k,
+       CAST(sum(coalesce(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS total_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """)

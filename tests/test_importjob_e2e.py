@@ -289,3 +289,181 @@ def test_on_data_not_found_flag(spark):
     assert out[2].col2 == "keep"
     # the flag counts as an update of row 2
     assert res["updated"] == 2
+
+
+def test_duplicate_create_policy_fold(spark):
+    """Within-source duplicate keys on a CREATED row: the insert takes the
+    FIRST occurrence's values for should_update=False columns, later
+    duplicates fold through the update-policy gates, and a later parse
+    error keeps the earlier good value (reference importtask.py:251-284)."""
+    target_df = spark.createDataFrame([], TARGET_SCHEMA)
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+
+    from simpletasks_data_spark.mapping import PyParser
+
+    # A parser that RAISES on garbage (the err-channel path, like the
+    # reference's date parsers) — str2intnullable would swallow to None.
+    raising_int = lambda: PyParser(lambda s: int(s) if s else None, "long")  # noqa: E731
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.col1 = self.auto()
+            self.col2 = self.auto(should_update=False)
+            self.col5 = self.auto(raising_int(), warn_on_error=False)
+            self.col6 = self.auto(should_update_only_if_null=True)
+
+        def get_header_line_number(self):
+            return -1
+
+    rows = [
+        ["9", "A", "X", "1", ""],    # creates: col1=A col2=X col5=1 col6=NULL
+        ["9", "B", "Y", "zz", "5"],  # col1->B; col2 frozen X; col5 err keeps 1; col6 fills 5
+        ["9", "C", "Z", "xx", "7"],  # col1->C; col5 err again keeps 1; col6 stays 5
+        ["7", "D", "", "aa", "2"],   # creates: col2 ""->NULL frozen; col5 err on create -> NULL
+        ["7", "E", "W", "8", ""],    # col2 stays NULL; col5 -> 8
+    ]
+    job = ImportJob(spark, target, sources=[GeneratorSource(rows, M(), name="s")], dryrun=True)
+    res = job.run()
+    assert res["created"] == 2
+    assert res["updated"] == 0
+    out = {r.id: r for r in job.result_df.collect()}
+    r9, r7 = out[9], out[7]
+    assert (r9.col1, r9.col2, r9.col5, r9.col6) == ("C", "X", 1, 5)
+    assert (r7.col1, r7.col2, r7.col5, r7.col6) == ("E", None, 8, 2)
+
+
+def test_update_error_keeps_old_value(spark):
+    """A RAISING parser's error on an UPDATE row keeps the stored value
+    (err channel -> no update; importtask.py:278-284) — while the
+    swallowing str2intnullable path records a legitimate NULL update."""
+    from simpletasks_data_spark.mapping import PyParser
+
+    target_df = spark.createDataFrame([(1, "A", None, None, None, 42, 7)], TARGET_SCHEMA)
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.col5 = self.auto(
+                PyParser(lambda s: int(s) if s else None, "long"), warn_on_error=False
+            )
+            self.col6 = self.auto()  # inferred str2intnullable: swallows to None
+
+        def get_header_line_number(self):
+            return -1
+
+    job = ImportJob(
+        spark, target, sources=[GeneratorSource([["1", "oops", "bad"]], M(), name="s")], dryrun=True
+    )
+    res = job.run()
+    row = job.result_df.collect()[0]
+    assert row.col5 == 42      # raising parser: old value kept
+    assert row.col6 is None    # swallowing parser: NULL is a real update
+    assert res["updated"] == 1
+
+
+def test_warn_counters(spark):
+    """warn_on_error / warn_if_empty are surfaced as per-source warn counts
+    (the reference only logs these, importtask.py:262-284)."""
+    target_df = spark.createDataFrame([(1, "A", None, None, None, None, None)], TARGET_SCHEMA)
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+
+    from simpletasks_data_spark.mapping import PyParser
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.col1 = self.auto(warn_if_empty=True)
+            # warn_on_error defaults True; raising parser feeds the err channel
+            self.col5 = self.auto(PyParser(lambda s: int(s) if s else None, "long"))
+
+        def get_header_line_number(self):
+            return -1
+
+    rows = [
+        ["1", "", "nope"],   # col1 empty -> warn_if_empty; col5 raises -> warn_on_error
+        ["2", "ok", "3"],    # clean create
+    ]
+    job = ImportJob(spark, target, sources=[GeneratorSource(rows, M(), name="s")], dryrun=True)
+    job.run()
+    assert job.warnings == [{"col1": 1, "col5": 1}]
+
+
+def test_history_per_source_spec(spark):
+    """History fires only when the CHANGING source's spec flags
+    keep_history; a change from an unflagged source produces no audit row
+    even if another source's mapping flags that column (reference
+    importtask.py:272-277 — the flag travels with set_updated_value_for)."""
+    target_df = spark.createDataFrame([(1, "A", None, "x", None, None, None)], TARGET_SCHEMA)
+    target = TargetTable(schema=TARGET_SCHEMA, df=target_df, primary_keys=("id",), lengths=LENGTHS)
+
+    class MTracks(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.col1 = self.auto(keep_history=True)
+
+        def get_header_line_number(self):
+            return -1
+
+    class MChanges(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.col1 = self.auto()  # keep_history=False
+
+        def get_header_line_number(self):
+            return -1
+
+    # Source 1 tracks col1 but does NOT change it; source 2 changes it
+    # without keep_history -> no history.
+    job = ImportJob(
+        spark,
+        target,
+        sources=[
+            GeneratorSource([["1", "A"]], MTracks(), name="s1"),
+            GeneratorSource([["1", "C"]], MChanges(), name="s2"),
+        ],
+        keep_history=True,
+        dryrun=True,
+    )
+    res = job.run()
+    assert res["history_created"] == 0
+    assert res["updated"] == 1
+    assert job.result_df.collect()[0].col1 == "C"
+
+    # Source 1 changes col1 (flag set), source 2 changes it again without
+    # keep_history: the flag survives; audit row spans stored -> final.
+    job2 = ImportJob(
+        spark,
+        target,
+        sources=[
+            GeneratorSource([["1", "B"]], MTracks(), name="s1"),
+            GeneratorSource([["1", "C"]], MChanges(), name="s2"),
+        ],
+        keep_history=True,
+        dryrun=True,
+    )
+    res2 = job2.run()
+    assert res2["history_created"] == 1
+    h = job2.history_df.collect()[0]
+    assert (h.model_id, h.old_col1, h.new_col1) == (1, "A", "C")
+
+    # A later source cancelling the change back to stored discards the flag.
+    job3 = ImportJob(
+        spark,
+        target,
+        sources=[
+            GeneratorSource([["1", "B"]], MTracks(), name="s1"),
+            GeneratorSource([["1", "A"]], MChanges(), name="s2"),
+        ],
+        keep_history=True,
+        dryrun=True,
+    )
+    res3 = job3.run()
+    assert res3["history_created"] == 0
+    assert res3["updated"] == 0
