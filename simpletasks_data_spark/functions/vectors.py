@@ -37,11 +37,25 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
-def bucket_signbits(a: Column | str, bits: int = 8) -> Column:
-    """Coarse IVF-style bucket id from the sign bits of the first ``bits``
-    dimensions — a deterministic, engine-portable quantizer (2^bits cells)."""
+def bucket_signbits(a: Column | str, bits: int = 8, offset: int = 0) -> Column:
+    """Coarse IVF-style bucket id from the sign bits of ``bits`` dimensions
+    starting at ``offset`` — a deterministic, engine-portable quantizer
+    (2^bits cells). Distinct offsets give independent projections for
+    multi-band candidate generation (LSH band trick)."""
     arr = as_double(a)
     expr = F.lit(0)
     for j in range(bits):
-        expr = expr + F.when(F.element_at(arr, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        expr = expr + F.when(F.element_at(arr, offset + j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return expr
+
+
+def suggest_signbit_bits(n_rows: int, target_cell_rows: int = 1024) -> int:
+    """Size the quantizer to the corpus: enough cells that an average cell
+    holds ~``target_cell_rows`` vectors, so within-cell all-pairs work is
+    O(n * target_cell_rows) instead of O(n^2 / 2^bits) with tiny bits.
+    Clamped to [4, 20]."""
+    import math
+
+    if n_rows <= target_cell_rows:
+        return 4
+    return max(4, min(20, math.ceil(math.log2(n_rows / target_cell_rows))))

@@ -9,7 +9,15 @@
   cross product never materializes, the join key is a dense int, and recall
   trades off against ``bits`` exactly like an IVF nprobe=1 index.
 - ``embedding_dedupe_pairs``: near-duplicate pairs above a cosine
-  threshold, within sign-bit cells.
+  threshold. Candidates come from ``bands`` independent sign-bit
+  projections (band b quantizes dims [b*bits, b*bits+bits)): a pair is a
+  candidate when it agrees in ANY band — the MinHash band trick applied to
+  sign bits. More bands -> higher recall; more bits -> smaller cells.
+  At 100 TB: size ``bits`` with ``functions.vectors.suggest_signbit_bits``
+  so a cell stays bounded (~1k vectors), and let bands recover the recall
+  the narrower cells cost. Pairs are verified with exact cosine and
+  deduped AFTER the threshold filter, so the distinct shuffles only true
+  near-dup pairs.
 
 Ranking determinism: neighbors order by cosine rounded to 1e-6 then id, so
 rankings are stable across engines/run orders despite float accumulation.
@@ -20,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, bucket_signbits, cosine, norm2
+from ..functions.vectors import as_double, bucket_signbits, cosine, norm2, suggest_signbit_bits
 
 __all__ = ["knn_bruteforce", "knn_ivf_signbits", "embedding_dedupe_pairs"]
 
@@ -50,12 +58,21 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | str = "auto",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact top-k: queries × candidates cross join, cosine, window top-k.
-    (query_id, neighbor_id, rank, cosine). Self-matches excluded."""
+    (query_id, neighbor_id, rank, cosine). Self-matches excluded.
+
+    This is the CORRECTNESS BASELINE — O(|q| * |c|) work. At scale use
+    ``knn_ivf_signbits``. ``broadcast_candidates="auto"`` counts the
+    candidate side (one cheap job) and only broadcasts below
+    ``max_broadcast_rows``; forcing ``True`` on a 100 TB candidate table
+    would OOM the driver, so the gate is the default."""
     q = _norm_frame(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
     c = _norm_frame(emb, id_col, vec_col, "c").withColumnRenamed("c_id", "neighbor_id")
+    if broadcast_candidates == "auto":
+        broadcast_candidates = emb.count() <= max_broadcast_rows
     if broadcast_candidates:
         c = F.broadcast(c)
     dot = F.aggregate(
@@ -103,21 +120,40 @@ def embedding_dedupe_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    bits: int = 4,
+    bits: int = 8,
+    bands: int = 2,
 ) -> DataFrame:
-    """Near-duplicate vectors: pairs with cosine >= threshold, candidate
-    generation restricted to matching sign-bit cells (true near-dups almost
-    always agree on sign bits)."""
+    """Near-duplicate vectors: pairs with cosine >= threshold. Candidate
+    generation: a pair qualifies when its sign-bit cell matches in ANY of
+    ``bands`` independent projections (band b reads dims
+    [b*bits, (b+1)*bits)). The vector must have >= bands*bits dims.
+
+    Scale shape: one explode (bands rows/vector), one equi-join on the
+    dense (band, cell) key — within-cell all-pairs is O(n^2 / 2^bits) per
+    band, and ``bits`` scales with the corpus (suggest_signbit_bits). The
+    duplicate-pair distinct runs AFTER the cosine threshold, so it only
+    shuffles actual near-dups."""
     e = _norm_frame(emb, id_col, vec_col, "e").withColumn(
-        "cell", bucket_signbits(F.col("e_vec"), bits)
+        "band_cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket_signbits(F.col("e_vec"), bits, offset=b * bits).alias("cell"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
     )
     a = e.select(
         F.col("e_id").alias("id_a"), F.col("e_vec").alias("va"),
-        F.col("e_norm").alias("na"), "cell",
+        F.col("e_norm").alias("na"), "band_cell",
     )
     b = e.select(
         F.col("e_id").alias("id_b"), F.col("e_vec").alias("vb"),
-        F.col("e_norm").alias("nb"), "cell",
+        F.col("e_norm").alias("nb"), "band_cell",
     )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
@@ -125,9 +161,10 @@ def embedding_dedupe_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, "cell")
+        a.join(b, "band_cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )

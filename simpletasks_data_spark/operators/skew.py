@@ -61,8 +61,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where ``fact[key]`` is skewed: salt the fact side, explode
-    the dim side across all salt values, join on (key, salt)."""
-    f = fact.withColumn(SALT, F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt)))
+    the dim side across all salt values, join on (key, salt).
+
+    The salt hashes the WHOLE fact row content, so it is stable under task
+    retry and repartitioning (``monotonically_increasing_id`` is not — a
+    retried stage would re-route rows). Identical rows share a salt, which
+    is fine: correctness never depends on the salt, it only spreads a hot
+    key across reducers."""
+    f = fact.withColumn(
+        SALT, F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt))
+    )
     d = dim.withColumn(SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = f.join(d, [key, SALT], how)
     return out.drop(SALT)

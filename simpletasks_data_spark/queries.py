@@ -526,8 +526,10 @@ def knn_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
-def _ivf_bucket_sql(src: str, bits: int = 6) -> str:
-    terms = " + ".join(f"CASE WHEN {src}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+def _ivf_bucket_sql(src: str, bits: int = 6, offset: int = 0) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {src}[{offset + j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
     return f"({terms})"
 
 
@@ -563,19 +565,27 @@ WITH e0 AS (
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM e0),
 n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v', 4)} AS cell FROM n)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+bands AS (
+  SELECT vec_id, v, nrm, 0 AS band, {_ivf_bucket_sql('v', 8, 0)} AS cell FROM n
+  UNION ALL
+  SELECT vec_id, v, nrm, 1 AS band, {_ivf_bucket_sql('v', 8, 8)} AS cell FROM n
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.9
 """)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band sign-bit candidate generation (2 bands x 8 bits): 256
+    cells per band keeps within-cell all-pairs bounded; a pair matching in
+    EITHER band is verified with exact cosine (band trick recall)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.where(F.col("vec_id") % 17 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(dup)
-    return SIM.embedding_dedupe_pairs(corpus, threshold=0.9, bits=4)
+    return SIM.embedding_dedupe_pairs(corpus, threshold=0.9, bits=8, bands=2)
 
 
 # ===========================================================================
@@ -1252,4 +1262,28 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=16,
         salt_on="o_orderkey",
+    )
+
+
+@register("salted_join_supplier_revenue", """
+SELECT s_nationkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""")
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact/dim equi-join: the fact side is salted by a
+    content hash (retry-stable), the dim side replicated across the salt
+    space — results identical to the plain join (the oracle)."""
+    from .operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = salted_join(li, sup, "s_suppkey", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.round(F.sum("rev"), 4).alias("revenue"), F.count(F.lit(1)).alias("n")
     )

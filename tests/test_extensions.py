@@ -133,3 +133,45 @@ def test_streaming_merge_into(spark, tmp_path):
     got = {r.user_id: r.last_value for r in out.collect()}
     for r in expected.collect():
         assert abs(got[r.user_id] - r.v) < 1e-9
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join == plain equi-join, and the salt is retry-stable
+    (content-hash, not monotonically_increasing_id)."""
+    from simpletasks_data_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, v) for k in (1, 1, 1, 1, 2, 3) for v in range(5)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k int, name string")
+    plain = {tuple(r) for r in fact.join(dim, "k").collect()}
+    salted = salted_join(fact, dim, "k", salt=4)
+    got = {tuple(r) for r in salted.collect()}
+    assert got == plain
+    # determinism: the salt assignment is a pure function of row content —
+    # repartitioning (which reorders/reassigns rows to tasks) must not
+    # change anything, including row multiplicity
+    salted2 = salted_join(fact.repartition(7), dim, "k", salt=4)
+    assert sorted(tuple(r) for r in salted2.collect()) == sorted(tuple(r) for r in salted.collect())
+
+
+def test_embedding_dedupe_multiband_recall(spark):
+    """A near-dup pair whose sign flips inside band 0 is still caught via
+    band 1 (single-band candidate generation would miss it)."""
+    from simpletasks_data_spark.operators.similarity import embedding_dedupe_pairs
+
+    base = [1.0] * 16
+    flipped = list(base)
+    flipped[0] = -1.0  # flips band-0 cell, band-1 dims (8..15) untouched
+    rows = [
+        (1, base),
+        (2, flipped),                  # cosine 14/16 = 0.875 < 0.9? -> adjust
+        (3, [x * 1.0 for x in base]),  # exact dup of 1
+        (4, [-1.0] * 16),              # far from everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = embedding_dedupe_pairs(df, threshold=0.8, bits=8, bands=2)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 3) in pairs          # exact dup
+    assert (1, 2) in pairs          # recovered through band 1
+    assert not any(4 in p for p in pairs)
