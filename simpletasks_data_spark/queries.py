@@ -997,18 +997,47 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(media)
 
 
-@register("multimodal_features")  # no SQL oracle: byte-histogram features
+_MM_FEAT_KCOLS = ",\n       ".join(
+    f"CAST(sum(CASE WHEN bucket = {j} THEN 1 ELSE 0 END) AS BIGINT) AS k{j}" for j in range(16)
+)
+
+@register("multimodal_features", f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) || hex(CAST(text AS BLOB)) AS hx
+  FROM documents
+),
+i AS (
+  SELECT media_id, hx, unnest(range(CAST(strlen(hx) / 2 AS BIGINT))) AS pos
+  FROM m
+),
+b AS (
+  SELECT media_id,
+         CAST(concat('0x', substr(hx, CAST(2 * pos + 1 AS INT), 2)) AS INT) % 16 AS bucket
+  FROM i
+)
+SELECT media_id, {_MM_FEAT_KCOLS}
+FROM b GROUP BY media_id
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing (stub kernel): payload -> fixed-dim
-    normalized byte histogram; returns (media_id, dim, l1) so the weaker
-    rows-only driver check still pins shape + determinism."""
+    normalized byte histogram via Arrow-batched mapInPandas. The driver
+    check recovers the exact integer bucket counts (histogram * payload
+    bytes, rounded back to int — lossless) so the oracle compares integers,
+    immune to cross-engine float-rounding ties; the DuckDB side rebuilds
+    the same histogram from the hex-decoded fake payload."""
     docs = load(spark, sf_dir, "documents")
     media = attach_fake_payloads(docs, "doc_id", "text")
     feats = extract_features(media)
-    return feats.select(
+    n = media.select("media_id", F.length("payload").alias("n_bytes"))
+    j = feats.join(n, "media_id")
+    return j.select(
         "media_id",
-        F.size("features").cast("long").alias("dim"),
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("l1"),
+        *[
+            F.round(F.element_at("features", k + 1) * F.col("n_bytes"))
+            .cast("long")
+            .alias(f"k{k}")
+            for k in range(16)
+        ],
     )
 
 
@@ -1068,6 +1097,101 @@ def export_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_orderpriority", DUMP.dump_str),
             ("o_custkey", None),
         ],
+    )
+
+
+@register("csv_import_roundtrip", """
+SELECT c_custkey,
+       nullif(trim(c_name), '') AS c_name,
+       c_nationkey,
+       c_acctbal,
+       nullif(trim(c_mktsegment), '') AS c_mktsegment
+FROM customer
+""")
+def csv_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship use case end-to-end: export `customer` to a
+    real CSV file (plans/export formatters), re-import it through CsvSource
+    (default Python-DataSource engine: exact file order + quoted records)
+    with schema-inferred parsers and a header skip, merging into an EMPTY
+    target — every row takes the CREATE branch. The oracle is the parse
+    normalization of the original table (str(x) -> parse is lossless for
+    ints and shortest-repr doubles; strings trim/NULL-normalize), so the
+    check does not depend on the temp file. Mirrors reference
+    tests/importtask_test.py:49-97 over real data."""
+    import tempfile
+
+    from .plans.export import export_frame, write_csv
+    from .sources import CsvSource
+
+    cust = load(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    out_dir = tempfile.mkdtemp(prefix="sds_csvrt_")
+    # single part: one header line at _src_pos 0, matching header skip = 0
+    write_csv(export_frame(cust, [(c, None) for c in cols]), out_dir, header=True, coalesce=1)
+
+    class _RoundtripMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.c_custkey = self.auto()
+            self.c_name = self.auto()
+            self.c_nationkey = self.auto()
+            self.c_acctbal = self.auto()
+            self.c_mktsegment = self.auto()
+
+        def get_key_column_name(self):
+            return "c_custkey"
+
+    target = TargetTable(schema=cust.schema, df=spark.createDataFrame([], cust.schema),
+                         primary_keys=("c_custkey",))
+    src = CsvSource(out_dir + "/*.csv", _RoundtripMapping(), num_columns=len(cols))
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    job.run()
+    return job.result_df
+
+
+@register("streaming_sessions", """
+WITH l AS (
+  SELECT event_id, user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL OR date_diff('second', pts, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_idx
+""")
+def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows run to completion (memory sink,
+    complete mode) — must equal the batch sessionization: Spark's
+    session_window splits only when the gap STRICTLY exceeds 30 minutes
+    (verified empirically) and ends sessions at last_ts + gap, which is
+    exactly the batch oracle with session_end = max(ts) + 30 min."""
+    import uuid
+
+    from .streaming import stream_events, streaming_sessions
+
+    ev = stream_events(spark, sf_dir)
+    agg = streaming_sessions(ev)
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "session_start", "session_end", "user_id", "n_events", "total_value"
     )
 
 

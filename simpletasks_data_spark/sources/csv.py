@@ -1,19 +1,23 @@
 """CSV source (reference ``ImportCsv``, ``importsource.py:154-170``).
 
 The reference streams ``csv.reader`` rows in file order; duplicate-key
-last-wins semantics and header skipping both depend on that order. Two
-ordering strategies:
+last-wins semantics and header skipping both depend on that order. Three
+strategies:
 
-- ``ordered=True`` (default): read lines as a Hadoop text RDD —
+- ``ordered=True, engine="datasource"`` (default): the Spark 4 Python
+  DataSource connector (``datasource.py``) — one partition per file read
+  with Python's ``csv.reader``, so multi-line quoted records parse exactly
+  like the reference (``importsource.py:167-170``), and ``_src_pos``
+  encodes (file, line) total order with no counting pass.
+- ``ordered=True, engine="rdd"``: read lines as a Hadoop text RDD —
   ``getSplits`` returns splits in (file, offset) order and ``zipWithIndex``
   counts per split, so the index IS the file line order — then parse each
-  line JVM-side with ``from_csv``. Exact order at the cost of one RDD pass.
-  Multi-line quoted records are not supported on this path (the reference's
-  ``csv.reader`` supports them; documented divergence).
+  line JVM-side with ``from_csv``. No multi-line quoted records (documented
+  divergence); useful when the DataSource API is unavailable.
 - ``ordered=False``: plain ``spark.read.csv`` + ``monotonically_increasing_id``.
   Order is only partition-stable — fine when keys are unique or when an
   explicit ``order_col`` in the data provides the real ordering. This is the
-  100 TB path: no Python round-trip, full pushdown.
+  100 TB path: no Python round-trip, full pushdown, splittable files.
 """
 
 from __future__ import annotations
@@ -37,15 +41,16 @@ class CsvSource(Source):
         name: Optional[str] = None,
         num_columns: Optional[int] = None,
         ordered: bool = True,
-        engine: str = "rdd",
+        engine: str = "datasource",
         delimiter: str = ",",
         quote: str = '"',
         encoding: str = "UTF-8",
     ) -> None:
-        """``engine`` (for ordered reads): ``"rdd"`` = text RDD +
-        ``from_csv`` per line; ``"datasource"`` = the Spark 4 Python
-        DataSource connector (``datasource.py``) — same ordering contract,
-        plus correct multi-line quoted records."""
+        """``engine`` (for ordered reads): ``"datasource"`` (default) = the
+        Spark 4 Python DataSource connector (``datasource.py``) — exact
+        file order plus correct multi-line quoted records, matching the
+        reference's ``csv.reader``; ``"rdd"`` = text RDD + ``from_csv``
+        per line (no multi-line records)."""
         super().__init__(mapping, mode=mode, name=name)
         self.path = path
         self.num_columns = num_columns

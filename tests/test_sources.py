@@ -138,3 +138,38 @@ def test_csv_source_datasource_engine(spark, tmp_path):
     assert res["created"] == 1
     out = job.result_df.collect()[0]
     assert (out.id, out.col1, out.col5) == (3, "Z", 7)
+
+
+def test_csv_default_path_multiline_quoted(spark, tmp_path):
+    """The DEFAULT ordered CSV path parses multi-line quoted records like
+    the reference's csv.reader (importsource.py:167-170)."""
+    p = os.path.join(tmp_path, "ml.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write('id,col1,col2,col3,col4,col5\n')
+        f.write('1,"A\nB",c2,c3,c4,5\n')
+        f.write('2,x,y,z,w,6\n')
+    src = CsvSource(p, MappingA())  # default engine
+    df = src.load_raw(spark).orderBy(SRC_POS)
+    rows = df.collect()
+    assert len(rows) == 3                 # 2 records + header, not 4 lines
+    assert rows[1]._c1 == "A\nB"
+
+    target = TargetTable(
+        schema=TARGET_SCHEMA,
+        df=spark.createDataFrame([], TARGET_SCHEMA),
+        primary_keys=("id",),
+        lengths=LENGTHS,
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    assert res["created"] == 2
+
+
+def test_csv_rdd_engine_still_available(spark, tmp_path):
+    p = os.path.join(tmp_path, "r.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("id,col1\n5,zz\n")
+    src = CsvSource(p, MappingA(), engine="rdd")
+    rows = src.load_raw(spark).orderBy(SRC_POS).collect()
+    assert [r[SRC_POS] for r in rows] == [0, 1]
+    assert rows[1]._c0 == "5"
