@@ -269,8 +269,11 @@ class StaticColumn(_ColumnSpec):
 class Field(_ColumnSpec):
     """Named column of a relational/typed source (reference ``Field``,
     ``mapping.py:316-394``). A dotted path traverses struct fields with
-    NULL short-circuit — for a flattened relational source, pre-join the
-    relation and expose it as a struct column. Default parser is identity."""
+    NULL short-circuit — the reference's relation-walk form
+    (``mapping.py:359-365``) is covered by declaring the relation on the
+    source (``TableSource(relations={"rel": Relation(...)})``), which
+    LEFT-joins the related table once and packs it as a struct column, so
+    ``Field("rel.attr")`` resolves through it. Default parser is identity."""
 
     def __init__(self, field: Optional[str] = None, parser: Optional[ParserLike] = None, **policies: Any) -> None:
         super().__init__(**policies)

@@ -264,7 +264,10 @@ def simhash_pairs(
             F.col("b._id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # Hamming filter BEFORE the multi-band dedupe: the distinct then
+        # shuffles only true near-dup pairs, not the (much larger) set of
+        # band-collision candidates.
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs

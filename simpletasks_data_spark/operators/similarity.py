@@ -95,12 +95,25 @@ def knn_ivf_signbits(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 6,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: equi-join on the sign-bit cell, then per-cell
-    cosine + top-k. Same output shape as brute force; recall < 1."""
+    cosine + top-k. Same output shape as brute force; recall < 1.
+
+    ``multiprobe=True`` probes the query's own cell plus every Hamming-1
+    neighbor cell (bits+1 probes) — the IVF nprobe dial: candidate volume
+    grows (bits+1)x, recall recovers the vectors whose single closest-to-
+    zero dimension flipped sign. Each candidate lives in exactly one cell,
+    so probing distinct cells never duplicates a (query, neighbor) pair —
+    no distinct needed."""
     q = _norm_frame(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
     c = _norm_frame(emb, id_col, vec_col, "c").withColumnRenamed("c_id", "neighbor_id")
-    q = q.withColumn("cell", bucket_signbits(F.col("q_vec"), bits))
+    own = bucket_signbits(F.col("q_vec"), bits)
+    if multiprobe:
+        probes = F.array(own, *[own.bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
+        q = q.withColumn("cell", F.explode(probes))
+    else:
+        q = q.withColumn("cell", own)
     c = c.withColumn("cell", bucket_signbits(F.col("c_vec"), bits))
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),

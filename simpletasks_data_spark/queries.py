@@ -522,7 +522,9 @@ FROM r WHERE rank <= 5
 def knn_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") % 20 == 0)
-    out = SIM.knn_bruteforce(emb, queries_df, k=5)
+    # candidate table is known-small at every bench/correctness SF: skip
+    # the auto-gate's count job and broadcast outright
+    out = SIM.knn_bruteforce(emb, queries_df, k=5, broadcast_candidates=True)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
@@ -554,6 +556,41 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") % 20 == 0)
     out = SIM.knn_ivf_signbits(emb, queries_df, k=5, bits=6)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+
+
+def _ivf_probe_cells_sql(bits: int = 6) -> str:
+    flips = ", ".join(f"xor(cell, {1 << j})" for j in range(bits))
+    return f"list_value(cell, {flips})"
+
+
+@register("knn_ivf_multiprobe", f"""
+WITH {SQL_EMB_NORM},
+cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
+qp AS (
+  SELECT vec_id, v, nrm, unnest({_ivf_probe_cells_sql()}) AS probe
+  FROM cells WHERE vec_id % 20 = 0
+),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM qp q JOIN cells c ON q.probe = c.cell AND q.vec_id != c.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 5
+""")
+def knn_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Hamming-1 multi-probe (nprobe = bits+1): candidate volume
+    grows 7x over nprobe=1 while staying ~2^bits/(bits+1) below brute
+    force; recall recovers single-sign-flip neighbors."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    out = SIM.knn_ivf_signbits(emb, queries_df, k=5, bits=6, multiprobe=True)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
 
 
@@ -722,7 +759,7 @@ from pyspark.sql import types as T  # noqa: E402
 
 from .mapping import ComputedField, Field, Mapping, StaticColumn  # noqa: E402
 from .plans import HistorySpec, ImportJob, TargetTable  # noqa: E402
-from .sources import ImportMode, TableSource  # noqa: E402
+from .sources import ImportMode, Relation, TableSource  # noqa: E402
 
 SQL_UPSERT_SRC = """
 src AS (
@@ -1144,6 +1181,51 @@ def csv_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = TargetTable(schema=cust.schema, df=spark.createDataFrame([], cust.schema),
                          primary_keys=("c_custkey",))
     src = CsvSource(out_dir + "/*.csv", _RoundtripMapping(), num_columns=len(cols))
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    job.run()
+    return job.result_df
+
+
+@register("field_relation_join", """
+SELECT o.o_orderkey,
+       c.c_name AS cust_name,
+       c.c_mktsegment AS segment,
+       o.o_totalprice AS total
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def field_relation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Field relation-join form (reference mapping.py:359-365): the
+    source declares a many-to-one relation to customer; dotted
+    Field("customer.*") paths traverse the packed struct with NULL
+    short-circuit. One broadcast LEFT join replaces the reference's
+    per-row lazy relationship loads."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType(), True),
+        T.StructField("cust_name", T.StringType(), True),
+        T.StructField("segment", T.StringType(), True),
+        T.StructField("total", T.DoubleType(), True),
+    ])
+
+    class _RelMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.o_orderkey = Field("o_orderkey")
+            self.cust_name = Field("customer.c_name")
+            self.segment = Field("customer.c_mktsegment")
+            self.total = Field("o_totalprice")
+
+        def get_key_column_name(self):
+            return "o_orderkey"
+
+    src = TableSource(
+        orders,
+        _RelMapping(),
+        relations={"customer": Relation(cust, "o_custkey", "c_custkey", broadcast=True)},
+    )
+    target = TargetTable(schema=schema, df=spark.createDataFrame([], schema),
+                         primary_keys=("o_orderkey",))
     job = ImportJob(spark, target, sources=[src], dryrun=True)
     job.run()
     return job.result_df

@@ -1,6 +1,6 @@
 from .base import ImportMode, Source
 from .csv import CsvSource
 from .generator import GeneratorSource
-from .table import TableSource
+from .table import JdbcSource, Relation, TableSource
 
-__all__ = ["ImportMode", "Source", "CsvSource", "TableSource", "GeneratorSource"]
+__all__ = ["ImportMode", "Source", "CsvSource", "TableSource", "JdbcSource", "Relation", "GeneratorSource"]

@@ -173,3 +173,36 @@ def test_csv_rdd_engine_still_available(spark, tmp_path):
     rows = src.load_raw(spark).orderBy(SRC_POS).collect()
     assert [r[SRC_POS] for r in rows] == [0, 1]
     assert rows[1]._c0 == "5"
+
+
+def test_field_relation_join_null_shortcircuit(spark):
+    """Field('rel.attr') over a declared relation: missing FK rows resolve
+    to NULL through the packed struct (reference mapping.py:359-365)."""
+    from pyspark.sql import types as T
+
+    from simpletasks_data_spark.sources import Relation
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("dept_name", T.StringType(), True),
+    ])
+    emp = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99)], "id long, dept_id long"
+    )
+    dept = spark.createDataFrame([(10, "Eng"), (20, "Ops")], "dept_id long, name string")
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = Field("id")
+            self.dept_name = Field("dept.name")
+
+    src = TableSource(emp, M(), relations={"dept": Relation(dept, "dept_id", "dept_id")})
+    target = TargetTable(
+        schema=schema, df=spark.createDataFrame([], schema), primary_keys=("id",)
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    assert res["created"] == 4
+    out = {r.id: r.dept_name for r in job.result_df.collect()}
+    assert out == {1: "Eng", 2: "Ops", 3: None, 4: None}
