@@ -153,19 +153,40 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, num_hashes: int = 16
 ) -> DataFrame:
     """Per-doc MinHash signature: (id, array<long> of length num_hashes).
-    One explode + one hash aggregation with num_hashes min() columns."""
+
+    Computed entirely with array expressions — normalize -> shingle array ->
+    shingle-hash array -> per-family ``array_min`` — so signature
+    construction is MAP-ONLY: no explode, no groupBy, no shuffle (the old
+    explode+min-agg shape shuffled every shingle of the corpus). min over
+    the array equals min over the exploded multiset, so results are
+    bit-identical and the SQL oracle is unchanged.
+
+    Each stage lives in its own projection: expressions inside higher-order
+    -function lambdas are not CSE'd, and CollapseProject keeps a column
+    referenced many times (the hash array, used by num_hashes transforms)
+    from being inlined — one md5 per shingle, not num_hashes."""
     assert num_hashes <= len(MINHASH_COEFFS)
-    sh = _shingle_frame(df, id_col, text_col, n)
-    x = shingle_hash(F.col("sh")) % MERSENNE_P
-    mins = [
-        F.min((F.lit(a) * x + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
-    ]
-    agg = sh.groupBy("_id").agg(*mins)
-    return agg.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    from ..functions.text import char_shingles_from_norm
+
+    normed = df.select(
+        F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
     )
+    shingled = normed.select(
+        "_id", char_shingles_from_norm(F.col("_norm"), n).alias("_shs")
+    ).where(F.col("_shs").isNotNull())
+    hashed = shingled.select(
+        "_id",
+        F.transform(F.col("_shs"), lambda s: shingle_hash(s) % MERSENNE_P).alias("_hx"),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_hx"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
+            )
+            for (a, b) in MINHASH_COEFFS[:num_hashes]
+        ]
+    )
+    return hashed.select(F.col("_id").alias(id_col), sig.alias("signature"))
 
 
 def minhash_pairs(

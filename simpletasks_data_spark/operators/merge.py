@@ -146,13 +146,24 @@ def merge_source(
     pre = pre.withColumn("_key", bound.normalize_key(F.col("v_" + key_name)))
 
     # ---- per-row match status against the image (for exact counters) ------
-    image_keys = (
-        image.select(bound.normalize_key(F.col(key_name)).alias("_key"))
-        .where(F.col("_key").isNotNull())
-        .distinct()
-    )
-    pre = pre.join(image_keys.withColumn("_m", F.lit(True)), on="_key", how="left")
-    matched_static = F.coalesce(F.col("_m"), F.lit(False))
+    # Only the ignored_not_created / ignored_not_updated counters and the
+    # warn 'reaches' refinement need to know whether a row's key exists in
+    # the target; in CREATE_AND_UPDATE mode both counters are structurally
+    # zero and the gate reduces to key_ok — skip the distinct+join of the
+    # image keys entirely (one fewer shuffle per source).
+    need_match_join = not (can_create and can_update)
+    if need_match_join:
+        image_keys = (
+            image.select(bound.normalize_key(F.col(key_name)).alias("_key"))
+            .where(F.col("_key").isNotNull())
+            .distinct()
+        )
+        pre = pre.join(image_keys.withColumn("_m", F.lit(True)), on="_key", how="left")
+        matched_static = F.coalesce(F.col("_m"), F.lit(False))
+    else:
+        # warn counts for matched rows' should_update=False columns become
+        # an upper bound (already documented as approximate)
+        matched_static = F.lit(False)
 
     # Within-source dynamics: once a CREATE-capable source has seen a key, a
     # later duplicate row probes the *pending* item and is "matched"

@@ -1277,6 +1277,46 @@ def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("time_gps_dump", """
+WITH s AS (
+  SELECT o_orderkey,
+         lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(o_orderkey % 59 AS VARCHAR), 2, '0') AS s_time,
+         CAST(o_orderkey % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+         CAST(o_orderkey % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST((o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60 + (o_orderkey % 59) AS BIGINT)
+         AS secs,
+       printf('%f, %f', lat, lon) AS gps
+FROM s
+""")
+def time_gps_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parseShittyTime (H:M:S string -> DayTimeInterval, compared as total
+    seconds) and dump_gps (%f lat/lon formatting) over deterministic
+    strings derived from orders — closes the last tests-only rows of the
+    SURVEY §2.5 function table (formatList stays pytest-golden: its
+    pyparsing grammar has no SQL-oracle equivalent)."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s_time = F.concat_ws(
+        ":",
+        F.lpad((k % 24).cast("string"), 2, "0"),
+        F.lpad((k % 60).cast("string"), 2, "0"),
+        F.lpad((k % 59).cast("string"), 2, "0"),
+    )
+    lat = (k % 18000).cast("double") / 100.0 - 90.0
+    lon = (k % 36000).cast("double") / 100.0 - 180.0
+    iv = P.parse_shitty_time.value(s_time)
+    return o.select(
+        "o_orderkey",
+        iv.cast("long").alias("secs"),
+        DUMP.dump_gps(lat, lon).alias("gps"),
+    )
+
+
 def _minhash_verified_sql() -> str:
     # candidates from the LSH band join, verified with exact Jaccard — the
     # production-shape fuzzy-dedup pipeline (LSH prunes n² -> candidates,
