@@ -1317,6 +1317,67 @@ def time_gps_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pyparser_roundtrip", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey * 2 END AS doubled,
+       o_orderkey % 5 = 0 AS err
+FROM orders
+""")
+def pyparser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opaque-Python-callable surface (SURVEY 2.7) under the driver
+    gate: a PyParser (Arrow-batched pandas UDF) that doubles ints and
+    RAISES ValueError on planted garbage — the tolerated-exception err
+    channel must mark exactly the garbage rows. Oracle is pure arithmetic
+    over the same planted pattern."""
+    from .mapping import PyParser, _apply_parser
+
+    o = load(spark, sf_dir, "orders")
+    s = F.when(F.col("o_orderkey") % 5 == 0, F.lit("garbage")).otherwise(
+        F.col("o_orderkey").cast("string")
+    )
+    parser = PyParser(lambda v: int(v) * 2, "long")
+    val, err = _apply_parser(parser, s, None, "doubled")
+    return o.select("o_orderkey", val.alias("doubled"), err.alias("err"))
+
+
+@register("merge_generator_source", """
+WITH gen AS (SELECT i AS id, 'gen-' || CAST(i AS VARCHAR) AS name,
+                    CAST(i * 10 AS DOUBLE) AS score
+             FROM range(0, 500) t(i))
+SELECT id, name, score FROM gen
+""")
+def merge_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-generator source path (reference importsource.py:27-31,
+    the README's in-memory example) under the driver gate: Python-side
+    rows imported into an empty target through the full merge engine."""
+    from .sources import GeneratorSource
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ])
+    rows = [[str(i), f"gen-{i}", str(i * 10.0)] for i in range(500)]
+
+    class _GenMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.name = self.auto()
+            self.score = self.auto()
+
+        def get_header_line_number(self):
+            return -1
+
+    target = TargetTable(schema=schema, df=spark.createDataFrame([], schema),
+                         primary_keys=("id",))
+    job = ImportJob(
+        spark, target, sources=[GeneratorSource(rows, _GenMapping())], dryrun=True
+    )
+    job.run()
+    return job.result_df
+
+
 def _minhash_verified_sql() -> str:
     # candidates from the LSH band join, verified with exact Jaccard — the
     # production-shape fuzzy-dedup pipeline (LSH prunes n² -> candidates,
