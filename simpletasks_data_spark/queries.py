@@ -1594,3 +1594,89 @@ def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("s_nationkey").agg(
         F.round(F.sum("rev"), 4).alias("revenue"), F.count(F.lit(1)).alias("n")
     )
+
+
+# ===========================================================================
+# Temporal joins: as-of and range/interval (operators/temporal.py)
+# ===========================================================================
+
+@register("asof_join_last_purchase", """
+WITH p AS (
+  SELECT user_id, ts, max(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type, e.value,
+       p.last_purchase_value, p.ts AS purchase_ts
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every event annotated with the user's most
+    recent purchase (inclusive — a purchase matches itself). Oracle is
+    DuckDB's native ASOF LEFT JOIN; the Spark side is the union-sort
+    composition in operators/temporal.py — one shuffle on user_id, no
+    range cross-product, the plan shape a native ASOF executes."""
+    from .operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        ev,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        values=["last_purchase_value"],
+        matched_ts="purchase_ts",
+    )
+
+
+@register("range_join_purchase_clicks", """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS start_ts,
+         ts + INTERVAL 2 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id,
+       count(c.event_id) AS n_clicks,
+       round(sum(c.value), 4) AS click_value
+FROM p JOIN c
+  ON c.user_id = p.user_id AND c.ts >= p.start_ts AND c.ts <= p.end_ts
+GROUP BY p.purchase_id
+""")
+def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join on the bucketed-grid path: clicks landing within two
+    hours after a purchase by the same user. Intervals explode onto a 2h
+    grid, the join is an equi-join on (user_id, cell) with an exact
+    residual range filter — bounded replication instead of a theta-join
+    cross product, which is the 100 TB-safe shape."""
+    from .operators.temporal import range_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = range_join(
+        c, p, point_ts="ts", start_ts="start_ts", end_ts="end_ts",
+        on=["user_id"], bucket="2 hours",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("event_id").alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("click_value"),
+    )

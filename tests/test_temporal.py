@@ -1,0 +1,114 @@
+"""Unit semantics for operators/temporal.py: as-of join (backward,
+inclusive, tolerance) and range join (keyed, bucketed-grid, unkeyed)."""
+
+import datetime as dt
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simpletasks_data_spark.operators.temporal import asof_join, range_join  # noqa: E402
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "a"),
+            (1, _ts("2024-01-01T12:00:00"), "b"),
+            (1, _ts("2024-01-01T08:00:00"), "c"),  # before any right row
+            (2, _ts("2024-01-01T10:30:00"), "d"),  # key with no right rows
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 1.0),
+            (1, _ts("2024-01-01T11:00:00"), 2.0),
+            (1, _ts("2024-01-01T12:00:00"), 3.0),  # exact tie with left "b"
+        ],
+        "k int, rts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        values=["v"], matched_ts="mts",
+    )
+    got = {r["tag"]: (r["v"], r["mts"]) for r in out.collect()}
+    assert got["a"] == (1.0, _ts("2024-01-01T09:00:00"))
+    assert got["b"] == (3.0, _ts("2024-01-01T12:00:00"))  # tie matches (inclusive)
+    assert got["c"] == (None, None)
+    assert got["d"] == (None, None)
+    assert out.count() == left.count()  # left-join cardinality
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        values=["v"], tolerance=F.expr("INTERVAL 30 MINUTES"), matched_ts="mts",
+    )
+    got = {r["tag"]: r["v"] for r in out.collect()}
+    assert got["a"] is None  # match is 60 min old, outside tolerance
+    assert got["b"] == 3.0  # exact tie, age 0
+    assert got["d"] is None
+
+
+def test_asof_drops_matched_ts_when_unnamed(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", values=["v"])
+    assert set(out.columns) == {"k", "ts", "tag", "v"}
+
+
+def test_range_join_bucketed_equals_plain(spark):
+    points = spark.createDataFrame(
+        [(1, _ts(f"2024-01-01T{h:02d}:30:00"), h) for h in range(24)],
+        "k int, ts timestamp, pid int",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T03:00:00"), _ts("2024-01-01T06:30:00"), "i1"),
+            (1, _ts("2024-01-01T20:00:00"), _ts("2024-01-01T20:30:00"), "i2"),
+            (2, _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), "i3"),
+        ],
+        "k int, s timestamp, e timestamp, iid string",
+    )
+    kw = dict(point_ts="ts", start_ts="s", end_ts="e", on=["k"])
+    plain = {(r["pid"], r["iid"]) for r in range_join(points, ivs, bucket=None, **kw).collect()}
+    grid = {(r["pid"], r["iid"]) for r in range_join(points, ivs, bucket="2 hours", **kw).collect()}
+    assert grid == plain
+    assert (3, "i1") in plain and (7, "i1") not in plain
+    # inclusive bounds: point at 20:30 is inside i2's closing bound
+    assert (20, "i2") in plain
+
+
+def test_range_join_unkeyed_grid(spark):
+    points = spark.createDataFrame(
+        [(_ts("2024-01-01T01:30:00"), 1), (_ts("2024-01-03T01:30:00"), 2)],
+        "ts timestamp, pid int",
+    )
+    ivs = spark.createDataFrame(
+        [(_ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), "i1")],
+        "s timestamp, e timestamp, iid string",
+    )
+    out = range_join(points, ivs, point_ts="ts", start_ts="s", end_ts="e",
+                     on=[], bucket="6 hours")
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, "i1")]
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The whole as-of join must be ONE exchange on the key (plus the
+    right side's pre-aggregation) — never a range cross-product."""
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", values=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
