@@ -1680,3 +1680,45 @@ def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("event_id").alias("n_clicks"),
         F.round(F.sum("value"), 4).alias("click_value"),
     )
+
+
+@register("hypertable_rollup_events", """
+WITH b15 AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket_ts,
+         event_type, count(*) AS n, sum(value) AS total
+  FROM events GROUP BY 1, 2
+),
+h1 AS (
+  SELECT make_timestamp((epoch_us(bucket_ts) // 3600000000) * 3600000000) AS bucket_ts,
+         event_type, sum(n) AS n, sum(total) AS total
+  FROM b15 GROUP BY 1, 2
+),
+d1 AS (
+  SELECT make_timestamp((epoch_us(bucket_ts) // 86400000000) * 86400000000) AS bucket_ts,
+         event_type, sum(n) AS n, sum(total) AS total
+  FROM b15 GROUP BY 1, 2
+)
+SELECT '15 minutes' AS grain, bucket_ts, event_type, n, round(total, 4) AS total_value FROM b15
+UNION ALL
+SELECT '1 hour' AS grain, bucket_ts, event_type, n, round(total, 4) AS total_value FROM h1
+UNION ALL
+SELECT '1 day' AS grain, bucket_ts, event_type, n, round(total, 4) AS total_value FROM d1
+""")
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity hypertable rollup over events: 15m buckets from
+    raw, 1h and 1d merged from the 15m partials (continuous-aggregate
+    shape — one raw scan + one fan-out merge for all grains; per-grain
+    unions would rescan raw per grain, verified). The oracle merges each
+    grain from the same b15 partials so both engines combine identically."""
+    from .operators.hypertable import hypertable_rollup
+
+    ev = load(spark, sf_dir, "events")
+    return hypertable_rollup(
+        ev,
+        ts_col="ts",
+        keys=["event_type"],
+        grains=["15 minutes", "1 hour", "1 day"],
+        partial={"n": F.count(F.lit(1)), "total": F.sum("value")},
+        merge={"n": F.sum("n"), "total": F.sum("total")},
+        finalize={"n": F.col("n"), "total_value": F.round(F.col("total"), 4)},
+    )
