@@ -1,0 +1,152 @@
+"""Deterministic, engine-portable sketches for approximate analytics.
+
+Spark's built-ins (``approx_count_distinct``, ``approx_percentile``) are
+engine-private: their estimates can't be reproduced by another engine, so
+they can't be oracle-checked and their values drift across Spark
+versions. These sketches derive all randomness from md5 (portable) and
+keep all arithmetic either integral or dyadic-exact, so DuckDB running
+the same algorithm produces bit-identical estimates:
+
+- ``kmv_distinct`` — k-minimum-values distinct-count: hash each value to
+  u ∈ [0,1) (60-bit md5 prefix / 2^60 — exact dyadic), keep the k
+  smallest distinct u per group; estimate (k-1)/u_k, exact when the
+  group has < k distinct values. The rank-≤-k filter compiles to
+  Spark's WindowGroupLimit (map-side top-k per partition before the
+  shuffle) — a group never materializes more than k values per task.
+
+- ``hll_distinct`` — HyperLogLog with md5-derived registers: bucket =
+  low 8 hash bits (m=256), rho = leading-zero count of the remaining 52
+  bits + 1 (pure integer: 53 - bitlength). Register maxes are a ONE-pass
+  partially-aggregated groupBy; 2^-register sums are dyadic-exact so the
+  harmonic mean is order-independent; the only libm call (ln in the
+  small-range linear-counting branch) is rounded away at 4 decimals.
+
+- ``histogram_quantile`` — fixed-grid histogram quantiles: bin counts
+  are mergeable partials (the rollup/streaming-friendly shape);
+  quantile = upper edge of the first bin whose cumulative count reaches
+  q*n. Resolution = bin width, deterministic, two shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["kmv_distinct", "hll_distinct", "histogram_quantile"]
+
+_TWO60 = float(1 << 60)
+
+
+def _u01(col: Column) -> Column:
+    """Uniform [0,1) from the first 60 md5 bits — dyadic, engine-exact."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return h / F.lit(_TWO60)
+
+
+def kmv_distinct(
+    df: DataFrame, value_col: str, keys: Sequence[str], k: int = 64
+) -> DataFrame:
+    """Per ``keys``: ``n_kept`` (= min(k, distinct)) and ``est_distinct``
+    — exact below k, else the KMV estimator (k-1)/u_k."""
+    keys = list(keys)
+    u = (
+        df.select(*keys, _u01(F.col(value_col)).alias("_u"))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("_u")
+    kept = u.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return kept.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("_u")
+            ),
+            4,
+        ).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, keys: Sequence[str], b: int = 8
+) -> DataFrame:
+    """Per ``keys``: HyperLogLog distinct estimate with m=2^b registers.
+    alpha_m * m^2 / (sum 2^-reg + empty), linear counting below 2.5m."""
+    keys = list(keys)
+    m = 1 << b
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    wbits = 60 - b
+    regs = (
+        df.select(
+            *keys,
+            F.pmod(h, F.lit(m)).alias("_bucket"),
+            F.shiftright(h, b).alias("_w"),
+        )
+        .withColumn(
+            "_rho",
+            F.when(F.col("_w") == 0, F.lit(wbits + 1)).otherwise(
+                F.lit(wbits + 1) - F.length(F.bin(F.col("_w")))
+            ),
+        )
+        .groupBy(*keys, "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = regs.groupBy(*keys).agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("_reg"))) + (F.lit(m) - F.count(F.lit(1))))
+        .alias("_z"),
+        (F.lit(m) - F.count(F.lit(1))).cast("double").alias("_v"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("_z")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v"))
+    return est.select(
+        *keys,
+        F.round(
+            F.when((raw <= 2.5 * m) & (F.col("_v") > 0), linear).otherwise(raw), 4
+        ).alias("est_distinct"),
+    )
+
+
+def histogram_quantile(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    width: float,
+    quantiles: Dict[str, float],
+) -> DataFrame:
+    """Per ``keys``, one column per entry in ``quantiles`` (name -> q):
+    the upper edge of the first histogram bin whose cumulative count
+    reaches q * total. Bin counts are mergeable partials — the same
+    frame a streaming/rollup pipeline would maintain incrementally."""
+    keys = list(keys)
+    bins = (
+        df.select(*keys, F.floor(F.col(value_col) / F.lit(width)).alias("_bin"))
+        .groupBy(*keys, "_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = bins.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wall)
+    )
+    aggs = [
+        F.round(
+            (
+                F.min(
+                    F.when(F.col("_cum") >= F.lit(q) * F.col("_n"), F.col("_bin"))
+                )
+                + 1
+            )
+            * F.lit(width),
+            4,
+        ).alias(name)
+        for name, q in quantiles.items()
+    ]
+    return cum.groupBy(*keys).agg(*aggs)

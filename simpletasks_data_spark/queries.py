@@ -1722,3 +1722,104 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge={"n": F.sum("n"), "total": F.sum("total")},
         finalize={"n": F.col("n"), "total_value": F.round(F.col("total"), 4)},
     )
+
+
+# ===========================================================================
+# Portable sketches (operators/sketches.py): estimates reproducible across
+# engines — the oracle runs the SAME algorithm, so even the approximations
+# hash-match. Spark's approx_count_distinct/approx_percentile can't do this.
+# ===========================================================================
+
+@register("sketch_kmv_distinct", """
+WITH u AS (
+  SELECT DISTINCT o_orderpriority,
+         CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS _u
+  FROM orders
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY _u) AS _rn
+  FROM u QUALIFY _rn <= 64
+)
+SELECT o_orderpriority, count(*) AS n_kept,
+       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / max(_u) END, 4) AS est_distinct
+FROM kept GROUP BY o_orderpriority
+""")
+def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count of customers per order priority; k=64. The
+    rank<=k filter compiles to WindowGroupLimit — map-side top-k."""
+    from .operators.sketches import kmv_distinct
+
+    orders = load(spark, sf_dir, "orders")
+    return kmv_distinct(orders, "o_custkey", keys=["o_orderpriority"], k=64)
+
+
+@register("sketch_hll_distinct", """
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, _h % 256 AS _bucket, _h >> 8 AS _w FROM h
+),
+rho AS (
+  SELECT l_returnflag, _bucket,
+         CASE WHEN _w = 0 THEN 53 ELSE 53 - length(ltrim(bin(_w), '0')) END AS _rho
+  FROM r
+),
+regs AS (
+  SELECT l_returnflag, _bucket, max(_rho) AS _reg FROM rho GROUP BY 1, 2
+),
+z AS (
+  SELECT l_returnflag,
+         sum(pow(2.0, -_reg)) + (256 - count(*)) AS _z,
+         CAST(256 - count(*) AS DOUBLE) AS _v
+  FROM regs GROUP BY 1
+)
+SELECT l_returnflag,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / _z <= 640.0 AND _v > 0
+                  THEN 256.0 * ln(256.0 / _v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / _z END, 4) AS est_distinct
+FROM z
+""")
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (m=256) distinct parts per return flag —
+    register maxes in one partially-aggregated pass; dyadic 2^-reg sums
+    keep the estimate order-independent and engine-exact."""
+    from .operators.sketches import hll_distinct
+
+    li = load(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_partkey", keys=["l_returnflag"], b=8)
+
+
+@register("sketch_histogram_quantile", """
+WITH bins AS (
+  SELECT o_orderpriority, CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS _bin,
+         count(*) AS _c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, sum(_c) OVER (PARTITION BY o_orderpriority ORDER BY _bin
+                          ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(_c) OVER (PARTITION BY o_orderpriority) AS _n
+  FROM bins
+)
+SELECT o_orderpriority,
+       round((min(CASE WHEN _cum >= 0.5 * _n THEN _bin END) + 1) * CAST(1000.0 AS DOUBLE), 4) AS p50,
+       round((min(CASE WHEN _cum >= 0.95 * _n THEN _bin END) + 1) * CAST(1000.0 AS DOUBLE), 4) AS p95
+FROM cum GROUP BY o_orderpriority
+""")
+def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of order price per priority (bin width
+    1000): bin counts are mergeable partials, the estimate is the first
+    bin whose cumulative count reaches q*n — deterministic, unlike
+    approx_percentile."""
+    from .operators.sketches import histogram_quantile
+
+    orders = load(spark, sf_dir, "orders")
+    return histogram_quantile(
+        orders, "o_totalprice", keys=["o_orderpriority"], width=1000.0,
+        quantiles={"p50": 0.5, "p95": 0.95},
+    )

@@ -1,0 +1,75 @@
+"""Sketch accuracy and plan-shape properties (operators/sketches.py)."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simpletasks_data_spark.operators.sketches import (  # noqa: E402
+    hll_distinct,
+    histogram_quantile,
+    kmv_distinct,
+)
+
+
+def _data(spark, n=5000, groups=2):
+    return spark.range(n).select(
+        (F.col("id") % groups).cast("string").alias("g"),
+        # ~n/4 distinct values per group
+        F.concat(F.lit("v"), (F.col("id") % (n // 4)).cast("string")).alias("v"),
+        (F.col("id") % 100).cast("double").alias("x"),
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(30).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    row = kmv_distinct(df, "v", keys=["g"], k=64).collect()[0]
+    assert row["n_kept"] == 30
+    assert row["est_distinct"] == 30.0  # exact below k
+
+
+def test_kmv_estimate_accuracy(spark):
+    df = _data(spark)
+    true = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    for r in kmv_distinct(df, "v", keys=["g"], k=256).collect():
+        assert abs(r["est_distinct"] - true[r["g"]]) / true[r["g"]] < 0.25
+
+
+def test_kmv_plan_group_limit(spark):
+    """rank<=k must compile to WindowGroupLimit (map-side top-k), not a
+    full per-group sort feeding an unbounded window."""
+    df = _data(spark)
+    plan = (
+        kmv_distinct(df, "v", keys=["g"], k=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_hll_estimate_accuracy(spark):
+    df = _data(spark, n=20000, groups=2)
+    true = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    for r in hll_distinct(df, "v", keys=["g"], b=8).collect():
+        # m=256 -> ~6.5% standard error; allow 3 sigma
+        assert abs(r["est_distinct"] - true[r["g"]]) / true[r["g"]] < 0.20
+
+
+def test_histogram_quantile_bounds(spark):
+    df = _data(spark)  # x uniform over 0..99 per group
+    out = histogram_quantile(
+        df, "x", keys=["g"], width=10.0, quantiles={"p50": 0.5, "p90": 0.9}
+    ).collect()
+    for r in out:
+        # true p50=49.5 -> bin 4 upper edge 50; p90=89.1 -> bin 8 edge 90
+        assert r["p50"] == 50.0
+        assert r["p90"] == 90.0
