@@ -34,6 +34,12 @@ BENCH_QUERIES = [
     "text_stats",
     "text_quality",
     "events_sessionize",
+    "asof_join_last_purchase",
+    "range_join_purchase_clicks",
+    "hypertable_rollup_events",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_histogram_quantile",
 ]
 
 
