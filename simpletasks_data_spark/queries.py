@@ -1823,3 +1823,22 @@ def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_totalprice", keys=["o_orderpriority"], width=1000.0,
         quantiles={"p50": 0.5, "p95": 0.95},
     )
+
+
+@register("bloom_semi_join_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7500.0)
+""")
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of high-balance customers via the explicit bloom semi-join:
+    k=3 broadcast position-set probes drop non-matching orders without
+    shuffling them, then an exact semi join removes bloom false
+    positives — results identical to the plain IN-subquery (the oracle)."""
+    from .operators.bloom import bloom_semi_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rich = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 7500.0)
+    return bloom_semi_join(orders, rich, large_key="o_custkey", small_key="c_custkey")
