@@ -1842,3 +1842,94 @@ def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rich = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 7500.0)
     return bloom_semi_join(orders, rich, large_key="o_custkey", small_key="c_custkey")
+
+
+# ===========================================================================
+# Capped sessions: gap sessions split at a max duration — beyond
+# session_window's power; streaming form is applyInPandasWithState
+# (streaming/stateful.py), batch twin is pure window functions.
+# ===========================================================================
+
+_CAPPED_SESSIONS_SQL = """
+WITH l AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_r
+  FROM l
+),
+r AS (
+  SELECT *, sum(new_r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM f
+),
+rs AS (
+  SELECT *, min(ts) OVER (PARTITION BY user_id, run_id) AS run_start FROM r
+),
+c AS (
+  SELECT *, (epoch_us(ts) - epoch_us(run_start)) // 7200000000 AS chunk FROM rs
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM c GROUP BY user_id, run_id, chunk
+"""
+
+
+@register("capped_sessions", _CAPPED_SESSIONS_SQL)
+def capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch capped sessions (gap 30 min, cap 2 h) — lag/cumsum/floor-div
+    window pipeline, one shuffle on user_id."""
+    from .streaming.stateful import capped_sessions_batch
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return capped_sessions_batch(ev)
+
+
+@register("streaming_capped_sessions", _CAPPED_SESSIONS_SQL)
+def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState streaming form, run to completion: a
+    staging dir replays the events file, then two far-future sentinel
+    files advance the watermark so every open chunk's event-time timeout
+    fires — the emitted set must equal the batch twin (same oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming import capped_sessions_stateful, stream_events
+
+    d = tempfile.mkdtemp(prefix="capped_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "0_events.parquet"))
+    base_ns = 4102444800 * 10**9  # 2100-01-01, far past every real event
+    for i in (1, 2):
+        t = pa.table(
+            {
+                "event_id": pa.array([-i], pa.int64()),
+                "ts": pa.array([base_ns + i * 86400 * 10**9], pa.int64()),
+                "user_id": pa.array([-i], pa.int64()),
+                "event_type": pa.array(["_flush"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([""], pa.string()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, f"{i}_flush.parquet"))
+    t0 = os.path.getmtime(os.path.join(d, "0_events.parquet"))
+    for i, name in enumerate(["0_events.parquet", "1_flush.parquet", "2_flush.parquet"]):
+        os.utime(os.path.join(d, name), (t0 + 10 * i, t0 + 10 * i))
+
+    import uuid
+
+    ev = stream_events(spark, d, glob="*.parquet")
+    agg = capped_sessions_stateful(ev.select("user_id", "ts", "event_id", "value"))
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).where(F.col("user_id") >= 0)

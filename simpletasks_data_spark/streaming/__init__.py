@@ -5,6 +5,7 @@ from .ingest import (
     streaming_merge_into,
     streaming_sessions,
 )
+from .stateful import capped_sessions_batch, capped_sessions_stateful
 
 __all__ = [
     "events_schema",
@@ -12,4 +13,6 @@ __all__ = [
     "streaming_hourly_counts",
     "streaming_sessions",
     "streaming_merge_into",
+    "capped_sessions_batch",
+    "capped_sessions_stateful",
 ]

@@ -39,14 +39,18 @@ def events_schema() -> T.StructType:
     )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events parquet (nanos ts -> timestamp).
-    maxFilesPerTrigger=1 keeps micro-batches small and deterministic."""
+    maxFilesPerTrigger=1 keeps micro-batches small and deterministic;
+    files arrive oldest-mtime-first, so a staging dir with bumped mtimes
+    controls batch order (used to append watermark-advancing sentinels)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(events_schema())
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
