@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "sketch_histogram_quantile",
+    "capped_sessions",
 ]
 
 

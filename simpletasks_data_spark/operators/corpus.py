@@ -1,0 +1,154 @@
+"""Corpus-management operators for large-scale training-data pipelines:
+deterministic splits, stratified sampling, vocabulary building, and
+benchmark decontamination.
+
+All native DataFrame composition (no UDFs, no driver loops), so Catalyst
+plans them and every step scales:
+
+- **hash split**: train/val/test assignment from a portable md5-derived
+  bucket of the document key — map-only, reproducible across engines,
+  runs, and cluster sizes (no ``rand()``, no global sort).
+- **stratified sample**: deterministic top-k per stratum ranked by the
+  same portable hash — one shuffle on the stratum key; the hash order is
+  a uniform random permutation per stratum, so the first k ARE a uniform
+  sample, but a reproducible one.
+- **vocabulary**: token explode -> count -> top-n. The explode is
+  map-side; the count is a partial-aggregated hash agg on the token (the
+  natural key, high cardinality => well-spread shuffle).
+- **decontamination**: flag corpus documents sharing too many token
+  n-grams with a benchmark set — the standard eval-leakage guard for LLM
+  training corpora. The benchmark shingle set is tiny relative to the
+  corpus, so it broadcasts; the corpus side stays a map-side explode +
+  broadcast hash join + one agg by doc. At 100 TB the corpus never
+  shuffles on shingles.
+
+Reference scope note: the reference engine (upOwa/simpletasks-data) has
+no corpus operators; these extend the surface for training-data
+pipelines per the build brief.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "stratified_sample",
+    "vocab_top_tokens",
+    "ngram_shingles",
+    "decontaminate",
+]
+
+
+def hash_bucket(key: Column, buckets: int = 1000) -> Column:
+    """Portable uniform bucket in [0, buckets): 60 bits of md5(key) mod
+    buckets. Matches DuckDB
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % buckets``
+    exactly — never an engine-private hash."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % buckets
+
+
+def hash_split(
+    df: DataFrame, key_col: str, boundaries: Dict[str, int] | None = None
+) -> DataFrame:
+    """Add a deterministic ``split`` column. ``boundaries`` maps split
+    name -> exclusive upper bucket bound out of 1000, in order
+    (default train<900, val<950, test<1000). Map-only: no shuffle, no
+    state, stable under retries and cluster resizing."""
+    bounds = boundaries or {"train": 900, "val": 950, "test": 1000}
+    b = hash_bucket(F.col(key_col))
+    expr = None
+    for name, upper in bounds.items():
+        expr = F.when(b < upper, F.lit(name)) if expr is None else expr.when(b < upper, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_cols: Sequence[str], k: int, key_col: str
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows within each stratum
+    by the portable hash of the key (a uniform pseudo-random but
+    reproducible order) and keep the first k. One shuffle on the strata
+    columns; skew-safe as long as k << stratum size (the window only
+    needs a per-partition top-k, which Spark's WindowGroupLimit pushes
+    down before the sort at scale)."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(F.col(key_col), 1 << 60), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def vocab_top_tokens(docs: DataFrame, text_col: str = "text", n: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-n tokens by document-frequency-weighted
+    count. Explode is map-side; the count aggregates partially before
+    the token-key shuffle; the global top-n is a tiny sort after the
+    agg (rows = distinct tokens, not corpus size)."""
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(n)
+
+
+def ngram_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of the normalized text.
+    Materialize the token array to a column before calling if reused —
+    HOF lambdas are not CSE'd."""
+    toks = text_col
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the fraction
+    of its distinct token ``n``-grams that appear in ANY benchmark
+    document; ``contaminated`` when the fraction >= ``threshold``.
+
+    Scale shape: the benchmark shingle set (distinct grams across the
+    benchmark) is broadcast — the 100 TB corpus side is a map-side
+    explode joined against the broadcast set, then one aggregation keyed
+    by document id. No corpus-side shuffle on shingles ever happens.
+    """
+    bench_shingles = (
+        benchmark.select(F.col(text_col).alias("_t"))
+        .select(tokens(F.col("_t")).alias("_toks"))
+        .select(F.explode(ngram_shingles(F.col("_toks"), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(id_col, F.explode(ngram_shingles(F.col("_toks"), n)).alias("gram"))
+    )
+    joined = doc_grams.join(
+        F.broadcast(bench_shingles.withColumn("_hit", F.lit(1))), on="gram", how="left"
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    ratio = F.col("n_hits") / F.col("n_shingles")
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_hits",
+        F.round(ratio, 4).alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )

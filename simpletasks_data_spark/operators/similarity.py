@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, bucket_signbits, cosine, norm2, suggest_signbit_bits
 
-__all__ = ["knn_bruteforce", "knn_ivf_signbits", "embedding_dedupe_pairs"]
+__all__ = ["knn_bruteforce", "knn_ivf_signbits", "embedding_dedupe_pairs", "ivf_centroids"]
 
 
 def _norm_frame(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
@@ -181,3 +181,30 @@ def embedding_dedupe_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def ivf_centroids(
+    embeds: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 6,
+    dims: int = 64,
+) -> DataFrame:
+    """Per-cell centroids of the sign-bit quantizer — the k-means-free IVF
+    coarse codebook (cells are fixed by sign bits, centroids summarize
+    them for pruning/ANN routing and for corpus drift monitoring).
+
+    Scale shape: ONE hash aggregation with ``dims`` sum columns plus a
+    count — map-side partial aggregation collapses each partition to
+    2^bits rows before the only shuffle. Deliberately NOT posexplode
+    (which would shuffle dims x corpus rows). Output: cell, n_vectors,
+    centroid array<double> (elements rounded at 4; ``+ 0.0`` normalizes
+    IEEE -0.0 so downstream hashing is engine-portable).
+    """
+    arr = as_double(vec_col)
+    cell = bucket_signbits(vec_col, bits).alias("cell")
+    sums = [F.sum(F.element_at(arr, d + 1)).alias(f"_s{d}") for d in range(dims)]
+    agg = embeds.groupBy(cell).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"), *sums)
+    centroid = F.array(
+        *[F.round(F.col(f"_s{d}") / F.col("n_vectors"), 4) + F.lit(0.0) for d in range(dims)]
+    )
+    return agg.select("cell", "n_vectors", centroid.alias("centroid"))

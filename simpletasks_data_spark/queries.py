@@ -27,6 +27,7 @@ from .functions import dumping as DUMP
 from .functions import parsing as P
 from .functions import text as TX
 from .functions import vectors as V
+from .operators import corpus as CP
 from .operators import dedupe as DD
 from .operators import similarity as SIM
 
@@ -1933,3 +1934,143 @@ def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).where(F.col("user_id") >= 0)
+
+
+# ===========================================================================
+# Corpus management: deterministic splits, stratified sampling, vocabulary,
+# benchmark decontamination, IVF centroids (operators/corpus.py,
+# operators/similarity.py). Portable md5 bucket on both sides.
+# ===========================================================================
+
+_SQL_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register("corpus_hash_split", f"""
+WITH b AS (
+  SELECT *, {_SQL_BUCKET.format(k='doc_id')} % 1000 AS bkt FROM documents
+)
+SELECT CASE WHEN bkt < 900 THEN 'train' WHEN bkt < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1
+""")
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (portable md5 bucket,
+    map-only) summarized per split."""
+    docs = CP.hash_split(load(spark, sf_dir, "documents"), "doc_id")
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register("corpus_stratified_sample", f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_SQL_BUCKET.format(k='doc_id')}, doc_id
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 25
+""")
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-per-language sample: hash-ranked, reproducible
+    across engines/runs; one shuffle on the stratum key."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return CP.stratified_sample(docs, ["lang"], k=25, key_col="doc_id")
+
+
+@register("vocab_top_tokens", f"""
+WITH toks AS (
+  SELECT unnest({SQL_TOKENS.format(c='text')}) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT 100
+""")
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100: map-side explode, partial-aggregated
+    token counts, tiny global top-n after the agg."""
+    return CP.vocab_top_tokens(load(spark, sf_dir, "documents"), "text", n=100)
+
+
+_DECON_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+  FROM tok
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+agg AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM (SELECT * FROM grams WHERE doc_id % 20 != 0) c
+  LEFT JOIN bench b USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       round(CAST(n_hits AS DOUBLE) / n_shingles, 4) AS overlap_ratio,
+       (CAST(n_hits AS DOUBLE) / n_shingles) >= 0.5 AS contaminated
+FROM agg
+"""
+
+
+@register("decontaminate_benchmark_overlap", _DECON_SQL)
+def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage guard: token 3-gram overlap of every corpus document
+    against a broadcast benchmark shingle set (docs with doc_id % 20 == 0
+    stand in for the benchmark). Corpus side never shuffles on shingles."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return CP.decontaminate(corpus, bench, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _centroid_cell_sql(bits: int = 6) -> str:
+    terms = " + ".join(
+        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"({terms})"
+
+
+@register("ivf_centroids_by_cell", f"""
+WITH e AS (
+  SELECT {_centroid_cell_sql(6)} AS cell, embedding FROM embeddings
+),
+d AS (
+  SELECT cell, dim,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         round(avg(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)), 4) + 0.0 AS c
+  FROM e, range(1, 65) r(dim)
+  GROUP BY cell, dim
+)
+SELECT cell, n_vectors, CAST(dim AS BIGINT) AS dim, c FROM d
+""")
+def ivf_centroids_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-codebook centroids (sign-bit cells), flattened to
+    (cell, dim, value) for the gate. The operator itself is ONE hash agg
+    with 64 sum columns — no posexplode of the corpus."""
+    cents = SIM.ivf_centroids(load(spark, sf_dir, "embeddings"), "embedding", bits=6, dims=64)
+    return cents.select(
+        "cell",
+        "n_vectors",
+        F.posexplode("centroid").alias("pos", "c"),
+    ).select(
+        "cell",
+        "n_vectors",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "c",
+    )
