@@ -69,14 +69,20 @@ def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
-def char_shingles_from_norm(norm: Column | str, n: int = 5) -> Column:
-    """Distinct character n-grams of an ALREADY-normalized text column.
-    Important: expressions inside higher-order-function lambdas are not
-    CSE'd — pass a materialized column, not the normalize expression, or
-    the regex chain re-evaluates per array element (O(len²) regex work)."""
+def char_shingles_from_norm(norm: Column | str, n: int = 5, distinct: bool = True) -> Column:
+    """Character n-grams of an ALREADY-normalized text column, distinct by
+    default (set semantics for Jaccard). Pass ``distinct=False`` where the
+    consumer is duplicate-insensitive (MinHash takes a min over the
+    multiset, which equals the min over the set) — ``array_distinct`` is
+    an interpreted O(k²) string-compare loop and dominates the shingle
+    cost. Important: expressions inside higher-order-function lambdas are
+    not CSE'd — pass a materialized column, not the normalize expression,
+    or the regex chain re-evaluates per array element (O(len²) regex
+    work)."""
     c = _c(norm)
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+    grams = F.transform(idx, lambda i: F.substring(c, i, n))
+    return F.array_distinct(grams) if distinct else grams
 
 
 def char_shingles(col: Column | str, n: int = 5) -> Column:

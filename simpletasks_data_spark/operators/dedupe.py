@@ -50,6 +50,20 @@ def shingle_hash(sh) -> F.Column:
     return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW frame up to the cluster's core
+    count when the source gives fewer partitions than cores (e.g. one
+    small parquet file = one row group = ONE task for the whole
+    shingle/hash map stage — measured 3.3s single-core vs 0.3s spread).
+    At scale the input already has >= cores partitions and this is a
+    no-op; the repartition shuffle only ever moves the pre-explode
+    projection, never the shingle expansion."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) texts: (content_hash,
     canonical_id = min id, n_dups). One hash aggregation."""
@@ -154,39 +168,49 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: (id, array<long> of length num_hashes).
 
-    Computed entirely with array expressions — normalize -> shingle array ->
-    shingle-hash array -> per-family ``array_min`` — so signature
-    construction is MAP-ONLY: no explode, no groupBy, no shuffle (the old
-    explode+min-agg shape shuffled every shingle of the corpus). min over
-    the array equals min over the exploded multiset, so results are
-    bit-identical and the SQL oracle is unchanged.
+    Shape: explode the shingle START INDEX (a codegen'd ``sequence`` +
+    ``explode``), compute substring -> md5 -> mod-P hash on the exploded
+    rows, then ONE hash aggregation with ``num_hashes`` ``min`` columns.
+    Every expression stays inside whole-stage codegen.
 
-    Each stage lives in its own projection: expressions inside higher-order
-    -function lambdas are not CSE'd, and CollapseProject keeps a column
-    referenced many times (the hash array, used by num_hashes transforms)
-    from being inlined — one md5 per shingle, not num_hashes."""
+    Why not array expressions (transform + array_min, no explode)?
+    Higher-order-function lambdas are evaluated by the interpreted
+    expression path — measured 40x slower end-to-end than this explode
+    shape (4.3s vs 0.11s for ~6k docs x ~124 shingles, steady-state) even
+    though the HOF form has no shuffle. The shuffle here is tiny anyway:
+    map-side partial min aggregation reduces each partition to one
+    num_hashes-long row per resident doc before the exchange.
+
+    min over the shingle multiset == min over the distinct set, so
+    duplicate shingles need no dedup and the SQL oracle (distinct or not)
+    matches bit-for-bit."""
     assert num_hashes <= len(MINHASH_COEFFS)
-    from ..functions.text import char_shingles_from_norm
 
     normed = df.select(
         F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
     )
-    shingled = normed.select(
-        "_id", char_shingles_from_norm(F.col("_norm"), n).alias("_shs")
-    ).where(F.col("_shs").isNotNull())
-    hashed = shingled.select(
+    normed = _ensure_parallelism(normed)
+    ex = normed.select(
         "_id",
-        F.transform(F.col("_shs"), lambda s: shingle_hash(s) % MERSENNE_P).alias("_hx"),
+        "_norm",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(n - 1), F.lit(1)))
+        ).alias("_i"),
     )
-    sig = F.array(
+    h = ex.select(
+        "_id",
+        (shingle_hash(F.col("_norm").substr(F.col("_i"), F.lit(n))) % MERSENNE_P).alias("_h"),
+    )
+    agg = h.groupBy("_id").agg(
         *[
-            F.array_min(
-                F.transform(F.col("_hx"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
-            )
-            for (a, b) in MINHASH_COEFFS[:num_hashes]
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE_P).alias(f"_m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
         ]
     )
-    return hashed.select(F.col("_id").alias(id_col), sig.alias("signature"))
+    return agg.select(
+        F.col("_id").alias(id_col),
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_pairs(
@@ -207,22 +231,29 @@ def minhash_pairs(
     # of recomputing the shingle/hash pipeline per side. (On a cluster this
     # would be a persist to MEMORY_AND_DISK or a checkpoint.)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
-    # One pass: explode an array of (band, band_hash) structs instead of
+    # One pass: explode the per-doc array of band bucket hashes instead of
     # unioning per-band frames (which would recompute the signature pipeline
     # per band).
-    band_structs = []
+    band_hashes = []
     for b in range(bands):
         cols = [
             F.col("signature").getItem(i).cast("string")
             for i in range(b * rows_per_band, (b + 1) * rows_per_band)
         ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
-        )
+        band_hashes.append(F.md5(F.concat_ws(",", *cols)))
     buckets = sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.col(id_col).alias("_id"), F.array(*band_hashes).alias("bbs")
+    ).select("_id", "bbs", F.posexplode("bbs").alias("band", "bucket"))
     a, b2 = buckets.alias("a"), buckets.alias("b")
+    # A pair is emitted ONLY from the first band where the two docs agree:
+    # near-identical docs collide in every band, so a plain join + distinct
+    # generates each of their pairs `bands` times and then pays a full
+    # distinct shuffle to throw the copies away. Carrying the (tiny) bucket
+    # array through the join lets a post-join filter keep exactly one copy —
+    # the pair SET is unchanged, the distinct disappears entirely.
+    first_match = F.array_position(
+        F.zip_with(F.col("a.bbs"), F.col("b.bbs"), lambda x, y: x == y), F.lit(True)
+    )
     return (
         a.join(
             b2,
@@ -230,8 +261,8 @@ def minhash_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        .where(first_match == F.col("a.band") + 1)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
     )
 
 
