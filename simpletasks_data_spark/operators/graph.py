@@ -1,0 +1,121 @@
+"""Connected components over a pair/edge frame — the clustering step of a
+fuzzy-dedup pipeline (LSH pairs -> verify -> CLUSTER -> pick canonical).
+
+The reference has no graph operator (its dedup surface stops at pairwise
+comparison); this is part of the training-data extension surface, where
+near-dup pairs must be folded into clusters so each cluster keeps exactly
+one canonical document.
+
+Algorithm: iterative min-label propagation with path-halving.
+
+- ``lab(u)`` starts as ``u``; each round every node takes the min of its
+  own label and its neighbors' labels (one shuffle join + one hash agg),
+  then a pointer-jump round replaces ``lab(u)`` with ``lab(lab(u))``
+  (path halving — a second self-join), which makes long chains collapse
+  in O(log diameter) rounds instead of O(diameter).
+- Convergence is detected with an exact changed-label count folded into
+  the SAME action that materializes the round's labels (``Observation``
+  on the per-round ``localCheckpoint``), so each round costs exactly one
+  job; the loop stops at ``changed == 0``.
+- Each round checkpoints: iterative lineage otherwise grows a plan per
+  round and re-executes the whole history on every action. On a cluster
+  this would be ``persist(MEMORY_AND_DISK)`` + periodic reliable
+  checkpoints.
+
+Scale notes (100 TB): dedup graphs are overwhelmingly tiny stars and
+short chains — label propagation with path halving converges in a
+handful of rounds, each a pair of shuffles on the (contracting) label
+frame. For adversarially long paths the alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) bounds rounds by O(log² n) independent of
+diameter; the loop below is structured so that swap is a drop-in
+(replace the propagate step, keep the checkpoint/observe harness). A
+hot node (one document near-duplicating millions) concentrates its
+star's edges on one reducer — pre-contract such stars with an exact
+content-hash dedup pass (byte-identical copies never need the graph).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component labels for every node that appears in ``pairs``:
+    ``(id, component)`` where ``component`` is the min node id reachable
+    through the undirected pair graph. Deterministic; order-independent."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Edges are reused every round: materialize once, symmetric form.
+    edges = edges.localCheckpoint(eager=True)
+    lab = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # min over self + neighbor labels (one shuffle on id)
+        nbr = (
+            edges.join(lab.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), "lab")
+        )
+        new = (
+            lab.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # path halving: lab(u) <- lab(lab(u)); labels are node ids, so the
+        # label frame itself is the pointer table
+        new = (
+            new.join(
+                lab.select(F.col("id").alias("lab"), F.col("lab").alias("_ll")),
+                "lab",
+                "left",
+            )
+            .select("id", F.least(F.col("lab"), F.coalesce(F.col("_ll"), F.col("lab"))).alias("lab"))
+        )
+        obs = Observation()
+        cmp = (
+            new.join(lab.withColumnRenamed("lab", "_old"), "id")
+            .observe(obs, F.count_if(F.col("lab") != F.col("_old")).alias("changed"))
+            .select("id", "lab")
+        )
+        lab = cmp.localCheckpoint(eager=True)
+        if int(obs.get["changed"]) == 0:
+            break
+    return lab.select("id", F.col("lab").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster the verified near-dup pairs: ``(doc_id, cluster_id,
+    cluster_size, is_canonical)``. The canonical doc per cluster is the
+    min id (== the cluster label); everything else is a removal
+    candidate. One extra hash agg over the (tiny) label frame."""
+    cc = connected_components(pairs, src, dst, max_iter)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -1405,8 +1405,7 @@ WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
 """
 
 
-@register("dedup_minhash_verified", _minhash_verified_sql())
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates -> exact Jaccard verification >= 0.6: candidates
     bound the pair space (never n²), the verify join only touches shingles
     of candidate docs."""
@@ -1432,6 +1431,44 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+@register("dedup_minhash_verified", _minhash_verified_sql())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _verified_pairs(spark, sf_dir)
+
+
+@register("dedup_clusters", f"""
+WITH RECURSIVE
+ver AS (SELECT * FROM ({_minhash_verified_sql().strip()})),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM ver
+  UNION
+  SELECT id_b AS u, id_a AS v FROM ver
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.v FROM reach w JOIN edges e ON e.u = w.r
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size,
+       cc.id = cc.cluster_id AS is_canonical
+FROM cc JOIN sz USING (cluster_id)
+""")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering step of the fuzzy-dedup pipeline: fold the verified
+    near-dup pairs into connected components (iterative min-label
+    propagation with path halving, operators/graph.py) and mark the min-id
+    doc per cluster canonical. The oracle computes the same components
+    with a recursive transitive-closure CTE — exact on the (small) pair
+    graph, while the Spark side's per-round cost is two shuffles on a
+    contracting label frame."""
+    from .operators.graph import dedup_clusters
+
+    return dedup_clusters(_verified_pairs(spark, sf_dir))
 
 
 # ===========================================================================

@@ -1,0 +1,43 @@
+"""Connected components (operators/graph.py): correctness on shapes that
+stress the propagation loop — chains (diameter), stars, multiple
+components, and the canonical-pick bookkeeping."""
+
+from pyspark.sql import functions as F
+
+from simpletasks_data_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    out = connected_components(df, "a", "b")
+    return {r.id: r.component for r in out.collect()}
+
+
+def test_cc_two_components_and_star(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_cc_long_chain_converges(spark):
+    # a 40-node path: path halving must collapse it well under max_iter
+    pairs = [(i, i + 1) for i in range(40)]
+    got = _cc(spark, pairs)
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_cc_order_independent(spark):
+    # reversed pair orientation and shuffled input give the same labels
+    pairs = [(5, 1), (2, 5), (9, 8), (3, 2)]
+    got = _cc(spark, pairs)
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 8: 8, 9: 8}
+
+
+def test_dedup_clusters_canonical_and_sizes(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint")
+    out = dedup_clusters(df).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert by_doc[1].is_canonical and by_doc[7].is_canonical
+    assert not by_doc[2].is_canonical and not by_doc[8].is_canonical
+    assert by_doc[3].cluster_size == 3 and by_doc[8].cluster_size == 2
+    assert all(r.cluster_id == min(1, 2, 3) for r in out if r.doc_id in (1, 2, 3))
