@@ -17,6 +17,8 @@ __all__ = [
     "tokens",
     "token_count",
     "distinct_token_count",
+    "token_ngrams",
+    "repetition_signals",
     "char_shingles",
     "punct_ratio",
     "stopword_ratio",
@@ -67,6 +69,53 @@ def token_count(col: Column | str) -> Column:
 
 def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
+
+
+def token_ngrams(toks: Column | str, n: int) -> Column:
+    """Word n-grams (space-joined) of an ALREADY-materialized token array.
+    Same HOF caveat as ``char_shingles_from_norm``: pass a column, not the
+    tokenize expression."""
+    t = _c(toks)
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — short docs must
+    # yield an empty n-gram array, not two bogus ones
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+    )
+
+
+def repetition_signals(toks: Column | str, bigrams: Column | str, trigrams: Column | str) -> dict:
+    """Gopher-style per-document repetition signals — all MAP-ONLY array
+    expressions, no explode, no shuffle (the 100 TB shape: embarrassingly
+    parallel; the O(k²) ``array_distinct``/mode loops are interpreted but
+    k is tokens-per-doc, not corpus size). ALL three inputs must be
+    already-materialized columns (HOF lambdas are not CSE'd — an inline
+    ``token_ngrams`` expression would rebuild the n-gram array once per
+    element of the mode loop). Returns a dict of named Columns:
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (type/token ratio
+      complement — high means the doc repeats its vocabulary);
+    - ``top_bigram_frac``: share of bigram slots taken by the single most
+      frequent bigram (Gopher's "fraction of characters in the most
+      common n-gram", token-denominated);
+    - ``dup_trigram_frac``: 1 - distinct/total trigrams (Gopher's
+      "fraction of duplicated n-grams").
+
+    Fractions are NULL when the doc is too short to have the n-gram.
+    """
+    t, bg, tg = _c(toks), _c(bigrams), _c(trigrams)
+    n = F.size(t)
+    top_bg = F.array_max(
+        F.transform(F.array_distinct(bg), lambda x: F.size(F.filter(bg, lambda y: y == x)))
+    )
+    frac = lambda num, den: F.when(den > 0, F.round(num.cast("double") / den, 4))  # noqa: E731
+    return {
+        "dup_token_frac": frac(n - F.size(F.array_distinct(t)), n),
+        "top_bigram_frac": frac(top_bg, F.size(bg)),
+        "dup_trigram_frac": frac(F.size(tg) - F.size(F.array_distinct(tg)), F.size(tg)),
+    }
 
 
 def char_shingles_from_norm(norm: Column | str, n: int = 5, distinct: bool = True) -> Column:

@@ -357,6 +357,56 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
+@register("text_repetition", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bg,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [] END AS tg
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+            THEN round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+            END AS dup_token_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(CAST(list_max(list_transform(list_distinct(bg),
+                            x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 4)
+            END AS top_bigram_frac,
+       CASE WHEN len(tg) > 0
+            THEN round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg), 4)
+            END AS dup_trigram_frac
+FROM g
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
+    Table A1): duplicate-token fraction, most-common-bigram fraction,
+    duplicate-trigram fraction. Map-only (no shuffle) — each signal is an
+    array expression over the doc's own tokens, so the 100 TB plan is a
+    single scan. Tokens and n-gram arrays are projected to real columns
+    across separate selects so HOF lambdas never re-evaluate them
+    (Catalyst does not CSE inside lambda bodies, and CollapseProject keeps
+    multi-referenced non-cheap aliases un-inlined)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    g = t.select(
+        "doc_id",
+        "toks",
+        TX.token_ngrams("toks", 2).alias("bg"),
+        TX.token_ngrams("toks", 3).alias("tg"),
+    )
+    sig = TX.repetition_signals("toks", "bg", "tg")
+    return g.select("doc_id", *[c.alias(n) for n, c in sig.items()])
+
+
 # ===========================================================================
 # Deduplication over a corpus with PLANTED duplicates (the raw synthetic
 # documents are all unique, so both engines construct the same corpus:
