@@ -43,6 +43,7 @@ __all__ = [
     "vocab_top_tokens",
     "ngram_shingles",
     "decontaminate",
+    "tfidf_top_terms",
 ]
 
 
@@ -151,4 +152,55 @@ def decontaminate(
         "n_hits",
         F.round(ratio, 4).alias("overlap_ratio"),
         (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``), ties broken by token order.
+
+    Scale shape: term frequencies are one partial-aggregated shuffle on
+    the high-cardinality ``(doc, token)`` key; document frequencies
+    reduce THAT result (rows = distinct doc-terms, not corpus tokens) to
+    a vocabulary-sized table which is **broadcast** back — the corpus
+    never shuffles on tokens a second time. The per-doc top-k window
+    repartitions by doc id, the natural evenly-spread key. The corpus
+    row count rides in as a broadcast single-row frame, not a driver
+    ``.collect()``, so the whole plan stays one lazy DAG.
+
+    Ranking uses the ROUNDED (4-decimal) score so the order is identical
+    across engines regardless of last-ulp ``ln`` differences.
+    """
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    tok = t.select(id_col, F.explode("_toks").alias("token"))
+    # Checkpoint the doc-term table: both the score join and the doc-freq
+    # reduction consume it, and without the cut Catalyst forks the DAG
+    # and scans + explodes the corpus TWICE (the df branch prunes the
+    # count away, so the exchanges differ and nothing is reused).
+    tf = (
+        tok.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", "rank")
     )

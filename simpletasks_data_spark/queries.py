@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import dumping as DUMP
 from .functions import parsing as P
+from .functions import pii as PII
 from .functions import text as TX
 from .functions import vectors as V
 from .operators import corpus as CP
@@ -2161,3 +2162,135 @@ def ivf_centroids_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("dim"),
         "c",
     )
+
+
+# ===========================================================================
+# PII scrubbing + tokenizer-style counting (corpus prep before training).
+# The synthetic tables carry no real PII, so the query plants it: both
+# engines build the same deterministic "profile" string from customer
+# keys (emails/phones/IPs conditionally included so counts vary by row),
+# then detect and redact it.
+# ===========================================================================
+
+_SQL_PROFILE = """concat_ws(' ',
+  c_name,
+  'email', lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com',
+  CASE WHEN c_custkey % 5 = 0 THEN 'cc admin@corp.example.org' END,
+  CASE WHEN c_custkey % 3 != 0 THEN 'phone ' ||
+       CAST(10 + c_custkey % 90 AS VARCHAR) || '-' ||
+       CAST(100 + c_custkey % 900 AS VARCHAR) || '-' ||
+       CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||
+       CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR) END,
+  'ip', '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST(c_custkey % 100 AS VARCHAR),
+  'segment=' || lower(c_mktsegment), 'ok!')"""
+
+
+def _profile_col() -> Column:
+    ck = F.col("c_custkey")
+    email = F.concat(
+        F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit("phone "),
+        F.concat_ws(
+            "-",
+            (F.lit(10) + ck % 90).cast("string"),
+            (F.lit(100) + ck % 900).cast("string"),
+            (F.lit(100) + (ck * 7) % 900).cast("string"),
+            (F.lit(1000) + (ck * 13) % 9000).cast("string"),
+        ),
+    )
+    ip = F.concat(
+        F.lit("10."), (ck % 256).cast("string"), F.lit(".0."), (ck % 100).cast("string")
+    )
+    return F.concat_ws(
+        " ",
+        F.col("c_name"),
+        F.lit("email"),
+        email,
+        F.when(ck % 5 == 0, F.lit("cc admin@corp.example.org")),
+        F.when(ck % 3 != 0, phone),
+        F.lit("ip"),
+        ip,
+        F.concat(F.lit("segment="), F.lower("c_mktsegment")),
+        F.lit("ok!"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    e = PII.PII_PATTERNS["email"]
+    p = PII.PII_PATTERNS["phone"]
+    i = PII.PII_PATTERNS["ipv4"]
+    return f"""
+WITH t AS (SELECT c_custkey, {_SQL_PROFILE} AS profile FROM customer)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(profile, '{e}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(profile, '{p}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(profile, '{i}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(profile,
+           '{e}', '[EMAIL]', 'g'),
+           '{p}', '[PHONE]', 'g'),
+           '{i}', '[IPV4]', 'g') AS redacted
+FROM t
+"""
+
+
+@register("pii_scrub_customers", _pii_scrub_sql())
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-redact pass: per-kind PII match counts plus the scrubbed
+    text. Map-only single scan — the 100 TB scrub plan has no shuffle at
+    all (redaction is embarrassingly parallel)."""
+    cust = load(spark, sf_dir, "customer")
+    prof = cust.select("c_custkey", _profile_col().alias("profile"))
+    counts = PII.pii_counts("profile")
+    return prof.select(
+        "c_custkey",
+        *[c.cast("long").alias("n_" + k) for k, c in counts.items()],
+        PII.redact("profile").alias("redacted"),
+    )
+
+
+def _bpe_count_sql() -> str:
+    bpe = PII.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (SELECT c_custkey, {_SQL_PROFILE} AS profile FROM customer)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(profile, '{bpe}')) AS BIGINT) AS n_bpe,
+       CAST(len(regexp_extract_all(profile, '\\S+')) AS BIGINT) AS n_ws
+FROM t
+"""
+
+
+@register("bpe_token_count", _bpe_count_sql())
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-pre-tokenizer-style token counting vs whitespace counting
+    (token budgeting for corpus sizing). Map-only, no shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    prof = cust.select("c_custkey", _profile_col().alias("profile"))
+    return prof.select(
+        "c_custkey",
+        PII.bpe_ish_token_count("profile").cast("long").alias("n_bpe"),
+        F.regexp_count("profile", F.lit(r"\S+")).cast("long").alias("n_ws"),
+    )
+
+
+@register("tfidf_top_terms", f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.token,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+r AS (SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      FROM s)
+SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+""")
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed IDF). See
+    ``operators/corpus.tfidf_top_terms`` for the scale shape: one
+    (doc, token) shuffle, vocabulary-sized doc-freq broadcast back, no
+    second corpus shuffle."""
+    return CP.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
