@@ -1,0 +1,106 @@
+"""Document chunking and sequence packing for LLM pretraining pipelines.
+
+- **chunking**: split each document into overlapping fixed-size token
+  windows (the HF ``return_overflowing_tokens`` convention: windows of
+  ``size`` tokens every ``stride`` tokens; the last window may be
+  shorter). Map-only — tokens, window starts, and the posexplode are all
+  per-row array expressions, so the 100 TB plan is one scan with no
+  shuffle.
+- **packing**: assign documents to fixed-token-budget training sequences
+  the way GPT-style pretraining does (concatenate the stream, slice
+  every ``budget`` tokens — documents may straddle pack boundaries).
+  The scalable shape: hash-shard the corpus, then a within-shard
+  running-sum window gives each doc its token offset; pack ids are pure
+  arithmetic on the offset. One shuffle on the shard key; shards are
+  independent, so packing parallelizes to any cluster size (shards are
+  the unit a downstream writer would emit as files).
+
+Reference scope note: the reference engine (upOwa/simpletasks-data) has
+no corpus operators; these extend the surface for training-data
+pipelines per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .corpus import hash_bucket
+
+__all__ = ["chunk_documents", "pack_sequences"]
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token windows per document: window ``i`` (1-based)
+    covers tokens ``[(i-1)*stride + 1, (i-1)*stride + size]``; the number
+    of windows is ``1 + ceil(max(n - size, 0) / stride)`` so every token
+    is covered and the final window is the only short one. Empty
+    documents yield no chunks."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    m = F.greatest(n - F.lit(size), F.lit(0))
+    # ceil(m / stride) via integer arithmetic (exact, no float)
+    n_chunks = F.lit(1) + F.floor((m + F.lit(stride - 1)) / F.lit(stride)).cast("long")
+    t = t.where(n > 0).select(
+        id_col,
+        "_toks",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.slice("_toks", (i - 1) * stride + 1, size),
+            )
+        ).alias("_pos", "_chunk"),
+    )
+    return t.select(
+        id_col,
+        (F.col("_pos") + 1).cast("long").alias("chunk_idx"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+    shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: per document, its shard, token
+    count, exclusive start offset in the shard's concatenated token
+    stream, and the first/last pack (``budget``-token sequence) it lands
+    in. ``last_pack > first_pack`` means the document straddles a pack
+    boundary. Offsets are deterministic: shard = portable hash of the id,
+    order within shard = id order."""
+    if budget <= 0 or shards <= 0:
+        raise ValueError("budget and shards must be positive")
+    t = docs.select(
+        F.col(id_col),
+        hash_bucket(F.col(id_col), shards).alias("shard"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = t.withColumn("start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")))
+    return t.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / budget).cast("long").alias("first_pack"),
+        F.floor((F.col("start_off") + F.col("n_tokens") - 1) / budget)
+        .cast("long")
+        .alias("last_pack"),
+    )

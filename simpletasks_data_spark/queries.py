@@ -28,6 +28,7 @@ from .functions import parsing as P
 from .functions import pii as PII
 from .functions import text as TX
 from .functions import vectors as V
+from .operators import chunking as CH
 from .operators import corpus as CP
 from .operators import dedupe as DD
 from .operators import similarity as SIM
@@ -2294,3 +2295,52 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, token) shuffle, vocabulary-sized doc-freq broadcast back, no
     second corpus shuffle."""
     return CP.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+# ===========================================================================
+# Chunking + sequence packing (LLM pretraining data prep).
+# ===========================================================================
+
+@register("chunk_documents", f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             1 + (greatest(len(toks) - 64, 0) + 47) // 48 AS n_chunks
+      FROM t WHERE len(toks) > 0),
+u AS (SELECT doc_id, toks, unnest(generate_series(1, n_chunks)) AS chunk_idx FROM c),
+s AS (SELECT doc_id, chunk_idx,
+             list_slice(toks, (chunk_idx - 1) * 48 + 1, (chunk_idx - 1) * 48 + 64) AS chunk
+      FROM u)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM s
+""")
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows every 48 tokens (HF overflow-chunk
+    convention). Map-only: one scan, per-row posexplode, no shuffle."""
+    return CH.chunk_documents(load(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+@register("pack_sequences", f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SQL_BUCKET.format(k='doc_id')} % 8 AS shard,
+         len({SQL_TOKENS.format(c='text')}) AS n_tokens
+  FROM documents
+),
+f AS (SELECT * FROM t WHERE n_tokens > 0),
+s AS (SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM f)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 256 AS BIGINT) AS first_pack,
+       CAST((start_off + n_tokens - 1) // 256 AS BIGINT) AS last_pack
+FROM s
+""")
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing offsets per doc (256-token budget, 8
+    shards): one shuffle on the shard key, window cumsum within shard."""
+    return CH.pack_sequences(load(spark, sf_dir, "documents"), budget=256, shards=8)
