@@ -41,6 +41,13 @@ BENCH_QUERIES = [
     "sketch_hll_distinct",
     "sketch_histogram_quantile",
     "capped_sessions",
+    "dedup_clusters",
+    "text_repetition",
+    "tfidf_top_terms",
+    "pii_scrub_customers",
+    "chunk_documents",
+    "pack_sequences",
+    "embedding_quantize_int8",
 ]
 
 

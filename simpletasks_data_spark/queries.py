@@ -2344,3 +2344,77 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing offsets per doc (256-token budget, 8
     shards): one shuffle on the shard key, window cumsum within shard."""
     return CH.pack_sequences(load(spark, sf_dir, "documents"), budget=256, shards=8)
+
+
+@register("streaming_exact_dedup", """
+SELECT DISTINCT user_id, event_type FROM events
+""")
+def streaming_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-arrival dedup (dropDuplicatesWithinWatermark) run
+    to completion; only the key columns are emitted, so the result is the
+    exact distinct key set regardless of which physical row won. State is
+    watermark-bounded — the 100 TB/unbounded-stream shape."""
+    import uuid
+
+    from .streaming import stream_events, streaming_dedupe
+
+    ev = stream_events(spark, sf_dir)
+    deduped = streaming_dedupe(ev, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register("embedding_quantize_int8", """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN mx > 0 THEN 127.0 / mx END AS scale
+  FROM q
+),
+c AS (
+  SELECT vec_id, scale,
+         CAST(len(v) AS BIGINT) AS n_dims,
+         CAST(list_sum(list_transform(v, x -> round(x * scale))) AS BIGINT) AS sum_codes,
+         sqrt(list_sum(list_transform(v, x -> pow(x - round(x * scale) / scale, 2))) / len(v)) AS rms
+  FROM s
+)
+SELECT vec_id, n_dims, round(scale, 4) AS scale, sum_codes,
+       round(rms, 6) AS rms_err
+FROM c
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = 127/max|x|), with
+    an integer checksum of the codes and the reconstruction RMS error.
+    Map-only array expressions — the 100 TB plan is a single scan with
+    no shuffle; the quantized codes would be written alongside the
+    binary payload column in a real pipeline."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    e = e.select("vec_id", "v", F.when(mx > 0, F.lit(127.0) / mx).alias("scale"))
+    codes = F.transform("v", lambda x: F.round(x * F.col("scale")))
+    sq = F.transform(
+        "v", lambda x: F.pow(x - F.round(x * F.col("scale")) / F.col("scale"), F.lit(2))
+    )
+    return e.select(
+        "vec_id",
+        F.size("v").cast("long").alias("n_dims"),
+        F.round("scale", 4).alias("scale"),
+        F.aggregate(codes, F.lit(0.0), lambda a, b: a + b).cast("long").alias("sum_codes"),
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, b: a + b) / F.size("v")), 6
+        ).alias("rms_err"),
+    )

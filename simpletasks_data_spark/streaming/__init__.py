@@ -1,6 +1,7 @@
 from .ingest import (
     events_schema,
     stream_events,
+    streaming_dedupe,
     streaming_hourly_counts,
     streaming_merge_into,
     streaming_sessions,
@@ -10,6 +11,7 @@ from .stateful import capped_sessions_batch, capped_sessions_stateful
 __all__ = [
     "events_schema",
     "stream_events",
+    "streaming_dedupe",
     "streaming_hourly_counts",
     "streaming_sessions",
     "streaming_merge_into",

@@ -87,6 +87,19 @@ def streaming_sessions(events: DataFrame, gap: str = "30 minutes", watermark: st
     )
 
 
+def streaming_dedupe(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` evicts
+    keys older than the watermark, so the dedup table never grows past
+    the late-data horizon — the only way streaming dedup survives an
+    unbounded stream). Which PHYSICAL row wins for a key is arrival-order
+    dependent; downstream consumers that need determinism should project
+    the key columns only (the emitted key set is exact)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def streaming_merge_into(
     events: DataFrame,
     make_job: Callable[[SparkSession, DataFrame], object],
