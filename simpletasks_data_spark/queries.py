@@ -1463,25 +1463,55 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of candidate docs."""
     corpus = _corpus(spark, sf_dir)
     cand = DD.minhash_pairs(corpus, "id", "text", n=5, num_hashes=16, bands=4)
-    sh = DD._shingle_frame(corpus, "id", "text", 5)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("bid"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("bid")) & (F.col("sh_a") == F.col("sh_b")), "inner")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    # Verify must touch ONLY candidate docs: the candidate id set is
+    # bounded by the pair count, so it broadcasts, and only those docs
+    # get shingled. The per-doc distinct shingle SETS are kept as arrays
+    # (no explode): verification is then a per-pair ``array_intersect``
+    # — map-only over the pair frame — instead of a 10^7-row exploded
+    # shingle join + re-agg, which dominated this pipeline's cost. The
+    # checkpoints materialize candidates and shingle sets once each for
+    # their two consumers. The repartition matters: AQE coalesces the
+    # small candidate shuffle to ONE partition, which would run the
+    # (CPU-heavy) per-pair intersect verify single-threaded — spread the
+    # pairs back across the cluster before the map work.
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    jac = F.round(F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i")), 4)
+    corpus_c = corpus.join(F.broadcast(ids), "id", "semi")
+    norm = corpus_c.select("id", TX.normalize_text("text").alias("_norm"))
+    sets = norm.select(
+        "id", TX.char_shingles_from_norm("_norm", 5).alias("shs")
+    ).localCheckpoint(eager=True)
+    a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    # Materialize the intersect size in its OWN projection: jaccard (and
+    # the pushed-down threshold filter) reference it multiple times, and
+    # an inlined array_intersect would be re-evaluated per reference —
+    # hash-building over the shingle arrays 4-6x per pair dominated this
+    # stage before. Multi-referenced non-cheap aliases block
+    # CollapseProject, so one eval survives optimization.
+    paired = (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("_i"),
+            F.size("shs_a").alias("_sa"),
+            F.size("shs_b").alias("_sb"),
+        )
+    )
+    jac = F.round(
+        F.col("_i").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
+    )
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .withColumn("jaccard", jac)
+        paired.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.6)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -2417,4 +2447,62 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, b: a + b) / F.size("v")), 6
         ).alias("rms_err"),
+    )
+
+
+class _ValidatingSource(TableSource):
+    """Upsert source with both per-source gates active: ``should_import``
+    drops every 11th key (counted ignored), ``validate_updates`` rejects
+    pending items whose new balance exceeds 2.5M — near the median of the
+    order totals, so creates and updates split both ways (creates vanish,
+    updates revert — counted rejected)."""
+
+    def should_import(self, src: DataFrame):
+        return F.col("key") % 11 != 0
+
+    def validate_updates(self, new: Column, old: Column, creating: Column):
+        return new["c_acctbal"] <= 2500000.0
+
+
+@register("merge_validation_counters", f"""
+WITH {SQL_UPSERT_SRC},
+elig AS (SELECT * FROM src WHERE key % 11 != 0),
+m AS (
+  SELECT e.key, e.total, c.c_custkey, c.c_acctbal
+  FROM elig e LEFT JOIN customer c ON c.c_custkey = e.key
+)
+SELECT (SELECT count(*) FROM elig) AS read,
+       (SELECT count(*) FROM src WHERE key % 11 = 0) AS ignored,
+       (SELECT count(*) FROM m
+        WHERE (c_custkey IS NULL OR total IS DISTINCT FROM c_acctbal)
+          AND total > 2500000.0) AS rejected,
+       (SELECT count(*) FROM m
+        WHERE c_custkey IS NULL AND NOT total > 2500000.0) AS created,
+       (SELECT count(*) FROM m
+        WHERE c_custkey IS NOT NULL AND total IS DISTINCT FROM c_acctbal
+          AND NOT total > 2500000.0) AS updated,
+       (SELECT count(*) FROM customer c LEFT JOIN elig e ON e.key = c.c_custkey
+        WHERE e.key IS NULL) AS not_found
+""")
+def merge_validation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-source gate pipeline under the oracle: should_import
+    filter (ignored), validate_updates revert/drop (rejected), and the
+    create/update/not_found counters — all from the ONE observe pass per
+    source (no extra jobs)."""
+    target = _customer_target(spark, sf_dir)
+    src = _ValidatingSource(
+        _upsert_source_df(spark, sf_dir, with_new=True),
+        _CustomerUpsertMapping(),
+        mode=ImportMode.CREATE_AND_UPDATE,
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    s = res["sources"][0]
+    return spark.createDataFrame(
+        [(
+            s["read"], s["ignored"], s["rejected"],
+            res["created"], res["updated"], s["not_found"],
+        )],
+        "read bigint, ignored bigint, rejected bigint, "
+        "created bigint, updated bigint, not_found bigint",
     )
