@@ -44,6 +44,8 @@ __all__ = [
     "ngram_shingles",
     "decontaminate",
     "tfidf_top_terms",
+    "weighted_sample",
+    "balance_mixture",
 ]
 
 
@@ -152,6 +154,66 @@ def decontaminate(
         "n_hits",
         F.round(ratio, 4).alias("overlap_ratio"),
         (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame, weight: Column, key: Column, buckets: int = 10000
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with per-row acceptance
+    probability ``weight`` (clamped to [0, 1]): keep a row iff its
+    portable hash fraction ``hash_bucket(key)/buckets`` falls below the
+    weight. Map-only and reproducible across engines/runs/cluster sizes
+    — the standard quality-weighted downsampling step (keep good docs
+    with high probability, junk with low) without ``rand()``'s
+    nondeterminism. Resolution is 1/buckets."""
+    u = hash_bucket(key, buckets).cast("double") / F.lit(float(buckets))
+    return df.where(u < F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)))
+
+
+def balance_mixture(
+    docs: DataFrame,
+    group_col: str,
+    targets: Dict[str, float],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample groups to hit a target mixture EXACTLY while keeping as
+    much data as possible: the feasible corpus size is
+    ``S = min_g(n_g / target_g)`` and each group keeps its hash-ranked
+    first ``floor(S * target_g)`` rows (deterministic, uniform within
+    group). Groups absent from ``targets`` are dropped.
+
+    Scale shape: one tiny count agg (groups) joined back as a broadcast,
+    then one rank window per group — the same single shuffle a stratified
+    sample costs. A hot group concentrates its rows on one reducer; at
+    100 TB rank the window on a salted sub-key and take per-salt quotas
+    instead (the quota arithmetic is identical).
+    """
+    total_t = sum(targets.values())
+    tgt = docs.sparkSession.createDataFrame(
+        [(g, w / total_t) for g, w in targets.items()], f"{group_col} string, _tfrac double"
+    )
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    scale = (
+        counts.join(tgt, group_col)
+        .select(F.min(F.col("_n") / F.col("_tfrac")).alias("_scale"))
+    )
+    quota = (
+        counts.join(tgt, group_col)
+        .crossJoin(F.broadcast(scale))
+        .select(
+            group_col,
+            F.floor(F.col("_scale") * F.col("_tfrac")).cast("long").alias("_quota"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), 1_000_000), key_col
+    )
+    ranked = docs.withColumn("_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(quota), group_col)
+        .where(F.col("_rank") <= F.col("_quota"))
+        .drop("_rank", "_quota")
     )
 
 

@@ -2506,3 +2506,73 @@ def merge_validation_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "read bigint, ignored bigint, rejected bigint, "
         "created bigint, updated bigint, not_found bigint",
     )
+
+
+@register("weighted_sample_quality", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks,
+         regexp_replace(text, ' ', '', 'g') AS nospace
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS tc,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> strlen(x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS mtl,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, t -> t IN ({_STOP_EN}))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stop_r,
+         CASE WHEN strlen(nospace) > 0
+              THEN CAST(strlen(regexp_replace(nospace, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / strlen(nospace)
+              ELSE 0.0 END AS punct_r
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         round((least(tc / 20.0, 1.0)
+              + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END)
+              + least(stop_r * 4, 1.0)
+              + (1.0 - least(punct_r * 4, 1.0))) / 4, 4) AS quality
+  FROM m
+)
+SELECT doc_id, quality FROM q
+WHERE ({_SQL_BUCKET.format(k='doc_id')} % 10000) / 10000.0 < quality
+""")
+def weighted_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: each doc survives with
+    probability equal to its quality score, via the portable-hash
+    Bernoulli trick (no rand(), reproducible at any cluster size).
+    Map-only: filter fused into the scan projection, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    return CP.weighted_sample(scored, F.col("quality"), F.col("doc_id"))
+
+
+@register("balance_mixture_langs", f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t(lang, tfrac) AS (VALUES ('en', 0.5), ('zh', 0.15), ('es', 0.15),
+                          ('de', 0.1), ('fr', 0.1)),
+s AS (SELECT min(n / tfrac) AS scale FROM c JOIN t USING (lang)),
+q AS (SELECT c.lang, CAST(floor(s.scale * t.tfrac) AS BIGINT) AS quota
+      FROM c JOIN t USING (lang) CROSS JOIN s),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_BUCKET.format(k='doc_id')} % 1000000, doc_id
+             ) AS rk
+      FROM documents)
+SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rk <= quota
+""")
+def balance_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact language-mixture rebalancing: feasible scale = min over
+    groups of n_g/target_g, hash-ranked top-quota per group. One tiny
+    count agg broadcast back + one rank window — same shuffle budget as
+    a stratified sample."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = CP.balance_mixture(
+        docs, "lang",
+        {"en": 0.5, "zh": 0.15, "es": 0.15, "de": 0.1, "fr": 0.1},
+        key_col="doc_id",
+    )
+    return out.select("doc_id", "lang")

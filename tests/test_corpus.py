@@ -80,3 +80,25 @@ def test_ivf_centroids_mean(spark):
     both = [c for c, r in out.items() if r["n_vectors"] == 2]
     assert len(both) == 1
     assert out[both[0]]["centroid"] == [2.0, 3.0, 1.0, 1.0]
+
+
+def test_weighted_sample_extremes(spark):
+    d = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    kept_all = CP.weighted_sample(d.withColumn("w", F.lit(1.0)), F.col("w"), F.col("doc_id"))
+    kept_none = CP.weighted_sample(d.withColumn("w", F.lit(0.0)), F.col("w"), F.col("doc_id"))
+    assert kept_all.count() == 100
+    assert kept_none.count() == 0
+    # determinism: same frame sampled twice -> identical ids
+    half = d.withColumn("w", F.lit(0.5))
+    a = sorted(r["doc_id"] for r in CP.weighted_sample(half, F.col("w"), F.col("doc_id")).collect())
+    b = sorted(r["doc_id"] for r in CP.weighted_sample(half, F.col("w"), F.col("doc_id")).collect())
+    assert a == b and 20 <= len(a) <= 80
+
+
+def test_balance_mixture_exact_quotas(spark):
+    rows = [(i, "en" if i < 60 else ("fr" if i < 90 else "de")) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = CP.balance_mixture(d, "lang", {"en": 0.5, "fr": 0.3, "de": 0.2}, key_col="doc_id")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # scale = min(60/.5, 30/.3, 10/.2) = 50 -> quotas en=25, fr=15, de=10
+    assert got == {"en": 25, "fr": 15, "de": 10}
