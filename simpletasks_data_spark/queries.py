@@ -2576,3 +2576,52 @@ def balance_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
     )
     return out.select("doc_id", "lang")
+
+
+@register("jsonl_import_roundtrip", """
+SELECT doc_id, text, lang, n_chars FROM documents
+""")
+def jsonl_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-interchange ingestion end-to-end: dump `documents` to real
+    JSONL files, re-import through JsonlSource (explicit schema — no
+    inference pass) into an EMPTY target via the standard merge. JSON is
+    lossless for strings/longs, so the oracle is simply the original
+    table projection."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources import JsonlSource
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    out_dir = tempfile.mkdtemp(prefix="sds_jsonlrt_")
+    docs.coalesce(1).write.mode("overwrite").json(out_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    class _JsonlMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.doc_id = Field("doc_id")
+            self.text = Field("text")
+            self.lang = Field("lang")
+            self.n_chars = Field("n_chars")
+
+        def get_key_column_name(self):
+            return "doc_id"
+
+    tgt_schema = T.StructType(schema.fields)
+    target = TargetTable(
+        schema=tgt_schema, df=spark.createDataFrame([], tgt_schema), primary_keys=("doc_id",)
+    )
+    src = JsonlSource(out_dir, _JsonlMapping(), schema=schema)
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    job.run()
+    return job.result_df

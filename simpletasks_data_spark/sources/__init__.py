@@ -1,6 +1,16 @@
 from .base import ImportMode, Source
 from .csv import CsvSource
 from .generator import GeneratorSource
+from .jsonl import JsonlSource
 from .table import JdbcSource, Relation, TableSource
 
-__all__ = ["ImportMode", "Source", "CsvSource", "TableSource", "JdbcSource", "Relation", "GeneratorSource"]
+__all__ = [
+    "ImportMode",
+    "Source",
+    "CsvSource",
+    "TableSource",
+    "JdbcSource",
+    "Relation",
+    "GeneratorSource",
+    "JsonlSource",
+]

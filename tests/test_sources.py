@@ -206,3 +206,45 @@ def test_field_relation_join_null_shortcircuit(spark):
     assert res["created"] == 4
     out = {r.id: r.dept_name for r in job.result_df.collect()}
     assert out == {1: "Eng", 2: "Ops", 3: None, 4: None}
+
+
+def test_jsonl_source_corrupt_line_and_merge(spark, tmp_path):
+    """A malformed JSONL line parses PERMISSIVE to an all-null row; the
+    merge counts it ignored_missing_id instead of aborting."""
+    from pyspark.sql import types as T
+
+    from simpletasks_data_spark.sources import JsonlSource
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "alpha"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "txt": "beta"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("txt", T.StringType())]
+    )
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = Field("id")
+            self.txt = Field("txt")
+
+        def get_key_column_name(self):
+            return "id"
+
+    src = JsonlSource(str(p), M(), schema=schema)
+    raw = src.load_raw(spark)
+    assert raw.count() == 3
+    assert raw.where(F.col("id").isNull()).count() == 1
+    assert SRC_POS in raw.columns
+
+    target = TargetTable(
+        schema=schema, df=spark.createDataFrame([], schema), primary_keys=("id",)
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    assert res["created"] == 2
+    assert res["sources"][0]["ignored_missing_id"] == 1
+    assert {r.id: r.txt for r in job.result_df.collect()} == {1: "alpha", 2: "beta"}
