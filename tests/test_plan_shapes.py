@@ -1,0 +1,68 @@
+"""Plan-shape regression tests: the scale-critical properties of the
+physical plans (shuffle counts, broadcasts, column pruning) that the
+per-operator docstrings promise. These catch silent regressions — a
+correct-but-reshuffling plan passes every value test while being 10x
+slower at scale."""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simpletasks_data_spark import queries as Q  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _tree(plan: str) -> str:
+    # The numbered tree before the per-node detail sections.
+    return plan.split("\n\n")[0]
+
+
+def test_map_only_queries_have_no_shuffle(spark):
+    for name in (
+        "text_stats",
+        "text_repetition",
+        "pii_scrub_customers",
+        "bpe_token_count",
+        "chunk_documents",
+        "embedding_quantize_int8",
+        "weighted_sample_quality",
+    ):
+        tree = _tree(_plan(Q.queries()[name](spark, SF)))
+        assert "Exchange" not in tree, f"{name} gained a shuffle:\n{tree}"
+
+
+def test_single_shuffle_window_ops(spark):
+    for name in ("pack_sequences",):
+        tree = _tree(_plan(Q.queries()[name](spark, SF)))
+        assert tree.count("Exchange") == 1, f"{name} should shuffle exactly once:\n{tree}"
+
+
+def test_q3_broadcasts_dimensions(spark):
+    tree = _tree(_plan(Q.queries()["q3_shipping_priority"](spark, SF)))
+    assert "BroadcastHashJoin" in tree, f"q3 lost its broadcast join:\n{tree}"
+
+
+def test_tfidf_scans_corpus_text_once(spark):
+    plan = _plan(Q.queries()["tfidf_top_terms"](spark, SF))
+    # The doc-term table is checkpointed: only the row-count branch may
+    # rescan the parquet, and it must read NO columns (footer-only count).
+    text_scans = plan.count("ReadSchema: struct<doc_id:bigint,text:string>")
+    assert text_scans == 0, f"tfidf re-scans the corpus text {text_scans}x"
+    assert "ReadSchema: struct<>" in plan  # the free footer-only count
+
+
+def test_scans_prune_columns(spark):
+    # chunk_documents needs only (doc_id, text) out of 5 document columns.
+    plan = _plan(Q.queries()["chunk_documents"](spark, SF))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
