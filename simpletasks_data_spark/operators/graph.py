@@ -66,15 +66,22 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # min over self + neighbor labels (one shuffle on id)
+        # min over self + neighbor labels (one shuffle on id). The self
+        # rows carry a marker so the SAME aggregation also yields the old
+        # label — the convergence check then rides the round's observation
+        # instead of costing a third join.
         nbr = (
             edges.join(lab.withColumnRenamed("id", "u"), "u")
-            .select(F.col("v").alias("id"), "lab")
+            .select(F.col("v").alias("id"), "lab", F.lit(False).alias("_self"))
         )
         new = (
-            lab.unionByName(nbr)
+            lab.withColumn("_self", F.lit(True))
+            .unionByName(nbr)
             .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            .agg(
+                F.min("lab").alias("lab"),
+                F.max(F.when(F.col("_self"), F.col("lab"))).alias("_old"),
+            )
         )
         # path halving: lab(u) <- lab(lab(u)); labels are node ids, so the
         # label frame itself is the pointer table
@@ -84,12 +91,15 @@ def connected_components(
                 "lab",
                 "left",
             )
-            .select("id", F.least(F.col("lab"), F.coalesce(F.col("_ll"), F.col("lab"))).alias("lab"))
+            .select(
+                "id",
+                F.least(F.col("lab"), F.coalesce(F.col("_ll"), F.col("lab"))).alias("lab"),
+                "_old",
+            )
         )
         obs = Observation()
         cmp = (
-            new.join(lab.withColumnRenamed("lab", "_old"), "id")
-            .observe(obs, F.count_if(F.col("lab") != F.col("_old")).alias("changed"))
+            new.observe(obs, F.count_if(F.col("lab") != F.col("_old")).alias("changed"))
             .select("id", "lab")
         )
         lab = cmp.localCheckpoint(eager=True)
