@@ -213,6 +213,66 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH bucket hashes of a signature frame: one row per
+    (doc, band) with the band's md5 bucket plus the full per-doc bucket
+    array (``bbs`` — lets joiners dedup multi-band collisions without a
+    distinct). The band array is built in ONE projection and exploded, so
+    the signature pipeline is never re-run per band."""
+    rows_per_band = num_hashes // bands
+    band_hashes = []
+    for b in range(bands):
+        cols = [
+            F.col("signature").getItem(i).cast("string")
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_hashes.append(F.md5(F.concat_ws(",", *cols)))
+    return sig.select(
+        F.col(id_col).alias("_id"), F.array(*band_hashes).alias("bbs")
+    ).select("_id", "bbs", F.posexplode("bbs").alias("band", "bucket"))
+
+
+def incremental_minhash_matches(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Probe a NEW batch of documents against an EXISTING signature index
+    without re-LSHing the corpus — the production shape for continuous
+    ingestion: signatures are computed once per document ever, and each
+    increment costs O(batch), not O(corpus).
+
+    Returns one row per new doc: ``(id, matched_id, is_dup)`` where
+    ``matched_id`` is the smallest index doc sharing an LSH band (NULL if
+    none). At 100 TB the index's bucket table is stored bucketed/
+    partitioned by (band, bucket), so the probe join shuffles ONLY the
+    new batch's buckets; the corpus side is a co-located read. ``bbs`` on
+    the probe side dedups multi-band collisions via the min-agg (no
+    distinct pass).
+    """
+    sig_new = minhash_signatures(new_docs, id_col, text_col, n, num_hashes)
+    bn = band_buckets(sig_new, id_col, num_hashes, bands).alias("n")
+    bo = band_buckets(index_sigs, id_col, num_hashes, bands).alias("o")
+    hits = (
+        bn.join(
+            bo,
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .groupBy(F.col("n._id").alias(id_col))
+        .agg(F.min("o._id").alias("matched_id"))
+    )
+    ids = new_docs.select(F.col(id_col))
+    return ids.join(hits, id_col, "left").select(
+        id_col, "matched_id", F.col("matched_id").isNotNull().alias("is_dup")
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -234,16 +294,7 @@ def minhash_pairs(
     # One pass: explode the per-doc array of band bucket hashes instead of
     # unioning per-band frames (which would recompute the signature pipeline
     # per band).
-    band_hashes = []
-    for b in range(bands):
-        cols = [
-            F.col("signature").getItem(i).cast("string")
-            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        band_hashes.append(F.md5(F.concat_ws(",", *cols)))
-    buckets = sig.select(
-        F.col(id_col).alias("_id"), F.array(*band_hashes).alias("bbs")
-    ).select("_id", "bbs", F.posexplode("bbs").alias("band", "bucket"))
+    buckets = band_buckets(sig, id_col, num_hashes, bands)
     a, b2 = buckets.alias("a"), buckets.alias("b")
     # A pair is emitted ONLY from the first band where the two docs agree:
     # near-identical docs collide in every band, so a plain join + distinct

@@ -2625,3 +2625,68 @@ def jsonl_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = ImportJob(spark, target, sources=[src], dryrun=True)
     job.run()
     return job.result_df
+
+
+def _incremental_minhash_sql() -> str:
+    P = DD.MERSENNE_P
+    mins = ",\n       ".join(
+        f"min(({a} * x + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(DD.MINHASH_COEFFS[:16])
+    )
+
+    def band_sql(sig_cte: str) -> str:
+        parts = []
+        for b in range(4):
+            cols = ", ".join(f"CAST(h{i} AS VARCHAR)" for i in range(b * 4, (b + 1) * 4))
+            parts.append(
+                f"SELECT _id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM {sig_cte}"
+            )
+        return "\nUNION ALL\n".join(parts)
+
+    return f"""
+WITH newdocs AS (
+  SELECT doc_id + 500000 AS id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 600000 AS id, text || ' totally novel content marker xyzzy' AS text
+  FROM documents WHERE doc_id % 10 = 3
+),
+n_old AS (SELECT doc_id AS id, {SQL_NORM.format(c='text')} AS norm FROM documents),
+n_new AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM newdocs),
+sh_old AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n_old),
+sh_new AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n_new),
+hx_old AS (SELECT _id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {P} AS x FROM sh_old),
+hx_new AS (SELECT _id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {P} AS x FROM sh_new),
+sig_old AS (SELECT _id, {mins} FROM hx_old GROUP BY _id),
+sig_new AS (SELECT _id, {mins} FROM hx_new GROUP BY _id),
+b_old AS ({band_sql('sig_old')}),
+b_new AS ({band_sql('sig_new')}),
+hits AS (SELECT n._id AS id, min(o._id) AS matched_id
+         FROM b_new n JOIN b_old o ON n.band = o.band AND n.bucket = o.bucket
+         GROUP BY 1)
+SELECT nd.id, h.matched_id, h.matched_id IS NOT NULL AS is_dup
+FROM newdocs nd LEFT JOIN hits h ON nd.id = h.id
+"""
+
+
+@register("dedup_incremental", _incremental_minhash_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: a new batch (planted exact copies plus
+    suffixed variants) probes the EXISTING corpus signature index —
+    signatures are computed once per doc ever, each increment costs
+    O(batch) not O(corpus). At scale the index bucket table is stored
+    bucketed by (band, bucket) so only the batch's buckets shuffle."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    new = (
+        docs.where(F.col("id") % 10 == 0)
+        .select((F.col("id") + 500000).alias("id"), "text")
+        .unionByName(
+            docs.where(F.col("id") % 10 == 3).select(
+                (F.col("id") + 600000).alias("id"),
+                F.concat("text", F.lit(" totally novel content marker xyzzy")).alias("text"),
+            )
+        )
+    )
+    index_sigs = DD.minhash_signatures(docs, "id", "text", n=5, num_hashes=16)
+    return DD.incremental_minhash_matches(new, index_sigs, "id", "text")

@@ -41,3 +41,28 @@ def test_dedup_clusters_canonical_and_sizes(spark):
     assert not by_doc[2].is_canonical and not by_doc[8].is_canonical
     assert by_doc[3].cluster_size == 3 and by_doc[8].cluster_size == 2
     assert all(r.cluster_id == min(1, 2, 3) for r in out if r.doc_id in (1, 2, 3))
+
+
+def test_incremental_minhash_matches(spark):
+    from simpletasks_data_spark.operators import dedupe as DD
+
+    import hashlib
+
+    def body(i):
+        return " ".join(
+            hashlib.md5(f"{i}-{j}".encode()).hexdigest()[:10] for j in range(30)
+        )
+
+    corpus = spark.createDataFrame(
+        [(i, body(i)) for i in range(20)], "id long, text string"
+    )
+    sigs = DD.minhash_signatures(corpus, "id", "text")
+    new = spark.createDataFrame(
+        [(100, body(7)),
+         (101, "nothing like anything in the corpus at all whatsoever xyz")],
+        "id long, text string",
+    )
+    out = {r["id"]: (r["matched_id"], r["is_dup"])
+           for r in DD.incremental_minhash_matches(new, sigs, "id", "text").collect()}
+    assert out[100] == (7, True)     # exact copy of doc 7
+    assert out[101] == (None, False)  # genuinely novel
