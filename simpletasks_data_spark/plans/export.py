@@ -16,7 +16,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["default_formatter", "export_frame", "write_csv"]
+__all__ = ["default_formatter", "export_frame", "write_csv", "write_corpus"]
 
 
 def default_formatter(col: Column) -> Column:
@@ -39,3 +39,34 @@ def export_frame(
 def write_csv(df: DataFrame, path: str, header: bool = True, coalesce: Optional[int] = None) -> None:
     w = df.coalesce(coalesce) if coalesce else df
     w.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    max_records_per_file: Optional[int] = None,
+    sort_within_partitions: Sequence[str] = (),
+) -> None:
+    """Training-corpus parquet writer: hive-partitioned layout (readers
+    partition-prune on the partition columns), bounded output file sizes
+    via ``maxRecordsPerFile`` (a 100 TB write must not emit
+    one-giant-file-per-task), and optional within-partition sort so
+    downstream scans get clustered row groups (min/max pruning on the
+    sort key). The repartition on the partition columns keeps each hive
+    partition written by as few tasks as possible — without it every
+    task writes a sliver of every partition (the small-files problem at
+    fleet scale)."""
+    w = df
+    if partition_by:
+        w = w.repartition(*[F.col(c) for c in partition_by])
+        if sort_within_partitions:
+            w = w.sortWithinPartitions(*[F.col(c) for c in sort_within_partitions])
+        writer = w.write.partitionBy(*partition_by)
+    else:
+        if sort_within_partitions:
+            w = w.sortWithinPartitions(*[F.col(c) for c in sort_within_partitions])
+        writer = w.write
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.mode("overwrite").parquet(path)

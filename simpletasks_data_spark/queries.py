@@ -2690,3 +2690,32 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index_sigs = DD.minhash_signatures(docs, "id", "text", n=5, num_hashes=16)
     return DD.incremental_minhash_matches(new, index_sigs, "id", "text")
+
+
+@register("corpus_export_manifest", """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""")
+def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the corpus through the partitioned parquet sink
+    (hive-partitioned by lang, bounded file sizes, doc_id-clustered row
+    groups), then read the WRITTEN dataset back and manifest it — a full
+    write-path round trip under the oracle, not just a plan check."""
+    import tempfile
+
+    from .plans.export import write_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    out_dir = tempfile.mkdtemp(prefix="sds_corpus_")
+    write_corpus(
+        docs,
+        out_dir,
+        partition_by=("lang",),
+        max_records_per_file=200,
+        sort_within_partitions=("doc_id",),
+    )
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

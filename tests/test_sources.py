@@ -248,3 +248,29 @@ def test_jsonl_source_corrupt_line_and_merge(spark, tmp_path):
     assert res["created"] == 2
     assert res["sources"][0]["ignored_missing_id"] == 1
     assert {r.id: r.txt for r in job.result_df.collect()} == {1: "alpha", 2: "beta"}
+
+
+def test_write_corpus_partitioned_layout(spark, tmp_path):
+    """Hive partition dirs exist, file sizes are bounded by
+    maxRecordsPerFile, and the round trip preserves every row."""
+    import glob
+
+    from simpletasks_data_spark.plans.export import write_corpus
+
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"text {i}") for i in range(100)],
+        "doc_id long, lang string, text string",
+    )
+    out = str(tmp_path / "corpus")
+    write_corpus(d, out, partition_by=("lang",), max_records_per_file=20,
+                 sort_within_partitions=("doc_id",))
+    assert sorted(
+        p.rsplit("=", 1)[-1] for p in glob.glob(out + "/lang=*")
+    ) == ["en", "fr"]
+    for part in glob.glob(out + "/lang=*"):
+        for f in glob.glob(part + "/*.parquet"):
+            import pyarrow.parquet as pq
+            assert pq.read_metadata(f).num_rows <= 20
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(100))
