@@ -34,6 +34,7 @@ __all__ = [
     "attach_fake_payloads",
     "decode_metadata",
     "extract_features",
+    "sample_frames",
     "FEATURE_DIM",
 ]
 
@@ -148,5 +149,52 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
                 total = sum(hist) or 1.0
                 rows.append((mid, [h / total for h in hist]))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    stride_bytes: int = 24,
+    frame_interval_ms: int = 40,
+) -> DataFrame:
+    """Video-style frame sampling plumbing: one output row per sampled
+    frame window of the payload, with a per-frame checksum standing in
+    for decoded pixels. STUB KERNEL: a real implementation would seek the
+    container (pyav/ffmpeg) and decode keyframes at the same cadence —
+    identical schema, batching, and fan-out shape (rows multiply by
+    frames-per-clip, which is why this runs as mapInPandas over pruned
+    (id, payload) columns and nothing else). Window convention matches
+    ``chunking.chunk_documents``: a window every ``stride_bytes``, the
+    last one short."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("ts_ms", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("checksum", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                n = len(b)
+                extra = max(n - frame_bytes, 0)
+                count = 1 + -(-extra // stride_bytes)
+                for i in range(count):
+                    w = b[i * stride_bytes : i * stride_bytes + frame_bytes]
+                    rows.append(
+                        (mid, i, i * frame_interval_ms, len(w), sum(w))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "n_bytes", "checksum"]
+            )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema)

@@ -2719,3 +2719,35 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register("multimodal_frame_sample", """
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) || hex(CAST(text AS BLOB)) AS hx
+  FROM documents
+),
+s AS (SELECT media_id, hx, strlen(hx) // 2 AS n FROM m WHERE strlen(hx) > 0),
+c AS (SELECT media_id, hx, n,
+             1 + (greatest(n - 32, 0) + 23) // 24 AS n_frames
+      FROM s),
+u AS (SELECT media_id, hx, n, unnest(generate_series(0, n_frames - 1)) AS fi FROM c),
+w AS (SELECT media_id, fi, substr(hx, CAST(fi * 48 + 1 AS INT), 64) AS wh FROM u)
+SELECT media_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       CAST(fi * 40 AS BIGINT) AS ts_ms,
+       CAST(strlen(wh) // 2 AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(strlen(wh) // 2),
+            p -> CAST(concat('0x', substr(wh, CAST(2 * p + 1 AS INT), 2)) AS BIGINT)))
+            AS BIGINT) AS checksum
+FROM w
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over the fake video payloads (32-byte
+    frames every 24 bytes, 40 ms cadence): Arrow-batched mapInPandas over
+    pruned (id, payload); the oracle re-derives every frame window and
+    checksum from the deterministic payload hex."""
+    from .operators.multimodal import attach_fake_payloads, sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_payloads(docs, "doc_id", "text")
+    return sample_frames(media)
