@@ -2751,3 +2751,355 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_fake_payloads(docs, "doc_id", "text")
     return sample_frames(media)
+
+
+# ===========================================================================
+# TPC-H breadth batch (round 2): multi-way joins, left-outer distributions,
+# OR-predicate pushdown, HAVING, scalar subquery + anti-join — adapted to the
+# reduced schema (no partsupp / commit-receipt dates / phone).
+# ===========================================================================
+
+@register("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape (volume shipping between two nations by year): the
+    5-way join keeps lineitem as the only big fact; supplier/customer are
+    pre-joined to their (broadcast) nation dims and pre-filtered to the two
+    nations BEFORE touching lineitem, so the shuffled join inputs are tiny."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    nat = F.broadcast(load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ))
+    supp = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register("q8_market_share", """
+SELECT o_year,
+       round(sum(CASE WHEN nat = 'NATION_2' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nat
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) all_nations
+GROUP BY o_year
+""")
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape (market share of NATION_2 suppliers in ASIA's PROMO
+    market): every dimension (part filtered to PROMO, customer->nation->
+    region filtered to ASIA, supplier->nation) broadcasts; lineitem x orders
+    is the only shuffle join."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    nat = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_asia = F.broadcast(
+        load(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .join(region, nat.n_regionkey == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nat = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nat"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .join(supp_nat, li.l_suppkey == supp_nat.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nat") == "NATION_2", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register("q10_returned_items", """
+SELECT c_custkey, c_name, n_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 (top customers by returned-item revenue in a quarter).
+    Filters push to both scans (quarter -> orders, 'R' -> lineitem) before
+    the fact-fact shuffle join; customer+nation broadcast onto the
+    aggregated (small) result, not the raw lineitem. Deterministic top-20
+    via (revenue DESC, c_custkey) tiebreak."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load(spark, sf_dir, "customer")
+    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    rev_by_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+        )
+    )
+    return (
+        rev_by_cust.join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_mktsegment",
+            F.round("_rev", 4).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register("q13_order_distribution", """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""")
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 (customer order-count distribution): left-outer join with
+    an extra non-equi condition, two cascaded aggregations. count(o_orderkey)
+    counts only matched rows — NULLs from the outer side drop out, giving
+    c_count=0 customers their own bucket."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register("q14_promo_revenue", """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""")
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 (promo revenue share in a month): month filter pushes to
+    the lineitem scan; part (only partkey+type) broadcasts."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register("q18_large_volume_customers", """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       round(o_totalprice, 4) AS o_totalprice,
+       round(total_qty, 4) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 (large-volume orders): HAVING filter collapses lineitem to
+    a tiny key set FIRST; orders then customer join onto that (the big->
+    orders join is the only one that sees a fact table, and the aggregated
+    side is small enough for AQE to broadcast it at runtime)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+@register("q19_or_predicate_revenue", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""")
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape (disjunctive mixed-table predicates): the part-only
+    disjunct union (brand IN + size <= 35) is factored out and pushed into
+    the broadcast part scan; the residual OR evaluates after the join, and
+    a derived l_quantity range (1..30) pushes to the lineitem scan."""
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 35)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 15) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 35) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register("q22_idle_customers", """
+SELECT CAST(c_nationkey AS INT) AS cntry,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""")
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (well-funded customers gone idle, by nation): the
+    uncorrelated scalar subquery becomes a 1-row crossJoin broadcast
+    (Catalyst folds it to a literal-like stream side); the NOT EXISTS is a
+    left-anti join against recent-orders keys only — the date filter pushes
+    into the orders scan before the anti-join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
