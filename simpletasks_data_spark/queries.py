@@ -3103,3 +3103,34 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register("scd2_user_state", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+""")
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioning of each user's event_type state from the events
+    change log: consecutive same-state rows collapse; each version carries
+    [valid_from, valid_to) and is_current. One shuffle on user_id; the
+    change-detect lag and interval lead share that partitioning."""
+    from .operators.scd import scd2_from_changelog
+
+    ev = load(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev, key="user_id", attrs=["event_type"], ts_col="ts", tiebreak="event_id"
+    )

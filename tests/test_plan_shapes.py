@@ -66,3 +66,13 @@ def test_scans_prune_columns(spark):
     # chunk_documents needs only (doc_id, text) out of 5 document columns.
     plan = _plan(Q.queries()["chunk_documents"](spark, SF))
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_scd2_single_exchange(spark):
+    """scd2_from_changelog: the change-detect window, the filter, and the
+    interval window must share ONE hash exchange on the key (and the filter
+    must not force a second sort)."""
+    df = Q.queries()["scd2_user_state"](spark, SF)
+    tree = _tree(_plan(df))
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Sort") == 1, tree
