@@ -1,0 +1,78 @@
+"""Single-pass data profiling: per-column stats for a whole table in ONE
+aggregation job.
+
+Not in the reference engine; profiling is the first step of any ingest /
+training-data pipeline (schema drift, null explosions, cardinality checks),
+so it joins the extension surface. The design constraint is the pass count:
+a naive profiler runs one job per column (k scans of a 100 TB table); this
+one computes every column's stats in a single ``agg`` — one scan, map-side
+partials, a 1-row result that is then unpivoted driver-free with
+``explode``.
+
+Cardinality: ``approx=False`` uses exact ``countDistinct``; Catalyst plans
+multiple distinct aggregates with an Expand (data volume x #columns between
+the scan and the first shuffle) — exact but the expensive path.
+``approx=True`` swaps in ``approx_count_distinct`` (HyperLogLog++), which
+keeps the plan a plain one-pass partial agg with NO Expand — that's the
+100 TB setting; the exact mode exists because it's oracle-checkable.
+
+Output is long-format, one row per profiled column:
+``col_name, n_rows, null_count, distinct_count, min_num, max_num
+(numeric columns), min_str, max_str (string/timestamp columns, binary
+collation), avg_len (string columns)``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile"]
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def profile(df: DataFrame, columns: Sequence[str] | None = None, approx: bool = False) -> DataFrame:
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        t = dtypes[c]
+        aggs.append(F.count(c).cast("long").alias(f"_nn_{c}"))
+        d = F.approx_count_distinct(c) if approx else F.countDistinct(c)
+        aggs.append(d.cast("long").alias(f"_d_{c}"))
+        if t.startswith(_NUMERIC_PREFIXES):
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"_min_{c}"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"_max_{c}"))
+        elif t in ("string", "timestamp", "timestamp_ntz", "date"):
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"_smin_{c}"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"_smax_{c}"))
+        if t == "string":
+            aggs.append(F.round(F.avg(F.length(c)), 4).alias(f"_len_{c}"))
+
+    one = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in cols:
+        t = dtypes[c]
+        num = t.startswith(_NUMERIC_PREFIXES)
+        ordered = t in ("string", "timestamp", "timestamp_ntz", "date")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("null_count"),
+                F.col(f"_d_{c}").alias("distinct_count"),
+                (F.col(f"_min_{c}") if num else null_d).alias("min_num"),
+                (F.col(f"_max_{c}") if num else null_d).alias("max_num"),
+                (F.col(f"_smin_{c}") if ordered else null_s).alias("min_str"),
+                (F.col(f"_smax_{c}") if ordered else null_s).alias("max_str"),
+                (F.col(f"_len_{c}") if t == "string" else null_d).alias("avg_len"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -3134,3 +3134,54 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_changelog(
         ev, key="user_id", attrs=["event_type"], ts_col="ts", tiebreak="event_id"
     )
+
+
+@register("profile_orders", """
+SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS null_count,
+       count(DISTINCT o_orderkey) AS distinct_count,
+       round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_num,
+       round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       CAST(NULL AS DOUBLE) AS avg_len
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       round(CAST(min(o_custkey) AS DOUBLE), 4),
+       round(CAST(max(o_custkey) AS DOUBLE), 4),
+       NULL, NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), NULL, NULL,
+       min(o_orderstatus), max(o_orderstatus),
+       round(avg(strlen(o_orderstatus)), 4)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       round(CAST(min(o_totalprice) AS DOUBLE), 4),
+       round(CAST(max(o_totalprice) AS DOUBLE), 4),
+       NULL, NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate), NULL, NULL,
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR),
+       NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), NULL, NULL,
+       min(o_orderpriority), max(o_orderpriority),
+       round(avg(strlen(o_orderpriority)), 4)
+FROM orders
+""")
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile of orders (bigint/varchar/double/timestamp
+    columns): every per-column stat from a single agg job; the oracle is
+    the naive 6-scan UNION ALL of the same stats."""
+    from .operators.profile import profile
+
+    return profile(load(spark, sf_dir, "orders"))
