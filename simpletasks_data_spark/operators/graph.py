@@ -54,10 +54,12 @@ def connected_components(
     """Component labels for every node that appears in ``pairs``:
     ``(id, component)`` where ``component`` is the min node id reachable
     through the undirected pair graph. Deterministic; order-independent."""
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the pair frame BEFORE symmetrizing: a union references
+    # its input twice, so checkpointing the union instead would run the
+    # (expensive) upstream pair pipeline once per branch in the same job.
+    # The symmetric form is a narrow double-read of the checkpointed rows.
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    # Edges are reused every round: materialize once, symmetric form.
-    edges = edges.localCheckpoint(eager=True)
     lab = (
         edges.select(F.col("u").alias("id"))
         .distinct()
