@@ -3185,3 +3185,173 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import profile
 
     return profile(load(spark, sf_dir, "orders"))
+
+
+@register("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""")
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 (top supplier by quarterly revenue), reference parity via
+    the view-free form. The uncorrelated scalar subquery becomes a 1-row
+    max frame cross-joined (broadcast) onto the revenue agg — no second
+    scan of lineitem, and the quarter filter pushes into the one scan the
+    query does make. Supplier joins broadcast (tiny dim)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+        # Both the max and the filter consume this small agg; materialize
+        # once instead of re-running the lineitem scan+agg per consumer.
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    sup = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register("cube_qty_by_flag_status", """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_qty_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with the grouping-id bitmask —
+    all four grouping sets from ONE scan via Expand (4x the agg input,
+    but map-side partial aggregation collapses each partition to at most
+    #groups rows per set before the shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+@register("rolling_revenue_features", """
+WITH m AS (
+  SELECT o_custkey AS custkey, date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 4) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT custkey, month, rev,
+       round(avg(rev) OVER w3, 4) AS rev_ma3,
+       round(sum(rev) OVER wcum, 4) AS rev_cum,
+       round(rev - coalesce(lag(rev) OVER word, 0.0), 4) AS rev_delta
+FROM m
+WINDOW w3 AS (PARTITION BY custkey ORDER BY month
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       wcum AS (PARTITION BY custkey ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       word AS (PARTITION BY custkey ORDER BY month)
+""")
+def rolling_revenue_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal feature engineering (the rolling-window features a training
+    pipeline derives per entity): per customer-month revenue plus 3-month
+    moving average, running total, and month-over-month delta. One shuffle
+    total: the explicit repartition on custkey alone satisfies BOTH the
+    groupBy's clustering (custkey+month is a superset of the partition
+    key) and the windows' partitionBy, so Catalyst plans one exchange and
+    one Window; the three frames share one sort. Tradeoff vs letting the
+    agg shuffle on (custkey, month): that shape moves the rows twice
+    (once raw, once aggregated) and only wins when many orders collapse
+    into one customer-month — here (and in TPC-H generally) compression
+    is near-zero, so the single exchange moves ~half the bytes.
+    Pre-rounding ``rev`` fixes the fp grid before the frame sums so both
+    engines accumulate identical sequences."""
+    o = load(spark, sf_dir, "orders")
+    m = o.repartition("o_custkey").groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    w3 = Window.partitionBy("custkey").orderBy("month").rowsBetween(-2, 0)
+    wcum = Window.partitionBy("custkey").orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    word = Window.partitionBy("custkey").orderBy("month")
+    return m.select(
+        "custkey",
+        "month",
+        "rev",
+        F.round(F.avg("rev").over(w3), 4).alias("rev_ma3"),
+        F.round(F.sum("rev").over(wcum), 4).alias("rev_cum"),
+        F.round(F.col("rev") - F.coalesce(F.lag("rev").over(word), F.lit(0.0)), 4).alias(
+            "rev_delta"
+        ),
+    )
+
+
+@register("url_host_stats", """
+SELECT source || '.example.org' AS host,
+       'example.org' AS domain,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       min('/docs/' || CAST(doc_id AS VARCHAR)) AS min_path,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY source
+""")
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus domain grouping: build a deterministic URL per document
+    (the testdata has no URL column), then extract host / registrable
+    domain / path / query-param with JVM-side ``parse_url`` — no Python in
+    the row path — and aggregate per host. The oracle reconstructs the
+    same parts from the URL's ingredients, so the hash gate verifies the
+    extraction, not just the grouping."""
+    from .functions import web as W
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parts = d.select(
+        W.url_host(url).alias("host"),
+        W.url_path(url).alias("path"),
+        W.url_query_param(url, "lang").alias("qlang"),
+        "n_chars",
+    )
+    return parts.groupBy("host").agg(
+        W.registrable_domain(F.first("host")).alias("domain"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("qlang").alias("n_langs"),
+        F.min("path").alias("min_path"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
