@@ -167,8 +167,13 @@ def merge_source(
 
     # Within-source dynamics: once a CREATE-capable source has seen a key, a
     # later duplicate row probes the *pending* item and is "matched"
-    # (importtask.py:294-297).
-    if can_create:
+    # (importtask.py:294-297). In CREATE_AND_UPDATE mode the gate is the
+    # same on both branches (key_ok) and the match-dependent counters are
+    # structurally zero, so the first-occurrence window (a per-key sort
+    # pass over the whole source) is dead weight — skip it; warn counts
+    # for should_update=False columns become the same documented upper
+    # bound as the skipped match join above.
+    if can_create and not can_update:
         w_first = F.min(F.when(F.col("_imp") & F.col("_key").isNotNull(), F.col(SRC_POS))).over(
             Window.partitionBy("_key")
         )
