@@ -3355,3 +3355,107 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("path").alias("min_path"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register("streaming_click_attribution", """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       round(c.value, 4) AS click_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
+""")
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join run to completion: clicks
+    attributed to a same-user purchase within the following two hours.
+    Both sides are independent file streams with event-time watermarks and
+    mutually-bounding time predicates (the condition that keeps join state
+    finite); the bounded run must emit exactly the batch join's pairs —
+    checked against the plain-SQL self-join oracle."""
+    import uuid
+
+    from .streaming import stream_events, streaming_interval_join
+
+    p = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    c = stream_events(spark, sf_dir).where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    joined = streaming_interval_join(c, p, on="user_id").select(
+        "purchase_id", "click_id", F.round("value", 4).alias("click_value")
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register("expectations_orders", """
+WITH dim AS (SELECT DISTINCT c_custkey FROM customer)
+SELECT 'orderkey_not_null' AS check,
+       count(*) - count(o_orderkey) AS violations,
+       count(*) AS n_rows,
+       (count(*) - count(o_orderkey)) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       count(*) FILTER (WHERE o_totalprice IS NOT NULL AND o_totalprice <= 0),
+       count(*),
+       count(*) FILTER (WHERE o_totalprice IS NOT NULL AND o_totalprice <= 0) = 0
+FROM orders
+UNION ALL
+SELECT 'status_enum',
+       count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')),
+       count(*),
+       count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')) = 0
+FROM orders
+UNION ALL
+SELECT 'priority_format',
+       count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')),
+       count(*),
+       count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+FROM orders
+UNION ALL
+SELECT 'custkey_in_customer',
+       count(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM dim)),
+       count(*),
+       count(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM dim)) = 0
+FROM orders
+UNION ALL
+SELECT 'unique_o_orderkey',
+       count(o_orderkey) - count(DISTINCT o_orderkey),
+       count(*),
+       (count(o_orderkey) - count(DISTINCT o_orderkey)) = 0
+FROM orders
+""")
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: five row/set constraints plus a
+    broadcast referential check against customer, all evaluated in ONE
+    aggregation job (operators/expectations.py); the oracle recomputes
+    each check with a scan per check."""
+    from .operators.expectations import expect, in_range, matches, not_null, one_of
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return expect(
+        orders,
+        row_checks={
+            "orderkey_not_null": not_null("o_orderkey"),
+            "totalprice_positive": in_range("o_totalprice", lo=1e-9),
+            "status_enum": one_of("o_orderstatus", ["O", "F", "P"]),
+            "priority_format": matches("o_orderpriority", "^[1-5]-"),
+        },
+        unique=["o_orderkey"],
+        references={"custkey_in_customer": ("o_custkey", customer, "c_custkey")},
+    )

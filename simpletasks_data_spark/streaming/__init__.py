@@ -3,6 +3,7 @@ from .ingest import (
     stream_events,
     streaming_dedupe,
     streaming_hourly_counts,
+    streaming_interval_join,
     streaming_merge_into,
     streaming_sessions,
 )
@@ -13,6 +14,7 @@ __all__ = [
     "stream_events",
     "streaming_dedupe",
     "streaming_hourly_counts",
+    "streaming_interval_join",
     "streaming_sessions",
     "streaming_merge_into",
     "capped_sessions_batch",

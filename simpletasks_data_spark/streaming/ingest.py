@@ -122,3 +122,30 @@ def streaming_merge_into(
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
     )
+
+
+def streaming_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str = "ts",
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each point row matches
+    interval rows of the same ``on`` key whose [start, end] contains the
+    point's event time. BOTH sides carry a watermark and the join
+    condition bounds each side's event time by the other's — that pair of
+    constraints is what lets the engine evict buffered rows (state stays
+    ~watermark + interval length per key, bounded on an unbounded
+    stream). Matches emit in append mode as soon as both rows have
+    arrived."""
+    p = points.withWatermark(point_ts, watermark).alias("p")
+    i = intervals.withWatermark(start_ts, watermark).alias("i")
+    cond = (
+        (F.col(f"p.{on}") == F.col(f"i.{on}"))
+        & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_ts}"))
+        & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_ts}"))
+    )
+    return i.join(p, cond, "inner")

@@ -194,3 +194,27 @@ def test_knn_multiprobe_recall_dominates_single_probe(spark):
     # probe set strictly dominates: no lost pairs, more retrieved.
     assert rm >= r1
     assert len(pm) >= len(p1) > 0
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """The watermarked stream-stream interval join over the bounded events
+    table must emit exactly the batch self-join's pairs."""
+    out = Q.queries()["streaming_click_attribution"](spark, SF)
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    ev = Q.load(spark, SF, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(c, "user_id")
+        .where(
+            (F.col("cts") >= F.col("pts"))
+            & (F.col("cts") <= F.col("pts") + F.expr("INTERVAL 2 HOURS"))
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
