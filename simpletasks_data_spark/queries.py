@@ -3263,7 +3263,8 @@ def cube_qty_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("rolling_revenue_features", """
 WITH m AS (
-  SELECT o_custkey AS custkey, date_trunc('month', o_orderdate) AS month,
+  SELECT o_custkey AS custkey,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
          round(sum(o_totalprice), 4) AS rev
   FROM orders GROUP BY 1, 2
 )
