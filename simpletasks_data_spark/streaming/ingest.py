@@ -30,7 +30,9 @@ def events_schema() -> T.StructType:
     return T.StructType(
         [
             T.StructField("event_id", T.LongType(), True),
-            T.StructField("ts", T.LongType(), True),  # nanos (see queries.load)
+            # The testdata stores INT64 Timestamp(isAdjustedToUTC=false, MICROS)
+            # which Spark 4.x reads as TIMESTAMP_NTZ (see queries.load).
+            T.StructField("ts", T.TimestampNTZType(), True),
             T.StructField("user_id", T.LongType(), True),
             T.StructField("event_type", T.StringType(), True),
             T.StructField("value", T.DoubleType(), True),
@@ -42,18 +44,19 @@ def events_schema() -> T.StructType:
 def stream_events(
     spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
 ) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts -> timestamp).
+    """File-source stream over the events parquet (TIMESTAMP_NTZ micros ->
+    session-local timestamp; exact under the engine's pinned UTC session).
+    Watermarks and event-time windows require TimestampType, hence the cast.
     maxFilesPerTrigger=1 keeps micro-batches small and deterministic;
     files arrive oldest-mtime-first, so a staging dir with bumped mtimes
     controls batch order (used to append watermark-advancing sentinels)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(events_schema())
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -53,6 +53,10 @@ def capped_sessions_batch(
 ) -> DataFrame:
     """Batch capped sessions over (user_id, ts, event_id, value)."""
     gap_us, cap_us = _us(gap), _us(cap)
+    # The events table reads as TIMESTAMP_NTZ; unix_micros requires a
+    # session-local timestamp. The cast is exact under the pinned UTC
+    # session and aligns the batch twin's output type with OUT_SCHEMA.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros(F.col("ts"))
