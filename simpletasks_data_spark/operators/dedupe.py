@@ -163,29 +163,27 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, num_hashes: int = 16
+def hashed_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:
-    """Per-doc MinHash signature: (id, array<long> of length num_hashes).
+    """Exploded hashed shingles: one ``(_id, _h)`` row per shingle
+    OCCURRENCE, ``_h`` the portable 60-bit md5-derived hash (pre-mod).
+
+    This is the shared upstream stage of the fuzzy-dedup pipeline: the
+    signature aggregation mins over it and the verify stage collect_sets
+    over it — materialize it once (localCheckpoint / persist) and the
+    normalize + explode + md5 work runs a single time for both consumers.
+    At 100 TB this frame is the thing you'd persist as a bucketed table
+    keyed by doc id (it's ~2 longs per shingle, far smaller than re-running
+    the text scan per consumer).
 
     Shape: explode the shingle START INDEX (a codegen'd ``sequence`` +
-    ``explode``), compute substring -> md5 -> mod-P hash on the exploded
-    rows, then ONE hash aggregation with ``num_hashes`` ``min`` columns.
-    Every expression stays inside whole-stage codegen.
-
-    Why not array expressions (transform + array_min, no explode)?
-    Higher-order-function lambdas are evaluated by the interpreted
-    expression path — measured 40x slower end-to-end than this explode
-    shape (4.3s vs 0.11s for ~6k docs x ~124 shingles, steady-state) even
-    though the HOF form has no shuffle. The shuffle here is tiny anyway:
-    map-side partial min aggregation reduces each partition to one
-    num_hashes-long row per resident doc before the exchange.
-
-    min over the shingle multiset == min over the distinct set, so
-    duplicate shingles need no dedup and the SQL oracle (distinct or not)
-    matches bit-for-bit."""
-    assert num_hashes <= len(MINHASH_COEFFS)
-
+    ``explode``), compute substring -> md5 on the exploded rows. Every
+    expression stays inside whole-stage codegen. Why not array expressions
+    (transform + array_min, no explode)? Higher-order-function lambdas are
+    evaluated by the interpreted expression path — measured 40x slower
+    end-to-end than this explode shape (4.3s vs 0.11s for ~6k docs x ~124
+    shingles, steady-state) even though the HOF form has no shuffle."""
     normed = df.select(
         F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
     )
@@ -197,19 +195,43 @@ def minhash_signatures(
             F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(n - 1), F.lit(1)))
         ).alias("_i"),
     )
-    h = ex.select(
-        "_id",
-        (shingle_hash(F.col("_norm").substr(F.col("_i"), F.lit(n))) % MERSENNE_P).alias("_h"),
+    return ex.select(
+        "_id", shingle_hash(F.col("_norm").substr(F.col("_i"), F.lit(n))).alias("_h")
     )
-    agg = h.groupBy("_id").agg(
+
+
+def minhash_signatures_from_hashes(
+    hrows: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """Signature aggregation over ``hashed_shingle_rows`` output: ONE hash
+    aggregation with ``num_hashes`` ``min`` columns. The shuffle is tiny:
+    map-side partial min reduces each partition to one num_hashes-long row
+    per resident doc before the exchange.
+
+    min over the shingle multiset == min over the distinct set, so
+    duplicate shingles need no dedup and the SQL oracle (distinct or not)
+    matches bit-for-bit."""
+    assert num_hashes <= len(MINHASH_COEFFS)
+    x = F.col("_h") % MERSENNE_P
+    agg = hrows.groupBy("_id").agg(
         *[
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE_P).alias(f"_m{i}")
+            F.min((F.lit(a) * x + F.lit(b)) % MERSENNE_P).alias(f"_m{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
         ]
     )
     return agg.select(
         F.col("_id").alias(id_col),
         F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: (id, array<long> of length num_hashes).
+    Composition of ``hashed_shingle_rows`` + ``minhash_signatures_from_hashes``."""
+    return minhash_signatures_from_hashes(
+        hashed_shingle_rows(df, id_col, text_col, n), id_col, num_hashes
     )
 
 
@@ -284,13 +306,21 @@ def minhash_pairs(
     """LSH candidate pairs: split the signature into ``bands`` rows-per-band
     groups, bucket by the band hash, emit pairs sharing ≥1 bucket. Join cost
     is per-bucket, not n² — the 100 TB path for fuzzy dedup."""
-    rows_per_band = num_hashes // bands
     # The signature frame is tiny relative to the corpus (num_hashes longs
     # per doc) and feeds BOTH sides of the candidate self-join on a
     # different key than it was aggregated on — materialize it once instead
     # of recomputing the shingle/hash pipeline per side. (On a cluster this
     # would be a persist to MEMORY_AND_DISK or a checkpoint.)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).localCheckpoint(eager=True)
+    return minhash_pairs_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Candidate pairs from an already-materialized signature frame —
+    callers that also need the signatures (or the hashed shingle rows) for
+    a verify stage use this to avoid re-running the signature pipeline."""
     # One pass: explode the per-doc array of band bucket hashes instead of
     # unioning per-band frames (which would recompute the signature pipeline
     # per band).

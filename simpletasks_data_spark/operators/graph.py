@@ -60,10 +60,15 @@ def connected_components(
     # The symmetric form is a narrow double-read of the checkpointed rows.
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(eager=True)
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Fused init: the node-set distinct would cost the same shuffle as a
+    # min aggregation, so fold propagation round 1 into it — lab0(u) =
+    # min(u, min neighbor). Stars and isolated pairs (the overwhelming
+    # shape of dedup graphs) are DONE after this init; the loop below then
+    # only confirms convergence (one round) instead of propagating twice.
     lab = (
-        edges.select(F.col("u").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lab"))
+        edges.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("lab"))
         .localCheckpoint(eager=True)
     )
 

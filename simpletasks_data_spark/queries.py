@@ -1503,19 +1503,25 @@ def merge_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_verified_sql() -> str:
-    # candidates from the LSH band join, verified with exact Jaccard — the
-    # production-shape fuzzy-dedup pipeline (LSH prunes n² -> candidates,
-    # Jaccard confirms).
+    # candidates from the LSH band join, verified with exact Jaccard over
+    # the HASHED shingle sets — the production-shape fuzzy-dedup pipeline
+    # (LSH prunes n² -> candidates, Jaccard confirms). Jaccard is computed
+    # on the 60-bit md5 shingle hashes rather than the shingle strings:
+    # both engines hash identically, so parity is exact, and the verify
+    # join compares longs instead of 5-char strings (the hash space is
+    # 2^60 — a collision folding two distinct shingles is ~never, and
+    # affects both engines the same way when it does).
     cand = _minhash_sql().strip()
     return f"""
 WITH cand AS ({cand}),
 {SQL_CORPUS.strip().lstrip()},
 n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
 sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
-sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+hs AS (SELECT DISTINCT _id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS x FROM sh),
+sizes AS (SELECT _id, count(*) AS sz FROM hs GROUP BY _id),
 inter AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id < b._id
+  FROM hs a JOIN hs b ON a.x = b.x AND a._id < b._id
   JOIN cand ON cand.id_a = a._id AND cand.id_b = b._id
   GROUP BY 1, 2
 )
@@ -1528,44 +1534,54 @@ WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
 """
 
 
-def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidates -> exact Jaccard verification >= 0.6: candidates
-    bound the pair space (never n²), the verify join only touches shingles
-    of candidate docs."""
-    corpus = _corpus(spark, sf_dir)
-    cand = DD.minhash_pairs(corpus, "id", "text", n=5, num_hashes=16, bands=4)
-    # Verify must touch ONLY candidate docs: the candidate id set is
-    # bounded by the pair count, so it broadcasts, and only those docs
-    # get shingled. The per-doc distinct shingle SETS are kept as arrays
-    # (no explode): verification is then a per-pair ``array_intersect``
-    # — map-only over the pair frame — instead of a 10^7-row exploded
-    # shingle join + re-agg, which dominated this pipeline's cost. The
-    # checkpoints materialize candidates and shingle sets once each for
-    # their two consumers. The repartition matters: AQE coalesces the
-    # small candidate shuffle to ONE partition, which would run the
-    # (CPU-heavy) per-pair intersect verify single-threaded — spread the
-    # pairs back across the cluster before the map work.
+def _verified_pairs_of(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """LSH candidates -> exact Jaccard verification >= 0.6 over a corpus
+    frame: candidates bound the pair space (never n²), and the whole
+    pipeline runs off ONE materialization of the hashed shingle rows —
+    the signature min-agg and the verify collect_set both consume it, so
+    normalize/explode/md5 happen once (at 100 TB: a persisted bucketed
+    table).
+
+    Checkpoint discipline: ONLY the hashed rows and the candidate pairs
+    materialize. The signature agg and the per-doc hash sets are cheap
+    re-aggregations of the checkpointed rows, so their multiple consumers
+    recompute them INSIDE their own jobs instead of paying a blocking
+    barrier each — on a 32-core local run each barrier costs more wall
+    clock than the recompute it saves (and on a cluster the same holds:
+    scheduling a stage is dearer than re-reducing a cached frame)."""
+    hrows = DD.hashed_shingle_rows(corpus, "id", "text", n=5).localCheckpoint(eager=True)
+    sig = DD.minhash_signatures_from_hashes(hrows, "id", num_hashes=16)
+    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
+    # The repartition matters: AQE coalesces the small candidate shuffle
+    # to ONE partition, which would run the (CPU-heavy) per-pair intersect
+    # verify single-threaded — spread the pairs back across the cluster
+    # before the map work.
     cand = cand.repartition(
         spark.sparkContext.defaultParallelism, "id_a", "id_b"
     ).localCheckpoint(eager=True)
+    # Verify touches ONLY candidate docs: the candidate id set is bounded
+    # by the pair count, so it broadcasts into a semi join over the hashed
+    # rows. Per-doc distinct hash SETS are collect_set arrays (long[], no
+    # re-shingling, no interpreted array_distinct over strings);
+    # verification is a per-pair ``array_intersect`` on longs — map-only
+    # over the pair frame.
     ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    corpus_c = corpus.join(F.broadcast(ids), "id", "semi")
-    norm = corpus_c.select("id", TX.normalize_text("text").alias("_norm"))
-    sets = norm.select(
-        "id", TX.char_shingles_from_norm("_norm", 5).alias("shs")
-    ).localCheckpoint(eager=True)
-    a = sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
-    b = sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    sets = (
+        hrows.join(F.broadcast(ids), "_id", "semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("shs"))
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
     # Materialize the intersect size in its OWN projection: jaccard (and
     # the pushed-down threshold filter) reference it multiple times, and
     # an inlined array_intersect would be re-evaluated per reference —
-    # hash-building over the shingle arrays 4-6x per pair dominated this
-    # stage before. Multi-referenced non-cheap aliases block
-    # CollapseProject, so one eval survives optimization.
+    # multi-referenced non-cheap aliases block CollapseProject, so one
+    # eval survives optimization.
     paired = (
         cand.join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
@@ -1584,6 +1600,10 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired.select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.6)
     )
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _verified_pairs_of(spark, _corpus(spark, sf_dir))
 
 
 @register("dedup_minhash_verified", _minhash_verified_sql())
@@ -1615,13 +1635,98 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clustering step of the fuzzy-dedup pipeline: fold the verified
     near-dup pairs into connected components (iterative min-label
     propagation with path halving, operators/graph.py) and mark the min-id
-    doc per cluster canonical. The oracle computes the same components
-    with a recursive transitive-closure CTE — exact on the (small) pair
-    graph, while the Spark side's per-round cost is two shuffles on a
-    contracting label frame."""
+    doc per cluster canonical.
+
+    Exact-duplicate pre-contraction: byte-identical (after normalize)
+    docs never need the LSH/verify machinery — ONE content-hash agg maps
+    each doc to its group's min id, the expensive pair pipeline runs on
+    distinct contents only, and the exact groups re-enter the graph as
+    (rep, member) star edges. The output is IDENTICAL to clustering the
+    full corpus (identical texts have identical signatures, buckets, and
+    jaccards, so the quotient graph plus the stars has exactly the same
+    components, labels, and sizes) — the oracle is unchanged. At 100 TB
+    exact dups are commonly 30-50% of a crawl corpus, so the contraction
+    removes that fraction of the candidate join's input up front.
+
+    The oracle computes the same components with a recursive
+    transitive-closure CTE — exact on the (small) pair graph, while the
+    Spark side's per-round cost is two shuffles on a contracting label
+    frame."""
     from .operators.graph import dedup_clusters
 
-    return dedup_clusters(_verified_pairs(spark, sf_dir))
+    # ONE corpus scan: the pre-explode projection carries the content key
+    # (md5 of the normalized text) next to the hashed shingles, so the
+    # contraction grouping, the signature pipeline, and the verify sets
+    # all derive from the same checkpointed frame — no second text scan,
+    # no separate contraction job.
+    corpus = _corpus(spark, sf_dir)
+    normed = DD._ensure_parallelism(
+        corpus.select(F.col("id").alias("_id"), TX.normalize_text("text").alias("_norm"))
+    )
+    hrows = (
+        normed.select("_id", F.md5("_norm").alias("_ck"), "_norm")
+        .select(
+            "_id",
+            "_ck",
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(4), F.lit(1)))
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            "_ck",
+            DD.shingle_hash(F.col("_norm").substr(F.col("_i"), F.lit(5))).alias("_h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    mm = hrows.select("_id", "_ck").distinct()
+    groups = mm.groupBy("_ck").agg(
+        F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_n")
+    )
+    # LSH + verify over distinct contents only (the contracted corpus)
+    rep_hrows = hrows.join(
+        F.broadcast(groups.select(F.col("_rep").alias("_id"))), "_id", "semi"
+    )
+    sig = DD.minhash_signatures_from_hashes(rep_hrows, "id", num_hashes=16)
+    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sets = (
+        hrows.join(F.broadcast(ids), "_id", "semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("shs"))
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    paired = (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("_i"),
+            F.size("shs_a").alias("_sa"),
+            F.size("shs_b").alias("_sb"),
+        )
+    )
+    jac = F.round(
+        F.col("_i").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
+    )
+    ver = paired.where(jac >= 0.6).select("id_a", "id_b")
+    # exact groups re-enter as (rep, member) star edges
+    star_edges = (
+        mm.join(groups, "_ck")
+        .where((F.col("_n") >= 2) & (F.col("_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    return dedup_clusters(ver.unionByName(star_edges))
 
 
 # ===========================================================================
