@@ -233,15 +233,18 @@ FROM customer
   JOIN nation   ON s_nationkey = n_nationkey
   JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o_orderdate <  TIMESTAMP '1995-01-01'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
 """)
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window chosen inside the synthetic orders range (1995-2001) so the
+    # query is non-vacuous at every SF (classic TPC-H uses 1994, which
+    # this testdata does not cover).
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
@@ -1761,12 +1764,22 @@ def q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("customers_without_orders_antijoin", """
 SELECT c_mktsegment, count(*) AS n
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1996-01-01'
+                    AND o_orderdate <  TIMESTAMP '1996-07-01')
 GROUP BY c_mktsegment
 """)
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order in a six-month window. (The
+    unrestricted form is vacuous on this testdata — every customer has at
+    least one order at every SF — so the window keeps the result
+    non-empty and the anti-join path genuinely exercised.)"""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
     no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
     return no_orders.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
 
@@ -2189,10 +2202,19 @@ def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState streaming form, run to completion: a
     staging dir replays the events file, then two far-future sentinel
     files advance the watermark so every open chunk's event-time timeout
-    fires — the emitted set must equal the batch twin (same oracle)."""
+    fires — the emitted set must equal the batch twin (same oracle).
+
+    Batch ordering is sequenced by QUERY PROGRESS, not file mtimes: each
+    sentinel is written only after ``processAllAvailable()`` confirms the
+    previous files are fully processed, so the replay is correct under
+    arbitrary (even shuffled) file timestamps — the file-source's
+    oldest-mtime ordering is never load-bearing. (In production this
+    source is Kafka/offset-ordered and the sentinels are the broker's
+    advancing event time.)"""
     import os
     import shutil
     import tempfile
+    import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -2201,8 +2223,9 @@ def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tempfile.mkdtemp(prefix="capped_stream_")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "0_events.parquet"))
-    base_us = 4102444800 * 10**6  # 2100-01-01, far past every real event
-    for i in (1, 2):
+
+    def write_sentinel(i: int) -> None:
+        base_us = 4102444800 * 10**6  # 2100-01-01, far past every real event
         t = pa.table(
             {
                 "event_id": pa.array([-i], pa.int64()),
@@ -2214,18 +2237,16 @@ def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         pq.write_table(t, os.path.join(d, f"{i}_flush.parquet"))
-    t0 = os.path.getmtime(os.path.join(d, "0_events.parquet"))
-    for i, name in enumerate(["0_events.parquet", "1_flush.parquet", "2_flush.parquet"]):
-        os.utime(os.path.join(d, name), (t0 + 10 * i, t0 + 10 * i))
-
-    import uuid
 
     ev = stream_events(spark, d, glob="*.parquet")
     agg = capped_sessions_stateful(ev.select("user_id", "ts", "event_id", "value"))
     name = "mem_" + uuid.uuid4().hex[:8]
     q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
-        q.processAllAvailable()
+        q.processAllAvailable()  # the real events, fully folded into state
+        for i in (1, 2):
+            write_sentinel(i)  # advance watermark, then fire timeouts
+            q.processAllAvailable()
     finally:
         q.stop()
     return spark.table(name).where(F.col("user_id") >= 0)

@@ -77,8 +77,13 @@ class TableSource(Source):
             df = df.join(packed, df[rel.local_key] == packed[jk], "left").drop(jk)
         return df
 
+    def _load_frame(self, spark: SparkSession) -> DataFrame:
+        """The bare relation; subclasses override ONLY this so ordering
+        and relation attachment below apply uniformly."""
+        return spark.read.parquet(self._df) if isinstance(self._df, str) else self._df
+
     def load_raw(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(self._df) if isinstance(self._df, str) else self._df
+        df = self._load_frame(spark)
         if self.order_col is not None:
             df = df.withColumn(SRC_POS, F.col(self.order_col).cast("long"))
         else:
@@ -92,7 +97,14 @@ class TableSource(Source):
 
 
 class JdbcSource(TableSource):
-    """JDBC relation source; thin sugar over ``spark.read.jdbc``."""
+    """JDBC relation source; thin sugar over ``spark.read.format("jdbc")``.
+
+    The merge-side contract (SRC_POS ordering, relation attachment) is
+    inherited from :class:`TableSource`; this class only swaps the frame
+    loader. The sandbox ships no JDBC driver jars, so tests pin the
+    reader-option plumbing with a stubbed loader (tests/test_sources.py);
+    against a real database the predicate/column pruning pushes into the
+    remote query exactly as with any Spark JDBC relation."""
 
     def __init__(self, url: str, table: str, mapping: Mapping, properties: Optional[dict] = None, **kwargs) -> None:
         self.url = url
@@ -100,11 +112,10 @@ class JdbcSource(TableSource):
         self.properties = properties or {}
         super().__init__(df=None, mapping=mapping, **kwargs)  # type: ignore[arg-type]
 
-    def load_raw(self, spark: SparkSession) -> DataFrame:
-        reader: DataFrameReader = spark.read.format("jdbc").option("url", self.url).option("dbtable", self.table)
+    def _load_frame(self, spark: SparkSession) -> DataFrame:
+        reader: DataFrameReader = (
+            spark.read.format("jdbc").option("url", self.url).option("dbtable", self.table)
+        )
         for k, v in self.properties.items():
             reader = reader.option(k, v)
-        df = reader.load()
-        if self.order_col is not None:
-            return df.withColumn(SRC_POS, F.col(self.order_col).cast("long"))
-        return df.withColumn(SRC_POS, F.xxhash64(*[F.col(c) for c in df.columns]))
+        return reader.load()

@@ -47,9 +47,12 @@ def stream_events(
     """File-source stream over the events parquet (TIMESTAMP_NTZ micros ->
     session-local timestamp; exact under the engine's pinned UTC session).
     Watermarks and event-time windows require TimestampType, hence the cast.
-    maxFilesPerTrigger=1 keeps micro-batches small and deterministic;
-    files arrive oldest-mtime-first, so a staging dir with bumped mtimes
-    controls batch order (used to append watermark-advancing sentinels)."""
+    maxFilesPerTrigger=1 keeps micro-batches small. Replay harnesses that
+    need ordered batches (watermark-advancing sentinels) sequence file
+    ARRIVAL by query progress — write the next file only after
+    ``processAllAvailable()`` — rather than relying on the file-source's
+    oldest-mtime pickup order; in production this source is swapped for
+    Kafka, where offsets give the same guarantee."""
     raw = (
         spark.readStream.schema(events_schema())
         .option("maxFilesPerTrigger", 1)

@@ -274,3 +274,74 @@ def test_write_corpus_partitioned_layout(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 100
     assert sorted(r["doc_id"] for r in back.collect()) == list(range(100))
+
+
+def test_jdbc_source_plumbing_and_merge(spark, monkeypatch):
+    """JdbcSource with a stubbed reader (no JDBC driver jars in this env):
+    pins the format/url/dbtable/property plumbing and proves the inherited
+    TableSource contract (SRC_POS ordering, relation attachment, full
+    merge through ImportJob) applies to the JDBC path unchanged."""
+    from pyspark.sql import types as T
+
+    from simpletasks_data_spark.mapping import ComputedField
+    from simpletasks_data_spark.sources import JdbcSource
+    from simpletasks_data_spark.sources.table import Relation
+
+    rows = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, nat long"
+    )
+    seen = {}
+
+    class _FakeReader:
+        def format(self, fmt):
+            seen["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            seen.setdefault("options", {})[k] = v
+            return self
+
+        def load(self):
+            return rows
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: _FakeReader()))
+
+    nations = spark.createDataFrame([(10, "FR"), (20, "DE")], "nkey long, nname string")
+
+    class _M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = Field("id")
+            self.name = Field("name")
+            self.nation_name = Field("nat_rel.nname")
+
+        def get_key_column_name(self):
+            return "id"
+
+    src = JdbcSource(
+        "jdbc:postgresql://db:5432/x",
+        "public.items",
+        _M(),
+        properties={"driver": "org.postgresql.Driver", "fetchsize": "1000"},
+        order_col="id",
+        relations={"nat_rel": Relation(nations, local_key="nat", foreign_key="nkey", broadcast=True)},
+    )
+    raw = src.load_raw(spark)
+    assert seen["format"] == "jdbc"
+    assert seen["options"]["url"] == "jdbc:postgresql://db:5432/x"
+    assert seen["options"]["dbtable"] == "public.items"
+    assert seen["options"]["driver"] == "org.postgresql.Driver"
+    got = {r.id: r for r in raw.collect()}
+    assert [got[i][SRC_POS] for i in (1, 2, 3)] == [1, 2, 3]  # order_col ordering
+    assert got[1].nat_rel.nname == "FR" and got[3].nat_rel is None  # relation + null path
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("nation_name", T.StringType(), True),
+        ]
+    )
+    target = TargetTable(schema=schema, df=spark.createDataFrame([], schema), primary_keys=("id",))
+    res = ImportJob(spark, target, sources=[src], dryrun=True).run()
+    assert res["created"] == 3
