@@ -137,6 +137,9 @@ _CHECK_FIRST = [
     "rolling_revenue_features",
     "url_host_stats",
     "expectations_orders",
+    # position 51+: checked only if the driver's window exceeds 50 queries
+    "dedup_clusters_bigstar",
+    "customers_without_orders_antijoin",
 ]
 
 
@@ -1614,7 +1617,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(spark, sf_dir)
 
 
-@register("dedup_clusters", f"""
+_DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE
 ver AS (SELECT * FROM ({_minhash_verified_sql().strip()})),
 edges AS (
@@ -1633,7 +1636,10 @@ sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cc GROUP
 SELECT cc.id AS doc_id, cc.cluster_id, sz.cluster_size,
        cc.id = cc.cluster_id AS is_canonical
 FROM cc JOIN sz USING (cluster_id)
-""")
+"""
+
+
+@register("dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clustering step of the fuzzy-dedup pipeline: fold the verified
     near-dup pairs into connected components (iterative min-label
@@ -1730,6 +1736,20 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
     )
     return dedup_clusters(ver.unionByName(star_edges))
+
+
+@register("dedup_clusters_bigstar", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters_bigstar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters through the alternating large-star/small-star CC
+    (Kiveris et al., SoCC'14; operators/graph.py) — round count bounded
+    O(log² n) independent of graph diameter, the variant for adversarial
+    chain-shaped dup graphs. Output (and oracle) identical to
+    ``dedup_clusters``; only the propagation harness differs."""
+    from .operators.graph import connected_components_bigstar, dedup_clusters
+
+    corpus = _corpus(spark, sf_dir)
+    ver = _verified_pairs_of(spark, corpus).select("id_a", "id_b")
+    return dedup_clusters(ver, algorithm="bigstar")
 
 
 # ===========================================================================

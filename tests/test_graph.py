@@ -66,3 +66,43 @@ def test_incremental_minhash_matches(spark):
            for r in DD.incremental_minhash_matches(new, sigs, "id", "text").collect()}
     assert out[100] == (7, True)     # exact copy of doc 7
     assert out[101] == (None, False)  # genuinely novel
+
+
+def _cc_big(spark, pairs):
+    from simpletasks_data_spark.operators.graph import connected_components_bigstar
+
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    out = connected_components_bigstar(df, "a", "b")
+    return {r.id: r.component for r in out.collect()}
+
+
+def test_bigstar_two_components_and_star(spark):
+    got = _cc_big(spark, [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_bigstar_long_chain(spark):
+    # the adversarial shape for label propagation: a 60-node path
+    pairs = [(i, i + 1) for i in range(60)]
+    got = _cc_big(spark, pairs)
+    assert set(got.values()) == {0}
+    assert len(got) == 61
+
+
+def test_bigstar_matches_label_prop_random(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    lp = _cc(spark, pairs)
+    bs = _cc_big(spark, pairs)
+    assert lp == bs
+
+
+def test_dedup_clusters_bigstar_algorithm(spark):
+    from simpletasks_data_spark.operators.graph import dedup_clusters
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint")
+    out = {r.doc_id: r for r in dedup_clusters(df, algorithm="bigstar").collect()}
+    assert out[1].is_canonical and out[3].cluster_size == 3 and out[8].cluster_id == 7
