@@ -3876,3 +3876,36 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+@register("knn_incremental_probe", f"""
+WITH {SQL_EMB_NORM},
+cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
+newb AS (SELECT vec_id + 500000 AS vec_id, v, nrm, cell FROM cells WHERE vec_id % 23 = 0),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM newb q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 5
+""")
+def knn_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion ANN: a NEW batch of vectors probes the
+    EXISTING sign-bit IVF index without re-indexing the corpus — the
+    vector twin of ``dedup_incremental``. At 100 TB the index's cell
+    table is stored partitioned by cell, so the probe join shuffles only
+    the new batch; each increment costs O(batch), not O(corpus)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    new = emb.where(F.col("vec_id") % 23 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    out = SIM.knn_ivf_signbits(emb, new, k=5, bits=6)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
