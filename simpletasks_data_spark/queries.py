@@ -3909,3 +3909,117 @@ def knn_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
     )
+
+
+@register("boilerplate_ngram_fraction", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [] END) AS g
+  FROM t
+),
+nd AS (SELECT count(*) AS n FROM documents),
+dfq AS (SELECT g, count(DISTINCT doc_id) AS dfc FROM g GROUP BY g),
+freq AS (SELECT g FROM dfq CROSS JOIN nd WHERE dfc >= greatest(2, ceil(0.01 * n))),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE g IN (SELECT g FROM freq)) AS BIGINT) AS hits
+  FROM g GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       CASE WHEN per.n_grams > 0
+            THEN round(CAST(per.hits AS DOUBLE) / per.n_grams, 4) END AS boilerplate_frac
+FROM t LEFT JOIN per USING (doc_id)
+""")
+def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal (the RefinedWeb/C4 cousin of the
+    WITHIN-doc `text_repetition` metrics): the fraction of a doc's word
+    trigrams that are corpus-frequent (document frequency >= max(2, 1% of
+    docs)). Headers, navigation chrome, and license blurbs concentrate
+    here; a threshold on this column is a standard boilerplate gate.
+
+    Shape: one explode -> distinct -> doc-frequency agg; the frequent set
+    then BROADCASTS back onto the per-doc gram stream (map-side at any
+    corpus size). The 1-row doc count rides a broadcast cross join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens("text").alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(TX.token_ngrams("toks", 3)).alias("g")
+    ).localCheckpoint(eager=True)  # feeds doc-freq build AND per-doc scoring
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfq = grams.distinct().groupBy("g").agg(F.count(F.lit(1)).alias("dfc"))
+    freq = (
+        dfq.crossJoin(F.broadcast(ndocs))
+        .where(F.col("dfc") >= F.greatest(F.lit(2), F.ceil(F.lit(0.01) * F.col("n"))))
+        .select("g")
+    )
+    per = (
+        grams.join(F.broadcast(freq.withColumn("_hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("_hit").cast("bigint").alias("hits"),
+        )
+    )
+    return (
+        toks.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("hits").cast("double") / F.col("n_grams"), 4),
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+@register("corpus_health_by_source", f"""
+WITH d AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5({SQL_NORM.format(c='text')}) AS ck,
+         len({SQL_TOKENS.format(c='text')}) AS n_toks
+  FROM documents
+),
+dup AS (SELECT ck, count(*) AS ckn FROM d GROUP BY ck)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(n_toks), 4) AS avg_tokens,
+       CAST(count(*) FILTER (WHERE ckn >= 2) AS BIGINT) AS n_dup_content_docs
+FROM d JOIN dup USING (ck)
+GROUP BY source
+""")
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the dashboard a data curator
+    reads before assigning mixture weights: volume, language spread, size
+    distribution, and how much of each source is duplicated content
+    (docs whose normalized text appears 2+ times corpus-wide). One scan,
+    one content-hash agg broadcast back."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(TX.normalize_text("text")).alias("ck"),
+        F.size(TX.tokens("text")).alias("n_toks"),
+    ).localCheckpoint(eager=True)  # one text scan feeds the dup agg AND the report
+    dup = d.groupBy("ck").agg(F.count(F.lit(1)).alias("ckn"))
+    return (
+        d.join(F.broadcast(dup), "ck")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+            F.count_if(F.col("ckn") >= 2).cast("bigint").alias("n_dup_content_docs"),
+        )
+    )
