@@ -76,3 +76,33 @@ def test_scd2_single_exchange(spark):
     tree = _tree(_plan(df))
     assert tree.count("Exchange") == 1, tree
     assert tree.count("Sort") == 1, tree
+
+
+def test_unigram_logprob_broadcast_model(spark):
+    # the vocab model and the 1-row total must broadcast back onto the
+    # token stream; the only hash-partition exchanges are the vocab agg
+    # and the final per-doc agg
+    tree = _tree(_plan(Q.queries()["quality_unigram_logprob"](spark, SF)))
+    assert "BroadcastHashJoin" in tree, f"vocab model join lost its broadcast:\n{tree}"
+    assert "BroadcastNestedLoopJoin" in tree, f"scalar total lost its broadcast:\n{tree}"
+    assert tree.count("Exchange hashpartitioning") <= 2, tree
+
+
+def test_boilerplate_broadcast_frequent_set(spark):
+    tree = _tree(_plan(Q.queries()["boilerplate_ngram_fraction"](spark, SF)))
+    assert "BroadcastHashJoin" in tree, f"frequent-set join lost its broadcast:\n{tree}"
+
+
+def test_retained_corpus_broadcast_anti_join(spark):
+    tree = _tree(_plan(Q.queries()["dedup_retained_corpus"](spark, SF)))
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in tree, (
+        f"retained-corpus cut must be a broadcast anti join:\n{tree}"
+    )
+
+
+def test_knn_incremental_probe_single_cell_join(spark):
+    # probe join on the cell key + per-query top-k window: the window's
+    # hash exchange is the only shuffle beyond the join's own exchanges
+    tree = _tree(_plan(Q.queries()["knn_incremental_probe"](spark, SF)))
+    assert "Window" in tree, tree
+    assert tree.count("Exchange hashpartitioning") <= 3, tree
