@@ -100,6 +100,7 @@ _CHECK_FIRST = [
     "dedup_semantic_clusters",
     "dedup_retained_corpus",
     "quality_unigram_logprob",
+    "merge_multi_source",
     # -- registered round 2, never driver-checked --
     "range_join_purchase_clicks",
     "hypertable_rollup_events",
@@ -129,7 +130,6 @@ _CHECK_FIRST = [
     "q8_market_share",
     "q10_returned_items",
     "q13_order_distribution",
-    "q14_promo_revenue",
     "q18_large_volume_customers",
     "q19_or_predicate_revenue",
     "q22_idle_customers",
@@ -138,6 +138,7 @@ _CHECK_FIRST = [
     "q15_top_supplier",
     "expectations_orders",
     # position 51+: checked only if the driver's window exceeds 50 queries
+    "q14_promo_revenue",
     "cube_qty_by_flag_status",
     "rolling_revenue_features",
     "url_host_stats",
@@ -4023,3 +4024,83 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("ckn") >= 2).cast("bigint").alias("n_dup_content_docs"),
         )
     )
+
+
+@register("merge_multi_source", f"""
+WITH {SQL_UPSERT_SRC},
+src2 AS (
+  SELECT o_custkey + 2000000 AS key2, max(o_totalprice) AS maxp
+  FROM orders WHERE o_custkey % 11 = 0 GROUP BY o_custkey
+  UNION ALL
+  SELECT o_custkey AS key2, max(o_totalprice) AS maxp
+  FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+),
+m1 AS (
+  SELECT coalesce(c.c_custkey, s.key) AS c_custkey,
+         CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+              ELSE 'new-' || CAST(s.key AS VARCHAR) END AS c_name,
+         CASE WHEN c.c_custkey IS NOT NULL THEN c.c_nationkey
+              ELSE CAST(s.key % 25 AS INT) END AS c_nationkey,
+         CASE WHEN s.key IS NOT NULL THEN s.total ELSE c.c_acctbal END AS c_acctbal,
+         CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE 'IMPORTED' END AS c_mktsegment
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.key
+)
+SELECT coalesce(m.c_custkey, s2.key2) AS c_custkey,
+       CASE WHEN m.c_custkey IS NOT NULL THEN m.c_name
+            ELSE 'new-' || CAST(s2.key2 AS VARCHAR) END AS c_name,
+       CASE WHEN m.c_custkey IS NOT NULL THEN m.c_nationkey
+            ELSE CAST(s2.key2 % 25 AS INT) END AS c_nationkey,
+       CASE WHEN s2.key2 IS NOT NULL THEN s2.maxp ELSE m.c_acctbal END AS c_acctbal,
+       CASE WHEN m.c_custkey IS NOT NULL THEN m.c_mktsegment ELSE 'SECOND' END AS c_mktsegment
+FROM m1 m FULL OUTER JOIN src2 s2 ON m.c_custkey = s2.key2
+""")
+def merge_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO sources folded sequentially through one ImportJob — the
+    reference's cross-source pending visibility (importtask.py:136-150)
+    under the driver gate: source 2 sees source 1's creates and pending
+    updates as its target side (the oracle composes the two full-outer
+    merges the same way). Source 2 overwrites c_acctbal with a max-price
+    (grid-exact in both engines, no float-sum ordering) where its keys
+    overlap source 1's totals — the overlap is only
+    correct if the fold is sequential, so a hash match pins the
+    visibility semantics, not just each merge in isolation."""
+    orders = load(spark, sf_dir, "orders")
+
+    src2_new = (
+        orders.where(F.col("o_custkey") % 11 == 0)
+        .groupBy((F.col("o_custkey") + 2000000).alias("key2"))
+        .agg(F.max("o_totalprice").alias("maxp"))
+    )
+    src2_upd = (
+        orders.where(F.col("o_custkey") % 3 == 0)
+        .groupBy(F.col("o_custkey").alias("key2"))
+        .agg(F.max("o_totalprice").alias("maxp"))
+    )
+    src2_df = src2_new.unionByName(src2_upd)
+
+    class _SecondMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.c_custkey = Field("key2")
+            self.c_acctbal = Field("maxp")
+            self.c_name = ComputedField(
+                [Field("key2")],
+                lambda cols: F.concat(F.lit("new-"), cols[0].cast("string")),
+                should_update=False,
+            )
+            self.c_nationkey = ComputedField(
+                [Field("key2")], lambda cols: (cols[0] % 25).cast("int"), should_update=False
+            )
+            self.c_mktsegment = StaticColumn("SECOND", should_update=False)
+
+        def get_key_column_name(self):
+            return "c_custkey"
+
+    target = _customer_target(spark, sf_dir)
+    s1 = TableSource(
+        _upsert_source_df(spark, sf_dir), _CustomerUpsertMapping(), mode=ImportMode.CREATE_AND_UPDATE
+    )
+    s2 = TableSource(src2_df, _SecondMapping(), mode=ImportMode.CREATE_AND_UPDATE)
+    job = ImportJob(spark, target, sources=[s1, s2], dryrun=True)
+    job.run()
+    return job.result_df
