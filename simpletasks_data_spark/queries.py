@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "dedup_retained_corpus",
     "quality_unigram_logprob",
     "merge_multi_source",
+    "streaming_late_data_drop",
     # -- registered round 2, never driver-checked --
     "range_join_purchase_clicks",
     "hypertable_rollup_events",
@@ -129,7 +130,6 @@ _CHECK_FIRST = [
     "q7_volume_shipping",
     "q8_market_share",
     "q10_returned_items",
-    "q13_order_distribution",
     "q18_large_volume_customers",
     "q19_or_predicate_revenue",
     "q22_idle_customers",
@@ -138,6 +138,7 @@ _CHECK_FIRST = [
     "q15_top_supplier",
     "expectations_orders",
     # position 51+: checked only if the driver's window exceeds 50 queries
+    "q13_order_distribution",
     "q14_promo_revenue",
     "cube_qty_by_flag_status",
     "rolling_revenue_features",
@@ -4104,3 +4105,71 @@ def merge_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = ImportJob(spark, target, sources=[s1, s2], dryrun=True)
     job.run()
     return job.result_df
+
+
+@register("streaming_late_data_drop", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+GROUP BY 1, 2
+""")
+def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, pinned end-to-end: batch 1 delivers
+    the second half of the month (advancing the watermark to max - 2h),
+    batch 2 then replays the FIRST half — every row now far below the
+    watermark, so the engine must drop them all; a sentinel batch closes
+    the remaining windows. The oracle aggregates ONLY the on-time half.
+    Batches are sequenced by query progress (processAllAvailable between
+    file writes), never by file mtimes."""
+    import os
+    import tempfile
+    import uuid
+
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .streaming import stream_events, streaming_hourly_counts
+
+    cutoff = pa.scalar(_dt.datetime(2024, 1, 15), pa.timestamp("us"))
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    on_time = tbl.filter(pc.greater_equal(tbl["ts"], cutoff))
+    late = tbl.filter(pc.less(tbl["ts"], cutoff))
+
+    d = tempfile.mkdtemp(prefix="late_stream_")
+    pq.write_table(on_time, os.path.join(d, "a_ontime.parquet"))
+
+    ev = stream_events(spark, d, glob="*.parquet")
+    # The sentinel filter must NOT sit in the streaming plan: a filter on
+    # the grouping column pushes below the watermark operator all the way
+    # into the scan, so the sentinel row would be dropped BEFORE it can
+    # advance the watermark and nothing would ever flush. Filter the sink
+    # table after the run instead.
+    agg = streaming_hourly_counts(ev)
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()  # watermark advances to max(on_time) - 2h
+        pq.write_table(late, os.path.join(d, "b_late.parquet"))
+        q.processAllAvailable()  # every late row is below the watermark: dropped
+        # Two sentinel batches: the first advances the watermark past
+        # every on-time window, the second triggers the batch in which the
+        # state store actually emits the closed windows (append-mode
+        # windows flush on the batch AFTER the watermark moved).
+        for i, days in enumerate((36500, 36530)):
+            flush = tbl.slice(0, 1).set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                pc.add(tbl["ts"].slice(0, 1), pa.scalar(_dt.timedelta(days=days))),
+            ).set_column(
+                tbl.schema.get_field_index("event_type"),
+                "event_type",
+                pa.array(["_flush"]),
+            )
+            pq.write_table(flush, os.path.join(d, f"c_flush_{i}.parquet"))
+            q.processAllAvailable()  # close + emit every on-time window
+    finally:
+        q.stop()
+    return spark.table(name).where(F.col("event_type") != "_flush")

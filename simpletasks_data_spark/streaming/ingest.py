@@ -15,6 +15,13 @@ The reference is batch-only (SURVEY §2.6), but an import framework at
 
 Tests drive these with a memory sink + ``processAllAvailable`` so a batch
 of parquet rows runs the streaming queries to completion synchronously.
+
+Watermark/pushdown gotcha: a filter on a grouping column placed AFTER a
+windowed aggregation is pushed by Catalyst below the watermark operator
+into the scan — rows it removes then never advance the watermark. Replay
+harnesses that use far-future sentinel rows must therefore filter the
+sentinels OUT OF THE SINK TABLE after the run, never inside the streaming
+plan (see ``streaming_late_data_drop`` in queries.py).
 """
 
 from __future__ import annotations
