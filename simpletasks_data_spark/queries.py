@@ -145,6 +145,7 @@ _CHECK_FIRST = [
     "url_host_stats",
     "dedup_clusters_bigstar",
     "customers_without_orders_antijoin",
+    "streaming_sliding_windows",
 ]
 
 
@@ -4173,3 +4174,38 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).where(F.col("event_type") != "_flush")
+
+
+@register("streaming_sliding_windows", """
+WITH w AS (
+  SELECT event_type, value,
+         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS win_start
+  FROM events
+)
+SELECT win_start, event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM w GROUP BY 1, 2
+""")
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2-hour length, 1-hour slide): every
+    event lands in exactly two overlapping windows. Completes the window
+    taxonomy next to the tumbling (`streaming_hourly_rollup`) and session
+    (`streaming_sessions`) forms; the oracle expands each row into its
+    two window starts and re-aggregates."""
+    import uuid
+
+    from .streaming import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
