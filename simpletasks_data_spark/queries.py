@@ -4209,3 +4209,23 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("orc_export_roundtrip", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+""")
+def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar sink/source format (Spark built-in): write
+    the orders table to ORC — timestamp column included, exercising the
+    NTZ mapping — and read it back; a hash match proves full type/value
+    fidelity through the format. The write uses snappy + one file per
+    shuffle partition, the shape a Hive-compatible consumer expects."""
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    orders.write.mode("overwrite").option("compression", "snappy").orc(path)
+    return spark.read.orc(path).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )

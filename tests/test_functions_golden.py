@@ -273,3 +273,31 @@ def test_helpers():
     for bad in ["*:A", "AB", "A:B:C", "A:*", "1:*"]:
         with pytest.raises(ValueError):
             range2tab(bad)
+
+
+def test_format_list_udf_matches_python_hypothesis(spark):
+    """Property test: the Arrow-vectorized formatList UDF agrees with the
+    pure-Python reference splitter on arbitrary strings (quotes, parens,
+    separators, unicode) — pins the pandas_udf plumbing, not just the
+    golden cases."""
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.functions.lists import format_list, format_list_py
+
+    alphabet = st.sampled_from(list("ab c,;()'\"x9-é et and"))
+    texts = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=40), min_size=1, max_size=24
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts)
+    def check(batch):
+        df = spark.createDataFrame([(i, s) for i, s in enumerate(batch)], "i long, s string")
+        got = {
+            r["i"]: list(r["out"])
+            for r in df.select("i", format_list("s").alias("out")).collect()
+        }
+        want = {i: format_list_py(s) for i, s in enumerate(batch)}
+        assert got == want
+
+    check()
