@@ -146,6 +146,8 @@ _CHECK_FIRST = [
     "dedup_clusters_bigstar",
     "customers_without_orders_antijoin",
     "streaming_sliding_windows",
+    "streaming_running_totals",
+    "orc_export_roundtrip",
 ]
 
 
@@ -4229,3 +4231,31 @@ def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
+
+
+@register("streaming_running_totals", """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS running_n,
+       round(sum(value) OVER w, 4) AS running_total
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+""")
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals through Spark 4's transformWithStateInPandas
+    (typed ValueState), run to completion against the window-function
+    twin as oracle — one output row per event carrying the count/total
+    as of that event."""
+    import uuid
+
+    from .streaming import stream_events
+    from .streaming.stateful import running_totals_stateful
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = running_totals_stateful(ev)
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -7,7 +7,7 @@ from .ingest import (
     streaming_merge_into,
     streaming_sessions,
 )
-from .stateful import capped_sessions_batch, capped_sessions_stateful
+from .stateful import capped_sessions_batch, capped_sessions_stateful, running_totals_stateful
 
 __all__ = [
     "events_schema",
@@ -19,4 +19,5 @@ __all__ = [
     "streaming_merge_into",
     "capped_sessions_batch",
     "capped_sessions_stateful",
+    "running_totals_stateful",
 ]
