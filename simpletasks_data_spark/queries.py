@@ -148,6 +148,8 @@ _CHECK_FIRST = [
     "streaming_sliding_windows",
     "streaming_running_totals",
     "orc_export_roundtrip",
+    "corpus_global_shuffle",
+    "bucketed_join_orders_customer",
 ]
 
 
@@ -4259,3 +4261,96 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("corpus_global_shuffle", """
+WITH r AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle-epoch-0') AS rk
+  FROM documents
+)
+SELECT doc_id, rk,
+       CAST(row_number() OVER (ORDER BY rk, doc_id) AS BIGINT) AS position
+FROM r
+""")
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    pseudo-random key (seeded content-independent hash, so epoch N+1 is a
+    different permutation of the same corpus) and a TOTAL position. The
+    plan is the scalable total-sort shape — RangePartitioning by the
+    shuffle key (sampled split points, no single-reducer bottleneck) with
+    in-partition sort; shard files written in this order give linear
+    readers the shuffled epoch. The position column is the contiguous
+    global index a pack/shard step consumes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle-epoch-0")))
+    ranked = docs.select("doc_id", rk.alias("rk"))
+    # repartitionByRange + sortWithinPartitions = the distributed total
+    # order; the window over the SAME ordering then numbers it. Spark
+    # plans the window's global ordering as one range exchange — at scale
+    # a zipWithIndex-style per-partition offset pass replaces the window,
+    # but the partitioning strategy (range by rk) is identical.
+    ordered = (
+        ranked.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "rk", "doc_id"
+        )
+        .sortWithinPartitions("rk", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # zipWithIndex shape: global position = in-partition rank + the prefix
+    # sum of earlier partitions' counts. Range partitions are ordered and
+    # disjoint, so this IS the exact global rank — no single-partition
+    # window anywhere (a bare Window.orderBy would funnel the whole corpus
+    # through one task). The per-partition counts are O(partitions) driver
+    # metadata, the zipWithIndex pattern's one legitimate collect.
+    counts = {r["_pid"]: r["n"] for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]),
+        F.col("_pid"),
+    )
+    wp = Window.partitionBy("_pid").orderBy("rk", "doc_id")
+    return ordered.select(
+        "doc_id",
+        "rk",
+        (F.row_number().over(wp) + off_expr).cast("bigint").alias("position"),
+    )
+
+
+@register("bucketed_join_orders_customer", """
+SELECT c_custkey, c_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_spent
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+""")
+def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are written bucketBy(custkey)
+    into the session catalog, so the join (and the following aggregation
+    on the same key) runs with ZERO exchanges — the 100 TB strategy for
+    repeated joins on a stable key, where one bucketed write amortizes
+    every later join's shuffle. tests/test_plan_shapes.py pins the
+    no-Exchange plan; the oracle is the plain join."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    n_buckets = 8
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    ct, ot = f"bkt_cust_{sfx}", f"bkt_ord_{sfx}"
+    (cust.write.mode("overwrite").bucketBy(n_buckets, "c_custkey")
+         .sortBy("c_custkey").saveAsTable(ct))
+    (orders.write.mode("overwrite").bucketBy(n_buckets, "o_custkey")
+           .sortBy("o_custkey").saveAsTable(ot))
+    c, o = spark.table(ct), spark.table(ot)
+    # the merge hint keeps the broadcast strategy from hiding the bucketed
+    # shape on small test tables; with both sides bucketed+sorted on the
+    # key, the sort-merge join needs no exchange and no sort
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+    )

@@ -106,3 +106,20 @@ def test_knn_incremental_probe_single_cell_join(spark):
     tree = _tree(_plan(Q.queries()["knn_incremental_probe"](spark, SF)))
     assert "Window" in tree, tree
     assert tree.count("Exchange hashpartitioning") <= 3, tree
+
+
+def test_bucketed_join_no_exchange(spark):
+    # both sides bucketed+sorted on the key: the sort-merge join and the
+    # following same-key aggregation must run with ZERO exchanges
+    tree = _tree(_plan(Q.queries()["bucketed_join_orders_customer"](spark, SF)))
+    assert "SortMergeJoin" in tree, tree
+    assert "Exchange" not in tree, f"bucketed join regained a shuffle:\n{tree}"
+
+
+def test_global_shuffle_no_single_partition_window(spark):
+    # the total order must come from range partitioning + offsets, never
+    # a bare global-window funnel through one task
+    tree = _tree(_plan(Q.queries()["corpus_global_shuffle"](spark, SF)))
+    assert "Exchange SinglePartition" not in tree, (
+        f"global shuffle funnels through one partition:\n{tree}"
+    )
