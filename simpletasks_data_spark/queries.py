@@ -4334,17 +4334,21 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     repeated joins on a stable key, where one bucketed write amortizes
     every later join's shuffle. tests/test_plan_shapes.py pins the
     no-Exchange plan; the oracle is the plain join."""
+    import tempfile
     import uuid
 
     sfx = uuid.uuid4().hex[:8]
     n_buckets = 8
+    base = tempfile.mkdtemp(prefix="bkt_")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     ct, ot = f"bkt_cust_{sfx}", f"bkt_ord_{sfx}"
+    # explicit external paths: the caller's session may have a read-only
+    # CWD, so never rely on the default $PWD/spark-warehouse location
     (cust.write.mode("overwrite").bucketBy(n_buckets, "c_custkey")
-         .sortBy("c_custkey").saveAsTable(ct))
+         .sortBy("c_custkey").option("path", f"{base}/{ct}").saveAsTable(ct))
     (orders.write.mode("overwrite").bucketBy(n_buckets, "o_custkey")
-           .sortBy("o_custkey").saveAsTable(ot))
+           .sortBy("o_custkey").option("path", f"{base}/{ot}").saveAsTable(ot))
     c, o = spark.table(ct), spark.table(ot)
     # the merge hint keeps the broadcast strategy from hiding the bucketed
     # shape on small test tables; with both sides bucketed+sorted on the
