@@ -4358,3 +4358,99 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
     )
+
+
+@register("events_funnel_conversion", """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+step1 AS (SELECT DISTINCT user_id FROM v),
+step2 AS (
+  SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+  WHERE c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+),
+step3 AS (
+  SELECT DISTINCT vc.user_id FROM (
+    SELECT v.user_id, v.ts AS vts, c.ts AS cts FROM v
+    JOIN c ON c.user_id = v.user_id AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+  ) vc
+  JOIN p ON p.user_id = vc.user_id
+  WHERE p.ts > vc.cts AND p.ts <= vc.cts + INTERVAL 2 HOUR
+)
+SELECT 'view' AS step, CAST((SELECT count(*) FROM step1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 'view>click', CAST((SELECT count(*) FROM step2) AS BIGINT)
+UNION ALL
+SELECT 'view>click>purchase', CAST((SELECT count(*) FROM step3) AS BIGINT)
+""")
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click within 2h -> purchase within 2h of
+    that click): users surviving each step. The step joins are per-user
+    range joins — each stage shuffles on user_id once and the time bound
+    keeps the per-user pair fan-out to the window, the scale shape for
+    funnel analytics over an event stream."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = ev.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("vts"))
+    c = ev.where(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
+    two_h = F.expr("INTERVAL 2 HOURS")
+    s1 = v.select("user_id").distinct()
+    vc = v.join(c, "user_id").where(
+        (F.col("cts") > F.col("vts")) & (F.col("cts") <= F.col("vts") + two_h)
+    )
+    s2 = vc.select("user_id").distinct()
+    s3 = (
+        vc.join(p, "user_id")
+        .where((F.col("pts") > F.col("cts")) & (F.col("pts") <= F.col("cts") + two_h))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("step"), "n_users")
+        .unionByName(s2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view>click").alias("step"), "n_users"))
+        .unionByName(s3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view>click>purchase").alias("step"), "n_users"))
+    )
+
+
+@register("events_retention_cohorts", """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS BIGINT) AS week_n
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_n, CAST(count(*) AS BIGINT) AS active_users
+FROM activity GROUP BY cohort_week, week_n
+""")
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-activity week, counted
+    as active in each subsequent week. The cohort table (one row per
+    user) broadcasts back onto the event stream, so the whole report is
+    one events shuffle + one distinct — the standard product-analytics
+    retention matrix."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    (
+                        F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                        - F.unix_timestamp(F.col("cohort_week"))
+                    )
+                    / (7 * 86400)
+                ).cast("bigint")
+            ).alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active_users")
+    )
