@@ -150,6 +150,9 @@ _CHECK_FIRST = [
     "orc_export_roundtrip",
     "corpus_global_shuffle",
     "bucketed_join_orders_customer",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "streaming_foreachbatch_merge",
 ]
 
 
@@ -4454,3 +4457,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_n").agg(
         F.count(F.lit(1)).cast("bigint").alias("active_users")
     )
+
+
+@register("streaming_foreachbatch_merge", """
+SELECT user_id, arg_max(value, event_id) AS last_value
+FROM events GROUP BY user_id
+""")
+def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the import engine: each micro-batch folds
+    into a parquet-backed target through foreachBatch + the full batch
+    merge (ImportJob with order_col last-wins dedup and the atomic
+    temp+swap commit). The returned frame re-reads the committed target
+    from disk, so a hash match verifies the streaming fold AND the sink
+    swap; the oracle is the per-user last-event state the folds must
+    converge to."""
+    import os
+    import tempfile
+
+    from .plans import ImportJob, TargetTable
+    from .sources import TableSource
+    from .streaming import stream_events, streaming_merge_into
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("last_value", T.DoubleType(), True),
+    ])
+    base = tempfile.mkdtemp(prefix="fbm_")
+    target = TargetTable(
+        schema=schema, path=os.path.join(base, "tbl"), primary_keys=("user_id",)
+    )
+
+    class _LastValueMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.user_id = Field("user_id")
+            self.last_value = Field("value")
+
+        def get_key_column_name(self):
+            return "user_id"
+
+    def make_job(sess, batch_df):
+        src_df = batch_df.select("user_id", "value", "event_id")
+        return ImportJob(
+            sess, target, sources=[TableSource(src_df, _LastValueMapping(), order_col="event_id")]
+        )
+
+    ev = stream_events(spark, sf_dir)
+    q = streaming_merge_into(ev, make_job, os.path.join(base, "ck")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return target.read(spark).select("user_id", "last_value")
