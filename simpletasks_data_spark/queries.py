@@ -153,6 +153,8 @@ _CHECK_FIRST = [
     "events_funnel_conversion",
     "events_retention_cohorts",
     "streaming_foreachbatch_merge",
+    "q9_product_profit",
+    "q21_sole_late_supplier",
 ]
 
 
@@ -4561,3 +4563,99 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return target.read(spark).select("user_id", "last_value")
+
+
+@register("q9_product_profit", """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity), 4) AS profit
+FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%green%'
+GROUP BY n_name, year(o_orderdate)
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 adapted to this schema (no partsupp table, so supply cost
+    is proxied at 60% of retail price): profit by supplier nation and
+    order year over parts matching a name fragment. The fact-side join
+    chain shuffles once on orderkey; part/supplier/nation broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%green%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+    )
+
+
+@register("q21_sole_late_supplier", """
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+),
+multi AS (
+  SELECT l_orderkey FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) t
+  GROUP BY l_orderkey HAVING count(*) >= 2
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late
+JOIN multi USING (l_orderkey)
+JOIN supplier ON s_suppkey = late.l_suppkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM late l2
+  WHERE l2.l_orderkey = late.l_orderkey AND l2.l_suppkey <> late.l_suppkey
+)
+GROUP BY s_name
+""")
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 adapted (late = shipped >60 days after the order date, no
+    receipt/commit columns in this schema): suppliers who were the ONLY
+    late supplier on a multi-supplier order. Exercises the semi + anti
+    join pair on the same derived relation — the late set is computed
+    once, checkpointed, and probed from both sides."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    multi = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_ns"))
+        .where(F.col("_ns") >= 2)
+        .select("l_orderkey")
+    )
+    others = late.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    sole = late.join(multi, "l_orderkey", "semi").join(
+        others,
+        (late.l_orderkey == others._ok) & (late.l_suppkey != others._sk),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
