@@ -155,6 +155,7 @@ _CHECK_FIRST = [
     "streaming_foreachbatch_merge",
     "q9_product_profit",
     "q21_sole_late_supplier",
+    "ann_recall_report",
 ]
 
 
@@ -4658,4 +4659,66 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@register("ann_recall_report", f"""
+WITH {SQL_EMB_NORM},
+bfp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+    FROM bfp
+  ) WHERE rank <= 5
+),
+cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
+ivfp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+    FROM ivfp
+  ) WHERE rank <= 5
+)
+SELECT bf.query_id,
+       CAST(count(ivf.neighbor_id) AS BIGINT) AS n_found,
+       round(count(ivf.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+GROUP BY bf.query_id
+""")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of the sign-bit IVF index against
+    the exact brute-force ground truth, per query. This is the report a
+    pipeline runs before trusting an approximate index at scale — the
+    dial (bits, multiprobe) is tuned until this column clears the target.
+    Both result sets come from the existing operators; the join compares
+    neighbor SETS, so it is rank-tie-proof."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    bf = SIM.knn_bruteforce(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    ivf = SIM.knn_ivf_signbits(emb, queries_df, k=5, bits=6).select(
+        "query_id", F.col("neighbor_id").alias("_nb")
+    )
+    return (
+        bf.join(
+            ivf,
+            (bf.query_id == ivf.query_id) & (bf.neighbor_id == ivf._nb),
+            "left",
+        )
+        .groupBy(bf.query_id)
+        .agg(
+            F.count("_nb").cast("bigint").alias("n_found"),
+            F.round(F.count("_nb") / 5.0, 4).alias("recall_at_5"),
+        )
     )
