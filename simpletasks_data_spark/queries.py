@@ -1610,74 +1610,6 @@ WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
 """
 
 
-def _verified_pairs_of(spark: SparkSession, corpus: DataFrame) -> DataFrame:
-    """LSH candidates -> exact Jaccard verification >= 0.6 over a corpus
-    frame: candidates bound the pair space (never n²), and the whole
-    pipeline runs off ONE materialization of the hashed shingle rows —
-    the signature min-agg and the verify collect_set both consume it, so
-    normalize/explode/md5 happen once (at 100 TB: a persisted bucketed
-    table).
-
-    Checkpoint discipline: ONLY the hashed rows and the candidate pairs
-    materialize. The signature agg and the per-doc hash sets are cheap
-    re-aggregations of the checkpointed rows, so their multiple consumers
-    recompute them INSIDE their own jobs instead of paying a blocking
-    barrier each — on a 32-core local run each barrier costs more wall
-    clock than the recompute it saves (and on a cluster the same holds:
-    scheduling a stage is dearer than re-reducing a cached frame)."""
-    hrows = DD.hashed_shingle_rows(corpus, "id", "text", n=5).localCheckpoint(eager=True)
-    sig = DD.minhash_signatures_from_hashes(hrows, "id", num_hashes=16)
-    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
-    # The repartition matters: AQE coalesces the small candidate shuffle
-    # to ONE partition, which would run the (CPU-heavy) per-pair intersect
-    # verify single-threaded — spread the pairs back across the cluster
-    # before the map work.
-    cand = cand.repartition(
-        spark.sparkContext.defaultParallelism, "id_a", "id_b"
-    ).localCheckpoint(eager=True)
-    # Verify touches ONLY candidate docs: the candidate id set is bounded
-    # by the pair count, so it broadcasts into a semi join over the hashed
-    # rows. Per-doc distinct hash SETS are collect_set arrays (long[], no
-    # re-shingling, no interpreted array_distinct over strings);
-    # verification is a per-pair ``array_intersect`` on longs — map-only
-    # over the pair frame.
-    ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    sets = (
-        hrows.join(F.broadcast(ids), "_id", "semi")
-        .groupBy("_id")
-        .agg(F.collect_set("_h").alias("shs"))
-    )
-    a = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
-    b = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
-    # Materialize the intersect size in its OWN projection: jaccard (and
-    # the pushed-down threshold filter) reference it multiple times, and
-    # an inlined array_intersect would be re-evaluated per reference —
-    # multi-referenced non-cheap aliases block CollapseProject, so one
-    # eval survives optimization.
-    paired = (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("shs_a", "shs_b")).alias("_i"),
-            F.size("shs_a").alias("_sa"),
-            F.size("shs_b").alias("_sb"),
-        )
-    )
-    jac = F.round(
-        F.col("_i").cast("double") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
-    )
-    return (
-        paired.select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.6)
-    )
-
-
 def _verify_candidates(
     spark: SparkSession, hrows: DataFrame, cand: DataFrame
 ) -> DataFrame:
@@ -1815,10 +1747,9 @@ def dedup_clusters_bigstar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log² n) independent of graph diameter, the variant for adversarial
     chain-shaped dup graphs. Output (and oracle) identical to
     ``dedup_clusters``; only the propagation harness differs."""
-    from .operators.graph import connected_components_bigstar, dedup_clusters
+    from .operators.graph import dedup_clusters
 
-    corpus = _corpus(spark, sf_dir)
-    ver = _verified_pairs_of(spark, corpus).select("id_a", "id_b")
+    ver = _verified_pairs(spark, sf_dir).select("id_a", "id_b")
     return dedup_clusters(ver, algorithm="bigstar")
 
 
