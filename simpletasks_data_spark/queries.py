@@ -156,6 +156,7 @@ _CHECK_FIRST = [
     "q9_product_profit",
     "q21_sole_late_supplier",
     "ann_recall_report",
+    "merge_history_two_runs",
 ]
 
 
@@ -4653,3 +4654,89 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_nb") / 5.0, 4).alias("recall_at_5"),
         )
     )
+
+
+@register("merge_history_two_runs", """
+WITH src AS (
+  SELECT o_custkey AS key, round(sum(o_totalprice), 4) AS total FROM orders GROUP BY o_custkey
+),
+src2 AS (
+  SELECT o_custkey AS key, max(o_totalprice) AS maxp FROM orders GROUP BY o_custkey
+),
+h1 AS (
+  SELECT c.c_custkey AS model_id, c.c_acctbal AS old_c_acctbal,
+         s.total AS new_c_acctbal, TIMESTAMP '2026-01-01' AS date
+  FROM customer c JOIN src s ON s.key = c.c_custkey
+  WHERE s.total IS DISTINCT FROM c.c_acctbal
+),
+state1 AS (
+  SELECT c.c_custkey,
+         CASE WHEN s.key IS NOT NULL THEN s.total ELSE c.c_acctbal END AS bal
+  FROM customer c LEFT JOIN src s ON s.key = c.c_custkey
+),
+h2 AS (
+  SELECT st.c_custkey AS model_id, st.bal AS old_c_acctbal,
+         s2.maxp AS new_c_acctbal, TIMESTAMP '2026-02-01' AS date
+  FROM state1 st JOIN src2 s2 ON s2.key = st.c_custkey
+  WHERE s2.maxp IS DISTINCT FROM st.bal
+)
+SELECT * FROM h1 UNION ALL SELECT * FROM h2
+""")
+def merge_history_two_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-sink ACCUMULATION across runs (the task.py append path
+    merge_history_cdc's single dry-run never reaches): two committed
+    ImportJobs against the same parquet target, each appending its CDC
+    rows to a parquet history sink via read-union-swap. The second run's
+    old values are the FIRST run's committed state, so a hash match pins
+    the target commit, the history append, and their interaction."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hist2_")
+    cust = load(spark, sf_dir, "customer")
+    target = TargetTable(schema=cust.schema, path=os.path.join(base, "tbl"),
+                         primary_keys=("c_custkey",))
+    target.overwrite(cust)
+    hist_schema = T.StructType([
+        T.StructField("model_id", T.LongType(), True),
+        T.StructField("old_c_acctbal", T.DoubleType(), True),
+        T.StructField("new_c_acctbal", T.DoubleType(), True),
+        T.StructField("date", T.TimestampType(), True),
+    ])
+    hsink = TargetTable(schema=hist_schema, path=os.path.join(base, "hist"),
+                        primary_keys=("model_id",))
+    orders = load(spark, sf_dir, "orders")
+
+    def bal_mapping(src_col):
+        class _M(Mapping):
+            def __init__(self):
+                super().__init__()
+                self.c_custkey = Field("key")
+                self.c_acctbal = Field(src_col, keep_history=True)
+
+            def get_key_column_name(self):
+                return "c_custkey"
+
+        return _M()
+
+    def run(src_df, src_col, when):
+        spec = HistorySpec(tracked_columns=["c_acctbal"], key_column="c_custkey",
+                           fixed_date=when)
+        ImportJob(
+            spark, target,
+            sources=[TableSource(src_df, bal_mapping(src_col), mode=ImportMode.UPDATE)],
+            keep_history=True, history_spec=spec, history_sink=hsink, dryrun=False,
+        ).run()
+
+    run(
+        orders.groupBy(F.col("o_custkey").alias("key")).agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total")),
+        "total", _dt.datetime(2026, 1, 1),
+    )
+    run(
+        orders.groupBy(F.col("o_custkey").alias("key")).agg(
+            F.max("o_totalprice").alias("maxp")),
+        "maxp", _dt.datetime(2026, 2, 1),
+    )
+    return hsink.read(spark)
