@@ -123,3 +123,20 @@ def test_global_shuffle_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in tree, (
         f"global shuffle funnels through one partition:\n{tree}"
     )
+
+
+def test_signature_store_reused_across_dedup_family(spark):
+    # the store materializes once per (session, sf_dir); the whole fuzzy
+    # dedup family must consume the SAME checkpointed frames, and a warm
+    # store must not change results
+    from simpletasks_data_spark.queries import _SIGNATURE_STORE, _signature_store
+
+    _SIGNATURE_STORE.clear()
+    h1, s1 = _signature_store(spark, SF)
+    h2, s2 = _signature_store(spark, SF)
+    assert h1 is h2 and s1 is s2, "second lookup rebuilt the store"
+
+    cold = {(r.id_a, r.id_b) for r in Q.queries()["dedup_minhash"](spark, SF).collect()}
+    warm = {(r.id_a, r.id_b) for r in Q.queries()["dedup_minhash"](spark, SF).collect()}
+    assert cold == warm
+    assert len(_SIGNATURE_STORE) == 1
