@@ -157,6 +157,8 @@ _CHECK_FIRST = [
     "q21_sole_late_supplier",
     "ann_recall_report",
     "merge_history_two_runs",
+    "events_anomaly_zscore",
+    "dedup_rate_by_source",
 ]
 
 
@@ -4740,3 +4742,96 @@ def merge_history_two_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxp", _dt.datetime(2026, 2, 1),
     )
     return hsink.read(spark)
+
+
+@register("events_anomaly_zscore", """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT hour, event_type, n,
+         avg(n)        OVER w AS mu,
+         stddev_pop(n) OVER w AS sigma,
+         count(*)      OVER w AS n_window
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n_window >= 12 AND sigma > 0
+            THEN round((n - mu) / sigma, 4) END AS zscore,
+       coalesce(n_window >= 12 AND sigma > 0 AND abs((n - mu) / sigma) > 3.0,
+                false) AS is_anomaly
+FROM stats
+""")
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the aggregated series: each
+    (hour, event_type) count scored against the trailing 24 hours' mean
+    and population stddev — a window OVER an aggregate, the monitoring
+    shape for ingest pipelines. Warm-up hours (<12 trailing points) and
+    zero-variance windows emit NULL scores rather than fake zeros."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    mu, sigma, nw = F.avg("n").over(w), F.stddev_pop("n").over(w), F.count(F.lit(1)).over(w)
+    z = (F.col("n") - mu) / sigma
+    ok = (nw >= 12) & (sigma > 0)
+    return hourly.select(
+        "hour",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        F.coalesce(ok & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register("dedup_rate_by_source", f"""
+WITH clusters AS ({_DEDUP_CLUSTERS_SQL.strip()}),
+{SQL_CORPUS.strip().lstrip()},
+src AS (
+  SELECT id, CASE WHEN id >= 200000 THEN 'near_layer'
+                  WHEN id >= 100000 THEN 'exact_layer'
+                  ELSE 'base' END AS layer
+  FROM corpus
+)
+SELECT layer,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE c.doc_id IS NOT NULL AND NOT c.is_canonical) AS BIGINT) AS n_removed,
+       round(CAST(count(*) FILTER (WHERE c.doc_id IS NOT NULL AND NOT c.is_canonical) AS DOUBLE)
+             / count(*), 4) AS removal_rate
+FROM src LEFT JOIN clusters c ON c.doc_id = src.id
+GROUP BY layer
+""")
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation report: how much of each corpus layer the fuzzy-dedup cut
+    removes (non-canonical cluster members / docs). The derived layers of
+    the synthetic corpus stand in for real source labels; the join
+    against the (tiny) cluster frame broadcasts."""
+    corpus = _corpus(spark, sf_dir)
+    clusters = queries()["dedup_clusters"](spark, sf_dir)
+    layer = (
+        F.when(F.col("id") >= 200000, F.lit("near_layer"))
+        .when(F.col("id") >= 100000, F.lit("exact_layer"))
+        .otherwise(F.lit("base"))
+    )
+    removed = clusters.where(~F.col("is_canonical")).select(
+        F.col("doc_id").alias("id"), F.lit(True).alias("_rm")
+    )
+    return (
+        corpus.select("id", layer.alias("layer"))
+        .join(F.broadcast(removed), "id", "left")
+        .groupBy("layer")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("_rm").cast("bigint").alias("n_removed"),
+            F.round(F.count("_rm").cast("double") / F.count(F.lit(1)), 4).alias(
+                "removal_rate"
+            ),
+        )
+    )
