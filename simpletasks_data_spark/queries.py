@@ -587,6 +587,33 @@ def _signature_store(spark: SparkSession, sf_dir: str):
     return hrows, sig
 
 
+_HSET_STORE: Dict[tuple, tuple] = {}
+
+
+def _hset_store(spark: SparkSession, sf_dir: str):
+    """Second store layer shared by the VERIFIED dedup family: (hsets, mm)
+    where hsets = one row per doc with its distinct shingle-hash SET
+    (``_id``, ``shs``) and mm = the doc -> content-key map (``_id``,
+    ``_ck``). Both are single aggregations over the store's hashed rows,
+    materialized once per (session, sf_dir): every verified consumer
+    (verified pairs, clustering, retained-corpus cut, removal-rate report)
+    otherwise re-runs the same 5M-row groupBy per query. Production keeps
+    exactly these two tables persisted next to the signature index."""
+    key = (id(spark.sparkContext), sf_dir)
+    ent = _HSET_STORE.get(key)
+    if ent is not None:
+        return ent
+    hrows, _ = _signature_store(spark, sf_dir)
+    hsets = (
+        hrows.groupBy("_id")
+        .agg(F.collect_set("_h").alias("shs"))
+        .localCheckpoint(eager=True)
+    )
+    mm = hrows.select("_id", "_ck").distinct().localCheckpoint(eager=True)
+    _HSET_STORE[key] = (hsets, mm)
+    return hsets, mm
+
+
 @register("dedup_exact", f"""
 WITH {SQL_CORPUS}
 SELECT md5({SQL_NORM.format(c='text')}) AS content_hash,
@@ -626,7 +653,19 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6)
 
 
-def _minhash_sql() -> str:
+# Estimate-then-verify pruning threshold for the verified MinHash family:
+# candidate pairs must agree on >= this many of the 16 signature positions
+# (estimated Jaccard >= 0.5, strictly below the 0.6 verify threshold) before
+# the exact shingle-set verification runs. See
+# operators/dedupe.py::minhash_pairs_from_signatures for the recall argument.
+MIN_SIG_AGREE = 8
+
+
+def _minhash_ctes() -> str:
+    """Shared oracle CTE chain for the MinHash family: corpus -> normalized
+    text -> shingles (sh) -> mod-P shingle hashes (hx) -> signatures (sig,
+    one h{i} column per hash) -> band buckets -> band-collision candidate
+    pairs (cand)."""
     P = DD.MERSENNE_P
     mins = ",\n       ".join(
         f"min(({a} * x + {b}) % {P}) AS h{i}"
@@ -639,17 +678,21 @@ def _minhash_sql() -> str:
             f"SELECT _id, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM sig"
         )
     band_sql = "\nUNION ALL\n".join(bands)
-    return f"""
-WITH {SQL_CORPUS},
+    return f"""{SQL_CORPUS},
 n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
 sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
 hx AS (SELECT _id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {P} AS x FROM sh),
 sig AS (SELECT _id, {mins} FROM hx GROUP BY _id),
-buckets AS ({band_sql})
-SELECT DISTINCT a._id AS id_a, b._id AS id_b
-FROM buckets a JOIN buckets b
-  ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
-"""
+buckets AS ({band_sql}),
+cand AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT id_a, id_b FROM cand"
 
 
 @register("dedup_minhash", _minhash_sql())
@@ -1582,26 +1625,31 @@ def merge_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_verified_sql() -> str:
-    # candidates from the LSH band join, verified with exact Jaccard over
-    # the HASHED shingle sets — the production-shape fuzzy-dedup pipeline
-    # (LSH prunes n² -> candidates, Jaccard confirms). Jaccard is computed
-    # on the 60-bit md5 shingle hashes rather than the shingle strings:
-    # both engines hash identically, so parity is exact, and the verify
-    # join compares longs instead of 5-char strings (the hash space is
-    # 2^60 — a collision folding two distinct shingles is ~never, and
-    # affects both engines the same way when it does).
-    cand = _minhash_sql().strip()
+    # candidates from the LSH band join, pruned by signature agreement
+    # (estimated Jaccard — MIN_SIG_AGREE of 16 positions), then verified
+    # with exact Jaccard over the HASHED shingle sets — the
+    # production-shape fuzzy-dedup pipeline (LSH prunes n² -> candidates,
+    # the signature estimate prunes band-collision false positives, exact
+    # Jaccard confirms). Jaccard is computed on the 60-bit md5 shingle
+    # hashes rather than the shingle strings: both engines hash
+    # identically, so parity is exact, and the verify join compares longs
+    # instead of 5-char strings (the hash space is 2^60 — a collision
+    # folding two distinct shingles is ~never, and affects both engines
+    # the same way when it does).
+    agree = " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(16))
     return f"""
-WITH cand AS ({cand}),
-{SQL_CORPUS.strip().lstrip()},
-n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
-sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+WITH {_minhash_ctes()},
+filt AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN sig a ON a._id = cand.id_a JOIN sig b ON b._id = cand.id_b
+  WHERE ({agree}) >= {MIN_SIG_AGREE}
+),
 hs AS (SELECT DISTINCT _id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS x FROM sh),
 sizes AS (SELECT _id, count(*) AS sz FROM hs GROUP BY _id),
 inter AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
   FROM hs a JOIN hs b ON a.x = b.x AND a._id < b._id
-  JOIN cand ON cand.id_a = a._id AND cand.id_b = b._id
+  JOIN filt ON filt.id_a = a._id AND filt.id_b = b._id
   GROUP BY 1, 2
 )
 SELECT inter.id_a, inter.id_b,
@@ -1614,21 +1662,18 @@ WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.6
 
 
 def _verify_candidates(
-    spark: SparkSession, hrows: DataFrame, cand: DataFrame
+    spark: SparkSession, hsets: DataFrame, cand: DataFrame
 ) -> DataFrame:
-    """Exact-Jaccard verification of candidate pairs against the hashed
-    shingle rows: per-doc hash sets broadcast onto the (checkpointed)
-    pair frame, array_intersect on longs, threshold 0.6."""
+    """Exact-Jaccard verification of candidate pairs against the
+    store's per-doc shingle-hash sets: the (tiny) candidate id set
+    semi-prunes the set frame, the surviving sets broadcast onto the
+    (checkpointed) pair frame, array_intersect on longs, threshold 0.6."""
     ids = (
         cand.select(F.col("id_a").alias("_id"))
         .unionByName(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    sets = (
-        hrows.join(F.broadcast(ids), "_id", "semi")
-        .groupBy("_id")
-        .agg(F.collect_set("_h").alias("shs"))
-    )
+    sets = hsets.join(F.broadcast(ids), "_id", "semi")
     a = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
     paired = (
@@ -1652,14 +1697,17 @@ def _verify_candidates(
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Store-backed form: signatures and hashed rows come from the shared
-    session signature store instead of a per-query rebuild."""
-    hrows, sig = _signature_store(spark, sf_dir)
-    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
+    """Store-backed form: signatures and per-doc shingle-hash sets come
+    from the shared session stores instead of a per-query rebuild."""
+    _, sig = _signature_store(spark, sf_dir)
+    hsets, _ = _hset_store(spark, sf_dir)
+    cand = DD.minhash_pairs_from_signatures(
+        sig, "id", num_hashes=16, bands=4, min_sig_agree=MIN_SIG_AGREE
+    )
     cand = cand.repartition(
         spark.sparkContext.defaultParallelism, "id_a", "id_b"
     ).localCheckpoint(eager=True)
-    return _verify_candidates(spark, hrows.select("_id", "_h"), cand)
+    return _verify_candidates(spark, hsets, cand)
 
 
 @register("dedup_minhash_verified", _minhash_verified_sql())
@@ -1723,18 +1771,20 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures, buckets, and jaccards) — the oracle is unchanged. At
     # crawl-corpus dup rates (30-50% exact dups) the contraction removes
     # that fraction of the candidate join's input.
-    hrows, sig = _signature_store(spark, sf_dir)
-    mm = hrows.select("_id", "_ck").distinct()
+    _, sig = _signature_store(spark, sf_dir)
+    hsets, mm = _hset_store(spark, sf_dir)
     groups = mm.groupBy("_ck").agg(
         F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_n")
     )
     reps = groups.select(F.col("_rep").alias("id"))
     rep_sig = sig.join(F.broadcast(reps), "id", "semi")
-    cand = DD.minhash_pairs_from_signatures(rep_sig, "id", num_hashes=16, bands=4)
+    cand = DD.minhash_pairs_from_signatures(
+        rep_sig, "id", num_hashes=16, bands=4, min_sig_agree=MIN_SIG_AGREE
+    )
     cand = cand.repartition(
         spark.sparkContext.defaultParallelism, "id_a", "id_b"
     ).localCheckpoint(eager=True)
-    ver = _verify_candidates(spark, hrows.select("_id", "_h"), cand).select("id_a", "id_b")
+    ver = _verify_candidates(spark, hsets, cand).select("id_a", "id_b")
     star_edges = (
         mm.join(groups, "_ck")
         .where((F.col("_n") >= 2) & (F.col("_id") != F.col("_rep")))
