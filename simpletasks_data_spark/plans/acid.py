@@ -1,0 +1,289 @@
+"""ACID table backend: a transaction-log over plain parquet.
+
+The reference commits each import in ONE database transaction
+(``/root/reference/simpletasks_data/importtask.py:370``); the default
+parquet backend here reproduces that with a directory swap
+(``plans/target.py``), which is atomic for one writer but gives no
+isolation story for CONCURRENT writers and no history of committed states.
+This module closes that gap with the design the open table formats
+(Delta Lake's ``_delta_log``, Iceberg's snapshot metadata) made standard —
+re-implemented minimally because those jars are not in this environment:
+
+- **Layout**: immutable data files under ``<path>/data/<commit-uuid>/``,
+  plus an append-only log ``<path>/_txn_log/<version 10 digits>.json``.
+  A table's state at version V is the replay of add/remove actions of all
+  commits <= V. Data files are NEVER mutated or deleted by a commit —
+  ``remove`` is a logical tombstone, which is what makes time travel and
+  snapshot isolation free.
+- **Atomic commit**: a commit is the creation of the next log file with
+  ``open(..., "x")`` (O_EXCL) — exactly one writer can create version
+  V+1; everyone else gets ``FileExistsError``. On object stores this
+  maps to a put-if-absent on the log key (how Delta commits on S3/ABFS).
+  The log record is fully written to a temp file first and atomically
+  renamed into a staging name before the O_EXCL link, so a reader can
+  never observe a torn JSON.
+- **Snapshot isolation**: readers resolve the latest version ONCE and
+  read only files added by commits <= that version. A concurrent
+  writer's data files are invisible until its log record lands, and a
+  remove tombstone never deletes bytes a running reader may still scan.
+- **Optimistic concurrency**: writers stage data files, then try to
+  commit at (snapshot version + 1), retrying on collision. Blind
+  ``append`` commutes with anything and auto-retries. ``overwrite`` /
+  read-modify-write ops declare the snapshot version they READ; if
+  someone else committed since, the writer raises ``CommitConflict``
+  instead of silently clobbering (the caller re-runs on the new
+  snapshot) — the same rule Delta applies to non-serializable conflicts.
+- **Log checkpoints**: every ``checkpoint_every`` commits the full
+  file-list state is written to ``<version>.checkpoint.json``; readers
+  start from the newest checkpoint and replay only the tail. At 100 TB
+  a table accrues millions of commits — O(1) state resolution instead
+  of O(commits) is what keeps planning time flat (Delta checkpoints its
+  log identically, as parquet).
+
+Scale notes (100 TB): the log holds file-level metadata only (path +
+row count), a few hundred bytes per commit — state resolution never
+touches data. Reads hand Spark an explicit file list, so partition
+pruning/pushdown work unchanged. Commit contention is one tiny
+put-if-absent per writer per transaction, independent of data volume;
+high-frequency writers serialize on it for append workloads exactly as
+they do on Delta's log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .target import TargetTable
+
+__all__ = ["TxnTable", "TxnTargetTable", "CommitConflict"]
+
+_LOG_DIR = "_txn_log"
+_PAD = 10
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed a version this transaction's read
+    snapshot did not include, and the operation does not commute."""
+
+
+def _vname(v: int) -> str:
+    return f"{v:0{_PAD}d}.json"
+
+
+def _ckname(v: int) -> str:
+    return f"{v:0{_PAD}d}.checkpoint.json"
+
+
+class TxnTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: Optional[T.StructType] = None,
+        checkpoint_every: int = 10,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        self.checkpoint_every = checkpoint_every
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- log plumbing -------------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, _LOG_DIR)
+
+    def latest_version(self) -> int:
+        """Highest committed version, -1 for an empty table."""
+        vs = [
+            int(n[:_PAD])
+            for n in os.listdir(self._log_dir())
+            if n.endswith(".json") and not n.endswith(".checkpoint.json")
+        ]
+        return max(vs, default=-1)
+
+    def _read_commit(self, v: int) -> dict:
+        with open(os.path.join(self._log_dir(), _vname(v))) as f:
+            return json.load(f)
+
+    def _files_at(self, version: int) -> Dict[str, dict]:
+        """Replay the log up to ``version``: {relative path: add-action}.
+        Starts from the newest checkpoint <= version (O(tail), not
+        O(commits))."""
+        ck_versions = [
+            int(n[:_PAD])
+            for n in os.listdir(self._log_dir())
+            if n.endswith(".checkpoint.json") and int(n[:_PAD]) <= version
+        ]
+        state: Dict[str, dict] = {}
+        start = 0
+        if ck_versions:
+            ck = max(ck_versions)
+            with open(os.path.join(self._log_dir(), _ckname(ck))) as f:
+                state = {a["path"]: a for a in json.load(f)["files"]}
+            start = ck + 1
+        for v in range(start, version + 1):
+            rec = self._read_commit(v)
+            for action in rec["actions"]:
+                if "add" in action:
+                    state[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    state.pop(action["remove"], None)
+        return state
+
+    def _try_commit(self, version: int, record: dict) -> bool:
+        """Atomically create log file ``version``; False if taken. The
+        record is staged to a temp name and hard-linked into place so the
+        O_EXCL winner's file is complete the instant it is visible."""
+        final = os.path.join(self._log_dir(), _vname(version))
+        tmp = os.path.join(self._log_dir(), f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # atomic create-exclusive (EEXIST if taken)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % self.checkpoint_every != 0 or version == 0:
+            return
+        files = list(self._files_at(version).values())
+        tmp = os.path.join(self._log_dir(), f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": files}, f)
+        os.replace(tmp, os.path.join(self._log_dir(), _ckname(version)))
+
+    # -- write path ---------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> List[dict]:
+        """Write the frame's data files under a fresh commit directory and
+        return their add-actions. Staged files are invisible until a log
+        record references them."""
+        cid = uuid.uuid4().hex[:12]
+        reldir = os.path.join("data", cid)
+        absdir = os.path.join(self.path, reldir)
+        df.write.mode("overwrite").parquet(absdir)
+        adds = []
+        for name in sorted(os.listdir(absdir)):
+            if name.startswith(("_", ".")):
+                continue
+            adds.append({"add": {"path": os.path.join(reldir, name)}})
+        if self.schema is None:
+            self.schema = df.schema
+        return adds
+
+    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+        """Blind append: stage files, commit at the next free version.
+        Commutes with every other operation, so collisions just retry the
+        (tiny) log write — the staged data is never re-written."""
+        adds = self._stage(df)
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            rec = {"version": v, "op": "append", "ts": time.time(), "actions": adds}
+            if self._try_commit(v, rec):
+                self._maybe_checkpoint(v)
+                return v
+        raise CommitConflict(f"append lost the commit race {max_retries} times")
+
+    def overwrite(self, df: DataFrame, read_version: Optional[int] = None) -> int:
+        """Replace the table contents. ``read_version`` is the snapshot the
+        new contents were derived from (None = whatever is current now);
+        if anyone committed past it, raise ``CommitConflict`` — a
+        read-modify-write result must not clobber state it never saw."""
+        if read_version is None:
+            read_version = self.latest_version()
+        adds = self._stage(df)
+        removes = [{"remove": p} for p in self._files_at(read_version)]
+        v = read_version + 1
+        rec = {
+            "version": v,
+            "op": "overwrite",
+            "ts": time.time(),
+            "actions": removes + adds,
+        }
+        if not self._try_commit(v, rec):
+            raise CommitConflict(
+                f"snapshot v{read_version} is stale: v{v} already committed"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
+    # -- read path ----------------------------------------------------------
+
+    def read(self, version: Optional[int] = None) -> DataFrame:
+        """Snapshot read; ``version`` = time travel to that commit."""
+        latest = self.latest_version()
+        if version is None:
+            version = latest
+        if version > latest or version < -1:
+            raise ValueError(f"version {version} does not exist (latest {latest})")
+        if version == -1:
+            if self.schema is None:
+                raise ValueError("empty table with no known schema")
+            return self.spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self.path, p) for p in self._files_at(version)]
+        if not paths:
+            if self.schema is None:
+                raise ValueError("empty snapshot with no known schema")
+            return self.spark.createDataFrame([], self.schema)
+        reader = self.spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.parquet(*paths)
+
+    def history(self) -> List[dict]:
+        """Commit records, oldest first (op, ts, action counts)."""
+        out = []
+        for v in range(self.latest_version() + 1):
+            rec = self._read_commit(v)
+            out.append(
+                {
+                    "version": rec["version"],
+                    "op": rec["op"],
+                    "n_added": sum(1 for a in rec["actions"] if "add" in a),
+                    "n_removed": sum(1 for a in rec["actions"] if "remove" in a),
+                }
+            )
+        return out
+
+
+class TxnTargetTable(TargetTable):
+    """``TargetTable`` adapter over a ``TxnTable`` — drop-in ACID backend
+    for the merge engine: ``ImportJob`` reads the current snapshot and its
+    commit becomes one log transaction (the reference's single
+    ``session.commit()``, ``importtask.py:370``, with real isolation).
+    A dry-run job never calls ``overwrite``, so it commits nothing, and a
+    failed job leaves only unreferenced staged files (garbage-collectable,
+    never visible)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: T.StructType,
+        path: str,
+        primary_keys: Sequence[str] = ("id",),
+        **kwargs,
+    ) -> None:
+        super().__init__(schema=schema, path=path, primary_keys=primary_keys, **kwargs)
+        self.txn = TxnTable(spark, path, schema=schema)
+        self._read_version: Optional[int] = None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        self._read_version = self.txn.latest_version()
+        return self.txn.read(self._read_version)
+
+    def overwrite(self, df: DataFrame) -> None:
+        self.txn.overwrite(df, read_version=self._read_version)

@@ -1,0 +1,158 @@
+"""Transaction-log table backend (plans/acid.py): commit atomicity,
+snapshot isolation, optimistic concurrency, time travel, checkpoints,
+and the ImportJob integration."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simpletasks_data_spark.plans.acid import CommitConflict, TxnTable, TxnTargetTable
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="txntab_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("val")
+    )
+
+
+def test_append_and_snapshot_read(spark, tdir):
+    t = TxnTable(spark, tdir)
+    v0 = t.append(_df(spark, 0, 5))
+    v1 = t.append(_df(spark, 5, 8))
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 8
+    assert t.read(version=0).count() == 5
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(8))
+
+
+def test_overwrite_time_travel_and_history(spark, tdir):
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 5))
+    t.overwrite(_df(spark, 100, 102))
+    assert t.read().count() == 2
+    assert t.read(version=0).count() == 5  # old files tombstoned, not deleted
+    hist = t.history()
+    assert [h["op"] for h in hist] == ["append", "overwrite"]
+    assert hist[1]["n_removed"] >= 1
+    with pytest.raises(ValueError):
+        t.read(version=7)
+
+
+def test_stale_overwrite_conflicts(spark, tdir):
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 5))
+    stale = t.latest_version()
+    t.append(_df(spark, 5, 6))  # someone else commits
+    with pytest.raises(CommitConflict):
+        t.overwrite(_df(spark, 100, 101), read_version=stale)
+    # table unchanged by the failed commit
+    assert t.read().count() == 6
+
+
+def test_append_commutes_past_collisions(spark, tdir):
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 3))
+    # occupy the next log slot out from under the writer: _try_commit must
+    # refuse it, and a fresh append lands beyond it
+    nxt = os.path.join(tdir, "_txn_log", f"{1:010d}.json")
+    with open(nxt, "w") as f:
+        f.write('{"version": 1, "op": "append", "ts": 0, "actions": []}')
+    assert not t._try_commit(1, {"version": 1, "op": "x", "ts": 0, "actions": []})
+    v = t.append(_df(spark, 3, 4))
+    assert v == 2
+    assert t.read().count() == 4
+
+
+def test_reader_snapshot_is_isolated_from_later_commits(spark, tdir):
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 5))
+    snap = t.read()  # resolves the file list at v0
+    t.append(_df(spark, 5, 50))
+    t.overwrite(_df(spark, 100, 101))
+    assert snap.count() == 5  # unaffected: tombstones never delete bytes
+
+
+def test_staged_but_uncommitted_files_are_invisible(spark, tdir):
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 5))
+    t._stage(_df(spark, 1000, 2000))  # a writer that died before commit
+    assert t.read().count() == 5
+
+
+def test_checkpoint_replaces_log_prefix(spark, tdir):
+    t = TxnTable(spark, tdir, checkpoint_every=2)
+    for i in range(5):
+        t.append(_df(spark, i * 10, i * 10 + 3))
+    log = os.path.join(tdir, "_txn_log")
+    assert f"{4:010d}.checkpoint.json" in os.listdir(log)
+    # state resolution must not need commits covered by the checkpoint:
+    # delete them and the snapshot still reads every row
+    for v in range(4):
+        os.unlink(os.path.join(log, f"{v:010d}.json"))
+    t2 = TxnTable(spark, tdir, checkpoint_every=2)
+    assert t2._files_at(4) == t._files_at(4)
+    assert t2.read(version=4).count() == 15
+
+
+def test_importjob_commits_one_version_and_dryrun_none(spark, tdir):
+    from simpletasks_data_spark.mapping import Field, Mapping
+    from simpletasks_data_spark.plans.task import ImportJob
+    from simpletasks_data_spark.sources.table import TableSource
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("val", T.LongType(), True),
+        ]
+    )
+
+    class _M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = Field("id")
+            self.val = Field("val")
+
+    def make_target():
+        tt = TxnTargetTable(spark, schema=schema, path=tdir, primary_keys=("id",))
+        return tt
+
+    src_df = spark.createDataFrame([(1, 10), (2, 20)], ["id", "val"])
+    tgt = make_target()
+    job = ImportJob(spark, tgt, sources=[TableSource(src_df, _M())])
+    job.run()
+    assert tgt.txn.latest_version() == 0
+    assert sorted(r["id"] for r in tgt.txn.read().collect()) == [1, 2]
+
+    # second run: update one row, create one — exactly one more version
+    src2 = spark.createDataFrame([(2, 99), (3, 30)], ["id", "val"])
+    tgt2 = make_target()
+    job2 = ImportJob(spark, tgt2, sources=[TableSource(src2, _M())])
+    res = job2.run()
+    assert tgt2.txn.latest_version() == 1
+    got = {r["id"]: r["val"] for r in tgt2.txn.read().collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+    # time travel still shows the first import's state
+    got0 = {r["id"]: r["val"] for r in tgt2.txn.read(version=0).collect()}
+    assert got0 == {1: 10, 2: 20}
+
+    # dry-run: full plan, no commit
+    tgt3 = make_target()
+    job3 = ImportJob(
+        spark,
+        tgt3,
+        sources=[TableSource(spark.createDataFrame([(9, 90)], ["id", "val"]), _M())],
+        dryrun=True,
+    )
+    job3.run()
+    assert tgt3.txn.latest_version() == 1
