@@ -76,6 +76,84 @@ def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def passage_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 10
+) -> DataFrame:
+    """One row per non-overlapping ``seg_tokens``-token passage:
+    (_id, seg_idx, seg_hash, seg_len). The passage granularity of
+    training-data dedup (between doc-level exact dedup and suffix-array
+    substring dedup): cheap enough to be map-only, fine enough to catch
+    boilerplate blocks repeated across otherwise-distinct documents.
+    The trailing partial segment keeps its (shorter) token count."""
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    return (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_ts"), n_seg.alias("_n"))
+        .select(
+            "_id",
+            "_ts",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("seg_idx"),
+        )
+        .select(
+            "_id",
+            "seg_idx",
+            F.slice(
+                F.col("_ts"), F.col("seg_idx") * seg_tokens + 1, F.lit(seg_tokens)
+            ).alias("_seg"),
+        )
+        .select(
+            "_id",
+            "seg_idx",
+            F.md5(F.concat_ws(" ", F.col("_seg"))).alias("seg_hash"),
+            F.size("_seg").alias("seg_len"),
+        )
+    )
+
+
+def passage_dedupe(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 10
+) -> DataFrame:
+    """Cross-document passage dedup report with a first-occurrence-keeps
+    rewrite rule: a passage shared by >= 2 distinct docs survives only in
+    the doc with the smallest id; unshared passages always survive.
+    Returns per doc: (id, n_segments, n_shared_segments, shared_fraction,
+    n_tokens, n_kept_tokens).
+
+    Shape (100 TB): segmentization is map-only; ownership (min doc id +
+    distinct-doc count per hash) comes from ONE window over a single
+    seg_hash exchange — a groupBy + join-back would shuffle the (large)
+    segment frame on the same key twice. The per-hash partitions are tiny
+    (a passage rarely lives in many docs), so the window's collect_set
+    stays small; the rewrite is then a filter, so emitting the cleaned
+    corpus costs no extra pass."""
+    from pyspark.sql import Window
+
+    seg = passage_segments(df, id_col, text_col, seg_tokens)
+    w = Window.partitionBy("seg_hash")
+    joined = seg.select(
+        "_id",
+        "seg_len",
+        F.min("_id").over(w).alias("_owner"),
+        F.size(F.collect_set("_id").over(w)).alias("_docs"),
+    )
+    shared = F.col("_docs") >= 2
+    kept = ~shared | (F.col("_id") == F.col("_owner"))
+    return (
+        joined.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.count_if(shared).cast("bigint").alias("n_shared_segments"),
+            F.round(
+                F.count_if(shared).cast("double") / F.count(F.lit(1)), 4
+            ).alias("shared_fraction"),
+            F.sum("seg_len").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(kept, F.col("seg_len")).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept_tokens"),
+        )
+    )
+
+
 def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # Two-stage projection: normalize once per row, THEN shingle — keeps the
     # regex chain out of the per-element lambda (see char_shingles_from_norm).

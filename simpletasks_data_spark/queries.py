@@ -124,6 +124,7 @@ _CHECK_FIRST = [
     "knn_incremental_probe",
     "boilerplate_ngram_fraction",
     "corpus_health_by_source",
+    "dedup_passages",
     # -- registered round 2, never driver-checked (riskiest first;
     #    straightforward TPC-H breadth rotates behind — it is pinned by
     #    the local parity suite every run) --
@@ -639,6 +640,41 @@ SQL_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(strlen({norm}) - 4, 1)),"
     " i -> substr({norm}, i, 5)))"
 )
+
+
+@register("dedup_passages", f"""
+WITH {SQL_CORPUS},
+tok AS (SELECT id, string_split(text, ' ') AS ts FROM corpus),
+seg0 AS (
+  SELECT id, ts,
+         unnest(generate_series(0, CAST(ceil(len(ts) / 10.0) AS INT) - 1)) AS i
+  FROM tok
+),
+seg AS (
+  SELECT id, i AS seg_idx,
+         md5(array_to_string(ts[(i*10+1):(i*10+10)], ' ')) AS h,
+         len(ts[(i*10+1):(i*10+10)]) AS seg_len
+  FROM seg0
+),
+owners AS (SELECT h, min(id) AS owner, count(DISTINCT id) AS docs FROM seg GROUP BY h)
+SELECT id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(*) FILTER (WHERE docs >= 2) AS BIGINT) AS n_shared_segments,
+       round(CAST(count(*) FILTER (WHERE docs >= 2) AS DOUBLE) / count(*), 4) AS shared_fraction,
+       CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN docs < 2 OR id = owner THEN seg_len ELSE 0 END) AS BIGINT) AS n_kept_tokens
+FROM seg JOIN owners USING (h)
+GROUP BY id
+""")
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granularity dedup (the middle rung between doc-level exact
+    dedup and suffix-array substring dedup, per the training-data dedup
+    literature): non-overlapping 10-token segments, a segment shared by
+    >= 2 docs survives only in the smallest-id doc. Reports per-doc
+    shared fraction and the token count the first-occurrence-keeps
+    rewrite would retain. Two shuffles on a compact hash key — map-only
+    otherwise (operators/dedupe.py::passage_dedupe)."""
+    return DD.passage_dedupe(_corpus(spark, sf_dir), "id", "text", seg_tokens=10)
 
 
 @register("dedup_ngram_jaccard", f"""

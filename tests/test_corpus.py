@@ -102,3 +102,22 @@ def test_balance_mixture_exact_quotas(spark):
     got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     # scale = min(60/.5, 30/.3, 10/.2) = 50 -> quotas en=25, fr=15, de=10
     assert got == {"en": 25, "fr": 15, "de": 10}
+
+
+def test_passage_dedupe_first_occurrence_keeps(spark):
+    from simpletasks_data_spark.operators import dedupe as DD
+
+    seg = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    uniq = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    rows = [
+        (1, f"{seg} {uniq}"),          # owns the shared segment (min id)
+        (2, f"{seg} x1 x2 x3"),        # loses it; keeps the 3-token tail
+        (3, "y1 y2"),                   # single short segment, unshared
+    ]
+    d = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in DD.passage_dedupe(d, "id", "text").collect()}
+    assert (out[1]["n_segments"], out[1]["n_shared_segments"]) == (2, 1)
+    assert out[1]["n_kept_tokens"] == 20        # owner keeps everything
+    assert (out[2]["n_segments"], out[2]["n_shared_segments"]) == (2, 1)
+    assert out[2]["n_tokens"] == 13 and out[2]["n_kept_tokens"] == 3
+    assert out[3]["shared_fraction"] == 0.0 and out[3]["n_kept_tokens"] == 2
