@@ -244,6 +244,70 @@ class TxnTable:
             reader = reader.schema(self.schema)
         return reader.parquet(*paths)
 
+    def compact(self, target_files: int = 1) -> int:
+        """Bin-pack the current snapshot into ``target_files`` files and
+        commit the rewrite as one transaction (remove every current file,
+        add the compacted ones). Contents are IDENTICAL before and after —
+        it is a pure layout operation, the maintenance pass that keeps
+        streaming/append tables from drowning in small files (every
+        append is its own file set; scan cost and footer overhead grow
+        with file count, not bytes). Runs as a normal read-modify-write:
+        a concurrent commit since the snapshot was read raises
+        ``CommitConflict`` and the table is untouched. Old files stay on
+        disk for time travel until ``vacuum``."""
+        read_version = self.latest_version()
+        if read_version < 0:
+            return read_version
+        snap = self.read(version=read_version).coalesce(target_files)
+        adds = self._stage(snap)
+        removes = [{"remove": p} for p in self._files_at(read_version)]
+        v = read_version + 1
+        rec = {
+            "version": v,
+            "op": "compact",
+            "ts": time.time(),
+            "actions": removes + adds,
+        }
+        if not self._try_commit(v, rec):
+            raise CommitConflict(
+                f"snapshot v{read_version} is stale: v{v} already committed"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
+    def vacuum(self, retain_versions: int = 0) -> List[str]:
+        """Physically delete data files not referenced by ANY version in
+        the retained window [latest - retain_versions, latest] — the only
+        operation that destroys bytes, so it is the explicit trade of
+        time-travel depth for storage. Files referenced by any retained
+        snapshot are never touched, so readers of those versions are safe;
+        ``retain_versions=0`` keeps only the current snapshot (plus every
+        staged-but-newer file, which may belong to an in-flight commit).
+        Returns the deleted relative paths."""
+        latest = self.latest_version()
+        if latest < 0:
+            return []
+        keep: set = set()
+        horizon = max(0, latest - retain_versions)
+        for v in range(horizon, latest + 1):
+            keep.update(self._files_at(v))
+        # Files referenced only by pre-horizon versions are deletable;
+        # files on disk but in NO commit at all are a writer's in-flight
+        # stage — leave them (their commit may still land).
+        referenced_ever: set = set()
+        for v in range(0, latest + 1):
+            rec = self._read_commit(v)
+            for action in rec["actions"]:
+                if "add" in action:
+                    referenced_ever.add(action["add"]["path"])
+        deleted = []
+        for rel in sorted(referenced_ever - keep):
+            p = os.path.join(self.path, rel)
+            if os.path.exists(p):
+                os.unlink(p)
+                deleted.append(rel)
+        return deleted
+
     def history(self) -> List[dict]:
         """Commit records, oldest first (op, ts, action counts)."""
         out = []

@@ -100,6 +100,7 @@ _CHECK_FIRST = [
     # -- new this round, never driver-checked --
     "acid_snapshot_rollup",
     "acid_merge_versions",
+    "acid_compaction",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -3918,6 +3919,66 @@ def acid_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in range(3)
     ]
     return snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+
+
+@register("acid_compaction", """
+SELECT CAST(0 AS INT) AS version, 'append' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(1 AS BIGINT) AS files_bounded
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT CAST(1 AS INT), 'append', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT), CAST(1 AS BIGINT)
+FROM orders WHERE o_orderstatus IN ('F', 'O')
+UNION ALL
+SELECT CAST(2 AS INT), 'append', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT), CAST(1 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT CAST(3 AS INT), 'compact', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT), CAST(1 AS BIGINT)
+FROM orders
+ORDER BY version
+""")
+def acid_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction on the transaction-log table: three appends
+    (each its own file set, the streaming-ingest failure mode at scale),
+    then ``compact()`` bin-packs the snapshot into one file as a fourth
+    transaction. The oracle pins that compaction changed LAYOUT only: the
+    v3 snapshot equals the v2 snapshot (all three batches), while
+    ``files_bounded`` asserts the post-compact version reads from a single
+    data file and every version's file count stays within its append
+    count."""
+    import tempfile
+
+    from .plans.acid import TxnTable
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="acid_c_"))
+    t.append(orders.where(F.col("o_orderstatus") == "F"))
+    t.append(orders.where(F.col("o_orderstatus") == "O"))
+    t.append(orders.where(F.col("o_orderstatus") == "P"))
+    t.compact(target_files=1)
+    ops = {h["version"]: h["op"] for h in t.history()}
+    expected_max_files = {0: 32, 1: 64, 2: 96, 3: 1}
+    snaps = []
+    for v in range(4):
+        nf = len(t._files_at(v))
+        bounded = nf <= expected_max_files[v] and (v != 3 or nf == 1)
+        snaps.append(
+            t.read(version=v)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(ops[v]).alias("op"),
+                "n_rows",
+                "key_sum",
+                F.lit(1 if bounded else 0).cast("bigint").alias("files_bounded"),
+            )
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 @register("acid_merge_versions", f"""

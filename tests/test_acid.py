@@ -156,3 +156,42 @@ def test_importjob_commits_one_version_and_dryrun_none(spark, tdir):
     )
     job3.run()
     assert tgt3.txn.latest_version() == 1
+
+
+def test_compact_preserves_contents_and_shrinks_files(spark, tdir):
+    t = TxnTable(spark, tdir)
+    for i in range(4):
+        t.append(_df(spark, i * 10, i * 10 + 5).repartition(4))
+    before = sorted(r["id"] for r in t.read().collect())
+    n_files_before = len(t._files_at(t.latest_version()))
+    v = t.compact(target_files=1)
+    assert t.history()[v]["op"] == "compact"
+    assert len(t._files_at(v)) < n_files_before
+    assert sorted(r["id"] for r in t.read().collect()) == before
+    # pre-compaction versions still time-travel (files not deleted)
+    assert t.read(version=1).count() == 10
+
+
+def test_vacuum_deletes_only_unretained_files(spark, tdir):
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 5))
+    t.overwrite(_df(spark, 10, 12))      # v1: v0's files now unreferenced
+    staged = t._stage(_df(spark, 99, 100))  # in-flight writer: must survive
+    deleted = t.vacuum(retain_versions=0)
+    assert deleted, "v0's files should be vacuumed"
+    assert t.read().count() == 2          # current snapshot intact
+    with pytest.raises(Exception):
+        t.read(version=0).count()         # time travel below horizon now broken
+    staged_path = os.path.join(tdir, staged[0]["add"]["path"])
+    assert os.path.exists(staged_path)    # uncommitted stage untouched
+
+
+def test_vacuum_retains_window(spark, tdir):
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 3))
+    t.overwrite(_df(spark, 10, 13))
+    t.overwrite(_df(spark, 20, 23))
+    deleted = t.vacuum(retain_versions=1)  # keep v1 and v2
+    assert deleted
+    assert t.read(version=1).count() == 3
+    assert t.read(version=2).count() == 3
