@@ -34,7 +34,13 @@ from typing import Dict, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_distinct", "hll_distinct", "histogram_quantile"]
+__all__ = [
+    "kmv_distinct",
+    "hll_distinct",
+    "histogram_quantile",
+    "cms_table",
+    "cms_estimate",
+]
 
 _TWO60 = float(1 << 60)
 
@@ -150,3 +156,53 @@ def histogram_quantile(
         for name, q in quantiles.items()
     ]
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def _cms_bucket(col: Column, j: int, w: int) -> Column:
+    """Row-j Count-Min bucket: 60 md5 bits of 'j:value', mod w — the
+    portable stand-in for a pairwise-independent hash family."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(w)
+
+
+def cms_table(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-Min sketch of a value stream: ``(j, bucket, cnt)`` — d*w
+    counters (Cormode & Muthukrishnan 2005). ONE partially-aggregated
+    groupBy whose key space is d*w (tiny), so every map task collapses its
+    input to at most d*w rows before the shuffle regardless of stream
+    length — the mergeable shape: sketches of two corpora union and
+    re-aggregate into the sketch of the union."""
+    rows = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(value_col), j, w) for j in range(d)])
+        ).alias("j", "bucket")
+    )
+    return rows.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    items: DataFrame, cms: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: the min over the
+    d counters the value hashes to — an OVERESTIMATE of the true count
+    with error <= 2n/w at probability 1 - (1/2)^d. The (d*w)-row sketch
+    broadcasts; the probe is map-side at any item count."""
+    pos = items.select(
+        value_col,
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(value_col), j, w) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    return (
+        pos.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
+    )

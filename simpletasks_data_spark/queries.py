@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "acid_snapshot_rollup",
     "acid_merge_versions",
     "acid_compaction",
+    "sketch_cms_heavy_hitters",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -2251,6 +2252,60 @@ def sketch_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantile(
         orders, "o_totalprice", keys=["o_orderpriority"], width=1000.0,
         quantiles={"p50": 0.5, "p95": 0.95},
+    )
+
+
+@register("sketch_cms_heavy_hitters", f"""
+WITH tok AS (
+  SELECT unnest({{toks}}) AS token FROM documents
+),
+rows_j AS (
+  SELECT token, j FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) s
+),
+cms AS (
+  SELECT j,
+         CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM rows_j GROUP BY 1, 2
+),
+exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM tok GROUP BY token),
+top AS (SELECT * FROM exact ORDER BY exact_n DESC, token LIMIT 20),
+probe AS (
+  SELECT t.token, t.j,
+         CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' || t.token), 1, 15)) AS BIGINT) % 256 AS bucket
+  FROM (SELECT token, j FROM top CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) s) t
+),
+est AS (
+  SELECT probe.token, CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probe LEFT JOIN cms USING (j, bucket)
+  GROUP BY probe.token
+)
+SELECT top.token, top.exact_n, est.cms_est,
+       est.cms_est >= top.exact_n AS never_underestimates
+FROM top JOIN est USING (token)
+""".format(toks=SQL_TOKENS.format(c='text')))
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: sketch the corpus token stream into d*w =
+    4*256 counters, then point-query the exact top-20 tokens against it.
+    ``never_underestimates`` pins the sketch's one-sided error guarantee;
+    the estimates themselves are engine-exact because the hash family is
+    md5-derived. The sketch table is the mergeable production shape — per
+    partition/day sketches union and re-aggregate — and the probe join
+    broadcasts the (1024-row) sketch, so monitoring the top-k of a 100 TB
+    token stream costs one partially-aggregated pass."""
+    from .operators.sketches import cms_estimate, cms_table
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    cms = cms_table(tok, "token", d=4, w=256)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "token").limit(20)
+    est = cms_estimate(top.select("token"), cms, "token", d=4, w=256)
+    return top.join(est, "token").select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_underestimates"),
     )
 
 

@@ -73,3 +73,31 @@ def test_histogram_quantile_bounds(spark):
         # true p50=49.5 -> bin 4 upper edge 50; p90=89.1 -> bin 8 edge 90
         assert r["p50"] == 50.0
         assert r["p90"] == 90.0
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from simpletasks_data_spark.operators.sketches import cms_estimate, cms_table
+    import pyspark.sql.functions as F
+
+    # skewed stream: token t0 x 500, t1..t40 x ~10 each — small w forces collisions
+    rows = [("t0",)] * 500 + [(f"t{i}", ) for i in range(1, 41) for _ in range(10)]
+    df = spark.createDataFrame(rows, "token string")
+    cms = cms_table(df, "token", d=4, w=16)
+    items = df.select("token").distinct()
+    exact = df.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(items, cms, "token", d=4, w=16)
+    joined = exact.join(est, "token").collect()
+    assert all(r["cms_est"] >= r["exact_n"] for r in joined)  # one-sided error
+    top = max(joined, key=lambda r: r["exact_n"])
+    assert top["token"] == "t0" and top["cms_est"] >= 500
+
+    # mergeability: sketch(A) + sketch(B), re-aggregated, == sketch(A ∪ B)
+    half1 = df.where(F.length("token") == 2)   # t0..t9
+    half2 = df.where(F.length("token") != 2)   # t10..t40
+    merged = (
+        cms_table(half1, "token", d=4, w=16)
+        .unionByName(cms_table(half2, "token", d=4, w=16))
+        .groupBy("j", "bucket").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = cms_table(df, "token", d=4, w=16)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
