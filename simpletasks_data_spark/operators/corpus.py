@@ -217,6 +217,56 @@ def balance_mixture(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture resampling — the multilingual-LM
+    recipe (sample groups proportional to ``p_g^alpha``): alpha=1 keeps
+    the natural distribution, alpha=0 forces uniform, 0<alpha<1 boosts
+    tail groups relative to the head. The target fractions are computed
+    FROM the corpus itself (`p_g^alpha / sum p^alpha`), then realized
+    exactly like :func:`balance_mixture`: feasible size
+    ``S = min_g(n_g / t_g)`` (a downsample-only plan never invents rows
+    for tail groups) and each group keeps its hash-ranked first
+    ``floor(S * t_g)`` rows — deterministic, uniform within group.
+
+    Same scale shape as balance_mixture: a tiny group-count agg broadcast
+    back, one rank window per group."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tgt = counts.select(
+        group_col,
+        "_n",
+        (
+            F.pow(F.col("_n").cast("double"), F.lit(alpha))
+            / F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).over(
+                Window.partitionBy()
+            )
+        ).alias("_tfrac"),
+    )
+    scale = tgt.select(F.min(F.col("_n") / F.col("_tfrac")).alias("_scale"))
+    # The 1e-6 inside the floor absorbs cross-engine ULP differences in
+    # pow/division (quotas are integers ~group sizes, so the epsilon can
+    # never move a quota past the next integer on its own).
+    quota = tgt.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        F.floor(F.col("_scale") * F.col("_tfrac") + F.lit(1e-6))
+        .cast("long")
+        .alias("_quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), 1_000_000), key_col
+    )
+    ranked = docs.withColumn("_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(quota), group_col)
+        .where(F.col("_rank") <= F.col("_quota"))
+        .drop("_rank", "_quota")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

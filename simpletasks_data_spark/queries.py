@@ -102,6 +102,7 @@ _CHECK_FIRST = [
     "acid_merge_versions",
     "acid_compaction",
     "sketch_cms_heavy_hitters",
+    "temperature_mixture_langs",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -2948,6 +2949,35 @@ def balance_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
     )
     return out.select("doc_id", "lang")
+
+
+@register("temperature_mixture_langs", f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(pow(n, 0.5)) AS z FROM c),
+t AS (SELECT lang, n, pow(n, 0.5) / z AS tfrac FROM c CROSS JOIN tot),
+s AS (SELECT min(n / tfrac) AS scale FROM t),
+q AS (SELECT lang, CAST(floor(s.scale * t.tfrac + 1e-6) AS BIGINT) AS quota
+      FROM t CROSS JOIN s),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_SQL_BUCKET.format(k='doc_id')} % 1000000, doc_id
+             ) AS rk
+      FROM documents)
+SELECT doc_id, lang FROM r JOIN q USING (lang) WHERE rk <= quota
+""")
+def temperature_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (alpha=0.5): target
+    fractions p_g^0.5 / sum p^0.5 are derived from the corpus itself —
+    the multilingual-LM recipe that boosts tail languages without
+    inventing rows — then realized with the same feasible-scale
+    hash-ranked quotas as the exact-target rebalance. The epsilon inside
+    the floor (both engines) absorbs pow/division ULP differences so the
+    integer quotas are engine-exact."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return CP.temperature_mixture(docs, "lang", alpha=0.5, key_col="doc_id").select(
+        "doc_id", "lang"
+    )
 
 
 @register("jsonl_import_roundtrip", """

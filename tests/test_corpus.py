@@ -121,3 +121,20 @@ def test_passage_dedupe_first_occurrence_keeps(spark):
     assert (out[2]["n_segments"], out[2]["n_shared_segments"]) == (2, 1)
     assert out[2]["n_tokens"] == 13 and out[2]["n_kept_tokens"] == 3
     assert out[3]["shared_fraction"] == 0.0 and out[3]["n_kept_tokens"] == 2
+
+
+def test_temperature_mixture_alpha_extremes(spark):
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    # alpha=1: natural distribution is already feasible -> keeps ~everything
+    a1 = CP.temperature_mixture(d, "lang", alpha=1.0, key_col="doc_id")
+    got1 = {r["lang"]: r["n"] for r in a1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got1 == {"big": 90, "small": 10}
+    # alpha=0: uniform targets -> feasibility pinned by the smallest group
+    a0 = CP.temperature_mixture(d, "lang", alpha=0.0, key_col="doc_id")
+    got0 = {r["lang"]: r["n"] for r in a0.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got0 == {"big": 10, "small": 10}
+    # 0 < alpha < 1 sits strictly between
+    ah = CP.temperature_mixture(d, "lang", alpha=0.5, key_col="doc_id")
+    goth = {r["lang"]: r["n"] for r in ah.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert goth["small"] == 10 and 10 < goth["big"] < 90

@@ -140,3 +140,39 @@ def test_signature_store_reused_across_dedup_family(spark):
     warm = {(r.id_a, r.id_b) for r in Q.queries()["dedup_minhash"](spark, SF).collect()}
     assert cold == warm
     assert len(_SIGNATURE_STORE) == 1
+
+
+def test_passage_dedupe_two_exchanges(spark):
+    """Ownership via a window over ONE seg_hash exchange + the final
+    per-doc agg — a groupBy+join-back would re-shuffle the segment frame
+    on the same key."""
+    tree = _tree(_plan(Q.queries()["dedup_passages"](spark, SF)))
+    assert tree.count("Exchange") == 2, f"dedup_passages plan changed:\n{tree}"
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """The d*w sketch table must broadcast onto the probe side; the
+    sketch build itself is one partially-aggregated pass."""
+    tree = _tree(_plan(Q.queries()["sketch_cms_heavy_hitters"](spark, SF)))
+    assert "BroadcastHashJoin" in tree, f"CMS probe lost its broadcast:\n{tree}"
+
+
+def test_acid_snapshot_read_is_plain_pruned_scan(spark):
+    """A TxnTable snapshot read hands Spark an explicit file list — the
+    plan must be an ordinary pruned/pushdown-capable parquet scan with no
+    extra exchange introduced by the log layer."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.plans.acid import TxnTable
+
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="planshape_acid_"))
+    orders = Q.load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    t.append(orders)
+    df = t.read().where(F.col("o_orderkey") > 100).select("o_orderkey")
+    plan = _plan(df)
+    tree = _tree(plan)
+    assert "Exchange" not in tree, f"acid read gained a shuffle:\n{tree}"
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
