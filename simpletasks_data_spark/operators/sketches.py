@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "kmv_distinct",
+    "hll_prepare",
+    "hll_finalize",
     "hll_distinct",
     "histogram_quantile",
     "cms_table",
@@ -74,32 +76,36 @@ def kmv_distinct(
     )
 
 
-def hll_distinct(
-    df: DataFrame, value_col: str, keys: Sequence[str], b: int = 8
-) -> DataFrame:
-    """Per ``keys``: HyperLogLog distinct estimate with m=2^b registers.
-    alpha_m * m^2 / (sum 2^-reg + empty), linear counting below 2.5m."""
+def hll_prepare(df: DataFrame, value_col: str, keys: Sequence[str], b: int = 8) -> DataFrame:
+    """Map stage of the HLL sketch: one row per input with its register
+    coordinates ``(keys..., _bucket, _rho)``. Split out so STREAMING
+    pipelines can maintain the register table with an ordinary windowed
+    ``max`` aggregation (registers are the mergeable representation) and
+    finalize later in batch."""
     keys = list(keys)
     m = 1 << b
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     wbits = 60 - b
-    regs = (
-        df.select(
-            *keys,
-            F.pmod(h, F.lit(m)).alias("_bucket"),
-            F.shiftright(h, b).alias("_w"),
-        )
-        .withColumn(
-            "_rho",
-            F.when(F.col("_w") == 0, F.lit(wbits + 1)).otherwise(
-                F.lit(wbits + 1) - F.length(F.bin(F.col("_w")))
-            ),
-        )
-        .groupBy(*keys, "_bucket")
-        .agg(F.max("_rho").alias("_reg"))
-    )
+    return df.select(
+        *keys,
+        F.pmod(h, F.lit(m)).alias("_bucket"),
+        F.shiftright(h, b).alias("_w"),
+    ).withColumn(
+        "_rho",
+        F.when(F.col("_w") == 0, F.lit(wbits + 1)).otherwise(
+            F.lit(wbits + 1) - F.length(F.bin(F.col("_w")))
+        ),
+    ).drop("_w")
+
+
+def hll_finalize(regs: DataFrame, keys: Sequence[str], b: int = 8) -> DataFrame:
+    """Estimate from a register table ``(keys..., _bucket, _reg)``:
+    alpha_m * m^2 / (sum 2^-reg + empty), linear counting below 2.5m.
+    Dyadic 2^-reg sums keep the estimate order-independent."""
+    keys = list(keys)
+    m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
     est = regs.groupBy(*keys).agg(
         (F.sum(F.pow(F.lit(2.0), -F.col("_reg"))) + (F.lit(m) - F.count(F.lit(1))))
@@ -114,6 +120,20 @@ def hll_distinct(
             F.when((raw <= 2.5 * m) & (F.col("_v") > 0), linear).otherwise(raw), 4
         ).alias("est_distinct"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, keys: Sequence[str], b: int = 8
+) -> DataFrame:
+    """Per ``keys``: HyperLogLog distinct estimate with m=2^b registers —
+    prepare -> register max (ONE partially-aggregated pass) -> finalize."""
+    keys = list(keys)
+    regs = (
+        hll_prepare(df, value_col, keys, b)
+        .groupBy(*keys, "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    return hll_finalize(regs, keys, b)
 
 
 def histogram_quantile(

@@ -103,6 +103,7 @@ _CHECK_FIRST = [
     "acid_compaction",
     "sketch_cms_heavy_hitters",
     "temperature_mixture_langs",
+    "streaming_hll_distinct_users",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -4553,6 +4554,62 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("streaming_hll_distinct_users", """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+  FROM events
+),
+r AS (SELECT hour, _h % 256 AS _bucket, _h >> 8 AS _w FROM h),
+rho AS (
+  SELECT hour, _bucket,
+         CASE WHEN _w = 0 THEN 53 ELSE 53 - length(ltrim(bin(_w), '0')) END AS _rho
+  FROM r
+),
+regs AS (SELECT hour, _bucket, max(_rho) AS _reg FROM rho GROUP BY 1, 2),
+z AS (
+  SELECT hour,
+         sum(pow(2.0, -_reg)) + (256 - count(*)) AS _z,
+         CAST(256 - count(*) AS DOUBLE) AS _v
+  FROM regs GROUP BY 1
+)
+SELECT hour,
+       round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / _z <= 640.0 AND _v > 0
+                  THEN 256.0 * ln(256.0 / _v)
+                  ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / _z END, 4) AS est_distinct
+FROM z
+""")
+def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketch: the register table IS the
+    mergeable representation, so a windowed ``max`` aggregation — plain
+    watermarked streaming state, bounded at m=256 rows per window —
+    maintains the HLL under arbitrary arrival order, and a batch
+    finalize over the sink yields estimates BIT-IDENTICAL to running the
+    sketch in batch (the SAME oracle as a batch per-hour HLL). This is
+    the production pattern for 'distinct users per hour' on an unbounded
+    stream: exact distinct needs per-key state proportional to
+    cardinality; the sketch caps state at m registers per window."""
+    import uuid
+
+    from .operators.sketches import hll_finalize, hll_prepare
+    from .streaming import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    pre = hll_prepare(ev.withWatermark("ts", "2 hours"), "user_id", keys=["ts"])
+    regs = (
+        pre.groupBy(F.window("ts", "1 hour").alias("win"), "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = regs.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.table(name).select(F.col("win.start").alias("hour"), "_bucket", "_reg")
+    return hll_finalize(sink, keys=["hour"], b=8)
 
 
 @register("orc_export_roundtrip", """
