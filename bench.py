@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "chunk_documents",
     "pack_sequences",
     "embedding_quantize_int8",
+    "dedup_passages",
+    "sketch_cms_heavy_hitters",
+    "temperature_mixture_langs",
 ]
 
 

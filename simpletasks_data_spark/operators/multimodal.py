@@ -12,12 +12,15 @@ The engine's contract for non-text modalities at 100 TB:
   Python worker per partition, payloads cross the JVM/Python boundary once
   per batch, output schema declared up front.
 
-The actual pixel/sample decoding needs image/audio libraries that are NOT
-in this environment, so the decode kernels are STUBBED: if PIL/numpy-image
-stacks are importable they are used; otherwise a clearly-marked
-deterministic fake derives "dimensions" and "features" from the bytes.
-The Spark-side plumbing — schemas, batch iteration, partitioning — is real
-and tested; swapping the kernel for a real decoder changes no plan shape.
+Compressed-format decoding (JPEG/PNG/H.264) needs image/audio libraries
+that are NOT in this environment, so those kernels are STUBBED: a
+clearly-marked deterministic fake derives "dimensions" and "features"
+from the bytes, and the Spark-side plumbing — schemas, batch iteration,
+partitioning — is real and tested. For the UNCOMPRESSED PPM (P6) format
+the decode is REAL (``encode_ppm``/``decode_ppm``): numpy parses actual
+headers and pixel planes, and the oracle recomputes the expected channel
+statistics from md5 directly — an end-to-end proof the binary path
+works. Swapping a stub kernel for a real decoder changes no plan shape.
 """
 
 from __future__ import annotations
@@ -35,6 +38,8 @@ __all__ = [
     "decode_metadata",
     "extract_features",
     "sample_frames",
+    "encode_ppm",
+    "decode_ppm",
     "FEATURE_DIM",
 ]
 
@@ -198,3 +203,89 @@ def sample_frames(
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path: PPM (P6). Unlike the stubbed kernels above, this is an
+# actual image decode — P6 is uncompressed ("P6\n<w> <h>\n<maxval>\n" +
+# raw RGB bytes), so numpy alone parses it; no imaging library needed.
+# The encoder derives pixels deterministically from md5, which means an
+# external SQL engine can recompute the expected channel statistics
+# WITHOUT parsing any binary — a true end-to-end proof that bytes were
+# encoded, shipped through Arrow, and decoded correctly.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(df: DataFrame, id_col: str, text_col: str, side: int = 4) -> DataFrame:
+    """Build REAL P6 PPM payloads: a ``side`` x ``side`` RGB image whose
+    channel planes are the md5 digests of (text), (text+'g'), (text+'b')
+    tiled across pixels. Runs as mapInPandas — binary assembly is
+    kernel-side work, exactly where a real transcoder would sit."""
+    import hashlib
+
+    n_px = side * side
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, txt in zip(pdf["media_id"], pdf["text"]):
+                t = (txt or "").encode("utf-8")
+                planes = [
+                    hashlib.md5(t + suf).digest() for suf in (b"", b"g", b"b")
+                ]
+                px = bytearray()
+                for i in range(n_px):
+                    for p in planes:
+                        px.append(p[i % 16])
+                header = f"P6\n{side} {side}\n255\n".encode("ascii")
+                rows.append((mid, bytes(header) + bytes(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(batches, "media_id long, payload binary")
+
+
+_PPM_SCHEMA = (
+    "media_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, ok boolean"
+)
+
+
+def decode_ppm(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse the P6 header, reshape the raw RGB bytes
+    with numpy, and emit per-channel means. Malformed payloads yield
+    ``ok=false`` instead of failing the task (a 100 TB crawl always
+    contains corrupt files). Input pruned to (media_id, payload) so
+    metadata-only consumers never read payload pages."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if b is None or bytes(b[:2]) != b"P6":
+                        raise ValueError("not a P6 ppm")
+                    parts = bytes(b).split(b"\n", 3)
+                    w, h = (int(x) for x in parts[1].split())
+                    maxval = int(parts[2])
+                    raw = parts[3][: w * h * 3]
+                    if maxval != 255 or len(raw) < w * h * 3:
+                        raise ValueError("truncated or non-8-bit")
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                    means = arr.astype(np.float64).mean(axis=(0, 1))
+                    rows.append(
+                        (mid, w, h, round(means[0], 4), round(means[1], 4),
+                         round(means[2], 4), True)
+                    )
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_r", "mean_g",
+                         "mean_b", "ok"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, _PPM_SCHEMA)

@@ -104,6 +104,7 @@ _CHECK_FIRST = [
     "sketch_cms_heavy_hitters",
     "temperature_mixture_langs",
     "streaming_hll_distinct_users",
+    "multimodal_ppm_roundtrip",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -3172,6 +3173,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = attach_fake_payloads(docs, "doc_id", "text")
     return sample_frames(media)
+
+
+@register("multimodal_ppm_roundtrip", """
+SELECT doc_id AS media_id,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       round(list_sum(list_transform(generate_series(0, 15),
+             k -> CAST(concat('0x', substr(md5(text), CAST(2*k+1 AS INT), 2)) AS BIGINT))) / 16.0, 4) AS mean_r,
+       round(list_sum(list_transform(generate_series(0, 15),
+             k -> CAST(concat('0x', substr(md5(text || 'g'), CAST(2*k+1 AS INT), 2)) AS BIGINT))) / 16.0, 4) AS mean_g,
+       round(list_sum(list_transform(generate_series(0, 15),
+             k -> CAST(concat('0x', substr(md5(text || 'b'), CAST(2*k+1 AS INT), 2)) AS BIGINT))) / 16.0, 4) AS mean_b,
+       TRUE AS ok
+FROM documents
+""")
+def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: encode each document into an actual
+    4x4 P6 PPM (header + raw RGB planes tiled from md5 digests), ship the
+    binary through Arrow, parse it back with numpy, and report
+    per-channel means. The oracle recomputes the expected means straight
+    from the md5 hex WITHOUT touching any binary — if the encoder wrote
+    wrong bytes, the header parse mis-sliced, or the channel deinterleave
+    were off by one, the means cannot match. This is the non-stubbed
+    anchor of the multimodal surface (operators/multimodal.py)."""
+    from .operators.multimodal import decode_ppm, encode_ppm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = encode_ppm(docs, "doc_id", "text", side=4)
+    return decode_ppm(media)
 
 
 # ===========================================================================

@@ -218,3 +218,30 @@ def test_streaming_interval_join_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_ppm_real_decode_and_corrupt_tolerance(spark):
+    """The non-stubbed codec path: encode_ppm writes actual P6 bytes,
+    decode_ppm parses them with numpy; corrupt payloads come back
+    ok=false instead of failing the task."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
+    media = encode_ppm(docs, "doc_id", "text", side=4)
+    out = {r["media_id"]: r for r in decode_ppm(media).collect()}
+    assert out[1]["ok"] and (out[1]["width"], out[1]["height"]) == (4, 4)
+    exp_r = round(sum(hashlib.md5(b"hello").digest()) / 16.0, 4)
+    assert out[1]["mean_r"] == exp_r
+    exp_g = round(sum(hashlib.md5(b"worldg").digest()) / 16.0, 4)
+    assert out[2]["mean_g"] == exp_g
+
+    corrupt = spark.createDataFrame(
+        [(9, bytearray(b"P6\n4 4\n255\nshort")), (10, bytearray(b"JUNK")), (11, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["ok"] for r in decode_ppm(corrupt).collect()}
+    assert got == {9: False, 10: False, 11: False}
