@@ -40,6 +40,7 @@ __all__ = [
     "sample_frames",
     "encode_ppm",
     "decode_ppm",
+    "resize_ppm",
     "FEATURE_DIM",
 ]
 
@@ -289,3 +290,38 @@ def decode_ppm(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, _PPM_SCHEMA)
+
+
+def resize_ppm(media: DataFrame, out_side: int) -> DataFrame:
+    """REAL image transform: nearest-neighbor resize of P6 payloads,
+    re-encoded as P6 — decode -> ndarray index -> encode inside one
+    Arrow batch, the shape of any image-preprocessing stage (resize /
+    crop / normalize before feature extraction). Output payloads are
+    again self-describing PPMs, so stages compose: resize |> decode is
+    verified end-to-end by the oracle. Non-P6/corrupt payloads pass
+    through as NULL."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if b is None or bytes(b[:2]) != b"P6":
+                        raise ValueError("not a P6 ppm")
+                    parts = bytes(b).split(b"\n", 3)
+                    w, h = (int(x) for x in parts[1].split())
+                    raw = parts[3][: w * h * 3]
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                    ri = (np.arange(out_side) * h) // out_side
+                    ci = (np.arange(out_side) * w) // out_side
+                    out = arr[np.ix_(ri, ci)]
+                    header = f"P6\n{out_side} {out_side}\n255\n".encode("ascii")
+                    rows.append((mid, header + out.tobytes()))
+                except Exception:
+                    rows.append((mid, None))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, "media_id long, payload binary"
+    )

@@ -105,6 +105,7 @@ _CHECK_FIRST = [
     "temperature_mixture_langs",
     "streaming_hll_distinct_users",
     "multimodal_ppm_roundtrip",
+    "multimodal_ppm_resize",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -3201,6 +3202,31 @@ def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     media = encode_ppm(docs, "doc_id", "text", side=4)
     return decode_ppm(media)
+
+
+@register("multimodal_ppm_resize", """
+SELECT doc_id AS media_id,
+       CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+       round(list_sum(list_transform([0, 2, 8, 10],
+             k -> CAST(concat('0x', substr(md5(text), CAST(2*k+1 AS INT), 2)) AS BIGINT))) / 4.0, 4) AS mean_r,
+       round(list_sum(list_transform([0, 2, 8, 10],
+             k -> CAST(concat('0x', substr(md5(text || 'g'), CAST(2*k+1 AS INT), 2)) AS BIGINT))) / 4.0, 4) AS mean_g,
+       round(list_sum(list_transform([0, 2, 8, 10],
+             k -> CAST(concat('0x', substr(md5(text || 'b'), CAST(2*k+1 AS INT), 2)) AS BIGINT))) / 4.0, 4) AS mean_b,
+       TRUE AS ok
+FROM documents
+""")
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable REAL image transforms: encode 4x4 P6 -> nearest-neighbor
+    resize to 2x2 (re-encoded P6) -> decode. Nearest-neighbor at scale 2
+    keeps source pixels (0,0),(0,2),(2,0),(2,2) = digest bytes 0,2,8,10,
+    so the oracle predicts the resized channel means from md5 hex alone —
+    verifying the decode->index->re-encode chain byte-exactly."""
+    from .operators.multimodal import decode_ppm, encode_ppm, resize_ppm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = encode_ppm(docs, "doc_id", "text", side=4)
+    return decode_ppm(resize_ppm(media, out_side=2))
 
 
 # ===========================================================================
