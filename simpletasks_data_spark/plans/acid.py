@@ -62,7 +62,7 @@ from pyspark.sql import types as T
 
 from .target import TargetTable
 
-__all__ = ["TxnTable", "TxnTargetTable", "CommitConflict"]
+__all__ = ["TxnTable", "TxnTargetTable", "CommitConflict", "SchemaEvolutionError"]
 
 _LOG_DIR = "_txn_log"
 _PAD = 10
@@ -71,6 +71,12 @@ _PAD = 10
 class CommitConflict(RuntimeError):
     """Another writer committed a version this transaction's read
     snapshot did not include, and the operation does not commute."""
+
+
+class SchemaEvolutionError(RuntimeError):
+    """A commit tried to drop or retype existing columns — only ADDITIVE
+    evolution (new nullable columns) is supported, the rule that keeps
+    every historical file readable under the latest schema."""
 
 
 def _vname(v: int) -> str:
@@ -170,8 +176,12 @@ class TxnTable:
 
     def _stage(self, df: DataFrame) -> List[dict]:
         """Write the frame's data files under a fresh commit directory and
-        return their add-actions. Staged files are invisible until a log
-        record references them."""
+        return their add-actions, each carrying per-column min/max pulled
+        from the parquet FOOTERS (no data read) — the file-level statistics
+        that let ``read(prune=...)`` skip whole files from log metadata
+        alone, before any scan task is scheduled (how Delta/Iceberg prune
+        at planning time). Staged files are invisible until a log record
+        references them."""
         cid = uuid.uuid4().hex[:12]
         reldir = os.path.join("data", cid)
         absdir = os.path.join(self.path, reldir)
@@ -180,20 +190,77 @@ class TxnTable:
         for name in sorted(os.listdir(absdir)):
             if name.startswith(("_", ".")):
                 continue
-            adds.append({"add": {"path": os.path.join(reldir, name)}})
+            rel = os.path.join(reldir, name)
+            adds.append(
+                {"add": {"path": rel, "stats": self._footer_stats(os.path.join(self.path, rel))}}
+            )
         if self.schema is None:
             self.schema = df.schema
         return adds
 
+    @staticmethod
+    def _footer_stats(abspath: str) -> Dict[str, list]:
+        """Per-column [min, max] over all row groups, from parquet footer
+        metadata only. Restricted to JSON-safe primitives (int/float/str);
+        columns without usable stats are simply absent — absence always
+        means 'cannot skip', never 'skip'."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(abspath).metadata
+        except Exception:
+            return {}
+        out: Dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if not all(isinstance(v, (int, float, str)) for v in (lo, hi)):
+                    continue
+                name = col.path_in_schema
+                if name in out:
+                    out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+                else:
+                    out[name] = [lo, hi]
+        return out
+
+    def _check_evolution(self, new_schema: T.StructType) -> None:
+        """Additive-only: every existing column must survive with the same
+        type. New columns are fine (old files read them as NULL)."""
+        if self.schema is None:
+            return
+        new_fields = {f.name: f.dataType for f in new_schema.fields}
+        for f in self.schema.fields:
+            if f.name not in new_fields:
+                raise SchemaEvolutionError(f"column {f.name!r} dropped")
+            if new_fields[f.name] != f.dataType:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r} retyped {f.dataType} -> {new_fields[f.name]}"
+                )
+
     def append(self, df: DataFrame, max_retries: int = 20) -> int:
         """Blind append: stage files, commit at the next free version.
         Commutes with every other operation, so collisions just retry the
-        (tiny) log write — the staged data is never re-written."""
+        (tiny) log write — the staged data is never re-written. The
+        commit records the (additively evolved) schema, so new nullable
+        columns land without rewriting history."""
+        self._check_evolution(df.schema)
         adds = self._stage(df)
         for _ in range(max_retries):
             v = self.latest_version() + 1
-            rec = {"version": v, "op": "append", "ts": time.time(), "actions": adds}
+            rec = {
+                "version": v,
+                "op": "append",
+                "ts": time.time(),
+                "actions": adds,
+                "schema": df.schema.json(),
+            }
             if self._try_commit(v, rec):
+                self.schema = df.schema
                 self._maybe_checkpoint(v)
                 return v
         raise CommitConflict(f"append lost the commit race {max_retries} times")
@@ -205,6 +272,7 @@ class TxnTable:
         read-modify-write result must not clobber state it never saw."""
         if read_version is None:
             read_version = self.latest_version()
+        self._check_evolution(df.schema)
         adds = self._stage(df)
         removes = [{"remove": p} for p in self._files_at(read_version)]
         v = read_version + 1
@@ -213,36 +281,77 @@ class TxnTable:
             "op": "overwrite",
             "ts": time.time(),
             "actions": removes + adds,
+            "schema": df.schema.json(),
         }
         if not self._try_commit(v, rec):
             raise CommitConflict(
                 f"snapshot v{read_version} is stale: v{v} already committed"
             )
+        self.schema = df.schema
         self._maybe_checkpoint(v)
         return v
 
     # -- read path ----------------------------------------------------------
 
-    def read(self, version: Optional[int] = None) -> DataFrame:
-        """Snapshot read; ``version`` = time travel to that commit."""
+    def _schema_at(self, version: int) -> Optional[T.StructType]:
+        """Schema as of ``version``: the newest commit <= version that
+        recorded one (older files missing later-added columns read as
+        NULL under it — the additive-evolution contract)."""
+        for v in range(version, -1, -1):
+            rec = self._read_commit(v)
+            if "schema" in rec:
+                return T.StructType.fromJson(json.loads(rec["schema"]))
+        return self.schema
+
+    def read(
+        self,
+        version: Optional[int] = None,
+        prune: Optional[Dict[str, tuple]] = None,
+    ) -> DataFrame:
+        """Snapshot read; ``version`` = time travel to that commit.
+
+        ``prune``: {column: (lo, hi)} — skip files whose footer min/max
+        (recorded in the log at commit time) cannot intersect the range,
+        BEFORE Spark plans a single task. Pure planning optimization: a
+        file without stats for the column is always kept, and callers
+        still apply the real filter — results are identical with or
+        without pruning, only the scanned file set shrinks."""
         latest = self.latest_version()
         if version is None:
             version = latest
         if version > latest or version < -1:
             raise ValueError(f"version {version} does not exist (latest {latest})")
+        schema = self._schema_at(version) if version >= 0 else self.schema
         if version == -1:
-            if self.schema is None:
+            if schema is None:
                 raise ValueError("empty table with no known schema")
-            return self.spark.createDataFrame([], self.schema)
-        paths = [os.path.join(self.path, p) for p in self._files_at(version)]
+            return self.spark.createDataFrame([], schema)
+        files = self._files_at(version)
+        if prune:
+            files = {
+                p: a
+                for p, a in files.items()
+                if self._may_match(a.get("stats") or {}, prune)
+            }
+        paths = [os.path.join(self.path, p) for p in files]
         if not paths:
-            if self.schema is None:
+            if schema is None:
                 raise ValueError("empty snapshot with no known schema")
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], schema)
         reader = self.spark.read
-        if self.schema is not None:
-            reader = reader.schema(self.schema)
+        if schema is not None:
+            reader = reader.schema(schema)
         return reader.parquet(*paths)
+
+    @staticmethod
+    def _may_match(stats: Dict[str, list], prune: Dict[str, tuple]) -> bool:
+        for col, (lo, hi) in prune.items():
+            rng = stats.get(col)
+            if rng is None:
+                continue  # no stats -> cannot prove exclusion -> keep
+            if (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo):
+                return False
+        return True
 
     def compact(self, target_files: int = 1) -> int:
         """Bin-pack the current snapshot into ``target_files`` files and

@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "acid_snapshot_rollup",
     "acid_merge_versions",
     "acid_compaction",
+    "acid_pruned_read",
     "sketch_cms_heavy_hitters",
     "temperature_mixture_langs",
     "streaming_hll_distinct_users",
@@ -4138,6 +4139,49 @@ def acid_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snaps[1:]:
         out = out.unionByName(s)
     return out
+
+
+@register("acid_pruned_read", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(1 AS BIGINT) AS files_skipped
+FROM orders WHERE o_orderkey BETWEEN 500 AND 900
+""")
+def acid_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping from log statistics: four appends land disjoint
+    o_orderkey ranges in separate files whose footer min/max the commit
+    records; a pruned read then plans over ONLY the files that can
+    intersect [500, 900] — verified both ways: ``files_skipped`` pins
+    that the planned file set actually shrank, and the row/sum oracle
+    pins that pruning never changes results (the real filter still
+    applies on top)."""
+    import tempfile
+
+    from .plans.acid import TxnTable
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mx = 1 << 62
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="acid_p_"))
+    bounds = [(0, 1000), (1000, 2000), (2000, 3000), (3000, mx)]
+    for lo, hi in bounds:
+        t.append(
+            orders.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)).coalesce(1)
+        )
+    full = t.read()
+    pruned = t.read(prune={"o_orderkey": (500, 900)})
+    skipped = len(pruned.inputFiles()) < len(full.inputFiles())
+    return (
+        pruned.where(F.col("o_orderkey").between(500, 900))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .select(
+            "n_rows",
+            "key_sum",
+            F.lit(1 if skipped else 0).cast("bigint").alias("files_skipped"),
+        )
+    )
 
 
 @register("acid_merge_versions", f"""

@@ -195,3 +195,44 @@ def test_vacuum_retains_window(spark, tdir):
     assert deleted
     assert t.read(version=1).count() == 3
     assert t.read(version=2).count() == 3
+
+
+def test_log_stats_file_skipping(spark, tdir):
+    t = TxnTable(spark, tdir)
+    for lo in (0, 100, 200):
+        t.append(_df(spark, lo, lo + 100).coalesce(1))
+    full = t.read()
+    pruned = t.read(prune={"id": (150, 160)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert len(pruned.inputFiles()) == 1
+    # pruning is planning-only: filtered results identical either way
+    import pyspark.sql.functions as F
+
+    want = sorted(r["id"] for r in full.where(F.col("id").between(150, 160)).collect())
+    got = sorted(r["id"] for r in pruned.where(F.col("id").between(150, 160)).collect())
+    assert got == want and len(got) == 11
+    # a column with no recorded stats never skips
+    assert len(t.read(prune={"no_such_col": (0, 1)}).inputFiles()) == 3
+
+
+def test_additive_schema_evolution(spark, tdir):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from simpletasks_data_spark.plans.acid import SchemaEvolutionError
+
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 3))
+    t.append(_df(spark, 3, 5).withColumn("extra", F.col("id") + 100))
+    cur = t.read()
+    assert set(cur.columns) == {"id", "val", "extra"}
+    rows = {r["id"]: r["extra"] for r in cur.collect()}
+    assert rows[0] is None and rows[4] == 104  # old files read NULL
+    assert set(t.read(version=0).columns) == {"id", "val"}  # time travel keeps old shape
+    with _pytest.raises(SchemaEvolutionError):
+        t.append(spark.range(1).select(F.col("id")))  # drops val/extra
+    with _pytest.raises(SchemaEvolutionError):
+        t.append(
+            _df(spark, 9, 10)
+            .withColumn("extra", F.lit("s"))  # retype long -> string
+        )
