@@ -58,6 +58,7 @@ import uuid
 from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .target import TargetTable
@@ -353,7 +354,36 @@ class TxnTable:
                 return False
         return True
 
-    def compact(self, target_files: int = 1) -> int:
+    def _zorder_expr(self, df: DataFrame, cols: List[str], bits: int = 8):
+        """Morton (z-order) interleave of ``cols``: each column normalizes
+        to ``bits`` bits against its own min/max (one tiny planning agg —
+        table-level metadata, same class of driver work as resolving the
+        log), then the bit planes interleave so rows close in ANY of the
+        columns land close in z. Range-partitioning files by this value
+        gives every file a narrow min/max in EVERY clustered column —
+        which is what turns the log-stats pruning into MULTI-dimensional
+        data skipping."""
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        top = (1 << bits) - 1
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+            span = float(hi - lo) if hi is not None and hi != lo else 1.0
+            n = F.floor(
+                (F.col(c).cast("double") - F.lit(float(lo or 0))) / F.lit(span) * top
+            ).cast("long")
+            n = F.greatest(F.lit(0), F.least(F.lit(top), n))
+            for b in range(bits):
+                z = z + F.shiftleft(F.shiftright(n, b).bitwiseAND(1), b * k + i)
+        return z
+
+    def compact(
+        self, target_files: int = 1, zorder: Optional[List[str]] = None
+    ) -> int:
         """Bin-pack the current snapshot into ``target_files`` files and
         commit the rewrite as one transaction (remove every current file,
         add the compacted ones). Contents are IDENTICAL before and after —
@@ -363,11 +393,26 @@ class TxnTable:
         with file count, not bytes). Runs as a normal read-modify-write:
         a concurrent commit since the snapshot was read raises
         ``CommitConflict`` and the table is untouched. Old files stay on
-        disk for time travel until ``vacuum``."""
+        disk for time travel until ``vacuum``.
+
+        ``zorder``: cluster the rewrite on the Morton interleave of these
+        (numeric) columns — the OPTIMIZE ZORDER analogue. Files then carry
+        narrow footer min/max in every listed column, so subsequent
+        ``read(prune=)`` skips files for range predicates on ANY of them,
+        not just a single sort key."""
         read_version = self.latest_version()
         if read_version < 0:
             return read_version
-        snap = self.read(version=read_version).coalesce(target_files)
+        snap = self.read(version=read_version)
+        if zorder:
+            snap = (
+                snap.withColumn("_z", self._zorder_expr(snap, list(zorder)))
+                .repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            snap = snap.coalesce(target_files)
         adds = self._stage(snap)
         removes = [{"remove": p} for p in self._files_at(read_version)]
         v = read_version + 1

@@ -236,3 +236,34 @@ def test_additive_schema_evolution(spark, tdir):
             _df(spark, 9, 10)
             .withColumn("extra", F.lit("s"))  # retype long -> string
         )
+
+
+def test_zorder_compaction_enables_multidim_skipping(spark, tdir):
+    """OPTIMIZE ZORDER analogue: after a z-ordered compaction, range
+    predicates on EITHER clustered column skip files from log stats."""
+    from pyspark.sql import functions as F
+
+    t = TxnTable(spark, tdir)
+    # 64x64 grid in random-ish insertion order: no natural clustering
+    grid = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        .orderBy("payload")  # destroy any x/y ordering
+    )
+    t.append(grid.repartition(4))
+    before = sorted(map(tuple, t.read().collect()))
+    v = t.compact(target_files=16, zorder=["x", "y"])
+    assert t.history()[v]["op"] == "compact"
+    assert sorted(map(tuple, t.read().collect())) == before  # layout-only
+
+    total = len(t.read().inputFiles())
+    px = len(t.read(prune={"x": (0, 7)}).inputFiles())
+    py = len(t.read(prune={"y": (0, 7)}).inputFiles())
+    assert px < total and py < total, (px, py, total)
+    # and pruned reads still return exactly the right rows
+    got = t.read(prune={"x": (0, 7)}).where(F.col("x") <= 7).count()
+    assert got == 8 * 64
