@@ -429,6 +429,97 @@ class TxnTable:
         self._maybe_checkpoint(v)
         return v
 
+    def delete(
+        self,
+        condition,
+        prune: Optional[Dict[str, tuple]] = None,
+        read_version: Optional[int] = None,
+    ) -> int:
+        """Predicate delete: rewrite the snapshot without matching rows,
+        as one read-modify-write transaction (same staleness rule as
+        ``overwrite``). ``condition`` is a Column predicate; ``prune``
+        optionally declares the predicate's column bounds ({col: (lo,
+        hi)}) so files whose log stats rule out ANY match carry over
+        UNREWRITTEN — a selective delete then costs O(matching files),
+        not O(table). Correctness never depends on ``prune``: a file
+        kept by pruning provably contains no matching row."""
+        if read_version is None:
+            read_version = self.latest_version()
+        files = self._files_at(read_version)
+        keep_paths, rewrite_paths = [], []
+        for rel, action in files.items():
+            stats = action.get("stats") or {}
+            if prune is not None and not self._may_match(stats, prune):
+                keep_paths.append((rel, action))
+            else:
+                rewrite_paths.append(rel)
+        adds = [{"add": a} for _, a in keep_paths]
+        if rewrite_paths:
+            schema = self._schema_at(read_version)
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            remaining = reader.parquet(
+                *[os.path.join(self.path, p) for p in rewrite_paths]
+            ).where(~condition)
+            adds += self._stage(remaining)
+        removes = [{"remove": p} for p in rewrite_paths]
+        v = read_version + 1
+        rec = {
+            "version": v,
+            "op": "delete",
+            "ts": time.time(),
+            "actions": removes + adds,
+        }
+        if not self._try_commit(v, rec):
+            raise CommitConflict(
+                f"snapshot v{read_version} is stale: v{v} already committed"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
+    def read_changes(self, from_version: int, to_version: Optional[int] = None) -> DataFrame:
+        """Append-only change feed: the rows ADDED by commits in
+        (from_version, to_version], tagged with their commit version —
+        the incremental-consumer contract for streaming-ingest tables
+        (process exactly the new rows since the last checkpointed
+        version). Raises for ranges containing non-append commits:
+        overwrite/delete/compact change data non-monotonically, and their
+        row-level diffs belong to the merge engine's CDC history sink
+        (plans/history.py), not to file-add replay."""
+        if to_version is None:
+            to_version = self.latest_version()
+        out = None
+        for v in range(from_version + 1, to_version + 1):
+            rec = self._read_commit(v)
+            if rec["op"] != "append":
+                raise ValueError(
+                    f"v{v} is {rec['op']!r}: change feed covers append-only "
+                    "ranges; row-level merge diffs live in the CDC history sink"
+                )
+            paths = [
+                os.path.join(self.path, a["add"]["path"])
+                for a in rec["actions"]
+                if "add" in a
+            ]
+            if not paths:
+                continue
+            schema = self._schema_at(v)
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            part = reader.parquet(*paths).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            schema = self._schema_at(to_version) if to_version >= 0 else self.schema
+            if schema is None:
+                raise ValueError("empty change range with no known schema")
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn("_commit_version", F.lit(None).cast("long"))
+        return out
+
     def vacuum(self, retain_versions: int = 0) -> List[str]:
         """Physically delete data files not referenced by ANY version in
         the retained window [latest - retain_versions, latest] — the only

@@ -267,3 +267,40 @@ def test_zorder_compaction_enables_multidim_skipping(spark, tdir):
     # and pruned reads still return exactly the right rows
     got = t.read(prune={"x": (0, 7)}).where(F.col("x") <= 7).count()
     assert got == 8 * 64
+
+
+def test_delete_rewrites_only_matching_files(spark, tdir):
+    from pyspark.sql import functions as F
+
+    t = TxnTable(spark, tdir)
+    for lo in (0, 100, 200):
+        t.append(_df(spark, lo, lo + 100).coalesce(1))
+    files_before = set(t._files_at(t.latest_version()))
+    v = t.delete(F.col("id").between(150, 160), prune={"id": (150, 160)})
+    assert t.history()[v]["op"] == "delete"
+    files_after = set(t._files_at(v))
+    # the two non-matching files carry over untouched
+    assert len(files_before & files_after) == 2
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert len(ids) == 300 - 11 and 155 not in ids and 100 in ids
+    # pre-delete snapshot still time-travels
+    assert t.read(version=2).count() == 300
+
+
+def test_change_feed_append_only(spark, tdir):
+    from pyspark.sql import functions as F
+
+    t = TxnTable(spark, tdir)
+    t.append(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 8))
+    t.append(_df(spark, 8, 10))
+    ch = t.read_changes(0)  # changes after v0: commits 1 and 2
+    got = {r["id"]: r["_commit_version"] for r in ch.collect()}
+    assert set(got) == set(range(5, 10))
+    assert all(v == 1 for i, v in got.items() if i < 8)
+    assert all(v == 2 for i, v in got.items() if i >= 8)
+    t.overwrite(_df(spark, 100, 101))
+    with pytest.raises(ValueError):
+        t.read_changes(0)  # range now spans a non-append commit
+    # empty range yields an empty, correctly-shaped frame
+    assert t.read_changes(3, 3).count() == 0
