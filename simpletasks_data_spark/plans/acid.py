@@ -243,15 +243,49 @@ class TxnTable:
                     f"column {f.name!r} retyped {f.dataType} -> {new_fields[f.name]}"
                 )
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        txn_app: Optional[str] = None,
+        txn_version: Optional[int] = None,
+    ) -> int:
         """Blind append: stage files, commit at the next free version.
         Commutes with every other operation, so collisions just retry the
         (tiny) log write — the staged data is never re-written. The
         commit records the (additively evolved) schema, so new nullable
-        columns land without rewriting history."""
+        columns land without rewriting history.
+
+        ``txn_app``/``txn_version``: idempotent-writer token. A commit
+        carrying the pair is a no-op (returns the existing version) if
+        ANY committed record already carries the same pair — the
+        exactly-once contract for streaming sinks: foreachBatch passes
+        (query name, epoch id), and a re-delivered micro-batch after a
+        crash lands zero duplicate rows. The check re-runs inside the
+        commit race loop, so two workers replaying the same epoch cannot
+        both land."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version must be set together")
+
+        def _already() -> Optional[int]:
+            if txn_app is None:
+                return None
+            for v in range(self.latest_version(), -1, -1):
+                rec = self._read_commit(v)
+                txn = rec.get("txn")
+                if txn and txn["app"] == txn_app and txn["version"] == txn_version:
+                    return v
+            return None
+
+        dup = _already()
+        if dup is not None:
+            return dup
         self._check_evolution(df.schema)
         adds = self._stage(df)
         for _ in range(max_retries):
+            dup = _already()
+            if dup is not None:
+                return dup
             v = self.latest_version() + 1
             rec = {
                 "version": v,
@@ -260,11 +294,28 @@ class TxnTable:
                 "actions": adds,
                 "schema": df.schema.json(),
             }
+            if txn_app is not None:
+                rec["txn"] = {"app": txn_app, "version": txn_version}
             if self._try_commit(v, rec):
                 self.schema = df.schema
                 self._maybe_checkpoint(v)
                 return v
         raise CommitConflict(f"append lost the commit race {max_retries} times")
+
+    def streaming_sink(self, query_name: str):
+        """``foreachBatch`` handler appending each micro-batch as one
+        idempotent transaction: ``writeStream.foreachBatch(
+        table.streaming_sink("my_query"))``. Epoch re-deliveries (crash
+        between sink write and checkpoint commit — the classic
+        duplicate-delivery window) are absorbed by the writer token, so
+        the table sees each epoch exactly once."""
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.append(batch_df, txn_app=query_name, txn_version=int(epoch_id))
+
+        return handle
 
     def overwrite(self, df: DataFrame, read_version: Optional[int] = None) -> int:
         """Replace the table contents. ``read_version`` is the snapshot the

@@ -107,6 +107,7 @@ _CHECK_FIRST = [
     "streaming_hll_distinct_users",
     "multimodal_ppm_roundtrip",
     "multimodal_ppm_resize",
+    "streaming_acid_sink",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -4727,6 +4728,44 @@ def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     sink = spark.table(name).select(F.col("win.start").alias("hour"), "_bucket", "_reg")
     return hll_finalize(sink, keys=["hour"], b=8)
+
+
+@register("streaming_acid_sink", """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
+FROM events
+""")
+def streaming_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming into the ACID table: each micro-batch commits
+    through the idempotent foreachBatch sink (writer token = query name +
+    epoch id), then the converged table must contain exactly the events
+    table — the oracle is a straight aggregate over the source. The
+    exactly-once guarantee under epoch re-delivery is pinned separately
+    by tests/test_acid.py::test_streaming_sink_exactly_once."""
+    import tempfile
+    import uuid
+
+    from .plans.acid import TxnTable
+    from .streaming import stream_events
+
+    t = TxnTable(spark, tempfile.mkdtemp(prefix="acid_sink_"))
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    q = (
+        ev.writeStream.foreachBatch(t.streaming_sink("acid_sink_q"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="acid_sink_ckpt_"))
+        .queryName("acid_sink_" + uuid.uuid4().hex[:6])
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return t.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("event_id").cast("bigint").alias("event_id_sum"),
+    )
 
 
 @register("orc_export_roundtrip", """

@@ -304,3 +304,29 @@ def test_change_feed_append_only(spark, tdir):
         t.read_changes(0)  # range now spans a non-append commit
     # empty range yields an empty, correctly-shaped frame
     assert t.read_changes(3, 3).count() == 0
+
+
+def test_idempotent_writer_token_absorbs_redelivery(spark, tdir):
+    t = TxnTable(spark, tdir)
+    v0 = t.append(_df(spark, 0, 5), txn_app="q1", txn_version=0)
+    v_dup = t.append(_df(spark, 0, 5), txn_app="q1", txn_version=0)  # replay
+    assert v_dup == v0 and t.read().count() == 5
+    t.append(_df(spark, 5, 8), txn_app="q1", txn_version=1)
+    assert t.read().count() == 8
+    # same epoch under a DIFFERENT app id is a distinct transaction
+    t.append(_df(spark, 8, 9), txn_app="q2", txn_version=0)
+    assert t.read().count() == 9
+    with pytest.raises(ValueError):
+        t.append(_df(spark, 0, 1), txn_app="q1")
+
+
+def test_streaming_sink_exactly_once(spark, tdir):
+    """Drive the foreachBatch handler directly: epoch replay after a
+    'crash' must not duplicate rows."""
+    t = TxnTable(spark, tdir)
+    sink = t.streaming_sink("ingestq")
+    sink(_df(spark, 0, 10), 0)
+    sink(_df(spark, 10, 15), 1)
+    sink(_df(spark, 10, 15), 1)  # re-delivered epoch
+    assert t.read().count() == 15
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(15))
