@@ -88,6 +88,17 @@ def _ckname(v: int) -> str:
     return f"{v:0{_PAD}d}.checkpoint.json"
 
 
+def _coerce_partition_value(v: str):
+    """Hive path values are strings; coerce numerics so stats pruning
+    compares like with like."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
+
+
 class TxnTable:
     def __init__(
         self,
@@ -175,26 +186,41 @@ class TxnTable:
 
     # -- write path ---------------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> List[dict]:
+    def _stage(
+        self, df: DataFrame, partition_by: Optional[List[str]] = None
+    ) -> List[dict]:
         """Write the frame's data files under a fresh commit directory and
         return their add-actions, each carrying per-column min/max pulled
         from the parquet FOOTERS (no data read) — the file-level statistics
         that let ``read(prune=...)`` skip whole files from log metadata
         alone, before any scan task is scheduled (how Delta/Iceberg prune
-        at planning time). Staged files are invisible until a log record
-        references them."""
+        at planning time). ``partition_by`` writes hive layout; each
+        partition column lands in the file's stats as an EXACT [v, v]
+        range parsed from the path, so partition pruning is just the
+        stats pruning — one mechanism, no special casing. Staged files
+        are invisible until a log record references them."""
         cid = uuid.uuid4().hex[:12]
         reldir = os.path.join("data", cid)
         absdir = os.path.join(self.path, reldir)
-        df.write.mode("overwrite").parquet(absdir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(absdir)
         adds = []
-        for name in sorted(os.listdir(absdir)):
-            if name.startswith(("_", ".")):
-                continue
-            rel = os.path.join(reldir, name)
-            adds.append(
-                {"add": {"path": rel, "stats": self._footer_stats(os.path.join(self.path, rel))}}
-            )
+        for root, _dirs, names in sorted(os.walk(absdir)):
+            for name in sorted(names):
+                if name.startswith(("_", ".")):
+                    continue
+                absf = os.path.join(root, name)
+                stats = self._footer_stats(absf)
+                for seg in os.path.relpath(absf, absdir).split(os.sep):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        cv = _coerce_partition_value(v)
+                        stats[k] = [cv, cv]
+                adds.append(
+                    {"add": {"path": os.path.relpath(absf, self.path), "stats": stats}}
+                )
         if self.schema is None:
             self.schema = df.schema
         return adds
@@ -249,6 +275,7 @@ class TxnTable:
         max_retries: int = 20,
         txn_app: Optional[str] = None,
         txn_version: Optional[int] = None,
+        partition_by: Optional[List[str]] = None,
     ) -> int:
         """Blind append: stage files, commit at the next free version.
         Commutes with every other operation, so collisions just retry the
@@ -281,7 +308,7 @@ class TxnTable:
         if dup is not None:
             return dup
         self._check_evolution(df.schema)
-        adds = self._stage(df)
+        adds = self._stage(df, partition_by=partition_by)
         for _ in range(max_retries):
             dup = _already()
             if dup is not None:
@@ -390,7 +417,7 @@ class TxnTable:
             if schema is None:
                 raise ValueError("empty snapshot with no known schema")
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read
+        reader = self.spark.read.option("basePath", self.path)
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*paths)

@@ -330,3 +330,24 @@ def test_streaming_sink_exactly_once(spark, tdir):
     sink(_df(spark, 10, 15), 1)  # re-delivered epoch
     assert t.read().count() == 15
     assert sorted(r["id"] for r in t.read().collect()) == list(range(15))
+
+
+def test_partitioned_append_prunes_from_path_stats(spark, tdir):
+    from pyspark.sql import functions as F
+
+    t = TxnTable(spark, tdir)
+    d = spark.range(300).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"), (F.col("id") * 2).alias("val")
+    )
+    t.append(d, partition_by=["bucket"])
+    full = t.read()
+    assert set(full.columns) == {"id", "bucket", "val"}  # partition col reconstructed
+    assert full.count() == 300
+    one = t.read(prune={"bucket": (1, 1)})
+    assert len(one.inputFiles()) < len(full.inputFiles())
+    got = one.where(F.col("bucket") == 1)
+    assert got.count() == 100
+    assert all(r["id"] % 3 == 1 for r in got.collect())
+    # partition pruning composes with footer stats on data columns
+    both = t.read(prune={"bucket": (1, 1), "id": (0, 50)})
+    assert len(both.inputFiles()) <= len(one.inputFiles())
