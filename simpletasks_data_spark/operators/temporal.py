@@ -35,7 +35,7 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "interval_overlap_join"]
 
 _SIDE = "_asof_side"
 
@@ -148,3 +148,50 @@ def range_join(
     )
     pt = points.withColumn("_cell", cell_of(F.col(point_ts)))
     return pt.join(iv, on + ["_cell"], how).where(cond).drop("_cell")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: Sequence[str] = (),
+    bucket: str = "7 days",
+) -> DataFrame:
+    """Pair rows whose [start, end] intervals OVERLAP (inclusive bounds)
+    — the interval-interval sibling of ``range_join``'s point-interval
+    form, the primitive behind time-range dedup, concurrent-session
+    detection, and conflict checks.
+
+    Both sides explode onto the same fixed grid; a pair can share many
+    cells, so the join keeps exactly ONE copy by emitting a pair only
+    from the FIRST cell both intervals cover (``greatest`` of the two
+    start cells — computable per row pair, no distinct pass, the same
+    dedup trick as the LSH band join). Replication is bounded by
+    interval length / bucket width per side; the exact overlap predicate
+    (``l_start <= r_end AND r_start <= l_end``) runs as a residual
+    filter after the cell equi-join."""
+    import pandas as pd
+
+    on = list(on)
+    width_s = int(pd.Timedelta(bucket).total_seconds())
+    cell_of = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(c) / F.lit(width_s)
+    )
+    l = left.withColumn("_lc0", cell_of(F.col(left_start))).withColumn(
+        "_cell", F.explode(F.sequence(cell_of(F.col(left_start)), cell_of(F.col(left_end))))
+    )
+    r = right.withColumn("_rc0", cell_of(F.col(right_start))).withColumn(
+        "_cell", F.explode(F.sequence(cell_of(F.col(right_start)), cell_of(F.col(right_end))))
+    )
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    first_shared = F.greatest(F.col("_lc0"), F.col("_rc0")) == F.col("_cell")
+    return (
+        l.join(r, on + ["_cell"])
+        .where(overlap & first_shared)
+        .drop("_cell", "_lc0", "_rc0")
+    )

@@ -108,6 +108,7 @@ _CHECK_FIRST = [
     "multimodal_ppm_roundtrip",
     "multimodal_ppm_resize",
     "streaming_acid_sink",
+    "overlap_join_order_windows",
     "format_list_roundtrip",
     "merge_write_commit",
     "merge_write_dry_run",
@@ -2089,6 +2090,45 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["last_purchase_value"],
         matched_ts="purchase_ts",
     )
+
+
+@register("overlap_join_order_windows", """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey AS id, o_orderdate AS s,
+         o_orderdate + (o_orderkey % 30) * INTERVAL 1 DAY AS e
+  FROM orders
+)
+SELECT a.o_custkey, a.id AS a_id, b.id AS b_id
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.id < b.id
+ AND a.s <= b.e AND b.s <= a.e
+""")
+def overlap_join_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators/temporal.py): pairs of a
+    customer's orders whose synthetic activity windows ([orderdate,
+    orderdate + orderkey%30 days]) overlap in time — the primitive behind
+    concurrent-session detection and time-range conflict checks. Both
+    sides grid onto 7-day cells; a pair emits only from the first shared
+    cell (no distinct pass), and the exact overlap predicate filters
+    after the cell equi-join — bounded replication, never a per-key
+    cross product beyond the true overlap candidates."""
+    from .operators.temporal import interval_overlap_join
+
+    orders = load(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("s"),
+        F.timestamp_add(
+            "DAY", (F.col("o_orderkey") % 30).cast("int"), F.col("o_orderdate")
+        ).alias("e"),
+    )
+    a = iv.select("o_custkey", F.col("id").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e"))
+    b = iv.select("o_custkey", F.col("id").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e"))
+    out = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", on=["o_custkey"], bucket="7 days"
+    )
+    return out.where(F.col("a_id") < F.col("b_id")).select("o_custkey", "a_id", "b_id")
 
 
 @register("range_join_purchase_clicks", """

@@ -112,3 +112,28 @@ def test_asof_plan_single_shuffle(spark):
     out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", values=["v"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_exact_and_single_copy(spark):
+    """Overlapping pairs come back exactly once even when the pair shares
+    many grid cells (long intervals)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.operators.temporal import interval_overlap_join
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    rows_a = [(1, "a1", ts(1), ts(20)), (1, "a2", ts(25), ts(26)), (2, "a3", ts(1), ts(2))]
+    rows_b = [(1, "b1", ts(5), ts(28)), (1, "b2", ts(21), ts(22)), (2, "b3", ts(3), ts(4))]
+    a = spark.createDataFrame(rows_a, "k int, a_id string, a_s timestamp, a_e timestamp")
+    b = spark.createDataFrame(rows_b, "k int, b_id string, b_s timestamp, b_e timestamp")
+    out = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e", on=["k"], bucket="2 days")
+    pairs = sorted((r["a_id"], r["b_id"]) for r in out.collect())
+    # a1×b1 overlap across ~8 shared 2-day cells -> exactly ONE row;
+    # a2×b1 overlap; a1×b2 disjoint (b2 starts day 21 > a1 ends day 20);
+    # a2×b2 disjoint; a3×b3 disjoint (ends day 2 < starts day 3)
+    assert pairs == [("a1", "b1"), ("a2", "b1")]
+    assert out.count() == len(set(pairs))
