@@ -97,6 +97,11 @@ _CHECK_FIRST = [
     "dedup_retained_corpus",
     "dedup_rate_by_source",
     "q5_local_supplier_volume",
+    # -- named in the round-2 verdict as must-check --
+    "range_join_purchase_clicks",
+    "scd2_user_state",
+    "profile_orders",
+    "expectations_orders",
     # -- new this round, never driver-checked --
     "acid_snapshot_rollup",
     "acid_merge_versions",
@@ -131,20 +136,16 @@ _CHECK_FIRST = [
     "events_anomaly_zscore",
     "dedup_clusters_bigstar",
     "knn_incremental_probe",
+    "dedup_passages",
     "boilerplate_ngram_fraction",
     "corpus_health_by_source",
-    "dedup_passages",
     # -- registered round 2, never driver-checked (riskiest first;
     #    straightforward TPC-H breadth rotates behind — it is pinned by
     #    the local parity suite every run) --
-    "range_join_purchase_clicks",
     "hypertable_rollup_events",
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "sketch_histogram_quantile",
-    "scd2_user_state",
-    "profile_orders",
-    "expectations_orders",
     "merge_validation_counters",
     "dedup_incremental",
     "corpus_export_manifest",
