@@ -5111,17 +5111,19 @@ FROM lineitem
   JOIN part     ON p_partkey = l_partkey
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation   ON n_nationkey = s_nationkey
-WHERE p_name LIKE '%green%'
+WHERE p_name LIKE '%red%'
 GROUP BY n_name, year(o_orderdate)
 """)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q9 adapted to this schema (no partsupp table, so supply cost
     is proxied at 60% of retail price): profit by supplier nation and
-    order year over parts matching a name fragment. The fact-side join
+    order year over parts matching a name fragment ('red' — the classic
+    'green' does not occur in this synthetic part vocabulary, which made
+    the query vacuous). The fact-side join
     chain shuffles once on orderkey; part/supplier/nation broadcast."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%green%")).select(
+    part = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
