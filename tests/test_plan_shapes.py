@@ -176,3 +176,42 @@ def test_acid_snapshot_read_is_plain_pruned_scan(spark):
     assert "Exchange" not in tree, f"acid read gained a shuffle:\n{tree}"
     assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,100)]" in plan
     assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_plan_lint_no_antipatterns(spark):
+    """Automated anti-pattern sweep over the lazily-plannable catalog
+    queries: no CartesianProduct, no row-at-a-time Python UDF
+    (BatchEvalPython) anywhere — pandas UDFs (ArrowEvalPython) are the
+    sanctioned Python boundary. Queries that execute work at build time
+    (merge/acid/streaming/iterative-CC families) are exercised by the
+    parity suite instead; `knn_bruteforce`'s crossJoin is its declared
+    O(q*c) correctness-baseline design."""
+    LAZY = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "top_parts_per_brand", "q7_volume_shipping",
+        "q8_market_share", "q9_product_profit", "q10_returned_items",
+        "q13_order_distribution", "q14_promo_revenue", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_or_predicate_revenue", "q22_idle_customers",
+        "text_stats", "text_langid", "text_quality", "text_repetition",
+        "text_fingerprint", "dedup_exact", "dedup_passages", "dedup_ngram_jaccard",
+        "events_sessionize", "events_hourly_rollup", "events_json_extract",
+        "events_funnel_conversion", "events_retention_cohorts",
+        "asof_join_last_purchase", "range_join_purchase_clicks",
+        "overlap_join_order_windows", "hypertable_rollup_events",
+        "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_histogram_quantile",
+        "sketch_cms_heavy_hitters", "bloom_semi_join_orders",
+        "corpus_hash_split", "corpus_stratified_sample", "weighted_sample_quality",
+        "balance_mixture_langs", "temperature_mixture_langs", "vocab_top_tokens",
+        "pii_scrub_customers", "bpe_token_count", "chunk_documents",
+        "pack_sequences", "embedding_quantize_int8", "knn_ivf_signbits",
+        "cube_qty_by_flag_status", "rollup_returnflag_status",
+        "pivot_revenue_by_status", "url_host_stats", "rolling_revenue_features",
+        "events_anomaly_zscore", "scd2_user_state",
+    ]
+    bad = {}
+    for name in LAZY:
+        plan = _plan(Q.queries()[name](spark, SF))
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"anti-patterns crept into plans: {bad}"
