@@ -351,3 +351,53 @@ def test_partitioned_append_prunes_from_path_stats(spark, tdir):
     # partition pruning composes with footer stats on data columns
     both = t.read(prune={"bucket": (1, 1), "id": (0, 50)})
     assert len(both.inputFiles()) <= len(one.inputFiles())
+
+
+def test_streaming_sink_checkpoint_restart_no_duplicates(spark, tdir):
+    """Durability: a foreachBatch ACID sink stopped and RESTARTED from its
+    checkpoint neither loses nor duplicates rows — offsets come from the
+    stream checkpoint, epoch replay is absorbed by the writer token."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src_dir = tempfile.mkdtemp(prefix="sink_src_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    t = TxnTable(spark, tdir)
+
+    def write_batch(lo, hi, name):
+        _df(spark, lo, hi).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, name)
+        )
+
+    write_batch(0, 10, "b0")
+    stream = (
+        spark.readStream.schema("id long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(t.streaming_sink("restartq"))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert t.read().count() == 10
+
+    write_batch(10, 25, "b1")  # arrives while the query is DOWN
+    q2 = (
+        spark.readStream.schema("id long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+        .writeStream.foreachBatch(t.streaming_sink("restartq"))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(25))
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
