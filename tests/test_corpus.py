@@ -138,3 +138,39 @@ def test_temperature_mixture_alpha_extremes(spark):
     ah = CP.temperature_mixture(d, "lang", alpha=0.5, key_col="doc_id")
     goth = {r["lang"]: r["n"] for r in ah.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert goth["small"] == 10 and 10 < goth["big"] < 90
+
+
+def test_passage_dedupe_invariants_hypothesis(spark):
+    """Property pins for passage_dedupe over arbitrary word-salad corpora:
+    token totals are conserved, the owner (smallest id per shared hash)
+    keeps everything it owns, kept <= total, and shared_fraction is
+    consistent with the counts."""
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators import dedupe as DD
+
+    words = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=35)
+    corpora = st.lists(words, min_size=1, max_size=6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpora)
+    def run(texts):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+        d = spark.createDataFrame(rows, "id long, text string")
+        out = DD.passage_dedupe(d, "id", "text").collect()
+        assert len(out) == len(rows)
+        for r in out:
+            ws = texts[r["id"]]
+            assert r["n_tokens"] == len(ws)
+            assert 0 <= r["n_kept_tokens"] <= r["n_tokens"]
+            assert r["n_shared_segments"] <= r["n_segments"]
+            assert r["shared_fraction"] == round(r["n_shared_segments"] / r["n_segments"], 4)
+        # global conservation: every shared segment is kept by exactly one
+        # doc, so sum(kept) + sum(dropped) == sum(total) and dropped > 0
+        # only when some segment is shared
+        total = sum(r["n_tokens"] for r in out)
+        kept = sum(r["n_kept_tokens"] for r in out)
+        any_shared = any(r["n_shared_segments"] > 0 for r in out)
+        assert kept <= total and (kept == total) == (not any_shared)
+
+    run()
