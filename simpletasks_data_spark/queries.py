@@ -50,15 +50,11 @@ def register(name: str, oracle: str | None = None):
 
 
 def _pin_session_confs(spark: SparkSession) -> None:
-    """The external driver calls queries with ITS OWN session. Engine
-    semantics assume non-ANSI parsing (failure -> NULL, the reference's
-    try/except model) and a UTC session so timestamps hash-match a
-    UTC-naive oracle; both are runtime-settable, so pin them defensively."""
-    try:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    """The external driver calls queries with ITS OWN session — delegate
+    to the shared helper (session.pin_session_confs)."""
+    from .session import pin_session_confs
+
+    pin_session_confs(spark)
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

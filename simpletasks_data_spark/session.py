@@ -67,3 +67,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def pin_session_confs(spark: SparkSession) -> None:
+    """Re-assert the two runtime-settable semantics the engine depends on
+    on a FOREIGN session (the external driver calls queries with its own
+    SparkSession): non-ANSI parsing (failure -> NULL, the reference's
+    try/except model) and a UTC session timezone so event-time windows
+    and timestamp round-trips hash-match a UTC-naive oracle."""
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass

@@ -60,6 +60,9 @@ def stream_events(
     ``processAllAvailable()`` — rather than relying on the file-source's
     oldest-mtime pickup order; in production this source is swapped for
     Kafka, where offsets give the same guarantee."""
+    from ..session import pin_session_confs
+
+    pin_session_confs(spark)  # foreign-session safety: UTC event-time windows
     raw = (
         spark.readStream.schema(events_schema())
         .option("maxFilesPerTrigger", 1)
