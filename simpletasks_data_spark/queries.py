@@ -5732,3 +5732,90 @@ def knn_quantized_rescore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
     )
+
+
+@register("streaming_left_outer_attribution", """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       round(c.value, 4) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
+""")
+def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join run to completion: every
+    purchase emits — with each same-user click in the following two hours,
+    or once with NULL click columns if none ever arrives. Outer rows are
+    emitted by watermark passage (state eviction), so the bounded replay
+    appends two far-future sentinel batches that survive BOTH pre-join
+    filters (a sentinel 'purchase' and a sentinel 'click' per flush, on an
+    impossible user) to drive the watermark past every real interval; the
+    sentinels are filtered from the SINK, never inside the streaming plan
+    (a pre-watermark filter would drop them before they could advance it).
+    Oracle: the plain batch LEFT JOIN."""
+    import datetime as _dt
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .streaming import stream_events, streaming_interval_join
+
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    d = tempfile.mkdtemp(prefix="louter_stream_")
+    pq.write_table(tbl, os.path.join(d, "a_events.parquet"))
+
+    ev = stream_events(spark, d, glob="*.parquet")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    joined = streaming_interval_join(c, p, on="user_id", how="leftOuter").select(
+        "purchase_id", "click_id", F.round("value", 4).alias("click_value")
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # Flush batches: each writes one sentinel purchase AND one
+        # sentinel click (both survive their side's event_type filter) on
+        # user_id -1, far enough ahead to close every real interval. Two
+        # rounds: the first advances the watermark, the second triggers
+        # the batch in which evicted unmatched intervals actually emit.
+        for i, days in enumerate((36500, 36530)):
+            base = tbl.slice(0, 2)
+            ts_idx = base.schema.get_field_index("ts")
+            sent = (
+                base.set_column(
+                    ts_idx, "ts",
+                    pc.add(base["ts"], pa.scalar(_dt.timedelta(days=days))),
+                )
+                .set_column(
+                    base.schema.get_field_index("event_type"),
+                    "event_type",
+                    pa.array(["purchase", "click"]),
+                )
+                .set_column(
+                    base.schema.get_field_index("user_id"),
+                    "user_id",
+                    pa.array([-1, -1], pa.int64()),
+                )
+                .set_column(
+                    base.schema.get_field_index("event_id"),
+                    "event_id",
+                    pa.array([-1, -2], pa.int64()),
+                )
+            )
+            pq.write_table(sent, os.path.join(d, f"b_flush_{i}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).where(F.col("purchase_id") >= 0)

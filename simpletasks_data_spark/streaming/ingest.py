@@ -148,15 +148,23 @@ def streaming_interval_join(
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each point row matches
-    interval rows of the same ``on`` key whose [start, end] contains the
-    point's event time. BOTH sides carry a watermark and the join
-    condition bounds each side's event time by the other's — that pair of
+    """Watermarked stream-stream join: each point row matches interval
+    rows of the same ``on`` key whose [start, end] contains the point's
+    event time. BOTH sides carry a watermark and the join condition
+    bounds each side's event time by the other's — that pair of
     constraints is what lets the engine evict buffered rows (state stays
     ~watermark + interval length per key, bounded on an unbounded
     stream). Matches emit in append mode as soon as both rows have
-    arrived."""
+    arrived. ``how="leftOuter"`` makes the INTERVALS side outer: an
+    interval with no matching point emits once, with NULL point columns,
+    when the watermark passes its end (i.e. when no future point can
+    still land inside it) — the streaming form of "purchases with no
+    follow-up click". Outer emission is watermark-driven, so bounded
+    replays must flush with far-future sentinel rows that survive both
+    sides' pre-watermark filters (see ``streaming_left_outer_attribution``
+    in queries.py)."""
     p = points.withWatermark(point_ts, watermark).alias("p")
     i = intervals.withWatermark(start_ts, watermark).alias("i")
     cond = (
@@ -164,4 +172,4 @@ def streaming_interval_join(
         & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_ts}"))
         & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_ts}"))
     )
-    return i.join(p, cond, "inner")
+    return i.join(p, cond, how)
