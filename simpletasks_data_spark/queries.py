@@ -5819,3 +5819,43 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     finally:
         q.stop()
     return spark.table(name).where(F.col("purchase_id") >= 0)
+
+
+@register("events_transition_matrix", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM cnt
+""")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    per-user lag over (ts, event_id) yields (prev -> next) bigrams, one
+    hash agg counts them, and the row-normalized probability comes from a
+    window over the (tiny, |types|^2-row) count frame. Scale shape: the
+    only data-sized shuffle is the per-user window partition (same
+    partitioning sessionization already uses); the normalization window
+    runs on the aggregated matrix, not the events."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 4).alias("p"),
+    )

@@ -215,3 +215,49 @@ def test_plan_lint_no_antipatterns(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"anti-patterns crept into plans: {bad}"
+
+
+def test_tpch_completion_broadcasts_and_pruning(spark):
+    """q2/q16/q20: the part filter must broadcast into the single lineitem
+    scan (no shuffle join against the fact side) and the scan must prune
+    to the columns the query touches."""
+    plan = _plan(Q.queries()["q2_min_cost_supplier"](spark, SF))
+    tree = _tree(plan)
+    assert tree.count("BroadcastHashJoin") == 3, tree  # part, supplier, nation
+    assert (
+        "ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint,l_quantity:double,l_extendedprice:double>"
+        in plan
+    ), plan
+    for name in ("q16_supplier_cnt", "q20_concentrated_suppliers"):
+        tree = _tree(_plan(Q.queries()[name](spark, SF)))
+        assert "BroadcastHashJoin" in tree, f"{name} lost its broadcast:\n{tree}"
+        assert "SortMergeJoin" not in tree, f"{name} shuffle-joins the fact table:\n{tree}"
+
+
+def test_q11_single_lineitem_scan(spark):
+    """q11: the scalar threshold must come from the checkpointed agg, not a
+    second lineitem scan."""
+    plan = _plan(Q.queries()["q11_important_parts"](spark, SF))
+    assert "ReadSchema: struct<l_suppkey" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_quantized_rescore_broadcasts_code_table(spark):
+    """Stage 1 must broadcast the (8x smaller) code table — the whole point
+    of the compressed index — and stage 2's exact join must also broadcast
+    (shortlist and candidate fetches are tiny next to the corpus)."""
+    tree = _tree(_plan(Q.queries()["knn_quantized_rescore"](spark, SF)))
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_transition_matrix_normalizes_post_agg(spark):
+    """The probability window must run on the aggregated matrix (tiny),
+    never on the event rows: exactly one window partitioned by user plus
+    one by prev_type, and exactly one data-sized exchange chain (user
+    window -> agg reuses / AQE-coalesces; no extra sort on events)."""
+    tree = _tree(_plan(Q.queries()["events_transition_matrix"](spark, SF)))
+    assert tree.count("Window") == 2, tree
+    # events-side: one exchange for the user window, one for the agg, one
+    # single-partition exchange for the prev_type window on the matrix.
+    assert tree.count("Exchange") <= 3, tree
