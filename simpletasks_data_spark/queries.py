@@ -5859,3 +5859,48 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wp), 4).alias("p"),
     )
+
+
+@register("incremental_rollup_refresh", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh: the stored rollup (built from history
+    before Jan 22) absorbs the newer events as an incremental batch —
+    only the buckets the batch touches shuffle; untouched rollup rows
+    pass through map-only (operators/incremental.py). The refreshed
+    rollup must equal the full recompute, so the oracle is the SAME SQL
+    as events_hourly_rollup. Stored state keeps unrounded mergeable
+    partials; rounding happens only in the read-out projection."""
+    from .operators.incremental import incremental_rollup_refresh
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+        "event_type",
+        "value",
+    )
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    hist = ev.where(F.col("hour") < cutoff)
+    batch = ev.where(F.col("hour") >= cutoff)
+    partial = {
+        "n": F.count(F.lit(1)).cast("long"),
+        "sum_value": F.sum("value"),
+    }
+    merge = {
+        "n": F.sum("n").cast("long"),
+        "sum_value": F.sum("sum_value"),
+    }
+    stored = hist.groupBy("hour", "event_type").agg(
+        *[c.alias(n) for n, c in partial.items()]
+    )
+    refreshed = incremental_rollup_refresh(
+        stored, batch, keys=["hour", "event_type"], partial=partial, merge=merge
+    )
+    return refreshed.select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("total_value"),
+    )
