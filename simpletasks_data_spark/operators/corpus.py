@@ -42,6 +42,7 @@ __all__ = [
     "stratified_sample",
     "vocab_top_tokens",
     "ngram_shingles",
+    "ngram_lm_counts",
     "decontaminate",
     "tfidf_top_terms",
     "weighted_sample",
@@ -101,14 +102,18 @@ def vocab_top_tokens(docs: DataFrame, text_col: str = "text", n: int = 100) -> D
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(n)
 
 
-def ngram_shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) of the normalized text.
-    Materialize the token array to a column before calling if reused —
-    HOF lambdas are not CSE'd."""
+def ngram_shingles(text_col: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-grams (space-joined) of the normalized text — per-document
+    DISTINCT by default (the shingle-set form dedup/decontamination use);
+    ``distinct=False`` keeps every occurrence (the multiset form LM
+    counting needs). Materialize the token array to a column before
+    calling if reused — HOF lambdas are not CSE'd."""
     toks = text_col
     starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -315,4 +320,59 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tfidf", "rank")
+    )
+
+
+def ngram_lm_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 3,
+) -> DataFrame:
+    """n-gram language-model count tables (Kneser-Ney preparation): raw
+    n-gram counts joined with the continuation statistic of each gram's
+    suffix — N1+(. suffix) = how many distinct left words precede it,
+    the count KN smoothing uses in place of raw frequency for lower
+    orders.
+
+    Scale shape: ONE explode of the corpus into n-grams feeding ONE
+    map-side-combined count agg (the only data-sized shuffle — identical
+    grams collapse per partition before moving). The continuation table
+    derives from the count TABLE (already one row per distinct n-gram,
+    so distinct-left-context count is a plain count(*) per suffix) —
+    second agg and join run on |vocabulary| rows, not corpus rows. The
+    ``min_count`` floor applies to the emitted rows only, AFTER
+    continuation counts, so smoothing statistics see the full table.
+
+    Output: gram, head (first word), suffix (n-1 words), n_occurrences,
+    n_left_contexts.
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    grams = (
+        docs.select(toks.alias("_toks"))
+        .where(F.size("_toks") >= n)
+        .select(F.explode(ngram_shingles(F.col("_toks"), n, distinct=False)).alias("gram"))
+    )
+    head = F.substring_index("gram", " ", 1)
+    suffix = F.substr(
+        "gram", F.length(head) + F.lit(2), F.length("gram")
+    )
+    cnt = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select("gram", head.alias("head"), suffix.alias("suffix"), "n_occurrences")
+        # Feeds BOTH join branches (emitted rows + continuation agg);
+        # Spark does not reuse subtrees across branches, so without
+        # materialization the corpus explode+agg would run twice.
+        .localCheckpoint(eager=True)
+    )
+    cont = cnt.groupBy("suffix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_left_contexts")
+    )
+    return (
+        cnt.join(cont, "suffix")
+        .where(F.col("n_occurrences") >= min_count)
+        .select("gram", "head", "suffix", "n_occurrences", "n_left_contexts")
     )

@@ -5904,3 +5904,39 @@ def incremental_rollup_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_value", 4).alias("total_value"),
     )
+
+
+@register("ngram_lm_counts", f"""
+WITH tok AS (
+  SELECT {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+tri AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS gram
+  FROM tok WHERE len(toks) >= 3
+),
+cnt AS (
+  SELECT gram,
+         list_extract(string_split(gram, ' '), 1) AS head,
+         list_extract(string_split(gram, ' '), 2) || ' '
+           || list_extract(string_split(gram, ' '), 3) AS suffix,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM tri GROUP BY gram
+),
+cont AS (
+  SELECT suffix, CAST(count(*) AS BIGINT) AS n_left_contexts
+  FROM cnt GROUP BY suffix
+)
+SELECT c.gram, c.head, c.suffix, c.n_occurrences, k.n_left_contexts
+FROM cnt c JOIN cont k USING (suffix)
+WHERE c.n_occurrences >= 3
+""")
+def ngram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney count preparation over the corpus: trigram counts plus
+    the continuation statistic of each gram's suffix bigram (distinct
+    left words), derived from the count table itself — the corpus-sized
+    shuffle happens exactly once (operators/corpus.py::ngram_lm_counts)."""
+    return CP.ngram_lm_counts(
+        load(spark, sf_dir, "documents"), "text", n=3, min_count=3
+    )

@@ -261,3 +261,16 @@ def test_transition_matrix_normalizes_post_agg(spark):
     # events-side: one exchange for the user window, one for the agg, one
     # single-partition exchange for the prev_type window on the matrix.
     assert tree.count("Exchange") <= 3, tree
+
+
+def test_ngram_lm_counts_single_corpus_shuffle(spark):
+    """The corpus-sized shuffle is the gram count agg; the continuation
+    agg and join run on the (vocabulary-sized) count table. Pin: the
+    text scan appears ONCE, and the continuation side joins broadcast or
+    on the already-aggregated frame, never re-exploding the corpus."""
+    plan = _plan(Q.queries()["ngram_lm_counts"](spark, SF))
+    # the count table is checkpointed: the read-out plan must not touch
+    # the corpus text at all, let alone re-explode it
+    assert plan.count("ReadSchema: struct<text:string>") == 0, plan
+    tree = _tree(plan)
+    assert "Generate" not in tree, tree
