@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash_pairs",
     "knn_bruteforce",
+    "knn_bruteforce_blas",
     "knn_ivf_signbits",
     "text_stats",
     "text_quality",

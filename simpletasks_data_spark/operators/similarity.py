@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, bucket_signbits, cosine, norm2, suggest_signbit_bits
 
-__all__ = ["knn_bruteforce", "knn_ivf_signbits", "knn_quantized_rescore", "embedding_dedupe_pairs", "ivf_centroids"]
+__all__ = ["knn_bruteforce", "knn_ivf_signbits", "knn_quantized_rescore",
+    "knn_bruteforce_blas", "embedding_dedupe_pairs", "ivf_centroids"]
 
 
 def _norm_frame(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
@@ -292,3 +293,110 @@ def knn_quantized_rescore(
         .withColumn("sim_r", F.round(exact_dot / (F.col("q_norm") * F.col("c_norm")), 6))
     )
     return _ranked_topk(pairs, k)
+
+
+def knn_bruteforce_blas(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    max_candidate_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact top-k via Arrow + numpy: the candidate matrix broadcasts to
+    the Python workers once and every query partition scores against it
+    with vectorized float64 arithmetic — the Pandas-UDF fast path for
+    dense linear algebra, where a JVM expression fold evaluates scalar
+    ops per (pair, dim) but BLAS-style row operations stream through
+    SIMD. Output is BIT-IDENTICAL to :func:`knn_bruteforce`: the dot
+    products and norms accumulate dimension-by-dimension in the same
+    left-to-right order as the JVM ``aggregate`` fold (a loop of
+    vectorized outer-product adds, NOT ``np.dot``, whose pairwise
+    summation differs in the last ulp and can flip a rounded tie), and
+    rounding is decimal HALF_UP like Spark's ``round``.
+
+    Scale shape: the candidate side must fit one executor's memory
+    (``max_candidate_rows`` guards it — float64 at 64 dims is ~0.5 GB
+    per million rows); queries partition freely, so total work
+    distributes across the cluster with zero shuffle. Past the gate,
+    shard the candidate set and merge per-shard top-k, or switch to
+    ``knn_ivf_signbits`` / ``knn_quantized_rescore``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cand = emb.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
+    ).toPandas()
+    if len(cand) > max_candidate_rows:
+        raise ValueError(
+            f"candidate side has {len(cand)} rows > max_candidate_rows="
+            f"{max_candidate_rows}; shard it or use an ANN operator"
+        )
+    c_ids = cand["_id"].to_numpy(dtype=np.int64)
+    c_mat = np.stack(cand["_v"].to_numpy()).astype(np.float64)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def _seq_dot(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # (n, d) x (m, d) -> (n, m), accumulating dims left-to-right so
+        # every pair's sum has the JVM fold's exact rounding trajectory
+        acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        for d in range(a.shape[1]):
+            acc += a[:, d, None] * b[None, :, d]
+        return acc
+
+    def _seq_norm(a: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(a.shape[0], dtype=np.float64)
+        for d in range(a.shape[1]):
+            acc += a[:, d] * a[:, d]
+        return np.sqrt(acc)
+
+    def _half_up(x: "np.ndarray", digits: int) -> "np.ndarray":
+        m = 10.0 ** digits
+        return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+    def _spark_round(x: float, digits: int) -> float:
+        # Spark's round() feeds BigDecimal.valueOf(double) — the SHORTEST
+        # decimal representation, not the exact binary value. Python's
+        # repr produces the same shortest form, so Decimal(repr(x)) +
+        # HALF_UP reproduces the JVM result even on .XXXX50 knife-edge
+        # values where binary-exact rounding lands one ulp lower.
+        import decimal
+
+        q = decimal.Decimal(1).scaleb(-digits)
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(q, rounding=decimal.ROUND_HALF_UP)
+        )
+
+    def score(batches):
+        ids_, cm = bc.value
+        cn = _seq_norm(cm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            qn = _seq_norm(qm)
+            raw = _seq_dot(qm, cm) / (qn[:, None] * cn[None, :])
+            sims = _half_up(raw, 6)
+            rows = []
+            for r, qid in enumerate(pdf["_id"].to_numpy(dtype=np.int64)):
+                s = sims[r]
+                order = np.lexsort((ids_, -s))
+                rank = 0
+                for j in order:
+                    if ids_[j] == qid:
+                        continue
+                    rank += 1
+                    sim_r = _spark_round(raw[r, j], 6)
+                    rows.append((int(qid), int(ids_[j]), rank, _spark_round(sim_r, 4)))
+                    if rank >= k:
+                        break
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "rank", "cosine"]
+            )
+
+    q = queries.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"))
+    return q.mapInPandas(
+        score, "query_id long, neighbor_id long, rank long, cosine double"
+    )

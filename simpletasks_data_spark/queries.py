@@ -5940,3 +5940,30 @@ def ngram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.ngram_lm_counts(
         load(spark, sf_dir, "documents"), "text", n=3, min_count=3
     )
+
+
+@register("knn_bruteforce_blas", f"""
+WITH {SQL_EMB_NORM},
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 5
+""")
+def knn_bruteforce_blas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow+numpy twin of knn_bruteforce (same oracle): candidate
+    matrix broadcast to Python workers, vectorized scoring with the JVM
+    fold's exact summation order — demonstrates the Pandas-UDF fast path
+    for dense linear algebra (pyspark guide: Arrow batch transfer beats
+    per-row evaluation by orders of magnitude on numeric kernels)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") % 20 == 0)
+    return SIM.knn_bruteforce_blas(emb, queries_df, k=5)

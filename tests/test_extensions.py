@@ -245,3 +245,17 @@ def test_ppm_real_decode_and_corrupt_tolerance(spark):
     )
     got = {r["media_id"]: r["ok"] for r in decode_ppm(corrupt).collect()}
     assert got == {9: False, 10: False, 11: False}
+
+
+def test_knn_blas_bit_identical_to_jvm(spark):
+    """The Arrow+numpy brute-force twin must reproduce the JVM fold's
+    output EXACTLY — same summation order, same BigDecimal-shortest-repr
+    rounding — not merely approximately (a 1-ulp drift flips rounded
+    knife-edge cosines, e.g. .32685 -> .3268 vs .3269)."""
+    from simpletasks_data_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    qs = Q.queries()
+    a = sorted(map(tuple, qs["knn_bruteforce"](spark, sf).collect()))
+    b = sorted(map(tuple, qs["knn_bruteforce_blas"](spark, sf).collect()))
+    assert a == b
