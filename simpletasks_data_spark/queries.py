@@ -5967,3 +5967,80 @@ def knn_bruteforce_blas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") % 20 == 0)
     return SIM.knn_bruteforce_blas(emb, queries_df, k=5)
+
+
+@register("entity_match_customers", """
+WITH base AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_nationkey AS c_nationkey,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM base a JOIN base b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+""")
+def entity_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage on structured rows: nation-blocked candidate pairs
+    verified by bounded edit distance (operators/linkage.py) — the
+    blocking-then-verify shape that keeps entity resolution subquadratic
+    at scale. Here the block key is the nation and matches are names one
+    edit apart."""
+    from .operators.linkage import blocked_entity_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    return blocked_entity_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey"], max_distance=1
+    )
+
+
+@register("feature_drift_psi", """
+WITH binned AS (
+  SELECT least(CAST(floor(o_totalprice / 20000.0) AS BIGINT), 9) AS bin,
+         (o_orderdate >= TIMESTAMP '1998-07-01') AS is_cur
+  FROM orders
+),
+cnt AS (
+  SELECT bin,
+         count(*) FILTER (WHERE NOT is_cur) AS n_ref,
+         count(*) FILTER (WHERE is_cur) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT bin, n_ref, n_cur,
+         (n_ref + 0.5) / (sum(n_ref) OVER () + 5.0) AS p_ref,
+         (n_cur + 0.5) / (sum(n_cur) OVER () + 5.0) AS p_cur
+  FROM cnt
+)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+       round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+FROM tot
+""")
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution between
+    a reference and a current period — the standard drift monitor for a
+    production data pipeline. Fixed-width bins (grid-independent of the
+    data), Laplace smoothing (+0.5 per bin over 10 bins) so empty bins
+    never produce infinities. One scan, one tiny agg; the normalizing
+    window runs on the 10-row bin frame."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.least(F.floor(F.col("o_totalprice") / 20000.0).cast("long"), F.lit(9)).alias("bin"),
+        (F.col("o_orderdate") >= "1998-07-01").alias("is_cur"),
+    )
+    cnt = orders.groupBy("bin").agg(
+        F.count_if(~F.col("is_cur")).alias("n_ref"),
+        F.count_if(F.col("is_cur")).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 0.5) / (F.sum("n_ref").over(w) + 5.0)
+    p_cur = (F.col("n_cur") + 0.5) / (F.sum("n_cur").over(w) + 5.0)
+    return cnt.select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
