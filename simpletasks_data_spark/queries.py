@@ -6044,3 +6044,57 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+@register("streaming_trending_topk", """
+WITH cnt AS (
+  SELECT date_trunc('day', ts) AS day, json_extract_string(props, '$.k') AS page,
+         count(*) AS n
+  FROM events
+  WHERE event_type = 'view' AND json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT day, page, n,
+         row_number() OVER (PARTITION BY day ORDER BY n DESC, page) AS rnk
+  FROM cnt
+)
+SELECT day, page, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""")
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-items leaderboard: per-day view counts by page
+    maintained in complete mode (the aggregation state IS the
+    leaderboard source), ranked top-3 per day by a BATCH query over the
+    memory sink after the run — rank-over-stream would need update-mode
+    retraction semantics a file sink can't express, so the engine keeps
+    the windowed counts streaming and the (tiny) rank step batch. JSON
+    extraction runs inside the streaming plan."""
+    import uuid
+
+    from .streaming import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    cnt = (
+        ev.where(F.col("event_type") == "view")
+        .where(F.get_json_object("props", "$.k").isNotNull())
+        .groupBy(
+            F.window("ts", "1 day").alias("win"),
+            F.get_json_object("props", "$.k").alias("page"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("day"), "page", "n")
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = cnt.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    wd = Window.partitionBy("day").orderBy(F.col("n").desc(), "page")
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(wd))
+        .where(F.col("rnk") <= 3)
+        .select("day", "page", F.col("n").cast("long").alias("n"), F.col("rnk").cast("long").alias("rnk"))
+    )
