@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from .corpus import hash_bucket
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "cdc_chunk_documents", "pack_sequences"]
 
 
 def chunk_documents(
@@ -104,3 +104,69 @@ def pack_sequences(
         .cast("long")
         .alias("last_pack"),
     )
+
+
+def cdc_chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    mask_hex: str = "00",
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall where the hash of
+    the trailing ``window`` characters matches ``mask_hex`` (first hex
+    chars of md5) — so boundaries are a pure function of LOCAL content.
+    That shift-invariance is the point: insert a paragraph in the middle
+    of a document and every chunk after it re-aligns, so downstream
+    chunk-hash dedup (the backup/dedup-storage trick, LLM-corpus
+    incremental ingestion) still recognizes all unchanged chunks, where
+    fixed-size chunking would re-emit the whole tail as new.
+
+    Expected chunk length is 16^len(mask_hex) (256 for "00") plus the
+    window. No min/max chunk clamps: clamps make a boundary depend on
+    the previous boundary (sequential state); the pure form stays a
+    per-row array expression — map-only, one scan, no shuffle, and an
+    exact ANSI-SQL twin exists for the oracle. md5 stands in for a gear/
+    Rabin hash because both engines ship it bit-identically; a production
+    kernel would swap in a cheaper rolling hash behind the same contract.
+
+    Output: (doc_id, chunk_idx, chunk_len, chunk_hash) — chunk content
+    rides as its md5, which is what a dedup store keys on.
+    """
+    L = F.length(text_col)
+    pos = F.when(
+        L >= window, F.sequence(F.lit(window), L)
+    ).otherwise(F.array().cast("array<int>"))
+    is_cut = lambda i: F.substring(
+        F.md5(F.substr(F.col(text_col), i - F.lit(window - 1), F.lit(window))), 1, len(mask_hex)
+    ) == F.lit(mask_hex)
+    cuts = F.filter(pos, is_cut)
+    bounds = F.array_sort(
+        F.array_distinct(F.concat(F.array(F.lit(0)), cuts, F.array(L)))
+    )
+    segs = F.when(
+        F.size(bounds) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.struct(
+                j.alias("j"),
+                F.element_at(bounds, j).alias("s"),
+                F.element_at(bounds, j + 1).alias("e"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<j:int,s:int,e:int>>"))
+    out = (
+        docs.select(F.col(id_col), F.col(text_col), F.explode(segs).alias("g"))
+        .where(F.col("g.e") > F.col("g.s"))
+        .select(
+            id_col,
+            F.col("g.j").cast("long").alias("chunk_idx"),
+            (F.col("g.e") - F.col("g.s")).cast("long").alias("chunk_len"),
+            F.md5(
+                F.substr(
+                    F.col(text_col), F.col("g.s") + 1, F.col("g.e") - F.col("g.s")
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    return out

@@ -6127,3 +6127,35 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("day", "page", F.col("n").cast("long").alias("n"), F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register("cdc_chunk_documents", """
+WITH b AS (
+  SELECT doc_id, text, len(text) AS L,
+         list_filter(range(8, len(text) + 1),
+                     i -> substr(md5(substr(text, i - 7, 8)), 1, 2) = '00') AS cuts
+  FROM documents
+),
+bs AS (
+  SELECT doc_id, text,
+         list_sort(list_distinct(list_prepend(0, list_append(cuts, L)))) AS bounds
+  FROM b
+),
+seg AS (
+  SELECT doc_id, text,
+         unnest(list_transform(range(1, len(bounds)),
+                j -> struct_pack(j := j, s := bounds[j], e := bounds[j + 1]))) AS g
+  FROM bs WHERE len(bounds) >= 2
+)
+SELECT doc_id, CAST(g.j AS BIGINT) AS chunk_idx,
+       CAST(g.e - g.s AS BIGINT) AS chunk_len,
+       md5(substr(text, g.s + 1, g.e - g.s)) AS chunk_hash
+FROM seg WHERE g.e > g.s
+""")
+def cdc_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus: boundaries where the
+    trailing 8-char window's md5 starts '00' — shift-invariant chunking
+    whose chunk hashes survive mid-document edits (the dedup-storage /
+    incremental-ingest property fixed-size chunking lacks). Map-only;
+    see operators/chunking.py::cdc_chunk_documents."""
+    return CH.cdc_chunk_documents(load(spark, sf_dir, "documents"))

@@ -49,3 +49,35 @@ def test_pack_offsets_and_straddle(spark):
     assert rows == [(0, 0, 0, 0), (1, 5, 0, 1), (2, 10, 1, 1)]
     # doc1 straddles the pack boundary at token 8
     assert rows[1][2] != rows[1][3]
+
+
+def test_cdc_chunking_shift_invariance(spark):
+    """The content-defined property: inserting text mid-document leaves
+    every chunk outside the edit neighborhood with an UNCHANGED hash
+    (fixed-size chunking would shift and re-hash the whole tail)."""
+    import hashlib
+    import random
+
+    from simpletasks_data_spark.operators.chunking import cdc_chunk_documents
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+    edited = base[:2000] + "INSERTED-PARAGRAPH " + base[2000:]
+    df = spark.createDataFrame([(0, base), (1, edited)], "doc_id long, text string")
+    out = cdc_chunk_documents(df).collect()
+    h0 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)) if r.doc_id == 0]
+    h1 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)) if r.doc_id == 1]
+    # chunks before the edit point are identical ...
+    common_prefix = 0
+    for a, b in zip(h0, h1):
+        if a != b:
+            break
+        common_prefix += 1
+    # ... and the tail re-aligns: all but at most 2 of the original's
+    # post-edit chunks reappear in the edited doc
+    tail0 = set(h0[common_prefix:])
+    tail1 = set(h1[common_prefix:])
+    assert len(h0) > 4, "fixture too short to be meaningful"
+    assert len(tail0 - tail1) <= 2, (len(h0), common_prefix, len(tail0 - tail1))
+    # sanity: the two docs are not identical
+    assert h0 != h1

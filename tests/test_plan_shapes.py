@@ -274,3 +274,12 @@ def test_ngram_lm_counts_single_corpus_shuffle(spark):
     assert plan.count("ReadSchema: struct<text:string>") == 0, plan
     tree = _tree(plan)
     assert "Generate" not in tree, tree
+
+
+def test_cdc_chunking_map_only(spark):
+    """Content-defined chunking is a per-row array expression — one scan,
+    no shuffle, and the scan prunes to (doc_id, text)."""
+    plan = _plan(Q.queries()["cdc_chunk_documents"](spark, SF))
+    tree = _tree(plan)
+    assert "Exchange" not in tree, tree
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
