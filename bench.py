@@ -52,6 +52,16 @@ BENCH_QUERIES = [
     "dedup_passages",
     "sketch_cms_heavy_hitters",
     "temperature_mixture_langs",
+    # round-3 second-half additions
+    "q2_min_cost_supplier",
+    "q16_supplier_cnt",
+    "knn_quantized_rescore",
+    "ngram_lm_counts",
+    "entity_match_customers",
+    "incremental_rollup_refresh",
+    "cdc_chunk_documents",
+    "events_transition_matrix",
+    "feature_drift_psi",
 ]
 
 

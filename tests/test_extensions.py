@@ -259,3 +259,20 @@ def test_knn_blas_bit_identical_to_jvm(spark):
     a = sorted(map(tuple, qs["knn_bruteforce"](spark, sf).collect()))
     b = sorted(map(tuple, qs["knn_bruteforce_blas"](spark, sf).collect()))
     assert a == b
+
+
+def test_entity_linkage_deletes_equals_naive_block(spark):
+    """The symmetric-delete neighborhood is EXACT for distance <= 1: the
+    candidate-pruned result must equal the full within-block quadratic
+    verify, row for row."""
+    from simpletasks_data_spark.operators.linkage import blocked_entity_pairs
+    from simpletasks_data_spark import queries as Q
+
+    cust = Q.load(spark, "/root/testdata/sf0.001", "customer")
+    fast = blocked_entity_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey"], 1, strategy="deletes"
+    )
+    slow = blocked_entity_pairs(
+        cust, "c_custkey", "c_name", ["c_nationkey"], 1, strategy="block"
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
