@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "cdc_chunk_documents",
     "events_transition_matrix",
     "feature_drift_psi",
+    "curation_funnel",
 ]
 
 
