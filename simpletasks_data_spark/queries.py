@@ -6247,8 +6247,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h", F.when(F.col("q_pass"), F.md5(TX.normalize_text(F.col("text"))))
     )
     wmin = Window.partitionBy("h")
-    keep = keyed.withColumn(
-        "kept", F.col("q_pass") & (F.col("doc_id") == F.min("doc_id").over(wmin))
+    keep = (
+        keyed.withColumn(
+            "kept", F.col("q_pass") & (F.col("doc_id") == F.min("doc_id").over(wmin))
+        )
+        # feeds the decontamination branch AND the funnel agg — prune to
+        # what both need and materialize once (Spark does not reuse
+        # subtrees across branches; without this the tokenize+hash+window
+        # pipeline runs twice and the corpus text scans 3x)
+        .select("doc_id", "lang", "toks", "n_words", "q_pass", "kept")
+        .localCheckpoint(eager=True)
     )
     bgrams = (
         bench.select(TX.tokens(F.col("text")).alias("toks"))

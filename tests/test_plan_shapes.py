@@ -283,3 +283,11 @@ def test_cdc_chunking_map_only(spark):
     tree = _tree(plan)
     assert "Exchange" not in tree, tree
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_curation_funnel_single_corpus_derivation(spark):
+    """The quality+dedup keep frame is checkpointed: the read-out plan may
+    scan document text only for the (separate) benchmark shingle set —
+    one text scan, not three."""
+    plan = _plan(Q.queries()["curation_funnel"](spark, SF))
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string") == 1, plan
