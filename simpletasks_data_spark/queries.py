@@ -6318,3 +6318,62 @@ def feature_hash_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy(
         "doc_id", CP.hash_bucket(F.col("token"), 64).alias("bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("tf"))
+
+
+@register("revenue_concentration", """
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+         count(*) OVER () AS n_cust,
+         sum(rev) OVER () AS total_rev
+  FROM per_cust
+)
+SELECT CAST(pct AS BIGINT) AS top_pct,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(rev), 4) AS revenue,
+       round(sum(rev) / any_value(total_rev), 4) AS revenue_share
+FROM ranked, (SELECT unnest([1, 5, 10, 25]) AS pct)
+WHERE rnk <= greatest(CAST(floor(n_cust * pct / 100.0) AS BIGINT), 1)
+GROUP BY pct
+""")
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration curve: the share of total revenue captured by
+    the top 1/5/10/25% of customers — the Pareto report every revenue
+    pipeline ships. One agg on custkey; the ranking window runs on the
+    per-customer frame (|customers| rows), and the four thresholds come
+    from a broadcast literal frame so the ranked frame is scanned once."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wrank = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(wrank).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+        F.sum("rev").over(wall).alias("total_rev"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10), F.lit(25))).alias("pct")
+    )
+    return (
+        ranked.join(F.broadcast(pcts))
+        .where(
+            F.col("rnk")
+            <= F.greatest(
+                F.floor(F.col("n_cust") * F.col("pct") / 100.0).cast("long"), F.lit(1)
+            )
+        )
+        .groupBy(F.col("pct").cast("long").alias("top_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+            F.round(F.sum("rev") / F.any_value("total_rev"), 4).alias("revenue_share"),
+        )
+    )
