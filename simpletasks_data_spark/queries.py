@@ -6377,3 +6377,42 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev") / F.any_value("total_rev"), 4).alias("revenue_share"),
         )
     )
+
+
+@register("multimodal_wav_roundtrip", """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 7), k ->
+           CASE WHEN CAST(concat('0x', substr(md5(text), CAST(4*k+3 AS INT), 2)) AS BIGINT) * 256
+                   + CAST(concat('0x', substr(md5(text), CAST(4*k+1 AS INT), 2)) AS BIGINT) >= 32768
+                THEN CAST(concat('0x', substr(md5(text), CAST(4*k+3 AS INT), 2)) AS BIGINT) * 256
+                   + CAST(concat('0x', substr(md5(text), CAST(4*k+1 AS INT), 2)) AS BIGINT) - 65536
+                ELSE CAST(concat('0x', substr(md5(text), CAST(4*k+3 AS INT), 2)) AS BIGINT) * 256
+                   + CAST(concat('0x', substr(md5(text), CAST(4*k+1 AS INT), 2)) AS BIGINT)
+           END) AS pcm
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(8 AS BIGINT) AS n_samples,
+       round(8 * 1000.0 / 8000, 4) AS duration_ms,
+       round(sqrt(list_sum(list_transform(pcm, x -> CAST(x * x AS DOUBLE))) / 8), 4) AS rms,
+       CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) AS peak,
+       TRUE AS ok
+FROM s
+""")
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: encode each document into an actual
+    RIFF/WAVE file (44-byte canonical header + 16 little-endian PCM16
+    samples from the text's md5), ship the binary through Arrow, walk
+    the chunk list back with struct+numpy, and report duration/RMS/peak
+    (16 digest bytes = 8 little-endian int16 samples).
+    The oracle recomputes the expected stats straight from the md5 hex
+    WITHOUT touching any binary — a wrong header size, a bad chunk walk,
+    or a byte-order slip and the int16 reinterpretation cannot match.
+    Audio twin of multimodal_ppm_roundtrip."""
+    from .operators.multimodal import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = encode_wav(docs, "doc_id", "text")
+    return decode_wav(media)
