@@ -6416,3 +6416,91 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     media = encode_wav(docs, "doc_id", "text")
     return decode_wav(media)
+
+
+@register("inverted_index_terms", f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKENS.format(c='text')})) AS token
+  FROM documents
+),
+idx AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS doc_freq,
+         list_sort(list(doc_id)) AS postings
+  FROM tok GROUP BY token
+)
+SELECT token, doc_freq,
+       postings[1:8] AS postings_head,
+       CAST(list_sum(postings) AS BIGINT) AS postings_checksum
+FROM idx WHERE doc_freq >= 25
+""")
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (term -> sorted posting list): the IR
+    primitive under search/dedup tooling. One explode of per-doc
+    DISTINCT terms, one agg with map-side combine; posting lists emit as
+    sorted arrays (head + checksum keep the result compact while still
+    pinning full-list content). At 100 TB the agg output would write
+    bucketed by term — the layout a query-time term lookup co-locates
+    with."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token")
+    )
+    idx = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return idx.where(F.col("doc_freq") >= 25).select(
+        "token",
+        "doc_freq",
+        F.slice("postings", 1, 8).alias("postings_head"),
+        F.aggregate("postings", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "postings_checksum"
+        ),
+    )
+
+
+def _rp_sign_sql(k: int, d: int) -> str:
+    return (f"CASE WHEN CAST(concat('0x', substr(md5('rp-{k}-{d}'), 1, 1)) AS BIGINT)"
+            f" % 2 = 0 THEN 1.0 ELSE -1.0 END")
+
+
+@register("embedding_random_projection", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       {", ".join(
+           "round((" + " + ".join(
+               f"v[{d + 1}] * {_rp_sign_sql(k, d)}" for d in range(64)
+           ) + ") / 8.0, 6) AS rp_" + str(k)
+           for k in range(4)
+       )}
+FROM e
+""")
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection of the embedding
+    column (here 4 output dims as the driver-checkable sample; the
+    operator pattern extends to any k): projection matrix entries are
+    +/-1 derived from md5 of the (component, dim) coordinates — no
+    stored matrix, any executor regenerates it, and the oracle derives
+    the identical matrix from the same hex. Map-only: one scan, no
+    shuffle; the standard dimensionality-reduction front-end before
+    LSH/clustering at 100 TB. Sums fold left-to-right like the SQL so
+    the rounded outputs agree bit-for-bit."""
+    import hashlib
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+
+    def sign(k: int, d: int) -> float:
+        h = hashlib.md5(f"rp-{k}-{d}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    outs = []
+    for k in range(4):
+        acc = None
+        for d in range(64):
+            term = F.element_at("v", d + 1) * F.lit(sign(k, d))
+            acc = term if acc is None else acc + term
+        outs.append(F.round(acc / 8.0, 6).alias(f"rp_{k}"))
+    return e.select("vec_id", *outs)
