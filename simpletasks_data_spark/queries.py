@@ -6504,3 +6504,50 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = term if acc is None else acc + term
         outs.append(F.round(acc / 8.0, 6).alias(f"rp_{k}"))
     return e.select("vec_id", *outs)
+
+
+@register("attribution_linear_multitouch", """
+SELECT p.event_id AS purchase_id,
+       round(p.value, 4) AS purchase_value,
+       CAST(count(c.event_id) AS BIGINT) AS n_touches,
+       CASE WHEN count(c.event_id) > 0
+            THEN round(p.value / count(c.event_id), 4) END AS credit_per_touch
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id, p.value
+""")
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the two hours
+    BEFORE a same-user purchase shares the purchase value equally
+    (credit = value / n_touches); purchases with no preceding click
+    emit with NULL credit. The interval left join shuffles both sides
+    once on user_id; the per-purchase count folds in the same
+    aggregation that computes the credit."""
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("_pu"),
+        F.col("ts").alias("_pts"), F.col("value").alias("_pv"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("_cid"), F.col("user_id").alias("_cu"),
+        F.col("ts").alias("_cts"),
+    )
+    cond = (
+        (F.col("_cu") == F.col("_pu"))
+        & (F.col("_cts") >= F.col("_pts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("_cts") <= F.col("_pts"))
+    )
+    joined = p.join(c, cond, "left")
+    n = F.count("_cid")
+    return joined.groupBy("purchase_id", "_pv").agg(
+        n.cast("long").alias("n_touches"),
+        F.when(n > 0, F.round(F.col("_pv") / n, 4)).alias("credit_per_touch"),
+    ).select(
+        "purchase_id",
+        F.round("_pv", 4).alias("purchase_value"),
+        "n_touches",
+        "credit_per_touch",
+    )
