@@ -291,3 +291,12 @@ def test_curation_funnel_single_corpus_derivation(spark):
     one text scan, not three."""
     plan = _plan(Q.queries()["curation_funnel"](spark, SF))
     assert plan.count("ReadSchema: struct<doc_id:bigint,text:string") == 1, plan
+
+
+def test_attribution_multitouch_equi_join(spark):
+    """The interval condition must ride an equi-join on user_id (hash or
+    sort-merge with range residual) — never a nested-loop/cartesian,
+    which would go quadratic at scale."""
+    tree = _tree(_plan(Q.queries()["attribution_linear_multitouch"](spark, SF)))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
