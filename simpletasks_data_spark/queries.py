@@ -6551,3 +6551,49 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_touches",
         "credit_per_touch",
     )
+
+
+@register("dedup_canonical_by_quality", f"""
+WITH clusters AS ({_DEDUP_CLUSTERS_SQL.strip()}),
+{SQL_CORPUS.strip().lstrip()},
+scored AS (
+  SELECT c.cluster_id, c.doc_id, len(corpus.text) AS quality
+  FROM clusters c JOIN corpus ON corpus.id = c.doc_id
+),
+r AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT cluster_id, doc_id AS canonical_id, CAST(quality AS BIGINT) AS quality
+FROM r WHERE rnk = 1
+""")
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: instead of keeping the min-id
+    member of each near-dup cluster, keep the HIGHEST-QUALITY member
+    (longest text here; plug any scorer) — what an LLM curation pipeline
+    actually wants, since near-dup groups often pair a full document
+    with truncated or boilerplate-wrapped copies. One max_by aggregation
+    over the (tiny) cluster-membership frame joined to the scores; the
+    corpus never reshuffles."""
+    corpus = _corpus(spark, sf_dir)
+    clusters = queries()["dedup_clusters"](spark, sf_dir)
+    scored = clusters.select("cluster_id", "doc_id").join(
+        corpus.select(F.col("id").alias("doc_id"), F.length("text").alias("quality")),
+        "doc_id",
+    )
+    best = F.max_by(
+        F.struct(F.col("doc_id").alias("d"), F.col("quality").alias("q")),
+        # order by (quality desc, doc_id asc) == max over (quality, -doc_id)
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("_nd")),
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(best.alias("_b"))
+        .select(
+            "cluster_id",
+            F.col("_b.d").alias("canonical_id"),
+            F.col("_b.q").cast("long").alias("quality"),
+        )
+    )
