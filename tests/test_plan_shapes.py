@@ -207,6 +207,13 @@ def test_plan_lint_no_antipatterns(spark):
         "cube_qty_by_flag_status", "rollup_returnflag_status",
         "pivot_revenue_by_status", "url_host_stats", "rolling_revenue_features",
         "events_anomaly_zscore", "scd2_user_state",
+        # round-3 second-half additions (lazily plannable)
+        "q2_min_cost_supplier", "q12_ship_delay_priority", "q16_supplier_cnt",
+        "q20_concentrated_suppliers", "events_transition_matrix",
+        "feature_drift_psi", "feature_hash_tf", "revenue_concentration",
+        "inverted_index_terms", "embedding_random_projection",
+        "attribution_linear_multitouch", "entity_match_customers",
+        "cdc_chunk_documents", "multimodal_wav_roundtrip",
     ]
     bad = {}
     for name in LAZY:
