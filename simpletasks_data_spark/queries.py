@@ -6597,3 +6597,47 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_b.q").cast("long").alias("quality"),
         )
     )
+
+
+@register("ml_lag_features", """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(lag(n, 1) OVER w AS BIGINT) AS lag_1,
+       CAST(lag(n, 7) OVER w AS BIGINT) AS lag_7,
+       round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma_7,
+       CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+""")
+def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-learning feature builder for grouped time series: per
+    (series, day) the target plus lag-1 / lag-7 / trailing-7 mean — the
+    standard forecasting feature matrix. One agg to the daily grain,
+    then every lag/rolling column shares ONE window partition+sort on
+    the (tiny) daily frame; the event-sized shuffle happens only in the
+    grain agg."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.lag("n", 1).over(w).cast("long").alias("lag_1"),
+        F.lag("n", 7).over(w).cast("long").alias("lag_7"),
+        F.round(F.avg("n").over(w7), 4).alias("ma_7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n_window"),
+    )
