@@ -6641,3 +6641,56 @@ def ml_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n").over(w7), 4).alias("ma_7"),
         F.count(F.lit(1)).over(w7).cast("long").alias("n_window"),
     )
+
+
+@register("skew_diagnosis_orders", """
+WITH k AS (
+  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, o_custkey) AS rn,
+         count(*) OVER () AS nk, sum(c) OVER () AS tot, max(c) OVER () AS mx
+  FROM k
+)
+SELECT CAST(any_value(nk) AS BIGINT) AS n_keys,
+       CAST(any_value(tot) AS BIGINT) AS n_rows,
+       CAST(any_value(mx) AS BIGINT) AS max_rows_per_key,
+       round(any_value(mx) * 1.0 / any_value(tot), 6) AS top_key_share,
+       CAST(max(CASE WHEN rn = CAST(ceil(nk * 0.5) AS BIGINT) THEN c END) AS BIGINT) AS p50_rows,
+       CAST(max(CASE WHEN rn = CAST(ceil(nk * 0.99) AS BIGINT) THEN c END) AS BIGINT) AS p99_rows,
+       round(any_value(mx) * 1.0
+             / max(CASE WHEN rn = CAST(ceil(nk * 0.5) AS BIGINT) THEN c END), 4) AS skew_ratio
+FROM r
+""")
+def skew_diagnosis_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for the orders:custkey distribution — the
+    numbers that decide between a plain shuffle join, AQE skew handling,
+    and explicit salting (operators/skew.py): key count, hottest-key
+    share, and the max/median ratio. Percentiles come from an exact
+    ordered rank on the per-key count frame (no engine-specific
+    interpolation); that frame is |keys|-sized, so the global window is
+    acceptable — at billions of keys, sample it first."""
+    k = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wall = Window.partitionBy()
+    wrank = Window.orderBy("c", "o_custkey")
+    r = k.select(
+        "c",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("nk"),
+        F.sum("c").over(wall).alias("tot"),
+        F.max("c").over(wall).alias("mx"),
+    )
+    at = lambda q: F.max(
+        F.when(F.col("rn") == F.ceil(F.col("nk") * q).cast("long"), F.col("c"))
+    )
+    return r.agg(
+        F.any_value("nk").cast("long").alias("n_keys"),
+        F.any_value("tot").cast("long").alias("n_rows"),
+        F.any_value("mx").cast("long").alias("max_rows_per_key"),
+        F.round(F.any_value("mx") * 1.0 / F.any_value("tot"), 6).alias("top_key_share"),
+        at(0.5).cast("long").alias("p50_rows"),
+        at(0.99).cast("long").alias("p99_rows"),
+        F.round(F.any_value("mx") * 1.0 / at(0.5), 4).alias("skew_ratio"),
+    )
