@@ -6694,3 +6694,84 @@ def skew_diagnosis_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.99).cast("long").alias("p99_rows"),
         F.round(F.any_value("mx") * 1.0 / at(0.5), 4).alias("skew_ratio"),
     )
+
+
+# Poisson(1) CDF thresholds: replicate weight = #{thresholds < u}, the
+# inverse-CDF draw shared verbatim by both engines (exact literals).
+_POIS_CDF = [0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+             0.9999167588507119, 0.9999897508033253, 0.9999978746481021]
+_B_BOOT = 8
+
+
+def _boot_u_sql(r: int) -> str:
+    return ("CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR) || '-" + str(r) +
+            "'), 1, 15)) AS BIGINT) / 1152921504606846976.0")
+
+
+def _boot_w_sql(r: int) -> str:
+    u = _boot_u_sql(r)
+    return "(" + " + ".join(f"CASE WHEN {u} > {t!r} THEN 1 ELSE 0 END" for t in _POIS_CDF) + ")"
+
+
+@register("bootstrap_mean_orders", f"""
+WITH rep AS (
+  SELECT {", ".join(
+      f"sum({_boot_w_sql(r)} * o_totalprice) AS s_{r}, sum({_boot_w_sql(r)}) AS w_{r}"
+      for r in range(_B_BOOT))},
+      avg(o_totalprice) AS point_mean
+  FROM orders
+),
+means AS (
+  SELECT point_mean, unnest([{", ".join(f"s_{r} / w_{r}" for r in range(_B_BOOT))}]) AS m
+  FROM rep
+)
+SELECT round(any_value(point_mean), 4) AS point_mean,
+       round(avg(m), 4) AS boot_mean,
+       round(stddev_samp(m), 4) AS boot_std,
+       round(any_value(point_mean) - 1.96 * stddev_samp(m), 4) AS ci95_low,
+       round(any_value(point_mean) + 1.96 * stddev_samp(m), 4) AS ci95_high
+FROM means
+""")
+def bootstrap_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order price — distributed-engine
+    uncertainty quantification in ONE pass: each row contributes a
+    deterministic hash-derived Poisson(1) weight per replicate (the
+    streaming-bootstrap construction), so all 8 replicate sums ride a
+    single aggregation with no resampling shuffle and no RNG state. The
+    replicate-mean spread yields the standard error and a normal CI.
+    Deterministic end-to-end: weights come from md5 inverse-CDF draws
+    both engines compute identically."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u_exprs = []
+    for r in range(_B_BOOT):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"-{r}"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        u = h / F.lit(1152921504606846976.0)
+        w = None
+        for t in _POIS_CDF:
+            ind = F.when(u > t, 1).otherwise(0)
+            w = ind if w is None else w + ind
+        u_exprs.append(w.alias(f"w_{r}"))
+    base = orders.select("o_totalprice", *u_exprs)
+    aggs = [F.avg("o_totalprice").alias("point_mean")]
+    for r in range(_B_BOOT):
+        aggs.append(F.sum(F.col(f"w_{r}") * F.col("o_totalprice")).alias(f"s_{r}"))
+        aggs.append(F.sum(f"w_{r}").alias(f"w_{r}"))
+    rep = base.agg(*aggs)
+    means = rep.select(
+        "point_mean",
+        F.explode(
+            F.array(*[F.col(f"s_{r}") / F.col(f"w_{r}") for r in range(_B_BOOT)])
+        ).alias("m"),
+    )
+    sd = F.stddev_samp("m")
+    return means.agg(
+        F.round(F.any_value("point_mean"), 4).alias("point_mean"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(sd, 4).alias("boot_std"),
+        F.round(F.any_value("point_mean") - 1.96 * sd, 4).alias("ci95_low"),
+        F.round(F.any_value("point_mean") + 1.96 * sd, 4).alias("ci95_high"),
+    )
