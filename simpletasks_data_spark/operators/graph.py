@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters"]
+__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank"]
 
 
 def connected_components(
@@ -239,3 +239,62 @@ def dedup_clusters(
             (F.col("id") == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    round_at: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge frame: ``(id,
+    score)`` after ``iterations`` synchronous rounds of
+    score(v) = (1-d) + d * sum over in-edges of score(u)/outdeg(u),
+    starting from 1.0. Scores are rounded at ``round_at`` decimals at
+    the END of every round — that quantization is part of the operator
+    CONTRACT, not a display choice: it pins the fixed point to a grid
+    both this implementation and any re-implementation (the SQL oracle
+    unrolls the same rounds) reach bit-identically, eliminating
+    cross-engine float-sum drift that would otherwise compound across
+    rounds.
+
+    Scale shape per round: one join of the (checkpointed) score frame
+    against the out-degree-annotated edges, one sum aggregation keyed by
+    dst, one left join back to the node set for sourceless nodes — the
+    same two-shuffle round as connected_components, with the edge frame
+    checkpointed once up front. Nodes with no in-edges settle at (1-d).
+    Dangling nodes (no out-edges) contribute nothing, matching the
+    simplified formulation (no dangling-mass redistribution)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+    ed = e.join(deg, "u").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scores = nodes.select("id", F.lit(1.0).alias("score"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(scores.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum(F.col("score") / F.col("_d")).alias("_in"))
+        )
+        scores = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    round_at,
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return scores

@@ -6775,3 +6775,64 @@ def bootstrap_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.any_value("point_mean") - 1.96 * sd, 4).alias("ci95_low"),
         F.round(F.any_value("point_mean") + 1.96 * sd, 4).alias("ci95_high"),
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    layers = []
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        layers.append(f"""p{i} AS (
+  SELECT n.id,
+         round(0.15 + 0.85 * coalesce(sum(p.score / ed._d), 0), 8) AS score
+  FROM nodes n
+  LEFT JOIN ed ON ed.v = n.id
+  LEFT JOIN {prev} p ON p.id = ed.u
+  GROUP BY n.id
+)""")
+        prev = f"p{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS u, s AS v FROM pairs UNION ALL SELECT s AS u, c AS v FROM pairs
+),
+deg AS (SELECT u, count(*) AS _d FROM edges GROUP BY u),
+ed AS (SELECT e.u, e.v, deg._d FROM edges e JOIN deg ON deg.u = e.u),
+nodes AS (SELECT DISTINCT u AS id FROM edges UNION SELECT DISTINCT v FROM edges),
+p0 AS (SELECT id, 1.0 AS score FROM nodes),
+{", ".join(layers)}
+SELECT id, score FROM {prev}
+"""
+
+
+@register("pagerank_customer_supplier", _pagerank_oracle_sql(10))
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer<->supplier trade graph
+    (distinct (custkey, suppkey) pairs from orders x lineitem, edges in
+    both directions): 10 synchronous rounds, per-round quantization to
+    the 1e-8 grid (part of the operator contract — see
+    operators/graph.py::pagerank) so the unrolled-CTE SQL oracle lands
+    on identical scores. The second iterative-algorithm family next to
+    connected components."""
+    from .operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=10)
+    # emit the contract-grid (1e-8-rounded) scores directly: they are
+    # already bit-identical across engines, while an extra coarser
+    # rounding would reintroduce half-boundary ambiguity
+    return pr.select("id", "score")
