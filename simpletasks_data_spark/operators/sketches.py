@@ -226,3 +226,24 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
     )
+
+
+def cms_inner_product(
+    cms_a: DataFrame, cms_b: DataFrame, d: int = 4
+) -> DataFrame:
+    """Join-size estimate from two Count-Min sketches over the same hash
+    family: for each row j, the bucket-wise dot product of the two
+    counter vectors; the estimate is the MIN over rows — an
+    overestimate of sum_k nA(k)*nB(k) (= the equi-join output size)
+    with error <= n_a*n_b/w per row (Cormode & Muthukrishnan 2005,
+    section 4.2). This is the cardinality a cost-based planner wants
+    BEFORE committing to a shuffle: two (d*w)-row sketches join and
+    aggregate in microseconds, no data-sized work at all."""
+    a = cms_a.select("j", "bucket", F.col("cnt").alias("_ca"))
+    b = cms_b.select("j", "bucket", F.col("cnt").alias("_cb"))
+    dots = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    return dots.agg(F.min("_dot").cast("bigint").alias("join_size_est"))

@@ -6836,3 +6836,57 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already bit-identical across engines, while an extra coarser
     # rounding would reintroduce half-boundary ambiguity
     return pr.select("id", "score")
+
+
+@register("cms_join_size_estimate", """
+WITH rows_j AS (
+  SELECT o_custkey, j
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) s
+),
+cms AS (
+  SELECT j,
+         CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM rows_j GROUP BY 1, 2
+),
+dots AS (SELECT j, sum(cnt * cnt) AS dot FROM cms GROUP BY j),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS join_size_est FROM dots),
+exact AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS join_size_exact
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+)
+SELECT exact.join_size_exact, est.join_size_est,
+       est.join_size_est >= exact.join_size_exact AS never_underestimates,
+       round(est.join_size_est * 1.0 / exact.join_size_exact, 4) AS blowup
+FROM exact, est
+""")
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation: the self-join size of
+    orders on custkey (sum of per-key count squares — the quantity that
+    decides skew handling and join strategy) estimated from the
+    Count-Min inner product, next to the exact value. The sketch path
+    never touches data-sized state: d*w counters per side, one tiny
+    join — what a planner consults before paying for a shuffle."""
+    from .operators.sketches import cms_inner_product, cms_table
+
+    orders = load(spark, sf_dir, "orders")
+    cms = cms_table(orders, "o_custkey").localCheckpoint(eager=True)
+    est = cms_inner_product(cms, cms)
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("join_size_exact"))
+    )
+    return (
+        exact.join(F.broadcast(est))
+        .select(
+            "join_size_exact",
+            "join_size_est",
+            (F.col("join_size_est") >= F.col("join_size_exact")).alias(
+                "never_underestimates"
+            ),
+            F.round(
+                F.col("join_size_est") * 1.0 / F.col("join_size_exact"), 4
+            ).alias("blowup"),
+        )
+    )
