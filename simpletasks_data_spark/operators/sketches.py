@@ -247,3 +247,43 @@ def cms_inner_product(
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
     )
     return dots.agg(F.min("_dot").cast("bigint").alias("join_size_est"))
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV set algebra over two value streams: the k smallest distinct
+    hashes of the UNION carry everything — est_union from the k-th min,
+    and the fraction of those minima present in both sides is an
+    unbiased Jaccard estimator, so est_intersection = jaccard *
+    est_union (Beyer et al., SIGMOD'07). Exact (not estimated) whenever
+    the union has fewer than k distinct values. The sketches are
+    mergeable: per-partition k-mins combine associatively, so the only
+    data-sized work is one distinct per side."""
+    ua = a.select(_u01(F.col(value_col)).alias("_u")).distinct().select(
+        "_u", F.lit(1).alias("_a")
+    )
+    ub = b.select(_u01(F.col(value_col)).alias("_u")).distinct().select(
+        "_u", F.lit(1).alias("_b")
+    )
+    both = ua.join(ub, "_u", "full").select(
+        "_u",
+        F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
+        F.coalesce(F.col("_b"), F.lit(0)).alias("_b"),
+    )
+    w = Window.orderBy("_u")
+    kept = both.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    n = F.count(F.lit(1))
+    inter_kept = F.sum(F.col("_a") * F.col("_b"))
+    est_union = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.max("_u")
+    )
+    est_inter = F.when(n < k, inter_kept.cast("double")).otherwise(
+        inter_kept.cast("double") / n * est_union
+    )
+    return kept.agg(
+        n.cast("long").alias("n_kept"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(est_inter, 4).alias("est_intersection"),
+        F.round(inter_kept.cast("double") / n, 4).alias("jaccard_est"),
+    )

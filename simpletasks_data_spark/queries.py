@@ -6890,3 +6890,74 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("blowup"),
         )
     )
+
+
+@register("kmv_set_operations", """
+WITH ua AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         / 1152921504606846976.0 AS _u
+  FROM events WHERE event_type = 'click'
+),
+ub AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         / 1152921504606846976.0 AS _u
+  FROM events WHERE event_type = 'purchase'
+),
+merged AS (
+  SELECT coalesce(ua._u, ub._u) AS _u,
+         CASE WHEN ua._u IS NULL THEN 0 ELSE 1 END AS _a,
+         CASE WHEN ub._u IS NULL THEN 0 ELSE 1 END AS _b
+  FROM ua FULL JOIN ub ON ua._u = ub._u
+),
+kept AS (
+  SELECT *, row_number() OVER (ORDER BY _u) AS _rn FROM merged QUALIFY _rn <= 64
+),
+sk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                    ELSE 63.0 / max(_u) END, 4) AS est_union,
+         round(CASE WHEN count(*) < 64 THEN CAST(sum(_a * _b) AS DOUBLE)
+                    ELSE CAST(sum(_a * _b) AS DOUBLE) / count(*)
+                         * (CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                                 ELSE 63.0 / max(_u) END) END, 4) AS est_intersection,
+         round(CAST(sum(_a * _b) AS DOUBLE) / count(*), 4) AS jaccard_est
+  FROM kept
+),
+exact AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union,
+         CAST(count(DISTINCT CASE WHEN has_c AND has_p THEN user_id END) AS BIGINT) AS exact_intersection
+  FROM (
+    SELECT user_id,
+           bool_or(event_type = 'click') AS has_c,
+           bool_or(event_type = 'purchase') AS has_p
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id
+  )
+)
+SELECT sk.*, exact.exact_union, exact.exact_intersection FROM sk, exact
+""")
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra: union and intersection cardinality of
+    clicking vs purchasing users estimated from the k=64 smallest union
+    hashes (jaccard * union — Beyer et al.), reported next to the exact
+    values. The sketch side's only data-sized work is a distinct per
+    stream; everything after runs on <= 2k rows."""
+    from .operators.sketches import kmv_set_ops
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    sk = kmv_set_ops(clicks, purchases, "user_id", k=64)
+    flags = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("_c"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("_p"),
+        )
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("_c") * F.col("_p")).cast("long").alias("exact_intersection"),
+    )
+    return sk.join(F.broadcast(exact))
