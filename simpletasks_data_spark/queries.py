@@ -6961,3 +6961,48 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_c") * F.col("_p")).cast("long").alias("exact_intersection"),
     )
     return sk.join(F.broadcast(exact))
+
+
+@register("weighted_sample_without_replacement", """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(ln(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '-es'), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0) / n_chars, 8) AS es_key
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, n_chars, es_key,
+         row_number() OVER (ORDER BY es_key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, es_key,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 50
+""")
+def weighted_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement: each
+    row's key is ln(u)/w for a hash-derived uniform u (equivalent to
+    ranking u^(1/w); the log form is numerically tame), and the top-k
+    keys ARE the sample — deterministic, reproducible, one-pass, and
+    mergeable (per-partition top-k combine, compiled to
+    WindowGroupLimit). Complements the Bernoulli `weighted_sample`
+    (expected-rate) with an exact-size draw; keys are rounded to the
+    1e-8 grid with doc_id tie-break so the selected SET is
+    engine-exact."""
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-es"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = h / F.lit(1152921504606846976.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.log(u) / F.col("n_chars"), 8).alias("es_key"),
+    )
+    w = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 50)
+        .select("doc_id", "n_chars", "es_key", F.col("rnk").cast("long").alias("rnk"))
+    )
