@@ -7006,3 +7006,40 @@ def weighted_sample_without_replacement(spark: SparkSession, sf_dir: str) -> Dat
         .where(F.col("rnk") <= 50)
         .select("doc_id", "n_chars", "es_key", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register("basket_brand_pairs", """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY brand_a, brand_b
+HAVING count(*) >= 20
+""")
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: brand pairs appearing in the same
+    order with their support — the frequent-itemset primitive behind
+    recommendation rules. The within-order pair join is bounded by the
+    basket's DISTINCT brand count (deduped first, so a 7-line order
+    contributes at most C(brands,2), not C(7,2) line pairs); the brand
+    dimension broadcasts into the scan."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    ob = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= 20)
+    )
