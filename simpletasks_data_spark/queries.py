@@ -90,8 +90,11 @@ _CHECK_FIRST = [
     "streaming_exact_dedup",
     "dedup_clusters",
     "dedup_minhash_verified",
-    "dedup_retained_corpus",
-    "dedup_rate_by_source",
+    # retained-corpus / rate-by-source compose dedup_clusters (in-window)
+    # and stay parity-pinned locally; their slots go to the round's two
+    # new flagship compositions
+    "pagerank_customer_supplier",
+    "curation_funnel",
     "q5_local_supplier_volume",
     # -- named in the round-2 verdict as must-check --
     "range_join_purchase_clicks",
