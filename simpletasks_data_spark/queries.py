@@ -7046,3 +7046,69 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= 20)
     )
+
+
+@register("cluster_aware_holdout_split", f"""
+WITH clusters AS ({_DEDUP_CLUSTERS_SQL.strip()}),
+{SQL_CORPUS.strip().lstrip()},
+keyed AS (
+  SELECT corpus.id, coalesce(c.cluster_id, corpus.id) AS group_key
+  FROM corpus LEFT JOIN clusters c ON c.doc_id = corpus.id
+)
+SELECT id, group_key,
+       CASE WHEN {_SQL_BUCKET.format(k='group_key')} % 100 < 90
+            THEN 'train' ELSE 'heldout' END AS split
+FROM keyed
+""")
+def cluster_aware_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout split: the split key is the near-dup CLUSTER
+    id (own id when unclustered), so every member of a duplicate group
+    lands on the same side — the guard that stops eval contamination
+    through paraphrase/near-copies, which a plain per-doc hash split
+    cannot give. The cluster frame is tiny and broadcasts into a
+    map-side join; the 90/10 assignment is the engine-portable hash
+    bucket."""
+    corpus = _corpus(spark, sf_dir)
+    clusters = queries()["dedup_clusters"](spark, sf_dir)
+    keyed = corpus.select("id").join(
+        F.broadcast(clusters.select(F.col("doc_id").alias("id"), "cluster_id")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("cluster_id", "id").alias("group_key"))
+    split = F.when(
+        CP.hash_bucket(F.col("group_key"), 100) < 90, F.lit("train")
+    ).otherwise(F.lit("heldout"))
+    return keyed.select("id", "group_key", split.alias("split"))
+
+
+@register("discretize_price_deciles", """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM t GROUP BY decile
+""")
+def discretize_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization (decile binning) of order price —
+    the feature-engineering transform for monotone-bucketed models.
+    ntile is deterministic under the (value, key) tie-broken total
+    order; the report shows each bin's row count and value range. The
+    single-partition sort is over orders-per-key aggregable data here;
+    at the 100 TB point ntile boundaries come from the histogram
+    quantile sketch instead (sketch_histogram_quantile) and the binning
+    becomes a map-only broadcast lookup."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )

@@ -276,3 +276,23 @@ def test_entity_linkage_deletes_equals_naive_block(spark):
         cust, "c_custkey", "c_name", ["c_nationkey"], 1, strategy="block"
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_cluster_aware_split_never_straddles(spark):
+    """The leakage guard itself: every near-dup cluster's members all
+    land on the same split side."""
+    from simpletasks_data_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    split = Q.queries()["cluster_aware_holdout_split"](spark, sf)
+    clusters = Q.queries()["dedup_clusters"](spark, sf)
+    from pyspark.sql import functions as F
+
+    j = clusters.select(F.col("doc_id").alias("id"), "cluster_id").join(split, "id")
+    straddle = (
+        j.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_sides"))
+        .where(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddle == 0
