@@ -7112,3 +7112,80 @@ def discretize_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 4).alias("lo"),
         F.round(F.max("o_totalprice"), 4).alias("hi"),
     )
+
+
+@register("ab_test_conversion_ztest", """
+WITH conv AS (
+  SELECT v.user_id % 2 AS cohort, v.user_id,
+         max(CASE WHEN p.event_id IS NOT NULL THEN 1 ELSE 0 END) AS converted
+  FROM (SELECT * FROM events WHERE event_type = 'view') v
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON p.user_id = v.user_id
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM conv GROUP BY cohort
+),
+wide AS (
+  SELECT max(CASE WHEN cohort = 0 THEN n_users END) AS n0,
+         max(CASE WHEN cohort = 0 THEN n_converted END) AS k0,
+         max(CASE WHEN cohort = 1 THEN n_users END) AS n1,
+         max(CASE WHEN cohort = 1 THEN n_converted END) AS k1
+  FROM c
+)
+SELECT n0, k0, n1, k1,
+       round(k0 * 1.0 / n0, 4) AS rate_0,
+       round(k1 * 1.0 / n1, 4) AS rate_1,
+       round((k0 * 1.0 / n0 - k1 * 1.0 / n1)
+             / sqrt(((k0 + k1) * 1.0 / (n0 + n1)) * (1 - (k0 + k1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+FROM wide
+""")
+def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-cohort view->purchase (2 h window)
+    conversion rates and the pooled two-proportion z-score — the
+    significance primitive every experimentation pipeline ends in. The
+    exposure/conversion join rides the user_id equi-key; everything
+    after runs on a 2-row frame. Same float composition order on both
+    engines keeps the statistic hash-exact."""
+    ev = load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("_u"), F.col("ts").alias("_vts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_pu"), F.col("ts").alias("_pts"),
+        F.col("event_id").alias("_pid"),
+    )
+    cond = (
+        (F.col("_pu") == F.col("_u"))
+        & (F.col("_pts") >= F.col("_vts"))
+        & (F.col("_pts") <= F.col("_vts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    conv = (
+        v.join(p, cond, "left")
+        .groupBy((F.col("_u") % 2).alias("cohort"), F.col("_u"))
+        .agg(F.max(F.when(F.col("_pid").isNotNull(), 1).otherwise(0)).alias("converted"))
+    )
+    c = conv.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = c.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n_converted"))).alias("k0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_converted"))).alias("k1"),
+    )
+    r0 = F.col("k0") * 1.0 / F.col("n0")
+    r1 = F.col("k1") * 1.0 / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = (r0 - r1) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return wide.select(
+        "n0", "k0", "n1", "k1",
+        F.round(r0, 4).alias("rate_0"),
+        F.round(r1, 4).alias("rate_1"),
+        F.round(z, 4).alias("z_score"),
+    )
