@@ -7189,3 +7189,79 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 4).alias("rate_1"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@register("embedding_outliers_by_cell", f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_centroid_cell_sql()} AS cell
+  FROM embeddings
+),
+cent AS (
+  SELECT cell, count(*) AS n_vectors,
+         [{", ".join(f"avg(v[{d + 1}])" for d in range(64))}] AS c
+  FROM e GROUP BY cell
+),
+dist AS (
+  SELECT e.vec_id, e.cell,
+         round(sqrt(list_sum(list_transform(range(1, 65),
+               d -> (e.v[d] - cent.c[d]) * (e.v[d] - cent.c[d])))), 6) AS d_cent
+  FROM e JOIN cent USING (cell)
+  WHERE cent.n_vectors >= 8
+),
+thr AS (
+  SELECT cell, d_cent, vec_id,
+         row_number() OVER (PARTITION BY cell ORDER BY d_cent DESC, vec_id) AS rnk,
+         count(*) OVER (PARTITION BY cell) AS n
+  FROM dist
+)
+SELECT vec_id, cell, d_cent, CAST(rnk AS BIGINT) AS rnk
+FROM thr WHERE rnk <= CAST(ceil(n * 0.05) AS BIGINT)
+""")
+def embedding_outliers_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier report: each vector's distance to its
+    sign-bit cell centroid, keeping each cell's top 5% most distant —
+    the curation signal for mislabeled/garbage vectors before they
+    poison ANN indexes or dedup thresholds. One agg for centroids, one
+    join back (both keyed on the dense cell int), ranking windows on the
+    per-cell frames. Cells with < 8 members are skipped (centroid too
+    noisy to rank against)."""
+    from .functions.vectors import as_double, bucket_signbits
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        bucket_signbits(as_double("embedding"), 6).alias("cell"),
+    )
+    cent = e.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.avg(F.element_at("v", d + 1)).alias(f"_c{d}") for d in range(64)],
+    )
+    c_arr = F.array(*[F.col(f"_c{d}") for d in range(64)])
+    dist = (
+        e.join(cent.where(F.col("n_vectors") >= 8), "cell")
+        .withColumn(
+            "d_cent",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), c_arr, lambda x, c: (x - c) * (x - c)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("d_cent").desc(), "vec_id")
+    wn = Window.partitionBy("cell")
+    return (
+        dist.select(
+            "vec_id", "cell", "d_cent",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .where(F.col("rnk") <= F.ceil(F.col("_n") * 0.05).cast("long"))
+        .select("vec_id", "cell", "d_cent", F.col("rnk").cast("long").alias("rnk"))
+    )
