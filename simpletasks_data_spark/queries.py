@@ -7265,3 +7265,74 @@ def embedding_outliers_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= F.ceil(F.col("_n") * 0.05).cast("long"))
         .select("vec_id", "cell", "d_cent", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_WAREHOUSES = [(0, 48.85, 2.35), (1, 40.71, -74.0), (2, 35.68, 139.69),
+               (3, -33.87, 151.21), (4, -1.29, 36.82)]
+
+
+@register("geo_nearest_warehouse", f"""
+WITH cust AS (
+  SELECT c_custkey,
+         (c_custkey % 180) - 90 + 0.5 AS lat,
+         ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+  FROM customer
+),
+wh AS (
+  SELECT * FROM (VALUES {", ".join(f"({w}, {la}, {lo})" for w, la, lo in _WAREHOUSES)})
+  AS t(wid, wlat, wlon)
+),
+d AS (
+  SELECT c_custkey, wid,
+         round(2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(wlat - lat) / 2), 2)
+           + cos(radians(lat)) * cos(radians(wlat))
+             * pow(sin(radians(wlon - lon) / 2), 2))), 6) AS dist_km
+  FROM cust CROSS JOIN wh
+),
+r AS (
+  SELECT c_custkey, wid, dist_km,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY dist_km, wid) AS rnk
+  FROM d
+)
+SELECT c_custkey, CAST(wid AS BIGINT) AS nearest_wid, round(dist_km, 4) AS dist_km
+FROM r WHERE rnk = 1
+""")
+def geo_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo nearest-neighbor assignment: every customer (deterministic
+    synthetic coordinates — the schema has no geo columns, but the
+    reference ships GPS formatters, so the engine carries the geo op)
+    to its closest of 5 warehouses by haversine distance. The tiny
+    warehouse table broadcasts into a 5-way per-row expansion —
+    map-only; ranking rounds distances to the 1e-6 grid first so the
+    argmin is engine-exact despite libm sin/cos ulp differences. At
+    scale (many warehouses) the candidate set comes from a geohash-cell
+    equi-join — same shape as the sign-bit ANN cells."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 90 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 180 + 0.5).alias("lon"),
+    )
+    wh = F.broadcast(
+        load(spark, sf_dir, "customer").sparkSession.createDataFrame(
+            _WAREHOUSES, "wid int, wlat double, wlon double"
+        )
+    )
+    dlat = F.radians(F.col("wlat") - F.col("lat")) / 2
+    dlon = F.radians(F.col("wlon") - F.col("lon")) / 2
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat")) * F.cos(F.radians("wlat")) * F.pow(F.sin(dlon), 2)
+    )
+    dist = F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 6)
+    d = cust.crossJoin(wh).withColumn("dist_km", dist)
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "wid")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "c_custkey",
+            F.col("wid").cast("long").alias("nearest_wid"),
+            F.round("dist_km", 4).alias("dist_km"),
+        )
+    )
