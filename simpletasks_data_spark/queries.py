@@ -7336,3 +7336,49 @@ def geo_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist_km", 4).alias("dist_km"),
         )
     )
+
+
+@register("sentence_split_stats", """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    x -> trim(x)), x -> x != '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(coalesce(list_sum(list_transform(sents, x -> len(x))), 0) AS BIGINT) AS n_chars_in_sents,
+       round(CASE WHEN len(sents) > 0
+                  THEN list_sum(list_transform(sents, x -> CAST(len(x) AS DOUBLE))) / len(sents)
+             END, 4) AS mean_sentence_len
+FROM s
+""")
+def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (terminator-regex split, trimmed,
+    empties dropped): per-doc sentence count and mean length — the
+    granularity quality heuristics like 'ends in punctuation' and
+    chunk-on-sentence-boundaries operate at, one level above tokens.
+    Map-only array expressions; no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    s = docs.select("doc_id", sents.alias("sents"))
+    n = F.size("sents")
+    total = F.aggregate(
+        F.transform("sents", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    totald = F.aggregate(
+        F.transform("sents", lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return s.select(
+        "doc_id",
+        n.cast("long").alias("n_sentences"),
+        total.alias("n_chars_in_sents"),
+        F.when(n > 0, F.round(totald / n, 4)).alias("mean_sentence_len"),
+    )
