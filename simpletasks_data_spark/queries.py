@@ -7382,3 +7382,42 @@ def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("n_chars_in_sents"),
         F.when(n > 0, F.round(totald / n, 4)).alias("mean_sentence_len"),
     )
+
+
+@register("streaming_static_enrichment", """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(e.value), 4) AS revenue
+FROM events e JOIN customer c ON c.c_custkey = e.user_id % 1500
+WHERE e.event_type = 'purchase'
+GROUP BY segment
+""")
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriches against the
+    STATIC customer dimension (no watermark needed on the static side;
+    the dim is re-resolved per micro-batch, which is how slowly-changing
+    enrichment tables pick up updates mid-stream), then aggregates
+    revenue per market segment in complete mode. The synthetic
+    user->customer mapping stands in for the FK the schema lacks.
+    Completes the streaming join taxonomy next to stream-stream inner
+    (click attribution) and left-outer."""
+    import uuid
+
+    from .streaming import stream_events
+
+    ev = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    enriched = ev.join(cust, cust.c_custkey == ev.user_id % 1500)
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("revenue"),
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
