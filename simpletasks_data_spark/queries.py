@@ -7421,3 +7421,69 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("streaming_dynamic_gap_sessions", """
+WITH l AS (
+  SELECT event_id, user_id, ts, value,
+         ts + CASE WHEN event_type = 'view' THEN INTERVAL 40 MINUTE
+                   ELSE INTERVAL 20 MINUTE END AS ev_end
+  FROM events
+),
+r AS (
+  SELECT *, max(ev_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_end
+  FROM l
+),
+f AS (
+  SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END AS new_s
+  FROM r
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT min(ts) AS session_start, max(ev_end) AS session_end, user_id,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_idx
+""")
+def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DATA-DEPENDENT gap (views keep sessions
+    alive 40 minutes, everything else 20): Spark's dynamic
+    ``session_window`` gives each event the interval [ts, ts+gap) and
+    merges while the next event starts at or before the running max end.
+    The batch oracle reproduces exactly that with a running-max-end
+    window (split when ts > max prior end). Complete-mode run to
+    completion, like the fixed-gap twin."""
+    import uuid
+
+    from .streaming import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "view", F.lit("40 minutes")).otherwise(
+        F.lit("20 minutes")
+    )
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
