@@ -7487,3 +7487,62 @@ def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register("conversion_by_session_depth", """
+WITH l AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN pts IS NULL OR date_diff('second', pts, ts) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM l
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+),
+sess AS (
+  SELECT user_id, session_idx,
+         count(*) AS depth,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT least(CAST(depth AS BIGINT), 6) AS depth_bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(sum(converted) * 1.0 / count(*), 4) AS conversion_rate
+FROM sess GROUP BY depth_bucket
+""")
+def conversion_by_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product analytics composition: sessionize (30-minute gap), label
+    each session converted if it contains a purchase, and report the
+    conversion rate by session-depth bucket (5-event bins, capped) —
+    the engagement-vs-outcome curve. One window pass for session ids,
+    two cheap aggs; shares the per-user partitioning sessionization
+    already established."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    s = ev.withColumn("session_idx", F.sum(new_s).over(wc))
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    bucket = F.least(F.col("depth").cast("long"), F.lit(6))
+    return sess.groupBy(bucket.alias("depth_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(F.sum("converted") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "conversion_rate"
+        ),
+    )
