@@ -7546,3 +7546,40 @@ def conversion_by_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@register("repeat_purchase_intervals", """
+WITH p AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+d AS (
+  SELECT user_id, CAST(floor(date_diff('second', pts, ts) / 3600.0) AS BIGINT) AS gap_h
+  FROM p WHERE pts IS NOT NULL
+)
+SELECT least(CAST(floor(gap_h / 24) AS BIGINT), 7) AS gap_days_bucket,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(avg(gap_h), 4) AS mean_gap_hours
+FROM d GROUP BY gap_days_bucket
+""")
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of gaps between a
+    user's consecutive purchases, bucketed by day (7+ capped) — the
+    retention/replenishment curve behind CRM timing decisions. One
+    per-user window pass on the purchase subset (the event_type filter
+    pushes into the scan), one tiny agg."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.withColumn("pts", F.lag("ts").over(w)).where(F.col("pts").isNotNull())
+    gap_h = F.floor(
+        (F.unix_timestamp("ts") - F.unix_timestamp("pts")) / 3600
+    )
+    d = p.select("user_id", gap_h.alias("gap_h"))
+    bucket = F.least(F.floor(F.col("gap_h") / 24).cast("long"), F.lit(7))
+    return d.groupBy(bucket.alias("gap_days_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.round(F.avg("gap_h"), 4).alias("mean_gap_hours"),
+    )
