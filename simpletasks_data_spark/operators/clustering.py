@@ -1,0 +1,144 @@
+"""Distributed k-means (Lloyd's) over embedding columns.
+
+The reference has no clustering surface (SURVEY §2.6 scope boundary);
+this is part of the LLM-training-data extension set: corpus topic
+bucketing, quota-balanced sampling by cluster, and the coarse codebook
+for a learned IVF index (``similarity.knn_ivf_signbits``'s sign-bit cells
+replaced by trained centroids) all reduce to k-means assignments.
+
+Execution model — the standard distributed Lloyd's split (what Spark
+MLlib's KMeans does, re-expressed on DataFrames):
+
+- **centroids live on the driver** (k x dims doubles — metadata, not
+  data; SCALING.md principle 5), folded into the assignment expression
+  as array literals so scoring is pure whole-stage codegen: no UDF, no
+  shuffle, no broadcast join.
+- **each round is ONE hash aggregation** over the (id, vec) projection:
+  map-side partials collapse every partition to <= k rows of (count,
+  64 per-dim sums), the only shuffle moves k x partitions tiny rows.
+- the (id, vec) projection is checkpointed once up front so the T
+  rounds re-scan a materialized columnar frame, not the source plan
+  (at 100 TB: a cached/checkpointed parquet projection, scanned T
+  times — Lloyd's is T sequential jobs by nature, the driver barrier
+  IS the algorithm).
+
+Determinism contract (what makes an unrolled-CTE SQL oracle land on
+identical bytes — the same trick as ``graph.pagerank``):
+
+- init: centroids = the embeddings of the ``k`` smallest-id vectors,
+  elements rounded to the 1e-6 grid (decimal HALF_UP, matching
+  Spark/DuckDB ``round``);
+- assignment: squared L2 distance rounded to the 1e-4 grid, argmin with
+  centroid-id tie-break (``array_min`` over (d2_r, cid) structs —
+  struct ordering is lexicographic);
+- update: each new centroid element = ``round(avg, 6)``; an empty
+  cluster keeps its previous centroid;
+- quantization bounds cross-engine float-accumulation drift (different
+  summation orders differ in the last ulp; the grids absorb it).
+"""
+
+from __future__ import annotations
+
+import decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double
+
+__all__ = ["kmeans_lloyd", "kmeans_report"]
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Driver-side twin of Spark's round(): decimal HALF_UP over the
+    shortest decimal representation (see similarity.knn_bruteforce_blas
+    for why repr, not the exact binary expansion)."""
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(decimal.Decimal(repr(float(x))).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+
+def _d2(vec: Column, cen: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(c)) for c in cen])
+    sq = F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(id, vec) -> (id, vec, cluster_id, d2_r): nearest centroid by
+    1e-4-rounded squared L2, ties to the smaller centroid id."""
+    cand = F.array(
+        *[
+            F.struct(
+                F.round(_d2(F.col("vec"), cen), 4).alias("d2_r"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cen in enumerate(cents)
+        ]
+    )
+    best = F.array_min(cand)
+    return base.withColumn("cluster_id", best["cid"]).withColumn("d2_r", best["d2_r"])
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    dims: int = 64,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run ``iterations`` Lloyd rounds; return (assignments, centroids).
+
+    assignments: (id, vec, cluster_id, d2_r) — the FINAL assignment,
+    scored against the second-to-last centroids (the ones that produced
+    it). centroids: the final updated k x dims list (1e-6 grid).
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
+    ).localCheckpoint(eager=True)
+    init_rows = base.orderBy("id").limit(k).select("vec").collect()
+    cents = [[_round_half_up(x, 6) for x in r["vec"]] for r in init_rows]
+    assigned = None
+    for _ in range(iterations):
+        assigned = _assign(base, cents)
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.round(F.avg(F.element_at(F.col("vec"), d + 1)), 6).alias(f"m{d}")
+            for d in range(dims)
+        ]
+        rows = {
+            r["cluster_id"]: [r[f"m{d}"] for d in range(dims)]
+            for r in assigned.groupBy("cluster_id").agg(*aggs).collect()
+        }
+        cents = [rows.get(cid, cen) for cid, cen in enumerate(cents)]
+    return assigned, cents
+
+
+def kmeans_report(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    dims: int = 64,
+) -> DataFrame:
+    """Per-cluster summary: (cluster_id, n_members, inertia, centroid).
+
+    inertia = sum of the grid-rounded squared distances of the final
+    assignment (vs the centroids that produced it, the conventional
+    Lloyd objective); centroid = the final updated centroid, emitted at
+    the operator's own 1e-6 grid — re-rounding coarser would DOUBLE-
+    round: grid values sit exactly on .5 boundaries of any coarser
+    grid, where engines legitimately disagree (binary-exact vs
+    shortest-repr ties). +0.0 normalizes IEEE -0.0 for portable
+    hashing.
+    """
+    assigned, cents = kmeans_lloyd(emb, id_col, vec_col, k, iterations, dims)
+    rep = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.sum("d2_r"), 4).alias("inertia"),
+    )
+    cent_rows = [(cid, [x + 0.0 for x in cen]) for cid, cen in enumerate(cents)]
+    cent_df = rep.sparkSession.createDataFrame(cent_rows, "cluster_id long, centroid array<double>")
+    return rep.join(F.broadcast(cent_df), "cluster_id").select(
+        "cluster_id", "n_members", "inertia", "centroid"
+    )

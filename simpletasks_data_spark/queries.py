@@ -7583,3 +7583,68 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
         F.round(F.avg("gap_h"), 4).alias("mean_gap_hours"),
     )
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
+    """Unrolled Lloyd rounds as CTEs (same pattern as the pagerank
+    oracle): each round = lateral squared-distance + argmin window +
+    per-dim avg rebuild, all on the operator's quantization grids."""
+    rounds = []
+    prev_c = "c0"
+    for t in range(1, iterations + 1):
+        rounds.append(f"""a{t} AS (
+  SELECT vec_id, e, cid, d2_r FROM (
+    SELECT v.vec_id, v.e, c.cid, round(d.d2, 4) AS d2_r,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(d.d2, 4) ASC, c.cid ASC) AS rn
+    FROM v, {prev_c} c,
+         LATERAL (SELECT sum((v.e[g.i] - c.cen[g.i]) * (v.e[g.i] - c.cen[g.i])) AS d2
+                  FROM generate_series(1, {dims}) AS g(i)) d
+  ) WHERE rn = 1
+),
+u{t} AS (
+  SELECT cid, list(m ORDER BY i) AS cen FROM (
+    SELECT a.cid, g.i, round(avg(a.e[g.i]), 6) AS m
+    FROM a{t} a, generate_series(1, {dims}) AS g(i)
+    GROUP BY a.cid, g.i
+  ) GROUP BY cid
+),
+c{t} AS (
+  SELECT c.cid, coalesce(u.cen, c.cen) AS cen
+  FROM {prev_c} c LEFT JOIN u{t} u USING (cid)
+)""")
+        prev_c = f"c{t}"
+    joined = ",\n".join(rounds)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS cen
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+{joined}
+SELECT a.cid AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(sum(a.d2_r), 4) AS inertia,
+       any_value(list_transform(c.cen, x -> x + 0.0)) AS centroid
+FROM a{iterations} a JOIN c{iterations} c ON c.cid = a.cid
+GROUP BY a.cid
+"""
+
+
+@register("kmeans_embeddings", _kmeans_oracle_sql(8, 3, 64))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: 8 clusters,
+    3 synchronous rounds, per-round quantization (d2 at 1e-4, centroid
+    elements at 1e-6 — the operator contract, see operators/clustering)
+    so the unrolled-CTE oracle is engine-exact. Per-cluster report:
+    size, inertia, final centroid. The third iterative-algorithm family
+    next to connected components and pagerank; centroids stay on the
+    driver (k x dims metadata) and each round is ONE codegen'd hash agg
+    — the MLlib execution shape on plain DataFrames."""
+    from .operators.clustering import kmeans_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_report(emb, k=8, iterations=3, dims=64)
