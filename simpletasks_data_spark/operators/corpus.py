@@ -45,6 +45,7 @@ __all__ = [
     "ngram_lm_counts",
     "decontaminate",
     "tfidf_top_terms",
+    "bm25_related_docs",
     "weighted_sample",
     "balance_mixture",
 ]
@@ -375,4 +376,73 @@ def ngram_lm_counts(
         cnt.join(cont, "suffix")
         .where(F.col("n_occurrences") >= min_count)
         .select("gram", "head", "suffix", "n_occurrences", "n_left_contexts")
+    )
+
+
+def bm25_related_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_mod: int = 97,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 "more-like-this" retrieval: every document whose id hashes
+    into the query stratum (``id % query_mod == 0``) retrieves its
+    top-``k`` related documents from the corpus, scored by Okapi BM25
+    over the shared vocabulary (query term frequency deliberately
+    unweighted — the standard short-query simplification, documented
+    here because the queries are whole documents).
+
+    score(q, d) = sum over tokens t in q∩d of
+        idf(t) * tf(d,t) * (k1+1) / (tf(d,t) + k1 * (1 - b + b*dl/avgdl))
+    with idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene's form,
+    always positive).
+
+    Scale shape: ONE (doc, token) shuffle builds the term-frequency
+    table (shared shape with ``tfidf_top_terms``, checkpointed so the
+    doc-frequency reduction reuses it instead of re-exploding the
+    corpus); doc frequencies and corpus stats are vocabulary-sized /
+    single-row **broadcasts**; the query side is a thin (qid, token)
+    slice that equi-joins the tf table on ``token`` — the corpus never
+    cross-joins and never shuffles a second time. The per-query top-k
+    window partitions on qid, the natural spread key. Ranking uses the
+    4-decimal-rounded score (cross-engine ln parity) with doc-id
+    tie-break.
+    """
+    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    tok = t.select(id_col, F.explode("_toks").alias("token"))
+    tf = (
+        tok.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    qterms = (
+        tf.where((F.col(id_col) % query_mod) == 0)
+        .select(F.col(id_col).alias("query_id"), "token")
+    )
+    idf = F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(qterms, "token")
+        .where(F.col("query_id") != F.col(id_col))
+        .join(dl, id_col)
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score")
     )

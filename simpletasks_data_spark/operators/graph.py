@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank"]
+__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count"]
 
 
 def connected_components(
@@ -298,3 +298,39 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return scores
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph.
+
+    ``edges``: one row per undirected edge as (u, v) with u < v (the
+    caller dedupes orientation; see ``queries.supplier_triangles`` for
+    the co-occurrence construction). Returns (id, n_triangles) for every
+    node that closes at least one triangle.
+
+    Algorithm — the standard two-path + closing-edge equi-join, with
+    edges ORIENTED by id so each triangle is enumerated exactly once as
+    u < v < w: paths = e1(u,v) ⋈ e2(v,w), triangles = paths ⋈ e(u,w).
+    Scale shape: two hash equi-joins, no cross product; work is
+    sum-of-squares of oriented out-degrees, which id-orientation keeps
+    near the theoretical minimum for power-law graphs when ids are
+    uncorrelated with degree — for adversarial skew, re-label ids by
+    ascending degree first (degree-orientation, one extra agg + join),
+    which bounds every out-degree by O(sqrt(edges)). Per-node counts
+    fold the three corner projections through one hash agg.
+    """
+    e = edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    paths = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    tri = paths.join(
+        e.withColumnRenamed("u", "a").withColumnRenamed("v", "c"), ["a", "c"]
+    )
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

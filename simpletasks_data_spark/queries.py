@@ -7648,3 +7648,168 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_report(emb, k=8, iterations=3, dims=64)
+
+
+@register("bm25_related_docs", f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % 97 = 0),
+s AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 4) AS score
+  FROM tf
+  JOIN q USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.token = tf.token
+  CROSS JOIN stats
+  WHERE q.query_id != tf.doc_id
+  GROUP BY 1, 2
+),
+r AS (SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM s)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+FROM r WHERE rank <= 5
+""")
+def bm25_related_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this retrieval: each query-stratum document
+    (doc_id % 97 == 0) pulls its top-5 related documents, Okapi-scored
+    over the shared vocabulary. See ``operators/corpus.bm25_related_docs``
+    for the scale shape (one doc-term shuffle, broadcast doc-freq +
+    corpus stats, token equi-join — never a corpus cross join)."""
+    return CP.bm25_related_docs(load(spark, sf_dir, "documents"), k=5)
+
+
+@register("supplier_triangles", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+edges AS (
+  SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 5
+),
+paths AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+),
+tri AS (
+  SELECT p.a, p.b, p.c FROM paths p JOIN edges e ON e.u = p.a AND e.v = p.c
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+cnt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM corners GROUP BY id
+),
+r AS (
+  SELECT id, n_triangles,
+         row_number() OVER (ORDER BY n_triangles DESC, id ASC) AS rank
+  FROM cnt
+)
+SELECT CAST(id AS BIGINT) AS suppkey, n_triangles, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+""")
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the supplier co-occurrence graph (edge =
+    two suppliers shipping within the same order at least 5 times —
+    the support floor keeps the graph sparse as orders scale). The
+    top-10 most triangle-embedded suppliers measure how clique-like
+    each supplier's neighborhood is — the community-structure signal
+    behind fraud rings and supplier-cluster detection. See
+    ``operators/graph.triangle_count`` for the oriented two-join shape;
+    pair generation reuses the distinct-first bounded pattern of
+    ``basket_brand_pairs``."""
+    from .operators.graph import triangle_count
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 5)
+        .drop("_n")
+    )
+    cnt = triangle_count(edges)
+    w = Window.orderBy(F.desc("n_triangles"), F.asc("id"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(F.col("id").alias("suppkey"), "n_triangles", "rank")
+    )
+
+
+@register("robust_outliers_mad", """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority, o.o_totalprice, med.med,
+         abs(o.o_totalprice - med.med) AS adev
+  FROM orders o JOIN med USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(d.med), 4) AS median_price,
+       round(any_value(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > 5.1891 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(sum(CASE WHEN d.adev > 5.1891 * m.mad THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS outlier_rate
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+""")
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median absolute
+    deviation with the Iglewicz-Hoaglin cut (|x - med| > 3.5/0.6745 *
+    MAD, the constant folded to 5.1891 so both engines compare against
+    the same literal). Unlike mean/stddev z-scores (events_anomaly_
+    zscore), the median/MAD pair has a 50% breakdown point — the
+    outliers cannot mask themselves. Scale shape: two grouped exact
+    percentiles (each one shuffle on the 5-value priority key) with the
+    tiny per-group medians broadcast back between passes; swap
+    percentile_approx in at sketch-accuracy tolerance for a one-pass
+    variant (sketch_histogram_quantile is that path)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.percentile("adev", 0.5).alias("mad"))
+    is_out = F.when(F.col("adev") > 5.1891 * F.col("mad"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.any_value("med"), 4).alias("median_price"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(is_out).cast("long").alias("n_outliers"),
+            F.round(F.sum(is_out) * 1.0 / F.count(F.lit(1)), 4).alias("outlier_rate"),
+        )
+    )
