@@ -526,3 +526,78 @@ def simhash_pairs_from_signatures(
         .distinct()
     )
     return pairs
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directional near-dup pairs by EXACT containment over distinct char
+    n-grams: C(A→B) = |A∩B| / |A| — "how much of A appears inside B".
+    Catches what symmetric Jaccard misses: a short document quoted or
+    embedded whole inside a much longer one scores J ≈ |A|/|B| (tiny)
+    but C(A→B) ≈ 1. The quote/boilerplate/subset-duplication detector
+    for training corpora.
+
+    Candidate generation is the asymmetric prefix filter: if
+    C(A→B) >= t, at most (1-t)·|A| of A's shingles are missing from B,
+    so A's first ``floor((1-t)·|A|) + 1`` shingles (any fixed global
+    order — the portable hash order here) must intersect B. The
+    candidate join is A-prefixes × ALL shingles (one equi-join on the
+    shingle), then a size filter |B| >= t·|A| (containment needs that
+    much room) prunes before the exact intersection count runs on
+    candidates only.
+
+    Scale shape: same machinery as ``ngram_jaccard_pairs`` — shingle
+    explode, prefix window per doc, shingle equi-joins, hash aggs; the
+    prefix bound keeps the join linear-ish in corpus size for t near 1
+    (prefix length ~ 0.1·|A| at t=0.9). Output: (id_a, id_b,
+    containment) with id_a the CONTAINED document; both directions of a
+    mutual near-dup pair emit.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingle_frame(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    ranked = sh.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(shingle_hash(F.col("sh")), F.col("sh"))
+        ),
+    )
+    prefix = ranked.join(sizes, "_id").where(
+        F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") != F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cand = (
+        cand.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .where(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+    )
+    a2 = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b2 = sh.select(F.col("_id").alias("bid"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.select("id_a", "id_b", "sz_a")
+        .join(a2, "id_a")
+        .join(b2, (F.col("id_b") == F.col("bid")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("sz_a"), 4),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

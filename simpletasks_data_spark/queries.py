@@ -7813,3 +7813,232 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(is_out) * 1.0 / F.count(F.lit(1)), 4).alias("outlier_rate"),
         )
     )
+
+
+def _morton16_sql(x: str, y: str) -> str:
+    """16-bit × 16-bit Morton interleave as portable integer arithmetic
+    (DuckDB twin of the Spark expression in zorder_layout_orders)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register("zorder_layout_orders", f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS dday
+  FROM orders
+),
+coded AS (
+  SELECT o_orderkey, o_custkey, dday,
+         {_morton16_sql("(o_custkey % 65536)", "(dday % 65536)")} AS morton
+  FROM base
+),
+bucketed AS (
+  SELECT *, ntile(32) OVER (ORDER BY morton, o_orderkey) AS bucket
+  FROM coded
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_custkey) AS BIGINT) AS custkey_min,
+       CAST(max(o_custkey) AS BIGINT) AS custkey_max,
+       CAST(min(dday) AS BIGINT) AS day_min,
+       CAST(max(dday) AS BIGINT) AS day_max
+FROM bucketed GROUP BY bucket
+""")
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout for multi-dimensional data skipping:
+    interleave the bits of (custkey, order-day) into one code, range-
+    bucket rows by it, and report each bucket's min/max on BOTH
+    dimensions — the per-file statistics a scan would prune against.
+    Unlike a lexicographic sort (tight on the first column, useless on
+    the second), z-order keeps both spans sub-linear per bucket, so
+    filters on EITHER dimension skip most buckets.
+
+    Scale shape: the morton code is pure codegen'd integer arithmetic
+    (map-only); at 100 TB the bucketing is ``repartitionByRange(code)``
+    + parquet write (sampled range exchange, no global sort). The demo
+    uses ``ntile`` over the code order instead, because its exact
+    boundaries give an engine-identical oracle — same layout, exact
+    rather than sampled cuts."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("dday"),
+    )
+    x = F.col("o_custkey") % 65536
+    y = F.col("dday") % 65536
+    morton = None
+    for i in range(16):
+        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        morton = tx + ty if morton is None else morton + tx + ty
+    coded = base.withColumn("morton", morton)
+    w = Window.orderBy("morton", "o_orderkey")
+    bucketed = coded.withColumn("bucket", F.ntile(32).over(w).cast("long"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_custkey").cast("long").alias("custkey_min"),
+        F.max("o_custkey").cast("long").alias("custkey_max"),
+        F.min("dday").cast("long").alias("day_min"),
+        F.max("dday").cast("long").alias("day_max"),
+    )
+
+
+@register("dedup_containment", f"""
+WITH {SQL_CORPUS},
+n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
+sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+shared AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id != b._id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / sa.sz, 4) AS containment
+FROM shared
+JOIN sizes sa ON sa._id = id_a
+WHERE round(CAST(inter AS DOUBLE) / sa.sz, 4) >= 0.9
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dups over the synthetic-dup corpus:
+    every (contained, container) pair with >= 90% of the smaller
+    document's 5-gram shingles inside the other — the quote/subset
+    detector symmetric Jaccard misses (the '+ extra token tail'
+    variants score containment ~1 from the original but Jaccard below
+    1). Oracle is the naive shared-shingle join; the operator runs the
+    asymmetric prefix filter (operators/dedupe.containment_pairs)."""
+    return DD.containment_pairs(_corpus(spark, sf_dir), "id", "text", n=5, threshold=0.9)
+
+
+@register("zipf_token_slope", f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM t),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+  FROM cnt
+),
+top AS (SELECT ln(rank) AS lx, ln(freq) AS ly FROM ranked WHERE rank <= 1000)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+       round(regr_slope(ly, lx), 4) AS slope,
+       round(regr_intercept(ly, lx), 4) AS intercept,
+       round(regr_r2(ly, lx), 4) AS r2
+FROM top
+""")
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) against ln(rank) over the top-1000 tokens (natural
+    text sits near -1; a slope far off flags synthetic/boilerplate or
+    tokenizer damage — a one-row corpus health check). Scale shape: one
+    token count agg (the vocab shuffle), rank window on the vocabulary-
+    sized frame, closed-form regression in ONE aggregation via the
+    built-in regr_* functions — no iteration, no driver math."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    top = (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 1000)
+        .select(F.log("rank").alias("lx"), F.log("freq").alias("ly"))
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.regr_slope("ly", "lx"), 4).alias("slope"),
+        F.round(F.regr_intercept("ly", "lx"), 4).alias("intercept"),
+        F.round(F.regr_r2("ly", "lx"), 4).alias("r2"),
+    )
+
+
+@register("survival_km_first_purchase", """
+WITH u AS (
+  SELECT user_id,
+         min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+         max(ts) AS tlast
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT user_id,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+         CAST(floor(date_diff('second', t0,
+                    coalesce(tp, tlast)) / 86400.0) AS BIGINT) AS d
+  FROM u
+),
+days AS (SELECT DISTINCT d FROM dur WHERE observed = 1 AND d <= 30),
+km AS (
+  SELECT days.d,
+         (SELECT count(*) FROM dur WHERE dur.d >= days.d) AS n_risk,
+         (SELECT count(*) FROM dur WHERE dur.d = days.d AND observed = 1)
+           AS n_events
+  FROM days
+)
+SELECT d AS day, CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(exp(sum(ln(greatest(1.0 - CAST(n_events AS DOUBLE) / n_risk, 1e-12)))
+                 OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)), 4) AS survival
+FROM km
+""")
+def survival_km_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per user,
+    the duration from first event to first purchase (censored at the
+    user's last event when no purchase occurs), then the product-limit
+    estimator S(d) = prod over event-days <= d of (1 - events/at-risk),
+    reported per event day up to 30. The censoring-aware conversion
+    curve a naive conversion rate gets wrong. Scale shape: one per-user
+    agg, one tiny day frame (<= 31 rows); at-risk counts come from a
+    single sorted cumulative window over the duration histogram (NOT a
+    per-day correlated rescan — that's the oracle's formulation); the
+    cumulative product folds as exp of a running ln sum."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        F.max("ts").alias("tlast"),
+    )
+    dur = u.select(
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.floor(
+            (
+                F.unix_timestamp(F.coalesce("tp", "tlast"))
+                - F.unix_timestamp("t0")
+            )
+            / 86400
+        ).cast("long").alias("d"),
+    )
+    # duration histogram: per-day totals + event counts, then at-risk =
+    # suffix sum (one window over the tiny day frame)
+    hist = dur.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("observed").alias("n_obs"),
+    )
+    w_suffix = Window.orderBy("d").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    at_risk = hist.withColumn("n_risk", F.sum("n_all").over(w_suffix))
+    km = at_risk.where((F.col("n_obs") > 0) & (F.col("d") <= 30))
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # greatest(..., 1e-12): a day where every remaining user converts
+    # drives the factor to 0; the clamp keeps ln finite in BOTH engines
+    # (DuckDB raises on ln(0)) and still rounds survival to exactly 0.0
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.greatest(
+                    1.0 - F.col("n_obs").cast("double") / F.col("n_risk"),
+                    F.lit(1e-12),
+                )
+            )
+        ).over(w_cum)
+    )
+    return km.select(
+        F.col("d").alias("day"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("n_obs").cast("long").alias("n_events"),
+        F.round(surv, 4).alias("survival"),
+    )
