@@ -8042,3 +8042,49 @@ def survival_km_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_obs").cast("long").alias("n_events"),
         F.round(surv, 4).alias("survival"),
     )
+
+
+@register("acid_version_diff", f"""
+WITH {SQL_UPSERT_SRC},
+d AS (
+  SELECT coalesce(c.c_custkey, s.key) AS k,
+         CASE WHEN c.c_custkey IS NULL THEN 'added'
+              WHEN s.key IS NULL THEN 'unchanged'
+              WHEN c.c_acctbal IS DISTINCT FROM s.total THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.key
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+FROM d GROUP BY status
+""")
+def acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level CDC between two committed ACID versions: seed the
+    customer snapshot (v0), run one ImportJob upsert through the
+    transaction log (v1), then ``snapshot_diff`` the two time-travel
+    reads — per-status row counts + key checksums. Reconstructs the
+    merge's effect (created rows = added, acctbal updates = changed)
+    from the SNAPSHOTS alone, which is what an auditor or downstream
+    replicator has. See operators/diff.py for the one-join shape."""
+    import tempfile
+
+    from .operators.diff import snapshot_diff
+    from .plans.acid import TxnTargetTable
+
+    cust = load(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="acid_diff_") + "/customer"
+    target = TxnTargetTable(
+        spark, schema=cust.schema, path=path, primary_keys=("c_custkey",)
+    )
+    target.txn.append(cust)
+    src = TableSource(
+        _upsert_source_df(spark, sf_dir), _CustomerUpsertMapping(),
+        mode=ImportMode.CREATE_AND_UPDATE,
+    )
+    ImportJob(spark, target, sources=[src], dryrun=False).run()
+    d = snapshot_diff(
+        target.txn.read(version=0), target.txn.read(version=1), keys=["c_custkey"]
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
