@@ -8088,3 +8088,107 @@ def acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c_custkey").cast("long").alias("key_sum"),
     )
+
+
+@register("rolling_7d_active_users", """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+contrib AS (
+  SELECT user_id, day + CAST(o.off AS INTEGER) AS day
+  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+),
+bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ud)
+SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
+FROM contrib c CROSS JOIN bounds b
+WHERE c.day >= b.dmin AND c.day <= b.dmax
+GROUP BY c.day
+""")
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling active users per day — the metric COUNT
+    DISTINCT OVER a sliding range can't express directly in either
+    engine (distinct isn't decomposable over window frames). The
+    scalable rewrite: each (user, day) observation CONTRIBUTES to the 7
+    days it keeps the user active in (a bounded 7x explode), then one
+    distinct-count per day. Scale shape: the distinct user-day
+    projection is one hash agg; the explode is map-side with a constant
+    factor = window length; the final count-distinct shuffles on the
+    day key. No window over an unbounded user list, no per-day rescan.
+    Days clamped to the observed range (head/tail ramp-up days with
+    partial windows are still reported, matching the oracle)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    bounds = ev.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    contrib = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day"
+    ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .where((F.col("day") >= F.col("dmin")) & (F.col("day") <= F.col("dmax")))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_7d"))
+    )
+
+
+@register("pareto_frontier_suppliers", """
+WITH s AS (
+  SELECT l_suppkey,
+         round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_cost,
+         round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay,
+         CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT *, min(avg_delay) OVER (ORDER BY avg_cost ASC, l_suppkey ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS best_delay_so_far
+  FROM s
+)
+SELECT CAST(l_suppkey AS BIGINT) AS suppkey, avg_cost, avg_delay, n_items
+FROM ranked
+WHERE best_delay_so_far IS NULL OR avg_delay < best_delay_so_far
+""")
+def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of suppliers on (average discounted
+    cost, average delivery delay): suppliers no other supplier beats on
+    BOTH dimensions — the shortlist a procurement optimizer actually
+    chooses from. The naive skyline is an O(n²) dominance self-join;
+    in 2-D it collapses to ONE sorted window: scan by cost ascending
+    and keep rows that strictly improve the running-best delay.
+    Scale shape: one per-supplier agg (shuffle on suppkey), then the
+    window over the supplier-sized frame; for >2 dimensions, block-
+    local frontiers + a frontier-of-frontiers merge keep it
+    distributed. Ties: equal-cost suppliers compare in suppkey order,
+    so an equal-cost-equal-delay twin is dominated (strict `<`),
+    keeping the frontier minimal and deterministic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cost"),
+        "l_shipdate",
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "delay", F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    )
+    s = li.groupBy("l_suppkey").agg(
+        F.round(F.avg("cost"), 4).alias("avg_cost"),
+        F.round(F.avg("delay"), 4).alias("avg_delay"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    w = (
+        Window.orderBy(F.asc("avg_cost"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = s.withColumn("best_delay_so_far", F.min("avg_delay").over(w))
+    return ranked.where(
+        F.col("best_delay_so_far").isNull()
+        | (F.col("avg_delay") < F.col("best_delay_so_far"))
+    ).select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        "avg_cost",
+        "avg_delay",
+        "n_items",
+    )
