@@ -124,16 +124,33 @@ _CHECK_FIRST = [
     "streaming_running_totals",
     "streaming_foreachbatch_merge",
     "dedup_passages",
-    # -- new in round 3's second half, never driver-checked: streaming
-    #    left-outer emission, incremental view maintenance, the
-    #    compressed-index and BLAS ANN twins, LM counts, entity
-    #    resolution, drift monitoring, TPC-H completion --
-    "streaming_left_outer_attribution",
+    # -- round 3's new operator batch (positions 38-48), never
+    #    driver-checked: iterative k-means, BM25 retrieval, triangle
+    #    counting, robust MAD outliers, z-order layout, containment
+    #    dedup, Zipf fit, Kaplan-Meier, ACID snapshot diff, rolling
+    #    distinct actives, Pareto skyline --
+    "kmeans_embeddings",
+    "bm25_related_docs",
+    "supplier_triangles",
+    "robust_outliers_mad",
+    "zorder_layout_orders",
+    "dedup_containment",
+    "zipf_token_slope",
+    "survival_km_first_purchase",
+    "acid_version_diff",
+    "rolling_7d_active_users",
+    "pareto_frontier_suppliers",
+    # -- last two in-window slots: round-2 flagships still without a
+    #    driver row (IVM + entity resolution; the ANN twins ride the
+    #    bench instead, TPC-H completions are the lowest-novelty SQL
+    #    and rotate out, all parity-pinned locally) --
     "incremental_rollup_refresh",
+    "entity_match_customers",
+    # position 51+ from here
+    "streaming_left_outer_attribution",
     "knn_quantized_rescore",
     "knn_bruteforce_blas",
     "ngram_lm_counts",
-    "entity_match_customers",
     "feature_drift_psi",
     "streaming_trending_topk",
     "events_transition_matrix",
@@ -141,9 +158,6 @@ _CHECK_FIRST = [
     "q11_important_parts",
     "q16_supplier_cnt",
     "q20_concentrated_suppliers",
-    # position 51+ from here: curation_funnel composes already-windowed
-    # gates (quality/dedup/decontamination) and is parity-pinned locally (q12's two-class conditional agg is the
-    # least novel of the five TPC-H completions)
     "q12_ship_delay_priority",
     # -- rotated out of the 50-window this round (all pinned by the
     #    always-run local parity suite + dedicated unit/plan tests):
@@ -7887,10 +7901,16 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_SHINGLES_12 = (
+    "list_distinct(list_transform(generate_series(1, greatest(strlen({norm}) - 11, 1)),"
+    " i -> substr({norm}, i, 12)))"
+)
+
+
 @register("dedup_containment", f"""
 WITH {SQL_CORPUS},
 n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
-sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+sh AS (SELECT id AS _id, unnest({SQL_SHINGLES_12.format(norm='norm')}) AS sh FROM n),
 sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
 shared AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS inter
@@ -7906,12 +7926,17 @@ WHERE round(CAST(inter AS DOUBLE) / sa.sz, 4) >= 0.9
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional containment near-dups over the synthetic-dup corpus:
     every (contained, container) pair with >= 90% of the smaller
-    document's 5-gram shingles inside the other — the quote/subset
+    document's 12-gram shingles inside the other — the quote/subset
     detector symmetric Jaccard misses (the '+ extra token tail'
     variants score containment ~1 from the original but Jaccard below
     1). Oracle is the naive shared-shingle join; the operator runs the
-    asymmetric prefix filter (operators/dedupe.containment_pairs)."""
-    return DD.containment_pairs(_corpus(spark, sf_dir), "id", "text", n=5, threshold=0.9)
+    rarest-first asymmetric prefix filter
+    (operators/dedupe.containment_pairs). Shingle width 12 (not the
+    Jaccard family's 5): prefix filtering lives off shingle RARITY, and
+    this corpus's 5-gram space is tiny (mean df ~500 at sf0.1 vs ~11
+    for 12-grams) — width is the sparsity dial, sized so candidate
+    fan-out stays linear as the corpus grows."""
+    return DD.containment_pairs(_corpus(spark, sf_dir), "id", "text", n=12, threshold=0.9)
 
 
 @register("zipf_token_slope", f"""

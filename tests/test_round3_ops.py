@@ -1,0 +1,79 @@
+"""Unit invariants for the round-3 operator batch: k-means, triangle
+counting, containment dedup, snapshot diff. (Oracle parity for the
+registered queries is pinned separately by test_oracle_parity.py.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from simpletasks_data_spark.operators.clustering import kmeans_lloyd, kmeans_report
+from simpletasks_data_spark.operators.diff import snapshot_diff
+from simpletasks_data_spark.operators.graph import triangle_count
+from simpletasks_data_spark.operators.dedupe import containment_pairs
+
+
+def test_kmeans_partitions_input_and_separates_obvious_clusters(spark):
+    # two tight blobs far apart in 4-d; k=2 must split them exactly
+    rows = [(i, [0.0 + i * 0.001, 0.0, 0.0, 0.0]) for i in range(10)] + [
+        (100 + i, [9.0 + i * 0.001, 9.0, 9.0, 9.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_lloyd(df, k=2, iterations=3, dims=4)
+    agg = {r["cluster_id"]: r["n"] for r in
+           assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(agg.values()) == 20  # every point assigned exactly once
+    assert sorted(agg.values()) == [10, 10]
+    # blob membership is pure: ids < 100 all share one cluster
+    pure = assigned.groupBy("cluster_id").agg(
+        F.count_distinct(F.col("id") < 100).alias("kinds")
+    )
+    assert all(r["kinds"] == 1 for r in pure.collect())
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+
+
+def test_kmeans_report_members_sum_to_corpus(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 0.0, 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rep = kmeans_report(df, k=4, iterations=2, dims=4)
+    got = rep.agg(F.sum("n_members")).collect()[0][0]
+    assert got == 50
+
+
+def test_triangle_count_k4(spark):
+    # complete graph on 4 nodes: C(4,3)=4 triangles, each node in 3
+    edges = [(u, v) for u in range(4) for v in range(4) if u < v]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_path_has_none(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "u long, v long")
+    assert triangle_count(df).count() == 0
+
+
+def test_containment_detects_embedded_doc(spark):
+    needle = "the quick brown fox jumps over the lazy dog again and again"
+    hay = ("completely unrelated preamble text here. " + needle +
+           " and then a very long unrelated tail about other things entirely")
+    other = "nothing in common with anything else at all in this corpus row"
+    df = spark.createDataFrame(
+        [(1, needle), (2, hay), (3, other)], "id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in containment_pairs(df, "id", "text", n=5, threshold=0.8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8  # needle contained in hay
+    assert (2, 1) not in pairs  # hay is NOT contained in needle
+    assert not any(3 in p for p in pairs)
+
+
+def test_snapshot_diff_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, x double",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
