@@ -63,6 +63,17 @@ BENCH_QUERIES = [
     "events_transition_matrix",
     "feature_drift_psi",
     "curation_funnel",
+    # round-3 additions
+    "kmeans_embeddings",
+    "bm25_related_docs",
+    "supplier_triangles",
+    "dedup_containment",
+    "robust_outliers_mad",
+    "zorder_layout_orders",
+    "zipf_token_slope",
+    "survival_km_first_purchase",
+    "rolling_7d_active_users",
+    "pareto_frontier_suppliers",
 ]
 
 
