@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count"]
+__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count", "label_propagation"]
 
 
 def connected_components(
@@ -334,3 +334,42 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation over an undirected graph: every
+    node starts as its own community and repeatedly adopts the most
+    frequent label among its neighbors (ties -> smallest label, the
+    quantization that makes rounds engine-exact: every quantity is an
+    integer and the argmax is a total order on (count desc, label)).
+    Returns (id, community) after ``iterations`` synchronous rounds.
+
+    ``edges``: (u, v) one row per undirected edge (orientation
+    irrelevant — both directions are unioned internally).
+
+    Scale shape: each round = one equi-join (labels onto edge
+    endpoints) + one (node, label) hash agg + one per-node argmax agg
+    (``min_by`` over the (count, label) struct — NOT a window sort:
+    per-node neighbor-label lists never materialize in sorted order).
+    Synchronous LPA on a DataFrame is the Pregel iteration pattern;
+    like pagerank/connected_components above, per-round checkpoints cut
+    lineage on real clusters.
+    """
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("community", F.col("id"))
+    for _ in range(iterations):
+        nb = (
+            und.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "community")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        # argmax by (w desc, community asc) == min_by over (-w, community)
+        labels = nb.groupBy("id").agg(
+            F.min_by(
+                "community", F.struct((-F.col("w")).alias("nw"), F.col("community"))
+            ).alias("community")
+        ).localCheckpoint(eager=False)
+    return labels

@@ -144,9 +144,10 @@ _CHECK_FIRST = [
     #    driver row (IVM + entity resolution; the ANN twins ride the
     #    bench instead, TPC-H completions are the lowest-novelty SQL
     #    and rotate out, all parity-pinned locally) --
-    "incremental_rollup_refresh",
+    "communities_suppliers",
     "entity_match_customers",
     # position 51+ from here
+    "incremental_rollup_refresh",
     "streaming_left_outer_attribution",
     "knn_quantized_rescore",
     "knn_bruteforce_blas",
@@ -7740,22 +7741,21 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 most triangle-embedded suppliers measure how clique-like
     each supplier's neighborhood is — the community-structure signal
     behind fraud rings and supplier-cluster detection. See
-    ``operators/graph.triangle_count`` for the oriented two-join shape;
-    pair generation reuses the distinct-first bounded pattern of
-    ``basket_brand_pairs``."""
+    ``operators/graph.triangle_count`` for the oriented two-join shape.
+    Pair generation is collect_set + map-side slice-explode: ONE shuffle
+    on the order key builds each order's sorted distinct-supplier set,
+    then ordered pairs expand WITHOUT a self-join (the distinct+self-join
+    formulation costs a second shuffle and measured 4x slower at sf0.1);
+    the expansion stays bounded by C(distinct suppliers per order, 2)."""
     from .operators.graph import triangle_count
 
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-    ).select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
     edges = (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -8216,4 +8216,118 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_cost",
         "avg_delay",
         "n_items",
+    )
+
+
+def _lpa_oracle_sql(iterations: int = 3) -> str:
+    layers = []
+    prev = "l0"
+    for t in range(1, iterations + 1):
+        layers.append(f"""l{t} AS (
+  SELECT id, community FROM (
+    SELECT nb.id, nb.community,
+           row_number() OVER (PARTITION BY nb.id
+                              ORDER BY nb.w DESC, nb.community ASC) AS rn
+    FROM (SELECT e.dst AS id, l.community, count(*) AS w
+          FROM und e JOIN {prev} l ON l.id = e.src
+          GROUP BY 1, 2) nb
+  ) WHERE rn = 1
+)""")
+        prev = f"l{t}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sup AS (SELECT u, v, count(*) AS n FROM pairs GROUP BY u, v),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (ORDER BY n DESC, u ASC, v ASC) AS rn,
+           count(*) OVER () AS total
+    FROM sup
+  ) WHERE rn <= ceil(total / 100.0)
+),
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+l0 AS (SELECT DISTINCT src AS id, src AS community FROM und),
+{", ".join(layers)},
+sized AS (
+  SELECT community, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(min(id) AS BIGINT) AS min_member
+  FROM {prev} GROUP BY community
+)
+SELECT CAST(community AS BIGINT) AS community, n_members, min_member,
+       CAST(row_number() OVER (ORDER BY n_members DESC, community ASC) AS BIGINT) AS rank
+FROM sized
+QUALIFY rank <= 10
+"""
+
+
+@register("communities_suppliers", _lpa_oracle_sql(3))
+def communities_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the supplier co-occurrence graph:
+    3 synchronous label-propagation rounds (most-frequent neighbor
+    label, smallest-label ties — integer-exact, so the unrolled-CTE
+    oracle lands on identical communities), reporting the 10 largest
+    communities. The fourth iterative-algorithm family next to
+    connected components, pagerank, and k-means; see
+    operators/graph.label_propagation for the join+min_by round shape.
+    Edges are the TOP-1% strongest co-occurrence pairs (count-ranked
+    with (u, v) tie-break — integer-exact, no percentile floats,
+    selected by the distributed top-K pattern: support-histogram
+    threshold + boundary-tie quota, never a data-sized global rank
+    window): a
+    fixed absolute support floor leaves this random-ish graph dense at
+    every scale factor and LPA rightly collapses it to one giant
+    community; the relative cut keeps only genuinely-correlated pairs,
+    so community structure survives scale changes. Pair generation
+    shares supplier_triangles' collect_set expansion (the oracle
+    spells it as the naive self-join)."""
+    from .operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    sup = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+    # distributed top-K (K = 1% of pairs): the oracle's global rank
+    # window would sort EVERY pair on one partition — instead derive
+    # the support threshold from the (tiny) support histogram and rank
+    # only the boundary ties, so no data-sized single-partition sort
+    k1 = sup.agg(F.ceil(F.count(F.lit(1)) / 100.0).alias("k"))
+    hist = sup.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+    thr = (
+        hist.crossJoin(F.broadcast(k1))
+        .where((F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum")))
+        .select(F.col("n").alias("s_star"), (F.col("k") - F.col("cum_before")).alias("quota"))
+    )
+    sup2 = sup.crossJoin(F.broadcast(thr))
+    keep_above = sup2.where(F.col("n") > F.col("s_star"))
+    w_ties = Window.partitionBy("s_star").orderBy(F.asc("u"), F.asc("v"))
+    ties = (
+        sup2.where(F.col("n") == F.col("s_star"))
+        .withColumn("trn", F.row_number().over(w_ties))
+        .where(F.col("trn") <= F.col("quota"))
+    )
+    edges = keep_above.select("u", "v").unionByName(ties.select("u", "v"))
+    lp = label_propagation(edges, iterations=3)
+    sized = lp.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("id").cast("long").alias("min_member"),
+    )
+    w = Window.orderBy(F.desc("n_members"), F.asc("community"))
+    return (
+        sized.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(F.col("community").cast("long").alias("community"), "n_members", "min_member", "rank")
     )

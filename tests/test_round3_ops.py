@@ -77,3 +77,12 @@ def test_snapshot_diff_all_statuses(spark):
     )
     got = {r["k"]: r["status"] for r in snapshot_diff(old, new, keys=["k"]).collect()}
     assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_label_propagation_disjoint_triangles(spark):
+    from simpletasks_data_spark.operators.graph import label_propagation
+
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r["id"]: r["community"] for r in label_propagation(df, iterations=3).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
