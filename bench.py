@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "survival_km_first_purchase",
     "rolling_7d_active_users",
     "pareto_frontier_suppliers",
+    "bpe_train_merges",
+    "communities_suppliers",
 ]
 
 

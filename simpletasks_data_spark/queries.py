@@ -145,8 +145,9 @@ _CHECK_FIRST = [
     #    bench instead, TPC-H completions are the lowest-novelty SQL
     #    and rotate out, all parity-pinned locally) --
     "communities_suppliers",
-    "entity_match_customers",
+    "bpe_train_merges",
     # position 51+ from here
+    "entity_match_customers",
     "incremental_rollup_refresh",
     "streaming_left_outer_attribution",
     "knn_quantized_rescore",
@@ -8331,3 +8332,62 @@ def communities_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select(F.col("community").cast("long").alias("community"), "n_members", "min_member", "rank")
     )
+
+
+def _bpe_oracle_sql(merges: int = 5) -> str:
+    """Unrolled BPE merge rounds (operators/bpe.py's contract): doubled-
+    separator symbol strings, weighted adjacent-pair counts, argmax with
+    lexicographic tie-break, left-to-right non-overlapping replace."""
+    toks = SQL_TOKENS.format(c="text")
+    rounds = []
+    for r in range(1, merges + 1):
+        prev = f"s{r-1}"
+        rounds.append(f"""i{r} AS (
+  SELECT toks, wcount, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM (SELECT string_split(trim(sym, '·'), '··') AS toks, wcount FROM {prev})
+),
+p{r} AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y, CAST(sum(wcount) AS BIGINT) AS cnt
+  FROM i{r} GROUP BY 1, 2
+),
+m{r} AS (SELECT x, y, cnt FROM p{r} ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+s{r} AS (
+  SELECT replace(s.sym, '·' || m.x || '··' || m.y || '·',
+                 '·' || m.x || m.y || '·') AS sym, s.wcount
+  FROM {prev} s CROSS JOIN m{r} m
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS step, x AS lhs, y AS rhs, cnt AS freq FROM m{r}"
+        for r in range(1, merges + 1)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS word FROM documents),
+w AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM tok GROUP BY word),
+s0 AS (
+  SELECT substr(s, 1, length(s) - 1) AS sym, wcount
+  FROM (SELECT '·' || regexp_replace(word, '(.)', '\\1··', 'g') AS s, wcount FROM w)
+),
+{", ".join(rounds)}
+{finals}
+"""
+
+
+@register("bpe_train_merges", _bpe_oracle_sql(5))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus: the
+    first 5 merge rules (most frequent adjacent symbol pair per round,
+    lexicographic tie-break) learned from the word-frequency table —
+    the canonical LLM-tokenizer construction, run as per-round
+    split/zip/explode + ONE weighted hash agg on the vocabulary frame.
+    Engine-exact via the doubled-separator string representation (see
+    operators/bpe.py: native left-to-right replace IS the greedy BPE
+    merge); merge rules live on the driver like k-means centroids."""
+    from .operators.bpe import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+    )
+    return bpe_train(words, merges=5)

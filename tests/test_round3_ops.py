@@ -86,3 +86,27 @@ def test_label_propagation_disjoint_triangles(spark):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {r["id"]: r["community"] for r in label_propagation(df, iterations=3).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_bpe_classic_merges(spark):
+    from simpletasks_data_spark.operators.bpe import bpe_train
+
+    w = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, wcount long",
+    )
+    got = [(r["step"], r["lhs"], r["rhs"], r["freq"]) for r in
+           bpe_train(w, merges=3).orderBy("step").collect()]
+    # (e,s)=9 across newest+widest; then (es,t)=9; then (l,o)=7
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)]
+
+
+def test_bpe_greedy_leftmost_on_overlaps(spark):
+    from simpletasks_data_spark.operators.bpe import bpe_train
+
+    # 'aaa' -> pairs (a,a) twice; merging must consume LEFTMOST first:
+    # round 2 sees ·aa··a· (pair (aa,a)), never ·a··aa·
+    w = spark.createDataFrame([("aaa", 1)], "word string, wcount long")
+    got = [(r["step"], r["lhs"], r["rhs"]) for r in
+           bpe_train(w, merges=2).orderBy("step").collect()]
+    assert got == [(1, "a", "a"), (2, "aa", "a")]
