@@ -307,3 +307,29 @@ def test_attribution_multitouch_equi_join(spark):
     tree = _tree(_plan(Q.queries()["attribution_linear_multitouch"](spark, SF)))
     assert "BroadcastNestedLoopJoin" not in tree, tree
     assert "CartesianProduct" not in tree, tree
+
+
+def test_bm25_scans_corpus_text_once(spark):
+    plan = _plan(Q.queries()["bm25_related_docs"](spark, SF))
+    text_scans = plan.count("ReadSchema: struct<doc_id:bigint,text:string>")
+    assert text_scans <= 1, f"bm25 re-explodes the corpus {text_scans}x"
+    assert "BroadcastHashJoin" in plan  # doc-freq + corpus stats broadcast
+
+
+def test_containment_verifies_with_array_intersect(spark):
+    plan = _plan(Q.queries()["dedup_containment"](spark, SF))
+    # exact verification must intersect collected arrays per candidate,
+    # never re-explode candidates through a pair x shingle shuffle
+    assert "array_intersect" in plan, "containment verify lost the array path"
+
+
+def test_round3_lazy_queries_no_antipatterns(spark):
+    for name in (
+        "bm25_related_docs", "supplier_triangles", "robust_outliers_mad",
+        "zorder_layout_orders", "dedup_containment", "zipf_token_slope",
+        "survival_km_first_purchase", "rolling_7d_active_users",
+        "pareto_frontier_suppliers",
+    ):
+        plan = _plan(Q.queries()[name](spark, SF))
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        assert not hits, f"{name}: {hits}"
