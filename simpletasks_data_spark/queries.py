@@ -8391,3 +8391,60 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
     )
     return bpe_train(words, merges=5)
+
+
+@register("pareto_frontier_3d", """
+WITH s AS (
+  SELECT l_suppkey,
+         round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_cost,
+         round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay,
+         round(avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4)
+           AS return_rate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+)
+SELECT CAST(a.l_suppkey AS BIGINT) AS suppkey,
+       a.avg_cost, a.avg_delay, a.return_rate
+FROM s a
+WHERE NOT EXISTS (
+  SELECT 1 FROM s b
+  WHERE b.avg_cost <= a.avg_cost AND b.avg_delay <= a.avg_delay
+    AND b.return_rate <= a.return_rate
+    AND (b.avg_cost < a.avg_cost OR b.avg_delay < a.avg_delay
+         OR b.return_rate < a.return_rate)
+)
+""")
+def pareto_frontier_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Pareto skyline of suppliers on (average discounted cost,
+    average delivery delay, return rate) — the dimension count where the
+    2-D sorted-window trick (pareto_frontier_suppliers) stops working
+    and the TWO-PHASE distributed skyline takes over: per-partition
+    local frontiers via an Arrow numpy dominance kernel, then a
+    frontier-of-frontiers pass on the (small) union of survivors. See
+    operators/skyline.py; the oracle is the naive NOT EXISTS dominance
+    self-join over the same rounded metrics."""
+    from .operators.skyline import skyline
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cost"),
+        "l_shipdate",
+        (F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)).alias("ret"),
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "delay", F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    )
+    s = j.groupBy("l_suppkey").agg(
+        F.round(F.avg("cost"), 4).alias("avg_cost"),
+        F.round(F.avg("delay"), 4).alias("avg_delay"),
+        F.round(F.avg("ret"), 4).alias("return_rate"),
+    )
+    sky = skyline(s, minimize=["avg_cost", "avg_delay", "return_rate"])
+    return sky.select(
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        "avg_cost",
+        "avg_delay",
+        "return_rate",
+    )

@@ -110,3 +110,20 @@ def test_bpe_greedy_leftmost_on_overlaps(spark):
     got = [(r["step"], r["lhs"], r["rhs"]) for r in
            bpe_train(w, merges=2).orderBy("step").collect()]
     assert got == [(1, "a", "a"), (2, "aa", "a")]
+
+
+def test_skyline_3d_known_frontier(spark):
+    from simpletasks_data_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 1.0, 5.0, 5.0),   # frontier (best x)
+        (2, 5.0, 1.0, 5.0),   # frontier (best y)
+        (3, 5.0, 5.0, 1.0),   # frontier (best z)
+        (4, 2.0, 2.0, 2.0),   # frontier (balanced)
+        (5, 3.0, 3.0, 3.0),   # dominated by 4
+        (6, 2.0, 2.0, 2.0),   # duplicate of 4 — co-survives
+        (7, 1.0, 5.0, 6.0),   # dominated by 1
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double, z double")
+    got = sorted(r["id"] for r in skyline(df.repartition(3), ["x", "y", "z"]).collect())
+    assert got == [1, 2, 3, 4, 6]
