@@ -8448,3 +8448,49 @@ def pareto_frontier_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_delay",
         "return_rate",
     )
+
+
+@register("quantile_normalize_sources", """
+WITH pooled AS (
+  SELECT quantile_cont(n_chars, [0.00, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.10, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.20, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.30, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.40, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.50, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.60, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.70, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.80, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.90, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.00]) AS g
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       round(g[CAST(round(pr * 100) AS INTEGER) + 1], 4) AS norm_score
+FROM r CROSS JOIN pooled
+""")
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: every document's length
+    score is re-expressed as the POOLED distribution's value at the
+    document's within-source percentile (nearest of 101 grid quantiles)
+    — the distribution-matching step that makes per-source quality
+    thresholds comparable when sources have wildly different score
+    scales (the classic microarray quantile-normalization recipe,
+    applied to corpus curation). Scale shape: the pooled grid is ONE
+    exact-percentile aggregation broadcast as an array literal; the
+    within-source percent_rank windows on the source key (per-source
+    sort — at extreme per-source cardinality swap in the histogram-CDF
+    rank, cf. communities_suppliers' top-K); the lookup is a map-side
+    element_at. Deterministic: doc_id tie-break makes ranks unique, and
+    the nearest-grid index avoids cross-engine interpolation drift."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    pcts = [i / 100.0 for i in range(101)]
+    pooled = docs.agg(F.percentile("n_chars", F.lit(pcts)).alias("g"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.withColumn("pr", F.percent_rank().over(w))
+    idx = (F.round(F.col("pr") * 100) + 1).cast("int")
+    return (
+        r.crossJoin(F.broadcast(pooled))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(F.element_at(F.col("g"), idx), 4).alias("norm_score"),
+        )
+    )
