@@ -8494,3 +8494,88 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at(F.col("g"), idx), 4).alias("norm_score"),
         )
     )
+
+
+@register("association_rules_brands", """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+item AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS s FROM ob GROUP BY p_brand),
+pair AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS sup
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2 HAVING count(*) >= 20
+),
+rules AS (
+  SELECT brand_a AS antecedent, brand_b AS consequent, sup,
+         round(sup * 1.0 / ia.s, 4) AS confidence,
+         round(sup * 1.0 * n.n_orders / (ia.s * ib.s), 4) AS lift
+  FROM pair JOIN item ia ON ia.p_brand = brand_a
+            JOIN item ib ON ib.p_brand = brand_b
+            CROSS JOIN n
+  UNION ALL
+  SELECT brand_b, brand_a, sup,
+         round(sup * 1.0 / ib.s, 4),
+         round(sup * 1.0 * n.n_orders / (ia.s * ib.s), 4)
+  FROM pair JOIN item ia ON ia.p_brand = brand_a
+            JOIN item ib ON ib.p_brand = brand_b
+            CROSS JOIN n
+)
+SELECT antecedent, consequent, sup, confidence, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, antecedent, consequent)
+            AS BIGINT) AS rank
+FROM rules
+QUALIFY rank <= 20
+""")
+def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over within-order brand co-occurrence: both
+    directions of every supported pair with confidence (sup(ab)/sup(a))
+    and lift (N·sup(ab)/(sup(a)·sup(b))), top-20 by lift — the
+    recommendation-rule readout on top of basket_brand_pairs' counts.
+    Scale shape: the distinct (order, brand) projection is one shuffle;
+    pair generation is the bounded within-order join; item supports and
+    the order count are broadcast back; the rank window runs on the
+    rule frame (support-floored, tiny)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    ob = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .where(F.col("sup") >= 20)
+    )
+    ia = F.broadcast(item.select(F.col("p_brand").alias("brand_a"), F.col("s").alias("sa")))
+    ib = F.broadcast(item.select(F.col("p_brand").alias("brand_b"), F.col("s").alias("sb")))
+    base = pair.join(ia, "brand_a").join(ib, "brand_b").crossJoin(F.broadcast(n))
+    fwd = base.select(
+        F.col("brand_a").alias("antecedent"),
+        F.col("brand_b").alias("consequent"),
+        "sup",
+        F.round(F.col("sup") * 1.0 / F.col("sa"), 4).alias("confidence"),
+        F.round(F.col("sup") * 1.0 * F.col("n_orders") / (F.col("sa") * F.col("sb")), 4).alias("lift"),
+    )
+    rev = base.select(
+        F.col("brand_b").alias("antecedent"),
+        F.col("brand_a").alias("consequent"),
+        "sup",
+        F.round(F.col("sup") * 1.0 / F.col("sb"), 4).alias("confidence"),
+        F.round(F.col("sup") * 1.0 * F.col("n_orders") / (F.col("sa") * F.col("sb")), 4).alias("lift"),
+    )
+    rules = fwd.unionByName(rev)
+    w = Window.orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+    return (
+        rules.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )
