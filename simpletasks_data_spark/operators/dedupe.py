@@ -574,7 +574,9 @@ def containment_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _shingle_frame(df, id_col, text_col, n)
+    # four consumers (sets, df-rank, prefix, candidate B-side) — cut the
+    # plan once so the corpus is normalized + shingled exactly once
+    sh = _shingle_frame(df, id_col, text_col, n).localCheckpoint(eager=False)
     sets = sh.groupBy("_id").agg(
         F.collect_list("sh").alias("arr"), F.count(F.lit(1)).alias("sz")
     )

@@ -8294,7 +8294,13 @@ def communities_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
         "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
     )
-    sup = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+    # three consumers (K, histogram, threshold filter) — materialize the
+    # support frame once instead of re-running pair expansion per branch
+    sup = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     # distributed top-K (K = 1% of pairs): the oracle's global rank
     # window would sort EVERY pair on one partition — instead derive
     # the support threshold from the (tiny) support histogram and rank
