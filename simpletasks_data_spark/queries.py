@@ -8585,3 +8585,42 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 20)
     )
+
+
+@register("bpe_encode_stats", _bpe_oracle_sql(5).replace(
+    """SELECT CAST(1 AS BIGINT) AS step, x AS lhs, y AS rhs, cnt AS freq FROM m1 UNION ALL SELECT CAST(2 AS BIGINT) AS step, x AS lhs, y AS rhs, cnt AS freq FROM m2 UNION ALL SELECT CAST(3 AS BIGINT) AS step, x AS lhs, y AS rhs, cnt AS freq FROM m3 UNION ALL SELECT CAST(4 AS BIGINT) AS step, x AS lhs, y AS rhs, cnt AS freq FROM m4 UNION ALL SELECT CAST(5 AS BIGINT) AS step, x AS lhs, y AS rhs, cnt AS freq FROM m5""",
+    """SELECT CAST(sum(wcount) AS BIGINT) AS total_words,
+       round(sum(wcount * len(string_split(trim(sym, '·'), '··'))) * 1.0
+             / sum(wcount), 4) AS symbols_per_word,
+       CAST(count(*) AS BIGINT) AS vocab_size
+FROM s5"""))
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's effect measured on the corpus it was trained
+    on: after applying the 5 learned merges, the weighted mean symbols
+    per word (chars-per-word minus one per absorbed merge — the
+    compression the tokenizer buys) and the distinct-word vocabulary.
+    Shares the trainer's round chain (operators/bpe.py); the final
+    symbol strings are re-split map-side and reduced in ONE agg."""
+    from .operators.bpe import SEP, bpe_train, symbolize
+
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+        .localCheckpoint(eager=False)
+    )
+    merges = bpe_train(words, merges=5).collect()
+    sym = symbolize(F.col("word"))
+    for m in sorted(merges, key=lambda r: r["step"]):
+        find = f"{SEP}{m['lhs']}{SEP}{SEP}{m['rhs']}{SEP}"
+        repl = f"{SEP}{m['lhs']}{m['rhs']}{SEP}"
+        sym = F.replace(sym, F.lit(find), F.lit(repl))
+    n_sym = F.size(F.split(F.trim(sym, F.lit(SEP)), SEP + SEP))
+    return words.agg(
+        F.sum("wcount").cast("long").alias("total_words"),
+        F.round(
+            F.sum(F.col("wcount") * n_sym) * 1.0 / F.sum("wcount"), 4
+        ).alias("symbols_per_word"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
