@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count", "label_propagation"]
+__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count", "triangle_count_degree_oriented", "label_propagation"]
 
 
 def connected_components(
@@ -298,6 +298,45 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return scores
+
+
+def triangle_count_degree_oriented(edges: DataFrame) -> DataFrame:
+    """``triangle_count`` with DEGREE orientation: edges are re-oriented
+    from the endpoint with smaller (degree, id) toward the larger, which
+    bounds every oriented out-degree by O(sqrt(|E|)) (a node of degree d
+    only points at neighbors of degree >= d, and there are at most
+    2|E|/d of those) — the worst-case guard for power-law graphs where
+    id-orientation can leave a hub with huge out-degree. Costs one
+    degree aggregation + two broadcast joins more than the id-oriented
+    form; identical output.
+    """
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = und.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("id").alias("u"), F.struct("d", "id").alias("ku"))
+    db = deg.select(F.col("id").alias("v"), F.struct("d", "id").alias("kv"))
+    keyed = edges.join(da, "u").join(db, "v")
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("v"),
+    )
+    # the oriented relation is a DAG under the (degree, id) total order,
+    # so the same two-join enumeration counts each triangle once
+    e = oriented
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    paths = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+    )
+    tri = paths.join(
+        e.withColumnRenamed("u", "a").withColumnRenamed("v", "c"), ["a", "c"]
+    )
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
