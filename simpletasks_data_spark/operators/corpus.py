@@ -446,3 +446,79 @@ def bm25_related_docs(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "score")
     )
+
+
+def kn_bigram_doc_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated
+    Kneser-Ney BIGRAM model trained on the same corpus — the LM-based
+    quality filter modern pipelines run after the heuristic gates
+    (quality_unigram_logprob is the order-0 version; this one scores
+    SEQUENCE plausibility, so shuffled or boilerplate-stitched text
+    scores low even when its unigrams look fine):
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1·)
+                 + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigrams|
+
+    Scale shape: ONE corpus bigram explode feeds ONE count agg (the
+    data-sized shuffle, map-side combined, checkpointed for its three
+    consumers); the head/continuation tables reduce the vocabulary-
+    sized count table; scoring joins the doc bigrams back to the
+    gram-keyed model (equi-join — broadcast when the vocabulary allows,
+    Zipf keeps it sublinear in corpus size) and folds ln P in one
+    per-doc avg. Trained-on-self means every scored bigram exists in
+    the model — no backoff path needed here; for held-out scoring add
+    the unigram-floor backoff before the join.
+    Output: (doc_id, n_bigrams, avg_logprob), docs with >= 2 tokens.
+    """
+    toks = tokens(F.col(text_col))
+    bg = (
+        docs.select(F.col(id_col), toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+    )
+    cnt = (
+        bg.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .withColumn("head", F.substring_index("gram", " ", 1))
+        .withColumn("tail", F.substring_index("gram", " ", -1))
+        .localCheckpoint(eager=True)
+    )
+    h = cnt.groupBy("head").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("nright"),
+    )
+    tl = cnt.groupBy("tail").agg(F.count(F.lit(1)).cast("long").alias("nleft"))
+    nb = cnt.agg(F.count(F.lit(1)).cast("long").alias("nbi"))
+    model = (
+        cnt.join(h, "head")
+        .join(tl, "tail")
+        .crossJoin(F.broadcast(nb))
+        .select("gram", "c12", "c1", "nright", "nleft", "nbi")
+    )
+    p = (
+        F.greatest(F.col("c12") - discount, F.lit(0.0)) / F.col("c1")
+        + (discount * F.col("nright") / F.col("c1"))
+        * (F.col("nleft") / F.col("nbi"))
+    )
+    return (
+        bg.join(model, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )

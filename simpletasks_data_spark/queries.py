@@ -8624,3 +8624,39 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("symbols_per_word"),
         F.count(F.lit(1)).cast("long").alias("vocab_size"),
     )
+
+
+@register("quality_bigram_kn_logprob", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+ix AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram FROM ix),
+cnt AS (
+  SELECT gram, split_part(gram, ' ', 1) AS head, split_part(gram, ' ', 2) AS tail,
+         CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY gram
+),
+h AS (SELECT head, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS nright
+      FROM cnt GROUP BY head),
+tl AS (SELECT tail, CAST(count(*) AS BIGINT) AS nleft FROM cnt GROUP BY tail),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbi FROM cnt),
+model AS (
+  SELECT gram, greatest(c12 - 0.75, 0.0) / c1
+               + (0.75 * nright / c1) * (nleft * 1.0 / nbi) AS p
+  FROM cnt JOIN h USING (head) JOIN tl USING (tail) CROSS JOIN nb
+)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(p)), 4) AS avg_logprob
+FROM bg JOIN model USING (gram)
+GROUP BY bg.doc_id
+""")
+def quality_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-probability per document —
+    the sequence-aware LM quality gate (order-1 companion to
+    quality_unigram_logprob). See operators/corpus.kn_bigram_doc_logprob
+    for the one-explode/one-count-shuffle shape."""
+    return CP.kn_bigram_doc_logprob(load(spark, sf_dir, "documents"))
