@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double
 
-__all__ = ["kmeans_lloyd", "kmeans_report"]
+__all__ = ["kmeans_lloyd", "kmeans_report", "pca_power_top1"]
 
 
 def _round_half_up(x: float, digits: int) -> float:
@@ -142,3 +142,66 @@ def kmeans_report(
     return rep.join(F.broadcast(cent_df), "cluster_id").select(
         "cluster_id", "n_members", "inertia", "centroid"
     )
+
+
+def pca_power_top1(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 8,
+    dims: int = 64,
+) -> tuple[list[float], float, float]:
+    """Top principal component by distributed power iteration.
+
+    Returns (component, eigenvalue, variance_share): the dominant
+    eigenvector of the centered covariance (1e-6 grid), its eigenvalue
+    estimate (||X^T X v|| / n), and the fraction of total variance it
+    explains.
+
+    Execution model mirrors :func:`kmeans_lloyd`: the mean vector and
+    the running eigenvector live on the driver (dims-sized metadata)
+    and fold into each round's aggregation as literals; every round is
+    ONE hash agg computing the 64 sums of ``(x-μ)·v · (x-μ)_d`` — i.e.
+    the matrix-vector product X^T(Xv) WITHOUT materializing the
+    covariance matrix (64×64 sums) or shuffling anything data-sized.
+    The centered row projects to a real column first so codegen reuses
+    it across the 64 extraction terms (HOF lambdas are not CSE'd).
+    Per-round 1e-6 quantization of the normalized vector keeps the
+    trajectory engine-exact for the unrolled SQL oracle; v0 = e_1.
+    """
+    arr = as_double(vec_col)
+    mean_aggs = [
+        F.round(F.avg(F.element_at(arr, d + 1)), 6).alias(f"m{d}") for d in range(dims)
+    ]
+    mrow = emb.agg(*mean_aggs).collect()[0]
+    mu = [mrow[f"m{d}"] for d in range(dims)]
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    base = emb.select(
+        F.zip_with(arr, mu_lit, lambda a, b: a - b).alias("cx")
+    ).localCheckpoint(eager=True)
+
+    v = [1.0] + [0.0] * (dims - 1)
+    eig = 0.0
+    n_rows = None
+    for _ in range(iterations):
+        v_lit = F.array(*[F.lit(float(x)) for x in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("cx"), v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(dot * F.element_at(F.col("cx"), d + 1)).alias(f"w{d}")
+            for d in range(dims)
+        ]
+        row = base.agg(*aggs).collect()[0]
+        n_rows = row["_n"]
+        w = [row[f"w{d}"] for d in range(dims)]
+        norm = sum(x * x for x in w) ** 0.5
+        eig = norm / n_rows
+        v = [_round_half_up(x / norm, 6) for x in w]
+    var_aggs = [
+        F.sum(F.element_at(F.col("cx"), d + 1) * F.element_at(F.col("cx"), d + 1))
+        for d in range(dims)
+    ]
+    total_var = sum(base.agg(*[a.alias(f"v{d}") for d, a in enumerate(var_aggs)]).collect()[0]) / n_rows
+    return v, eig, eig / total_var

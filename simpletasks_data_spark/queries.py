@@ -8660,3 +8660,83 @@ def quality_bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_unigram_logprob). See operators/corpus.kn_bigram_doc_logprob
     for the one-explode/one-count-shuffle shape."""
     return CP.kn_bigram_doc_logprob(load(spark, sf_dir, "documents"))
+
+
+def _pca_oracle_sql(iterations: int = 8, dims: int = 64) -> str:
+    """Unrolled power-iteration rounds (operators/clustering.pca_power_
+    top1's contract): per-round X^T(Xv) via two nested position sums,
+    normalize, quantize to 1e-6."""
+    e1 = ", ".join("1.0" if d == 0 else "0.0" for d in range(dims))
+    rounds = []
+    for t in range(1, iterations + 1):
+        prev = f"v{t-1}"
+        rounds.append(f"""d{t} AS MATERIALIZED (
+  SELECT c.rid, c.cx,
+         (SELECT sum(c.cx[g.i] * v.vv[g.i])
+          FROM generate_series(1, {dims}) AS g(i)) AS dot
+  FROM cx c CROSS JOIN (SELECT vv FROM {prev}) v
+),
+w{t} AS MATERIALIZED (
+  SELECT g.d AS d, sum(dd.dot * dd.cx[g.d]) AS w
+  FROM d{t} dd CROSS JOIN generate_series(1, {dims}) AS g(d)
+  GROUP BY g.d
+),
+n{t} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nrm FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT list(round(w.w / n.nrm, 6) ORDER BY w.d) AS vv
+  FROM w{t} w CROSS JOIN n{t} n
+)""")
+    return f"""
+WITH e AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS rid,
+         CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+mu AS (
+  SELECT list(m ORDER BY i) AS mm FROM (
+    SELECT g.i, round(avg(e.emb[g.i]), 6) AS m
+    FROM e CROSS JOIN generate_series(1, {dims}) AS g(i)
+    GROUP BY g.i
+  )
+),
+cx AS MATERIALIZED (
+  SELECT e.rid,
+         (SELECT list(e.emb[g.i] - mu.mm[g.i] ORDER BY g.i)
+          FROM generate_series(1, {dims}) AS g(i)) AS cx
+  FROM e CROSS JOIN mu
+),
+v0 AS (SELECT [{e1}] AS vv),
+{", ".join(rounds)},
+stats AS (
+  SELECT count(*) AS n,
+         (SELECT sum(s) FROM (
+            SELECT sum(c2.cx[g.i] * c2.cx[g.i]) AS s
+            FROM cx c2 CROSS JOIN generate_series(1, {dims}) AS g(i)
+            GROUP BY g.i)) AS totss
+  FROM cx
+)
+SELECT round(n{iterations}.nrm / stats.n, 4) AS eigenvalue,
+       round((n{iterations}.nrm / stats.n) / (stats.totss / stats.n), 4)
+         AS variance_share,
+       v{iterations}.vv AS component
+FROM n{iterations} CROSS JOIN v{iterations} CROSS JOIN stats
+"""
+
+
+@register("pca_top_component", _pca_oracle_sql(8, 64))
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by
+    distributed power iteration: 8 rounds of X^T(Xv) as ONE hash agg
+    each (never materializing the covariance), per-round 1e-6
+    quantization for an engine-exact unrolled oracle, v0 = e1. Reports
+    the eigenvalue, explained-variance share, and the component — the
+    corpus-drift / dimensionality-reduction primitive next to k-means.
+    See operators/clustering.pca_power_top1."""
+    from .operators.clustering import _round_half_up, pca_power_top1
+
+    emb = load(spark, sf_dir, "embeddings")
+    v, eig, share = pca_power_top1(emb, iterations=8, dims=64)
+    return emb.sparkSession.createDataFrame(
+        [(_round_half_up(eig, 4), _round_half_up(share, 4), [x + 0.0 for x in v])],
+        "eigenvalue double, variance_share double, component array<double>",
+    )

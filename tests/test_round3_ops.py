@@ -143,3 +143,15 @@ def test_triangle_degree_oriented_matches_id_oriented(spark):
     a = {(r["id"], r["n_triangles"]) for r in triangle_count(df).collect()}
     b = {(r["id"], r["n_triangles"]) for r in triangle_count_degree_oriented(df).collect()}
     assert a == b and len(a) > 0
+
+
+def test_pca_recovers_dominant_direction(spark):
+    from simpletasks_data_spark.operators.clustering import pca_power_top1
+
+    # points spread along axis 1 (variance 4x the noise on axis 3)
+    rows = [(i, [float(i - 10), 0.0, float((i % 3) - 1) * 0.1, 0.0]) for i in range(21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    v, eig, share = pca_power_top1(df, iterations=6, dims=4)
+    assert abs(abs(v[0]) - 1.0) < 1e-3  # component is ±e1
+    assert share > 0.99
+    assert eig > 0
