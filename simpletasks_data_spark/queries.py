@@ -135,7 +135,7 @@ _CHECK_FIRST = [
     "robust_outliers_mad",
     "zorder_layout_orders",
     "dedup_containment",
-    "zipf_token_slope",
+    "pca_top_component",
     "survival_km_first_purchase",
     "acid_version_diff",
     "rolling_7d_active_users",
@@ -147,6 +147,7 @@ _CHECK_FIRST = [
     "communities_suppliers",
     "bpe_train_merges",
     # position 51+ from here
+    "zipf_token_slope",
     "entity_match_customers",
     "incremental_rollup_refresh",
     "streaming_left_outer_attribution",
