@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["url_host", "url_path", "url_query_param", "registrable_domain"]
+__all__ = ["url_host", "url_path", "url_query_param", "registrable_domain", "canonical_url"]
 
 
 def _c(col: Column | str) -> Column:
@@ -44,3 +44,38 @@ def registrable_domain(host: Column | str, levels: int = 2) -> Column:
     return F.when(
         n <= levels, h
     ).otherwise(F.array_join(F.slice(parts, n - levels + 1, levels), "."))
+
+
+TRACKING_PARAM_RE = r"^(utm_|fbclid|gclid|msclkid|ref$|ref=)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form for crawl dedup: lowercase scheme+host, strip the
+    fragment, drop tracking query params (utm_*/fbclid/gclid/msclkid/
+    ref), SORT the surviving params (order never distinguishes
+    resources), collapse trailing slashes in the path (root stays '/').
+    Pure JVM expressions (parse_url + array ops) — the canonical string
+    is the dedup/bloom/partition key for 100 TB crawl frontiers, so it
+    must never pay a Python round-trip."""
+    u = _c(url)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.parse_url(u, F.lit("QUERY"))
+    kept = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(F.coalesce(q, F.lit("")), "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )

@@ -8741,3 +8741,56 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_round_half_up(eig, 4), _round_half_up(share, 4), [x + 0.0 for x in v])],
         "eigenvalue double, variance_share double, component array<double>",
     )
+
+
+@register("url_canonical_dedup", """
+WITH canon AS (
+  SELECT doc_id,
+         'https://www.example.org/docs/' || CAST(doc_id // 2 AS VARCHAR)
+           || '?id=' || CAST(doc_id // 2 AS VARCHAR) AS canonical_url
+  FROM documents
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc
+FROM canon
+GROUP BY canonical_url
+HAVING count(*) > 1
+""")
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization + dedup: deterministic MESSY urls per
+    document (upper-cased hosts, tracking params in shuffled positions,
+    trailing slashes, fragments — consecutive doc pairs share a
+    resource) are canonicalized with functions/web.canonical_url and
+    grouped; duplicate groups emit with their keeper. The oracle
+    reconstructs the expected canonical string from the ingredients, so
+    the hash gate verifies every normalization rule (case, param
+    filtering + SORTING, slash collapse, fragment drop), not just the
+    grouping."""
+    from .functions.web import canonical_url
+
+    d = load(spark, sf_dir, "documents")
+    rid = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    messy = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.Example.ORG")).otherwise(
+            F.lit("www.example.org")
+        ),
+        F.lit("/docs/"),
+        rid,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("?utm_source=x&id="), rid, F.lit("&utm_campaign=y")),
+        ).otherwise(F.concat(F.lit("?id="), rid)),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    canon = d.select("doc_id", canonical_url(messy).alias("canonical_url"))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
