@@ -8794,3 +8794,68 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+@register("dedup_minhash_eval", f"""
+WITH {_minhash_ctes()},
+sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
+shared AS (
+  SELECT a._id AS id_a, b._id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id < b._id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN sizes sa ON sa._id = id_a
+  JOIN sizes sb ON sb._id = id_b
+  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6
+),
+joined AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a,
+         CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(is_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(is_true * is_cand) AS BIGINT) AS n_hit,
+       round(sum(is_true * is_cand) * 1.0 / sum(is_true), 4) AS recall,
+       round(sum(is_true * is_cand) * 1.0 / sum(is_cand), 4) AS precision
+FROM joined
+""")
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the MinHash LSH candidate generator ON the
+    corpus it runs over: banded candidates vs ground-truth exact-Jaccard
+    pairs (threshold 0.6) — recall (what the bands missed) and
+    precision (the false-positive rate the verify stage must absorb).
+    The measurement every production dedup pipeline should ship with
+    its threshold/band choices; composes the existing signature store
+    and prefix-filtered Jaccard machinery, one full-outer join on the
+    pair key, counts in ONE agg."""
+    corpus = _corpus(spark, sf_dir)
+    truth = DD.ngram_jaccard_pairs(corpus, "id", "text", n=5, threshold=0.6).select(
+        "id_a", "id_b"
+    )
+    _, sig = _signature_store(spark, sf_dir)
+    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4).select(
+        "id_a", "id_b"
+    )
+    t = truth.withColumn("is_true", F.lit(1))
+    c = cand.withColumn("is_cand", F.lit(1))
+    j = t.join(c, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("is_true", F.lit(0)).alias("is_true"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    return j.agg(
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.sum(F.col("is_true") * F.col("is_cand")).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.col("is_true") * F.col("is_cand")) * 1.0 / F.sum("is_true"), 4
+        ).alias("recall"),
+        F.round(
+            F.sum(F.col("is_true") * F.col("is_cand")) * 1.0 / F.sum("is_cand"), 4
+        ).alias("precision"),
+    )
