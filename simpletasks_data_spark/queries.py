@@ -8797,7 +8797,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("dedup_minhash_eval", f"""
-WITH {_minhash_ctes()},
+WITH {_minhash_ctes().replace("FROM corpus)", "FROM corpus WHERE id % 4 = 0)")},
 sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
 shared AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS inter
@@ -8828,17 +8828,22 @@ FROM joined
 def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-evaluation of the MinHash LSH candidate generator ON the
     corpus it runs over: banded candidates vs ground-truth exact-Jaccard
-    pairs (threshold 0.6) — recall (what the bands missed) and
-    precision (the false-positive rate the verify stage must absorb).
+    pairs (threshold 0.6) on a deterministic 25% document subsample —
+    recall (what the bands missed) and precision (the false-positive
+    rate the verify stage must absorb).
     The measurement every production dedup pipeline should ship with
     its threshold/band choices; composes the existing signature store
     and prefix-filtered Jaccard machinery, one full-outer join on the
     pair key, counts in ONE agg."""
-    corpus = _corpus(spark, sf_dir)
+    # deterministic 25% document subsample: ground-truth exact Jaccard
+    # is quadratic-ish in corpus size, so the eval measures band recall
+    # on a sample — the same methodology a 100 TB pipeline uses (dial
+    # the modulus, not the algorithm)
+    corpus = _corpus(spark, sf_dir).where(F.col("id") % 4 == 0)
     truth = DD.ngram_jaccard_pairs(corpus, "id", "text", n=5, threshold=0.6).select(
         "id_a", "id_b"
     )
-    _, sig = _signature_store(spark, sf_dir)
+    sig = DD.minhash_signatures(corpus, "id", "text", n=5, num_hashes=16)
     cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4).select(
         "id_a", "id_b"
     )
