@@ -8864,3 +8864,78 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_true") * F.col("is_cand")) * 1.0 / F.sum("is_cand"), 4
         ).alias("precision"),
     )
+
+
+@register("token_pmi_pairs", f"""
+WITH t AS (SELECT {SQL_TOKENS.format(c='text')} AS toks FROM documents),
+ix AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+),
+bg AS (SELECT toks[i] AS x, toks[i + 1] AS y FROM ix),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY x, y),
+lx AS (SELECT x, CAST(sum(c12) AS BIGINT) AS cx FROM pc GROUP BY x),
+ry AS (SELECT y, CAST(sum(c12) AS BIGINT) AS cy FROM pc GROUP BY y),
+pmi AS (
+  SELECT pc.x, pc.y, c12,
+         round(ln(c12 * 1.0 * n.nb / (lx.cx * ry.cy)), 4) AS pmi
+  FROM pc JOIN lx USING (x) JOIN ry USING (y) CROSS JOIN n
+  WHERE c12 >= 5
+)
+SELECT x AS left_token, y AS right_token, c12 AS n_cooccur, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, x, y) AS BIGINT) AS rank
+FROM pmi
+QUALIFY rank <= 20
+""")
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token pairs by pointwise mutual information
+    (PMI = ln(c(xy)·N / (c(x·)·c(·y))), count floor 5) — the
+    collocation detector behind phrase mining and tokenizer-merge
+    sanity checks (high-PMI pairs are what BPE merges first when
+    frequency agrees). One bigram count shuffle; margins reduce the
+    pair table; rank window on the floored (tiny) PMI frame."""
+    docs = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    bg = (
+        docs.select(toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, F.size("_t") - 1),
+                    F.slice("_t", 2, F.size("_t") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("pr")
+        )
+        .select("pr.x", "pr.y")
+    )
+    pc = bg.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("c12")).localCheckpoint(eager=False)
+    n = pc.agg(F.sum("c12").cast("long").alias("nb"))
+    lx = pc.groupBy("x").agg(F.sum("c12").cast("long").alias("cx"))
+    ry = pc.groupBy("y").agg(F.sum("c12").cast("long").alias("cy"))
+    pmi = (
+        pc.where(F.col("c12") >= 5)
+        .join(F.broadcast(lx), "x")
+        .join(F.broadcast(ry), "y")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(F.col("c12") * 1.0 * F.col("nb") / (F.col("cx") * F.col("cy"))), 4
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("x"), F.asc("y"))
+    return (
+        pmi.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select(
+            F.col("x").alias("left_token"),
+            F.col("y").alias("right_token"),
+            F.col("c12").alias("n_cooccur"),
+            "pmi",
+            "rank",
+        )
+    )
