@@ -8939,3 +8939,86 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def _logreg_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
+    rounds = []
+    for t in range(1, iterations + 1):
+        prev = f"w{t-1}"
+        rounds.append(f"""w{t} AS MATERIALIZED (
+  SELECT round({prev}.w0 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2))))), 6) AS w0,
+         round({prev}.w1 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2)))) * f.x1), 6) AS w1,
+         round({prev}.w2 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2)))) * f.x2), 6) AS w2
+  FROM f CROSS JOIN {prev}
+  GROUP BY {prev}.w0, {prev}.w1, {prev}.w2
+)""")
+    last = f"w{iterations}"
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+         o_totalprice / 100000.0 AS x1,
+         date_diff('day', DATE '1992-01-01', o_orderdate) / 1000.0 AS x2
+  FROM orders
+),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+{", ".join(rounds)},
+scored AS (
+  SELECT f.y, 1.0 / (1.0 + exp(-({last}.w0 + {last}.w1 * f.x1 + {last}.w2 * f.x2))) AS p
+  FROM f CROSS JOIN {last}
+)
+SELECT {last}.w0, {last}.w1, {last}.w2,
+       CAST(count(*) AS BIGINT) AS n,
+       round(-avg(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 4) AS logloss,
+       round(avg(CASE WHEN (p > 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy
+FROM scored CROSS JOIN {last}
+GROUP BY {last}.w0, {last}.w1, {last}.w2
+"""
+
+
+@register("logreg_urgent_orders", _logreg_oracle_sql(5))
+def logreg_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent:
+    predict urgent order priority from (price, order-day) with 5
+    synchronous GD rounds — each round is ONE aggregation computing the
+    3 gradient components (weights live on the driver as literals, the
+    kmeans/PCA execution pattern; per-round 1e-6 weight quantization
+    makes the trajectory engine-exact for the unrolled MATERIALIZED-CTE
+    oracle). Reports final weights, training log-loss, and 0.5-cut
+    accuracy — the supervised-learning member of the iterative family."""
+    from .operators.clustering import _round_half_up
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) / 1000.0
+        ).alias("x2"),
+    ).localCheckpoint(eager=True)
+    lr = 1.0
+    w = [0.0, 0.0, 0.0]
+    for _ in range(5):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        resid = F.col("y") - 1.0 / (1.0 + F.exp(-z))
+        row = orders.agg(
+            F.avg(resid).alias("g0"),
+            F.avg(resid * F.col("x1")).alias("g1"),
+            F.avg(resid * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        w = [
+            _round_half_up(w[k] + lr * row[f"g{k}"], 6) for k in range(3)
+        ]
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    return orders.agg(
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            -F.avg(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)), 4
+        ).alias("logloss"),
+        F.round(
+            F.avg(F.when((p > 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)), 4
+        ).alias("accuracy"),
+    )
