@@ -132,7 +132,7 @@ _CHECK_FIRST = [
     "kmeans_embeddings",
     "bm25_related_docs",
     "supplier_triangles",
-    "robust_outliers_mad",
+    "logreg_urgent_orders",
     "zorder_layout_orders",
     "dedup_containment",
     "pca_top_component",
@@ -147,6 +147,8 @@ _CHECK_FIRST = [
     "communities_suppliers",
     "bpe_train_merges",
     # position 51+ from here
+    "robust_outliers_mad",
+    "nb_lang_confusion",
     "zipf_token_slope",
     "entity_match_customers",
     "incremental_rollup_refresh",
@@ -9022,3 +9024,114 @@ def logreg_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when((p > 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)), 4
         ).alias("accuracy"),
     )
+
+
+@register("nb_lang_confusion", f"""
+WITH tok AS (
+  SELECT doc_id, lang AS true_lang, unnest({SQL_TOKENS.format(c='text')}) AS token
+  FROM documents
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents),
+pri AS (
+  SELECT lang, round(ln(count(*) * 1.0 / any_value(n.ndocs)), 8) AS lprior
+  FROM documents CROSS JOIN n GROUP BY lang
+),
+cnt AS (SELECT true_lang AS lang, token, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+ctot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY lang),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab FROM cnt),
+model AS (
+  SELECT cnt.lang, cnt.token,
+         round(ln((cnt.c + 1.0) / (ctot.tot + v.vocab)), 8) AS lp
+  FROM cnt JOIN ctot USING (lang) CROSS JOIN v
+),
+dflt AS (
+  SELECT ctot.lang, round(ln(1.0 / (ctot.tot + v.vocab)), 8) AS lp0
+  FROM ctot CROSS JOIN v
+),
+crossed AS (
+  SELECT t.doc_id, t.true_lang, t.token, l.lang AS cand
+  FROM tok t CROSS JOIN langs l
+),
+scored AS (
+  SELECT c.doc_id, c.true_lang, c.cand,
+         round(any_value(p.lprior) + sum(coalesce(m.lp, d.lp0)), 4) AS score
+  FROM crossed c
+  LEFT JOIN model m ON m.lang = c.cand AND m.token = c.token
+  JOIN dflt d ON d.lang = c.cand
+  JOIN pri p ON p.lang = c.cand
+  GROUP BY c.doc_id, c.true_lang, c.cand
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY true_lang, pred_lang
+""")
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification trained on the
+    corpus's own lang labels (Laplace smoothing), applied back to every
+    document, reported as the confusion matrix — the supervised-
+    classification eval loop (train -> score -> argmax -> confusion) as
+    pure DataFrame composition. Scale shape: one token-count shuffle
+    trains the model; the vocabulary-sized model, per-lang totals, and
+    priors broadcast; scoring is the doc-token frame crossed with the
+    (tiny) language set, one per-(doc, lang) agg, and an argmax window
+    on the 4-rows-per-doc score frame. Determinism: per-token log-probs
+    on the 1e-8 grid, scores on 1e-4, language-name tie-break."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(TX.tokens(F.col("text"))).alias("token"),
+    ).localCheckpoint(eager=False)
+    langs = docs.select("lang").distinct()
+    n = docs.agg(F.count(F.lit(1)).alias("ndocs"))
+    pri = (
+        docs.crossJoin(F.broadcast(n))
+        .groupBy("lang")
+        .agg(F.round(F.log(F.count(F.lit(1)) * 1.0 / F.any_value("ndocs")), 8).alias("lprior"))
+    )
+    cnt = tok.groupBy(F.col("true_lang").alias("lang"), "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ctot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    v = cnt.agg(F.count_distinct("token").cast("long").alias("vocab"))
+    model = (
+        cnt.join(F.broadcast(ctot), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "lang",
+            "token",
+            F.round(F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("vocab"))), 8).alias("lp"),
+        )
+    )
+    dflt = ctot.crossJoin(F.broadcast(v)).select(
+        "lang", F.round(F.log(1.0 / (F.col("tot") + F.col("vocab"))), 8).alias("lp0")
+    )
+    crossed = tok.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
+    scored = (
+        crossed.join(
+            F.broadcast(model.select(F.col("lang").alias("cand"), "token", "lp")),
+            ["cand", "token"],
+            "left",
+        )
+        .join(F.broadcast(dflt.select(F.col("lang").alias("cand"), "lp0")), "cand")
+        .join(F.broadcast(pri.select(F.col("lang").alias("cand"), "lprior")), "cand")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.round(
+                F.any_value("lprior") + F.sum(F.coalesce("lp", "lp0")), 4
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return pred.groupBy(
+        "true_lang", F.col("cand").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
