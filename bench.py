@@ -76,6 +76,14 @@ BENCH_QUERIES = [
     "pareto_frontier_suppliers",
     "bpe_train_merges",
     "communities_suppliers",
+    "bpe_encode_stats",
+    "quality_bigram_kn_logprob",
+    "token_pmi_pairs",
+    "logreg_urgent_orders",
+    "nb_lang_confusion",
+    "pareto_frontier_3d",
+    "quantile_normalize_sources",
+    "url_canonical_dedup",
 ]
 
 

@@ -155,6 +155,14 @@ class TxnTable:
                     state[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     state.pop(action["remove"], None)
+                elif "dv" in action:
+                    # merge-on-read deletion vector: mark row positions
+                    # of an EXISTING file as deleted without rewriting
+                    # it; a later add (rewrite) of the path clears them
+                    tgt = state.get(action["dv"]["path"])
+                    if tgt is not None:
+                        merged = set(tgt.get("dv") or []) | set(action["dv"]["positions"])
+                        tgt["dv"] = sorted(merged)
         return state
 
     def _try_commit(self, version: int, record: dict) -> bool:
@@ -420,7 +428,99 @@ class TxnTable:
         reader = self.spark.read.option("basePath", self.path)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(*paths)
+        return self._apply_dvs(reader.parquet(*paths), files)
+
+    def _apply_dvs(self, df: DataFrame, files: Dict[str, dict]) -> DataFrame:
+        """Filter out rows covered by deletion vectors (merge-on-read):
+        one broadcast anti-join on (file uri, row position) — the
+        hidden ``_metadata`` columns come straight from the scan, so no
+        data column is touched and the plan stays one pruned scan +
+        broadcast anti-join. No-op (and no plan change) when the
+        snapshot carries no DVs."""
+        dv_rows = []
+        for rel, action in files.items():
+            for pos in action.get("dv") or []:
+                # Spark's _metadata.file_path renders local files as
+                # "file:/abs/path" (single slash)
+                uri = "file:" + os.path.abspath(os.path.join(self.path, rel))
+                dv_rows.append((uri, int(pos)))
+        if not dv_rows:
+            return df
+        dv_df = self.spark.createDataFrame(dv_rows, "_dv_file string, _dv_pos long")
+        tagged = df.withColumn("_f", F.col("_metadata.file_path")).withColumn(
+            "_p", F.col("_metadata.row_index")
+        )
+        kept = tagged.join(
+            F.broadcast(dv_df),
+            (F.col("_f") == F.col("_dv_file")) & (F.col("_p") == F.col("_dv_pos")),
+            "left_anti",
+        )
+        return kept.drop("_f", "_p")
+
+    def delete_dv(
+        self,
+        condition,
+        read_version: Optional[int] = None,
+        max_positions: int = 200_000,
+    ) -> int:
+        """Merge-on-read predicate delete: record the matching rows'
+        (file, position) pairs as DELETION VECTORS in the log instead of
+        rewriting any data file — O(matched rows) metadata per commit vs
+        ``delete``'s O(matching files) rewrite. Readers subtract DVs with
+        a broadcast anti-join; ``compact`` MATERIALIZES them (it reads
+        through the DV filter and its rewrite clears every vector), which
+        is the copy-on-write escape hatch when vectors accumulate.
+
+        Positions live in the JSON log (sandbox stand-in for Delta's
+        roaring-bitmap DV files); ``max_positions`` guards the driver —
+        past it, use ``delete`` (the rewrite is cheaper than the
+        metadata at that selectivity)."""
+        if read_version is None:
+            read_version = self.latest_version()
+        files = self._files_at(read_version)
+        paths = [os.path.join(self.path, p) for p in files]
+        if not paths:
+            raise ValueError("empty snapshot")
+        schema = self._schema_at(read_version)
+        reader = self.spark.read.option("basePath", self.path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        live = self._apply_dvs(reader.parquet(*paths), files)
+        matches = (
+            live.where(condition)
+            .select(
+                F.col("_metadata.file_path").alias("_f"),
+                F.col("_metadata.row_index").alias("_p"),
+            )
+            .collect()
+        )
+        if len(matches) > max_positions:
+            raise ValueError(
+                f"{len(matches)} matched rows > max_positions={max_positions}; "
+                "use delete() (copy-on-write) for this selectivity"
+            )
+        by_rel: Dict[str, list] = {}
+        prefix = "file:" + os.path.abspath(self.path) + os.sep
+        for r in matches:
+            rel = r["_f"][len(prefix):] if r["_f"].startswith(prefix) else r["_f"]
+            by_rel.setdefault(rel, []).append(int(r["_p"]))
+        actions = [
+            {"dv": {"path": rel, "positions": sorted(ps)}}
+            for rel, ps in sorted(by_rel.items())
+        ]
+        v = read_version + 1
+        rec = {
+            "version": v,
+            "op": "delete_dv",
+            "ts": time.time(),
+            "actions": actions,
+        }
+        if not self._try_commit(v, rec):
+            raise CommitConflict(
+                f"snapshot v{read_version} is stale: v{v} already committed"
+            )
+        self._maybe_checkpoint(v)
+        return v
 
     @staticmethod
     def _may_match(stats: Dict[str, list], prune: Dict[str, tuple]) -> bool:
@@ -537,8 +637,9 @@ class TxnTable:
             reader = self.spark.read
             if schema is not None:
                 reader = reader.schema(schema)
-            remaining = reader.parquet(
-                *[os.path.join(self.path, p) for p in rewrite_paths]
+            remaining = self._apply_dvs(
+                reader.parquet(*[os.path.join(self.path, p) for p in rewrite_paths]),
+                {p: files[p] for p in rewrite_paths},
             ).where(~condition)
             adds += self._stage(remaining)
         removes = [{"remove": p} for p in rewrite_paths]

@@ -9135,3 +9135,67 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "true_lang", F.col("cand").alias("pred_lang")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@register("acid_delete_vectors", """
+WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+counts AS (
+  SELECT
+    (SELECT count(*) FROM base) AS n0,
+    (SELECT count(*) FROM base WHERE NOT c_mktsegment = 'BUILDING') AS n1,
+    (SELECT count(*) FROM base
+     WHERE NOT c_mktsegment = 'BUILDING' AND NOT c_acctbal < 0) AS n2
+)
+SELECT CAST(0 AS INT) AS version, n0 AS n_rows,
+       (SELECT CAST(sum(c_custkey) AS BIGINT) FROM base) AS key_sum
+FROM counts
+UNION ALL
+SELECT 1, n1,
+       (SELECT CAST(sum(c_custkey) AS BIGINT) FROM base
+        WHERE NOT c_mktsegment = 'BUILDING')
+FROM counts
+UNION ALL
+SELECT 2, n2,
+       (SELECT CAST(sum(c_custkey) AS BIGINT) FROM base
+        WHERE NOT c_mktsegment = 'BUILDING' AND NOT c_acctbal < 0)
+FROM counts
+UNION ALL
+SELECT 3, n2,
+       (SELECT CAST(sum(c_custkey) AS BIGINT) FROM base
+        WHERE NOT c_mktsegment = 'BUILDING' AND NOT c_acctbal < 0)
+FROM counts
+""")
+def acid_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes end-to-end: seed the customer snapshot (v0),
+    two ``delete_dv`` commits that touch ZERO data files (deletion
+    vectors in the log, subtracted by a broadcast anti-join at read),
+    then ``compact`` (v3) which materializes the vectors and clears
+    them. Every version's (count, key checksum) is read by time travel;
+    v3 equals v2 while the query additionally asserts the file-level
+    invariants (no rewrite before compaction, no vectors after) that
+    the SQL oracle cannot see."""
+    import tempfile
+
+    from .plans.acid import TxnTable
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="acid_dv_") + "/customer"
+    t = TxnTable(spark, path, schema=cust.schema)
+    t.append(cust.repartition(4))
+    files0 = set(t._files_at(0))
+    t.delete_dv(F.col("c_mktsegment") == "BUILDING")
+    assert set(t._files_at(1)) == files0, "delete_dv must not rewrite files"
+    t.delete_dv(F.col("c_acctbal") < 0)
+    assert set(t._files_at(2)) == files0, "delete_dv must not rewrite files"
+    v3 = t.compact(target_files=2)
+    assert all(not a.get("dv") for a in t._files_at(v3).values()), "compact clears DVs"
+    out = None
+    for v in range(4):
+        snap = t.read(version=v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        ).select(F.lit(v).cast("int").alias("version"), "n_rows", "key_sum")
+        out = snap if out is None else out.unionByName(snap)
+    return out

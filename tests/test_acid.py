@@ -401,3 +401,37 @@ def test_streaming_sink_checkpoint_restart_no_duplicates(spark, tdir):
     assert sorted(r["id"] for r in t.read().collect()) == list(range(25))
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_deletion_vectors_merge_on_read(spark, tmp_path):
+    """delete_dv marks rows without rewriting files; readers subtract
+    them; vectors accumulate across commits, survive time travel
+    boundaries, and compact() materializes + clears them."""
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.plans.acid import TxnTable
+
+    df = spark.range(0, 100).withColumn("grp", F.col("id") % 4)
+    t = TxnTable(spark, str(tmp_path / "dvtab"), schema=df.schema)
+    t.append(df.repartition(4))
+    files_before = set(t._files_at(t.latest_version()))
+
+    v1 = t.delete_dv(F.col("id") < 10)
+    assert t.read().count() == 90
+    assert set(t._files_at(v1)) == files_before  # NO file was rewritten
+    assert t.read(version=0).count() == 100      # time travel unaffected
+
+    v2 = t.delete_dv(F.col("grp") == 3)          # accumulates on same files
+    remaining = {r["id"] for r in t.read().collect()}
+    assert remaining == {i for i in range(10, 100) if i % 4 != 3}
+
+    v3 = t.compact(target_files=1)
+    assert {r["id"] for r in t.read().collect()} == remaining
+    assert all(not a.get("dv") for a in t._files_at(v3).values())  # cleared
+
+    # copy-on-write delete after DVs must not resurrect DV'd rows
+    t.delete_dv(F.col("id") == 50)
+    t.delete(F.col("id") >= 90)
+    assert {r["id"] for r in t.read().collect()} == {
+        i for i in range(10, 90) if i % 4 != 3 and i != 50
+    }
