@@ -104,7 +104,7 @@ _CHECK_FIRST = [
     # -- new this round, never driver-checked --
     "acid_snapshot_rollup",
     "acid_merge_versions",
-    "acid_compaction",
+    "acid_delete_vectors",
     "acid_pruned_read",
     "sketch_cms_heavy_hitters",
     "temperature_mixture_langs",
@@ -147,6 +147,7 @@ _CHECK_FIRST = [
     "communities_suppliers",
     "bpe_train_merges",
     # position 51+ from here
+    "acid_compaction",
     "robust_outliers_mad",
     "nb_lang_confusion",
     "zipf_token_slope",
