@@ -9200,3 +9200,81 @@ def acid_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(v).cast("int").alias("version"), "n_rows", "key_sum")
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@register("rfm_customer_segments", """
+WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), any_value(mx.maxd)) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(o_totalprice), 4) AS monetary
+  FROM orders CROSS JOIN mx
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM per_cust
+),
+seg AS (
+  SELECT *,
+         CASE WHEN r <= 2 AND f <= 2 AND m <= 2 THEN 'champion'
+              WHEN r <= 2 AND f <= 3 THEN 'loyal'
+              WHEN r >= 4 AND f <= 2 THEN 'at_risk'
+              WHEN r >= 4 AND f >= 4 THEN 'hibernating'
+              ELSE 'regular' END AS segment
+  FROM scored
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(recency_days), 4) AS avg_recency_days,
+       round(avg(frequency), 4) AS avg_frequency,
+       round(avg(monetary), 4) AS avg_monetary
+FROM seg GROUP BY segment
+""")
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer (custkey tie-breaks make the ntile cuts engine-exact),
+    mapped to the classic lifecycle segments, reported as per-segment
+    profiles. One per-customer agg; the quintile windows run on the
+    customer frame (at extreme cardinality the cuts come from a
+    quantile sketch instead — discretize_price_deciles documents that
+    path). The CRM-analytics staple on the analytics side of the
+    engine."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.any_value("maxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    scored = per_cust.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+    segment = (
+        F.when((F.col("r") <= 2) & (F.col("f") <= 2) & (F.col("m") <= 2), "champion")
+        .when((F.col("r") <= 2) & (F.col("f") <= 3), "loyal")
+        .when((F.col("r") >= 4) & (F.col("f") <= 2), "at_risk")
+        .when((F.col("r") >= 4) & (F.col("f") >= 4), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+            F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+    )
