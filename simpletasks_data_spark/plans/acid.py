@@ -205,14 +205,24 @@ class TxnTable:
         at planning time). ``partition_by`` writes hive layout; each
         partition column lands in the file's stats as an EXACT [v, v]
         range parsed from the path, so partition pruning is just the
-        stats pruning — one mechanism, no special casing. Staged files
-        are invisible until a log record references them."""
+        stats pruning — one mechanism, no special casing. The hive
+        directories are written on COPY columns (``_p_<col>``) and the
+        real column stays IN the parquet data: snapshot reads address
+        leaf files directly (commit dirs differ per transaction, so
+        directory-based partition inference across commits is
+        structurally ambiguous — Spark rejects it), and a file is
+        self-describing wherever it is moved. Staged files are
+        invisible until a log record references them."""
         cid = uuid.uuid4().hex[:12]
         reldir = os.path.join("data", cid)
         absdir = os.path.join(self.path, reldir)
-        writer = df.write.mode("overwrite")
+        out_df = df
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
+            for c in partition_by:
+                out_df = out_df.withColumn(f"_p_{c}", F.col(c))
+        writer = out_df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*[f"_p_{c}" for c in partition_by])
         writer.parquet(absdir)
         adds = []
         for root, _dirs, names in sorted(os.walk(absdir)):
@@ -224,6 +234,8 @@ class TxnTable:
                 for seg in os.path.relpath(absf, absdir).split(os.sep):
                     if "=" in seg:
                         k, v = seg.split("=", 1)
+                        if k.startswith("_p_"):
+                            k = k[3:]
                         cv = _coerce_partition_value(v)
                         stats[k] = [cv, cv]
                 adds.append(
@@ -425,7 +437,7 @@ class TxnTable:
             if schema is None:
                 raise ValueError("empty snapshot with no known schema")
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.option("basePath", self.path)
+        reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
         return self._apply_dvs(reader.parquet(*paths), files)
@@ -482,7 +494,7 @@ class TxnTable:
         if not paths:
             raise ValueError("empty snapshot")
         schema = self._schema_at(read_version)
-        reader = self.spark.read.option("basePath", self.path)
+        reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
         live = self._apply_dvs(reader.parquet(*paths), files)
@@ -647,6 +659,65 @@ class TxnTable:
         rec = {
             "version": v,
             "op": "delete",
+            "ts": time.time(),
+            "actions": removes + adds,
+        }
+        if not self._try_commit(v, rec):
+            raise CommitConflict(
+                f"snapshot v{read_version} is stale: v{v} already committed"
+            )
+        self._maybe_checkpoint(v)
+        return v
+
+    def replace_where(
+        self,
+        df: DataFrame,
+        condition,
+        prune: Optional[Dict[str, tuple]] = None,
+        read_version: Optional[int] = None,
+        partition_by: Optional[List[str]] = None,
+    ) -> int:
+        """Selective overwrite (Delta's ``replaceWhere``): atomically
+        swap the rows matching ``condition`` for ``df``'s rows — the
+        idempotent-backfill primitive (recompute one day/region/source
+        and land it as ONE transaction; rerunning the same backfill
+        converges to the same table). Semantics: delete matching rows,
+        insert ``df``, one commit.
+
+        ``prune`` ({col: (lo, hi)}, the predicate's bounds) lets files
+        the log proves predicate-free carry over untouched, so a
+        one-partition backfill costs O(that partition), not O(table).
+        Incoming rows are NOT validated against ``condition`` — like
+        Delta with constraint checks off; pass pre-filtered input when
+        that matters. Raises ``CommitConflict`` on a concurrent commit.
+        """
+        if read_version is None:
+            read_version = self.latest_version()
+        files = self._files_at(read_version) if read_version >= 0 else {}
+        keep, rewrite = [], []
+        for rel, action in files.items():
+            stats = action.get("stats") or {}
+            if prune is not None and not self._may_match(stats, prune):
+                keep.append((rel, action))
+            else:
+                rewrite.append(rel)
+        adds = [{"add": a} for _, a in keep]
+        if rewrite:
+            schema = self._schema_at(read_version)
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            survivors = self._apply_dvs(
+                reader.parquet(*[os.path.join(self.path, p) for p in rewrite]),
+                {p: files[p] for p in rewrite},
+            ).where(~condition)
+            adds += self._stage(survivors, partition_by=partition_by)
+        adds += self._stage(df, partition_by=partition_by)
+        removes = [{"remove": p} for p in rewrite]
+        v = read_version + 1
+        rec = {
+            "version": v,
+            "op": "replace_where",
             "ts": time.time(),
             "actions": removes + adds,
         }

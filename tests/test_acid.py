@@ -435,3 +435,30 @@ def test_deletion_vectors_merge_on_read(spark, tmp_path):
     assert {r["id"] for r in t.read().collect()} == {
         i for i in range(10, 90) if i % 4 != 3 and i != 50
     }
+
+
+def test_replace_where_backfill_idempotent(spark, tmp_path):
+    """replace_where swaps one partition's rows atomically; rerunning the
+    same backfill converges; pruned files carry over unrewritten."""
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.plans.acid import TxnTable
+
+    df = spark.range(0, 100).withColumn("day", (F.col("id") % 5).cast("int"))
+    t = TxnTable(spark, str(tmp_path / "rw"), schema=df.schema)
+    t.append(df, partition_by=["day"])
+    files0 = t._files_at(t.latest_version())
+
+    fixed = spark.range(1000, 1010).withColumn("day", F.lit(3).cast("int"))
+    t.replace_where(fixed, F.col("day") == 3, prune={"day": (3, 3)}, partition_by=["day"])
+    got = {r["id"] for r in t.read().where(F.col("day") == 3).collect()}
+    assert got == set(range(1000, 1010))
+    assert t.read().where(F.col("day") != 3).count() == 80  # untouched
+    # files outside day=3 carried over without rewrite
+    survivors = set(t._files_at(t.latest_version()))
+    assert {p for p in files0 if "day=3" not in p} <= survivors
+
+    # idempotent rerun: same backfill -> same table contents
+    t.replace_where(fixed, F.col("day") == 3, prune={"day": (3, 3)}, partition_by=["day"])
+    assert {r["id"] for r in t.read().where(F.col("day") == 3).collect()} == got
+    assert t.read().count() == 90
