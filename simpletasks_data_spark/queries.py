@@ -105,7 +105,7 @@ _CHECK_FIRST = [
     "acid_snapshot_rollup",
     "acid_merge_versions",
     "acid_delete_vectors",
-    "acid_pruned_read",
+    "acid_replace_where",
     "sketch_cms_heavy_hitters",
     "temperature_mixture_langs",
     "streaming_hll_distinct_users",
@@ -147,6 +147,7 @@ _CHECK_FIRST = [
     "communities_suppliers",
     "bpe_train_merges",
     # position 51+ from here
+    "acid_pruned_read",
     "acid_compaction",
     "robust_outliers_mad",
     "nb_lang_confusion",
@@ -9278,3 +9279,62 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("monetary"), 4).alias("avg_monetary"),
         )
     )
+
+
+@register("acid_replace_where", """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+),
+backfill AS (
+  SELECT o_orderkey, o_orderpriority, round(o_totalprice * 1.1, 4) AS o_totalprice
+  FROM base WHERE o_orderpriority = '1-URGENT'
+),
+v1 AS (
+  SELECT * FROM base WHERE o_orderpriority != '1-URGENT'
+  UNION ALL SELECT * FROM backfill
+)
+SELECT CAST(0 AS INT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(o_totalprice), 2) AS total
+FROM base
+UNION ALL
+SELECT 1, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) FROM v1
+UNION ALL
+SELECT 2, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2) FROM v1
+""")
+def acid_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill through the ACID layer: seed orders
+    partitioned by priority (v0), ``replace_where`` the URGENT slice
+    with a recomputed frame as ONE transaction (v1) — file pruning
+    carries the other four priorities over untouched — then rerun the
+    SAME backfill (v2) and show convergence: v2 equals v1 exactly, the
+    idempotence a rerunnable pipeline needs. Totals at 2 decimals: the
+    backfill writes *1.1-scaled doubles whose sum is order-sensitive at
+    the 1e-4 ulp on repeated rewrites."""
+    import tempfile
+
+    from .plans.acid import TxnTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="acid_rw_") + "/orders"
+    t = TxnTable(spark, path, schema=orders.schema)
+    t.append(orders, partition_by=["o_orderpriority"])
+    files0 = t._files_at(0)
+    backfill = orders.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4)
+    )
+    pr = {"o_orderpriority": ("1-URGENT", "1-URGENT")}
+    cond = F.col("o_orderpriority") == "1-URGENT"
+    t.replace_where(backfill, cond, prune=pr, partition_by=["o_orderpriority"])
+    carried = {p for p, a in files0.items() if "1-URGENT" not in p}
+    assert carried <= set(t._files_at(1)), "pruned partitions must carry over"
+    t.replace_where(backfill, cond, prune=pr, partition_by=["o_orderpriority"])
+    out = None
+    for v in range(3):
+        snap = t.read(version=v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit(v).cast("int").alias("version"), "n_rows", "total")
+        out = snap if out is None else out.unionByName(snap)
+    return out
