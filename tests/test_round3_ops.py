@@ -155,3 +155,40 @@ def test_pca_recovers_dominant_direction(spark):
     assert abs(abs(v[0]) - 1.0) < 1e-3  # component is ±e1
     assert share > 0.99
     assert eig > 0
+
+
+def test_kmeans_k_larger_than_corpus(spark):
+    from simpletasks_data_spark.operators.clustering import kmeans_report
+
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rep = kmeans_report(df, k=8, iterations=2, dims=2)
+    # only 3 init centroids exist; every point assigned; sizes sum to 3
+    got = rep.agg({"n_members": "sum"}).collect()[0][0]
+    assert got == 3
+
+
+def test_label_propagation_empty_edges(spark):
+    from simpletasks_data_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([], "u long, v long")
+    assert label_propagation(df, iterations=2).count() == 0
+
+
+def test_containment_no_self_pairs_and_symmetric_dups(spark):
+    from simpletasks_data_spark.operators.dedupe import containment_pairs
+
+    text = "exactly the same words repeated here for a while to shingle on"
+    df = spark.createDataFrame([(1, text), (2, text)], "id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(df, "id", "text", n=5, threshold=0.8).collect()}
+    # identical docs: both directions emit at containment 1.0, no self pairs
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_bpe_empty_vocab(spark):
+    from simpletasks_data_spark.operators.bpe import bpe_train
+
+    w = spark.createDataFrame([("a", 3)], "word string, wcount long")
+    # single 1-char word: no adjacent pairs -> zero merges, empty result
+    assert bpe_train(w, merges=3).count() == 0
