@@ -41,6 +41,8 @@ __all__ = [
     "encode_ppm",
     "decode_ppm",
     "resize_ppm",
+    "encode_png",
+    "decode_png",
     "encode_wav",
     "decode_wav",
     "FEATURE_DIM",
@@ -416,3 +418,196 @@ def decode_wav(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, _WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec: zlib IDAT, CRC-checked chunks, all five scanline filters.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_SCHEMA = _PPM_SCHEMA  # same report shape as the PPM decoder
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(df: DataFrame, id_col: str, text_col: str, side: int = 5) -> DataFrame:
+    """Build REAL PNG payloads: ``side`` x ``side`` RGB, pixel channels
+    tiled from the same md5 digests as ``encode_ppm`` (so the SQL
+    oracle predicts channel means from hex alone), each scanline
+    filtered with type ``row % 5`` — every PNG filter (none/sub/up/
+    average/paeth) appears in the stream, so a decoder only passes the
+    roundtrip by implementing ALL of them. IDAT is genuinely
+    zlib-compressed; every chunk carries its real CRC."""
+    import hashlib
+    import struct
+    import zlib as _z
+
+    n_px = side * side
+    bpp = 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, txt in zip(pdf["media_id"], pdf["text"]):
+                t = (txt or "").encode("utf-8")
+                planes = [hashlib.md5(t + suf).digest() for suf in (b"", b"g", b"b")]
+                px = bytearray()
+                for i in range(n_px):
+                    for p in planes:
+                        px.append(p[i % 16])
+                raw = bytearray()
+                prev = bytes(side * bpp)
+                for r in range(side):
+                    cur = bytes(px[r * side * bpp : (r + 1) * side * bpp])
+                    f = r % 5
+                    raw.append(f)
+                    if f == 0:
+                        raw += cur
+                    elif f == 1:
+                        raw += bytes(
+                            (cur[i] - (cur[i - bpp] if i >= bpp else 0)) & 0xFF
+                            for i in range(len(cur))
+                        )
+                    elif f == 2:
+                        raw += bytes((cur[i] - prev[i]) & 0xFF for i in range(len(cur)))
+                    elif f == 3:
+                        raw += bytes(
+                            (cur[i] - (((cur[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                            & 0xFF
+                            for i in range(len(cur))
+                        )
+                    else:
+                        raw += bytes(
+                            (
+                                cur[i]
+                                - _paeth(
+                                    cur[i - bpp] if i >= bpp else 0,
+                                    prev[i],
+                                    prev[i - bpp] if i >= bpp else 0,
+                                )
+                            )
+                            & 0xFF
+                            for i in range(len(cur))
+                        )
+                    prev = cur
+                ihdr = struct.pack(">IIBBBBB", side, side, 8, 2, 0, 0, 0)
+                payload = (
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows.append((mid, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(batches, "media_id long, payload binary")
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL PNG decode: walk the chunk stream (CRC-verified), parse IHDR,
+    inflate the concatenated IDAT, reconstruct every scanline filter
+    (none/sub/up/average/paeth), and report per-channel means — the
+    same (width, height, mean_r/g/b, ok) shape as ``decode_ppm``.
+    Corrupt payloads (bad signature, CRC mismatch, truncated inflate)
+    yield ``ok=false`` rather than failing the task."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    buf = bytes(b or b"")
+                    if buf[:8] != _PNG_SIG:
+                        raise ValueError("bad signature")
+                    pos, w = 8, None
+                    idat = b""
+                    while pos < len(buf):
+                        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+                        ctype = buf[pos + 4 : pos + 8]
+                        data = buf[pos + 8 : pos + 8 + ln]
+                        (crc,) = struct.unpack(
+                            ">I", buf[pos + 8 + ln : pos + 12 + ln]
+                        )
+                        if _z.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                            raise ValueError("crc mismatch")
+                        if ctype == b"IHDR":
+                            w, h, depth, ctyp = struct.unpack(">IIBB", data[:10])
+                            if depth != 8 or ctyp != 2:
+                                raise ValueError("unsupported format")
+                        elif ctype == b"IDAT":
+                            idat += data
+                        elif ctype == b"IEND":
+                            break
+                        pos += 12 + ln
+                    if w is None:
+                        raise ValueError("no IHDR")
+                    raw = _z.decompress(idat)
+                    bpp, stride = 3, w * 3
+                    if len(raw) != h * (stride + 1):
+                        raise ValueError("truncated scanlines")
+                    out = np.zeros((h, stride), dtype=np.uint8)
+                    prev = np.zeros(stride, dtype=np.int64)
+                    for r in range(h):
+                        f = raw[r * (stride + 1)]
+                        cur = list(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+                        if f == 1:
+                            for i in range(bpp, stride):
+                                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+                        elif f == 2:
+                            for i in range(stride):
+                                cur[i] = (cur[i] + int(prev[i])) & 0xFF
+                        elif f == 3:
+                            for i in range(stride):
+                                left = cur[i - bpp] if i >= bpp else 0
+                                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+                        elif f == 4:
+                            for i in range(stride):
+                                left = cur[i - bpp] if i >= bpp else 0
+                                ul = int(prev[i - bpp]) if i >= bpp else 0
+                                cur[i] = (cur[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+                        elif f != 0:
+                            raise ValueError(f"unknown filter {f}")
+                        out[r] = cur
+                        prev = out[r].astype(np.int64)
+                    arr = out.reshape(h, w, 3)
+                    means = arr.astype(np.float64).mean(axis=(0, 1))
+                    rows.append(
+                        (mid, int(w), int(h), round(means[0], 4), round(means[1], 4),
+                         round(means[2], 4), True)
+                    )
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_r", "mean_g",
+                         "mean_b", "ok"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, _PNG_SCHEMA)

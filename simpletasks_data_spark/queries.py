@@ -9338,3 +9338,31 @@ def acid_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(v).cast("int").alias("version"), "n_rows", "total")
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@register("multimodal_png_roundtrip", """
+SELECT doc_id AS media_id,
+       CAST(5 AS INT) AS width, CAST(5 AS INT) AS height,
+       round(list_sum(list_transform(generate_series(0, 24),
+             k -> CAST(concat('0x', substr(md5(text), CAST(2*(k%16)+1 AS INT), 2)) AS BIGINT))) / 25.0, 4) AS mean_r,
+       round(list_sum(list_transform(generate_series(0, 24),
+             k -> CAST(concat('0x', substr(md5(text || 'g'), CAST(2*(k%16)+1 AS INT), 2)) AS BIGINT))) / 25.0, 4) AS mean_g,
+       round(list_sum(list_transform(generate_series(0, 24),
+             k -> CAST(concat('0x', substr(md5(text || 'b'), CAST(2*(k%16)+1 AS INT), 2)) AS BIGINT))) / 25.0, 4) AS mean_b,
+       TRUE AS ok
+FROM documents
+""")
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end: each document becomes an actual 5x5
+    RGB PNG — zlib-compressed IDAT, CRC'd chunks, and scanline filter
+    ``row % 5`` so the stream contains every PNG filter type (none/sub/
+    up/average/paeth) — then the decoder walks chunks, verifies CRCs,
+    inflates, reconstructs all five filters, and reports channel means.
+    The oracle predicts the means from md5 hex alone: a single wrong
+    byte in compression, CRC, or any filter reconstruction and the
+    means cannot match. Upgrades the image surface from the
+    uncompressed PPM anchor to a genuinely compressed container."""
+    from .operators.multimodal import decode_png, encode_png
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return decode_png(encode_png(docs, "doc_id", "text", side=5))

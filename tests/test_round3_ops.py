@@ -192,3 +192,18 @@ def test_bpe_empty_vocab(spark):
     w = spark.createDataFrame([("a", 3)], "word string, wcount long")
     # single 1-char word: no adjacent pairs -> zero merges, empty result
     assert bpe_train(w, merges=3).count() == 0
+
+
+def test_png_corrupt_payload_tolerance(spark):
+    from simpletasks_data_spark.operators.multimodal import decode_png, encode_png
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    good = encode_png(docs, "doc_id", "text", side=5).collect()[0]["payload"]
+    flipped = bytearray(good)
+    flipped[30] ^= 0xFF  # corrupt a byte inside IHDR -> CRC mismatch
+    media = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(flipped)), (3, b"not a png"), (4, None)],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["ok"] for r in decode_png(media).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
