@@ -110,7 +110,7 @@ _CHECK_FIRST = [
     "temperature_mixture_langs",
     "streaming_hll_distinct_users",
     "multimodal_ppm_roundtrip",
-    "multimodal_ppm_resize",
+    "multimodal_png_roundtrip",
     "streaming_acid_sink",
     "overlap_join_order_windows",
     "format_list_roundtrip",
@@ -147,6 +147,7 @@ _CHECK_FIRST = [
     "communities_suppliers",
     "bpe_train_merges",
     # position 51+ from here
+    "multimodal_ppm_resize",
     "acid_pruned_read",
     "acid_compaction",
     "robust_outliers_mad",
