@@ -9367,3 +9367,60 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return decode_png(encode_png(docs, "doc_id", "text", side=5))
+
+
+@register("jsonl_gzip_roundtrip", """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 10, '0') || ':' || text, '|'
+                      ORDER BY lpad(CAST(doc_id AS VARCHAR), 10, '0') || ':' || text))
+         AS content_md5
+FROM documents GROUP BY lang
+""")
+def jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-interchange ingestion: dump documents as GZIP JSONL
+    (the wire format crawl dumps actually arrive in), re-read through
+    the JSON reader's transparent codec path with an explicit schema
+    (never an inference pass — at 100 TB inference is a full extra
+    scan), and prove byte-exact content survival with a per-language
+    ordered md5 over id:text. Splittability note: .gz is a
+    whole-file-per-task codec, so the dump shards into multiple .gz
+    files — the standard layout that restores read parallelism without
+    a splittable container."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    out_dir = tempfile.mkdtemp(prefix="sds_jsonlgz_")
+    docs.repartition(4).write.mode("overwrite").option("compression", "gzip").json(out_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out_dir)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("char_sum"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+                            F.lit(":"),
+                            F.col("text"),
+                        )
+                    )
+                ),
+            )
+        ).alias("content_md5"),
+    )
