@@ -38,3 +38,27 @@ def test_registrable_domain(spark):
     )
     got = [r.d for r in df.select(W.registrable_domain("h").alias("d")).collect()]
     assert got == ["example.org", "example.org", "localhost", None]
+
+
+def test_canonical_url_rules_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.functions.web import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Example.COM/A/B/?utm_source=x&b=2&a=1#frag",
+         "https://www.example.com/A/B?a=1&b=2"),
+        ("http://site.org/", "http://site.org/"),
+        ("http://site.org", "http://site.org/"),
+        ("http://site.org/x?ref=abc&refresh=1", "http://site.org/x?refresh=1"),
+        ("http://site.org/x?fbclid=1&gclid=2&msclkid=3", "http://site.org/x"),
+        ("http://site.org/p//", "http://site.org/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [e for _, e in cases]
+    # idempotence: canonicalizing a canonical url is a no-op
+    df2 = spark.createDataFrame([(c,) for c in got], "u string")
+    got2 = [r["c"] for r in df2.select(canonical_url("u").alias("c")).collect()]
+    assert got2 == got
