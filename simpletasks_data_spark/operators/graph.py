@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count", "triangle_count_degree_oriented", "label_propagation"]
+__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count", "triangle_count_degree_oriented", "label_propagation", "random_walks"]
 
 
 def connected_components(
@@ -412,3 +412,66 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             ).alias("community")
         ).localCheckpoint(eager=False)
     return labels
+
+
+def random_walks(
+    edges: DataFrame, length: int = 5, seed: str = "walk"
+) -> DataFrame:
+    """Deterministic uniform random walks — the DeepWalk/node2vec corpus
+    generator: one walk per node, ``length`` steps, each step picking a
+    neighbor by a PORTABLE hash draw (md5 of (walk, step) mod degree
+    over the SORTED adjacency list) instead of an RNG, so walks are
+    reproducible across engines, runs, retries, and cluster sizes —
+    the same determinism discipline as corpus.hash_split.
+
+    ``edges``: undirected (u, v) rows. Returns (walk_id, path) where
+    path is the array of ``length + 1`` visited node ids (walk_id =
+    start node). Dead ends cannot occur (every node in the edge list
+    has >= 1 neighbor in the undirected view).
+
+    Scale shape: the adjacency table (node -> sorted neighbor array) is
+    ONE groupBy; each step is an equi-join of the walk frontier against
+    it (walks ride their current node's partition). Steps are
+    sequential by nature; the frontier carries only (walk_id, path), so
+    state per walk is O(length). Hub-node adjacency arrays are the one
+    skew point — cap or sample neighbor lists at ingest for power-law
+    graphs.
+    """
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    adj = und.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs"),
+        F.size(F.collect_set("dst")).alias("deg"),
+    )
+    walks = adj.select(
+        F.col("src").alias("walk_id"), F.array(F.col("src")).alias("path")
+    )
+    for step in range(1, length + 1):
+        cur = F.element_at(F.col("path"), -1)
+        walks = walks.join(adj, cur == F.col("src"))
+        draw = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed),
+                            F.lit("-"),
+                            F.col("walk_id").cast("string"),
+                            F.lit("-"),
+                            F.lit(step),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+        )
+        nxt = F.element_at(F.col("nbrs"), (draw + 1).cast("int"))
+        walks = walks.select(
+            "walk_id", F.concat(F.col("path"), F.array(nxt)).alias("path")
+        )
+    return walks

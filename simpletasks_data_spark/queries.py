@@ -9424,3 +9424,61 @@ def jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("content_md5"),
     )
+
+
+def _walks_oracle_sql(length: int = 5) -> str:
+    steps = []
+    for t in range(1, length + 1):
+        prev = f"s{t-1}"
+        steps.append(f"""s{t} AS (
+  SELECT w.walk_id,
+         list_append(w.path,
+           a.nbrs[CAST(CAST(concat('0x', substr(md5('walk-' ||
+                 CAST(w.walk_id AS VARCHAR) || '-{t}'), 1, 15)) AS BIGINT)
+                 % a.deg + 1 AS INT)]) AS path
+  FROM {prev} w JOIN adj a ON a.src = w.path[len(w.path)]
+)""")
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 5),
+und AS (SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges),
+adj AS (
+  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs,
+         CAST(len(list(DISTINCT dst)) AS BIGINT) AS deg
+  FROM und GROUP BY src
+),
+s0 AS (SELECT src AS walk_id, [src] AS path FROM adj),
+{", ".join(steps)}
+SELECT CAST(walk_id AS BIGINT) AS walk_id, path FROM s{length}
+"""
+
+
+@register("graph_random_walks", _walks_oracle_sql(5))
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform random walks over the supplier co-occurrence
+    graph (one 5-step walk per node) — the DeepWalk corpus-generation
+    primitive, with hash draws over sorted adjacency in place of an RNG
+    so the walk corpus is engine-exact and retry-stable. See
+    operators/graph.random_walks; edges share supplier_triangles'
+    support-floored construction."""
+    from .operators.graph import random_walks
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 5)
+        .drop("_n")
+    )
+    w = random_walks(edges, length=5, seed="walk")
+    return w.select(F.col("walk_id").cast("long").alias("walk_id"), "path")
