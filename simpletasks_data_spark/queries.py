@@ -137,7 +137,7 @@ _CHECK_FIRST = [
     "dedup_containment",
     "pca_top_component",
     "survival_km_first_purchase",
-    "acid_version_diff",
+    "graph_random_walks",
     "rolling_7d_active_users",
     "pareto_frontier_suppliers",
     # -- last two in-window slots: round-2 flagships still without a
@@ -147,6 +147,7 @@ _CHECK_FIRST = [
     "communities_suppliers",
     "bpe_train_merges",
     # position 51+ from here
+    "acid_version_diff",
     "multimodal_ppm_resize",
     "acid_pruned_read",
     "acid_compaction",
@@ -9482,3 +9483,111 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = random_walks(edges, length=5, seed="walk")
     return w.select(F.col("walk_id").cast("long").alias("walk_id"), "path")
+
+
+@register("events_seasonal_anomaly", """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+baseline AS (
+  SELECT dow, hod, avg(n) AS mu, coalesce(stddev_samp(n), 0.0) AS sd
+  FROM hourly GROUP BY dow, hod
+)
+SELECT hour, n_events, baseline_mean, deviation_score, rank FROM (
+  SELECT h.hr AS hour, h.n AS n_events,
+         round(b.mu, 4) AS baseline_mean,
+         round((h.n - b.mu) / (b.sd + 1.0), 4) AS deviation_score,
+         CAST(row_number() OVER (
+           ORDER BY abs(round((h.n - b.mu) / (b.sd + 1.0), 4)) DESC, h.hr ASC)
+           AS BIGINT) AS rank
+  FROM hourly h JOIN baseline b USING (dow, hod)
+) WHERE rank <= 20
+""")
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each hour's event count is
+    scored against the SAME (weekday, hour-of-day) slot's mean/stddev —
+    the hour-of-week baseline that keeps nightly troughs and weekend
+    peaks from masquerading as anomalies (events_anomaly_zscore is the
+    season-blind twin). The +1 floor on the spread keeps quiet slots
+    from amplifying noise; reported as the top-20 largest deviations
+    (threshold-free, so the report is never vacuously empty). Two aggs
+    on the tiny hourly frame; the hourly rollup is the only data-sized
+    shuffle."""
+    ev = load(spark, sf_dir, "events").select(F.col("ts").cast("timestamp").alias("ts"))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = hourly.groupBy("dow", "hod").agg(
+        F.avg("n").alias("mu"),
+        F.coalesce(F.stddev_samp("n"), F.lit(0.0)).alias("sd"),
+    )
+    score = (F.col("n") - F.col("mu")) / (F.col("sd") + 1.0)
+    scored = hourly.join(F.broadcast(baseline), ["dow", "hod"]).select(
+        F.col("hr").alias("hour"),
+        F.col("n").alias("n_events"),
+        F.round("mu", 4).alias("baseline_mean"),
+        F.round(score, 4).alias("deviation_score"),
+    )
+    w = Window.orderBy(F.abs(F.col("deviation_score")).desc(), F.asc("hour"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )
+
+
+@register("funnel_time_to_convert", """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT date_diff('second', t_view, t_buy) / 3600.0 AS h
+  FROM u WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       round(quantile_cont(h, 0.5), 4) AS p50_hours,
+       round(quantile_cont(h, 0.9), 4) AS p90_hours,
+       round(quantile_cont(h, 0.99), 4) AS p99_hours,
+       round(avg(h), 4) AS mean_hours
+FROM d
+""")
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from a user's first view to
+    first purchase (converters only), summarized as exact p50/p90/p99 —
+    the latency companion to events_funnel_conversion's rate view. One
+    per-user agg, one exact-percentile reduce; swap percentile_approx
+    at extreme cardinality (sketch_histogram_quantile is that path)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    d = (
+        u.where(
+            F.col("t_view").isNotNull()
+            & F.col("t_buy").isNotNull()
+            & (F.col("t_buy") >= F.col("t_view"))
+        )
+        .select(
+            (
+                (F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")) / 3600.0
+            ).alias("h")
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.round(F.percentile("h", 0.5), 4).alias("p50_hours"),
+        F.round(F.percentile("h", 0.9), 4).alias("p90_hours"),
+        F.round(F.percentile("h", 0.99), 4).alias("p99_hours"),
+        F.round(F.avg("h"), 4).alias("mean_hours"),
+    )
