@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "pareto_frontier_3d",
     "quantile_normalize_sources",
     "url_canonical_dedup",
+    "graph_random_walks",
+    "rfm_customer_segments",
+    "events_seasonal_anomaly",
+    "funnel_time_to_convert",
+    "jsonl_gzip_roundtrip",
 ]
 
 
