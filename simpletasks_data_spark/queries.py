@@ -9591,3 +9591,79 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("h", 0.99), 4).alias("p99_hours"),
         F.round(F.avg("h"), 4).alias("mean_hours"),
     )
+
+
+@register("referential_integrity_report", """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_children,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT CAST(count(*) AS BIGINT) FROM customer),
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+       (SELECT CAST(count(*) AS BIGINT) FROM supplier
+        WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       (SELECT CAST(count(*) AS BIGINT) FROM nation),
+       (SELECT CAST(count(*) AS BIGINT) FROM nation
+        WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+""")
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key health across every edge of the star schema: child
+    count and orphan count per relationship in one report — the
+    load-validation pass a warehouse runs after ingest (the reference's
+    per-row Relation lookups imply these constraints; this audits them
+    set-wide). Scale shape: each orphan count is a LEFT ANTI join with
+    the parent key set broadcast (dimension-sized); fact tables stream
+    through map-side; the per-edge counts union into a 7-row report.
+    Zero orphans here is the expected PASS — the value is the
+    continuously-watchable invariant, not today's number."""
+    def edge(name, child, ckey, parent, pkey):
+        c = load(spark, sf_dir, child).select(F.col(ckey))
+        p = load(spark, sf_dir, parent).select(F.col(pkey))
+        orphans = c.join(
+            F.broadcast(p), c[ckey] == p[pkey], "left_anti"
+        )
+        return (
+            c.agg(F.count(F.lit(1)).cast("long").alias("n_children"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            )
+            .select(F.lit(name).alias("relationship"), "n_children", "n_orphans")
+        )
+
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for e in edges:
+        df = edge(*e)
+        out = df if out is None else out.unionByName(df)
+    return out
