@@ -9667,3 +9667,123 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = edge(*e)
         out = df if out is None else out.unionByName(df)
     return out
+
+
+@register("chi2_lang_source_independence", """
+WITH obs AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+m AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM obs GROUP BY lang
+),
+s AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM obs GROUP BY source
+),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM obs),
+full_grid AS (
+  SELECT m.lang, s.source, m.rl, s.cs, n.total,
+         coalesce(obs.o, 0) AS o,
+         m.rl * s.cs * 1.0 / n.total AS e
+  FROM m CROSS JOIN s CROSS JOIN n
+  LEFT JOIN obs ON obs.lang = m.lang AND obs.source = s.source
+)
+SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
+         AS dof,
+       CAST(any_value(total) AS BIGINT) AS n
+FROM full_grid
+""")
+def chi2_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document language
+    and source: observed vs expected over the FULL lang x source grid
+    (absent cells count as 0 — dropping them understates the statistic)
+    — the categorical-drift / stratification-bias check next to the
+    numeric PSI and the A/B z-test. One contingency agg; margins and
+    the grid are category-sized."""
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    m = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("rl"))
+    sdf = obs.groupBy("source").agg(F.sum("o").cast("long").alias("cs"))
+    n = obs.agg(F.sum("o").cast("long").alias("total"))
+    grid = (
+        m.crossJoin(sdf)
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang", "source", "rl", "cs", "total",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rl") * F.col("cs") * 1.0 / F.col("total")).alias("e"),
+        )
+    )
+    return grid.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4).alias("chi2"),
+        ((F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.any_value("total").cast("long").alias("n"),
+    )
+
+
+@register("cohort_ltv_curve", """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+),
+spend AS (
+  SELECT f.cohort,
+         CAST(floor(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7.0)
+              AS BIGINT) AS age_weeks,
+         sum(e.value) AS rev
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM firsts GROUP BY cohort)
+SELECT CAST(s.cohort AS DATE) AS cohort, sp.age_weeks, s.n_users,
+       round(sp.rev, 4) AS cohort_revenue,
+       round(sum(sp.rev) OVER (PARTITION BY s.cohort ORDER BY sp.age_weeks
+                               ROWS UNBOUNDED PRECEDING) / s.n_users, 4)
+         AS cum_ltv_per_user
+FROM spend sp JOIN sizes s USING (cohort)
+""")
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase revenue bucketed by cohort age, cumulative LTV per user as
+    a running window per cohort — the retention-economics readout on
+    top of events_retention_cohorts' counts. One per-user first-seen
+    agg, one (cohort, age) revenue agg, then windows on the tiny
+    cohort-age frame."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+            ).cast("long").alias("age_weeks"),
+        )
+        .agg(F.sum("value").alias("rev"))
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spend.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "age_weeks",
+            "n_users",
+            F.round("rev", 4).alias("cohort_revenue"),
+            F.round(F.sum("rev").over(w) / F.col("n_users"), 4).alias("cum_ltv_per_user"),
+        )
+    )
