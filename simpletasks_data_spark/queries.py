@@ -7608,10 +7608,10 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
-    """Unrolled Lloyd rounds as CTEs (same pattern as the pagerank
-    oracle): each round = lateral squared-distance + argmin window +
-    per-dim avg rebuild, all on the operator's quantization grids."""
+def _kmeans_ctes(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
+    """Unrolled Lloyd rounds as a CTE body ending at a{iterations}
+    (vec_id, e, cid, d2_r) and c{iterations} — shared by the k-means
+    report oracle and the learned-IVF ANN oracle."""
     rounds = []
     prev_c = "c0"
     for t in range(1, iterations + 1):
@@ -7638,8 +7638,7 @@ c{t} AS (
 )""")
         prev_c = f"c{t}"
     joined = ",\n".join(rounds)
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
 c0 AS (
@@ -7647,7 +7646,12 @@ c0 AS (
          list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS cen
   FROM embeddings ORDER BY vec_id LIMIT {k}
 ),
-{joined}
+{joined}"""
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
+    return f"""
+WITH {_kmeans_ctes(k, iterations, dims)}
 SELECT a.cid AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
        round(sum(a.d2_r), 4) AS inertia,
@@ -9787,3 +9791,85 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev").over(w) / F.col("n_users"), 4).alias("cum_ltv_per_user"),
         )
     )
+
+
+@register("knn_ivf_kmeans", f"""
+WITH {{KMEANS}},
+{SQL_EMB_NORM.strip().lstrip()},
+cells AS (
+  SELECT a.vec_id, n.v, n.nrm, a.cid
+  FROM a2 a JOIN n ON n.vec_id = a.vec_id
+),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM cells q JOIN cells c ON q.cid = c.cid AND q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 5
+""".replace("{KMEANS}", "__KM__"))
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a LEARNED coarse quantizer: two Lloyd rounds train 8
+    centroids (the exact kmeans_embeddings contract), every vector is
+    assigned to its nearest centroid cell, and each query probes only
+    its own cell — the trained-IVF upgrade over knn_ivf_signbits' fixed
+    sign-bit cells (cells follow the data distribution, so per-cell
+    candidate counts stay balanced where sign-bit cells skew). Same
+    output shape and query stratum as the other knn operators."""
+    from .operators.clustering import _assign, kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=8, iterations=2, dims=64)
+    from .functions.vectors import norm2
+
+    cells = assigned.select(
+        "id",
+        "vec",
+        "cluster_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("vec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
+    )
+    q = cells.where(F.col("id") % 20 == 0).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cluster_id",
+    )
+    c = cells.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "cluster_id",
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    pairs = (
+        q.join(c, "cluster_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_r", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_r", 4).alias("cosine"))
+    )
+
+
+# resolve the learned-IVF oracle's kmeans body lazily (the CTE chain is
+# long; building it once at import keeps registration cheap)
+_ORACLES["knn_ivf_kmeans"] = _ORACLES["knn_ivf_kmeans"].replace(
+    "__KM__", _kmeans_ctes(8, 2, 64)
+)
