@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "events_seasonal_anomaly",
     "funnel_time_to_convert",
     "jsonl_gzip_roundtrip",
+    "knn_ivf_kmeans",
 ]
 
 
