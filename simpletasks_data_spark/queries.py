@@ -9873,3 +9873,62 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["knn_ivf_kmeans"] = _ORACLES["knn_ivf_kmeans"].replace(
     "__KM__", _kmeans_ctes(8, 2, 64)
 )
+
+
+@register("kmeans_cluster_topics", f"""
+WITH {{KMEANS}},
+tok AS (
+  SELECT d.doc_id, t.token
+  FROM documents d, unnest({SQL_TOKENS.format(c='d.text')}) AS t(token)
+),
+cnt AS (
+  SELECT a.cid, tok.token, CAST(count(*) AS BIGINT) AS n
+  FROM tok JOIN a2 a ON a.vec_id = tok.doc_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT cid, token, n,
+         row_number() OVER (PARTITION BY cid ORDER BY n DESC, token) AS rank
+  FROM cnt
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, token, n AS n_occurrences,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""".replace("{KMEANS}", "__KM2__"))
+def kmeans_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels for embedding clusters: k-means assignments (the
+    exact 2-round Lloyd contract) joined to the parallel documents
+    table, top-3 tokens per cluster by occurrence — how a curation
+    pipeline turns opaque cluster ids into human-readable corpus
+    strata for mixing decisions. One token-count shuffle keyed by
+    (cluster, token); the assignment frame rides the embedding ids."""
+    from .operators.clustering import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=8, iterations=2, dims=64)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    cnt = (
+        tok.join(
+            assigned.select(F.col("id").alias("doc_id"), F.col("cluster_id").alias("cid")),
+            "doc_id",
+        )
+        .groupBy("cid", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("cid").cast("long").alias("cluster_id"),
+            "token",
+            F.col("n").alias("n_occurrences"),
+            "rank",
+        )
+    )
+
+
+_ORACLES["kmeans_cluster_topics"] = _ORACLES["kmeans_cluster_topics"].replace(
+    "__KM2__", _kmeans_ctes(8, 2, 64)
+)
