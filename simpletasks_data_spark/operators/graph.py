@@ -415,7 +415,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
 
 
 def random_walks(
-    edges: DataFrame, length: int = 5, seed: str = "walk"
+    edges: DataFrame, length: int = 5, seed: str = "walk", max_degree: int = 64
 ) -> DataFrame:
     """Deterministic uniform random walks — the DeepWalk/node2vec corpus
     generator: one walk per node, ``length`` steps, each step picking a
@@ -434,13 +434,36 @@ def random_walks(
     it (walks ride their current node's partition). Steps are
     sequential by nature; the frontier carries only (walk_id, path), so
     state per walk is O(length). Hub-node adjacency arrays are the one
-    skew point — cap or sample neighbor lists at ingest for power-law
-    graphs.
+    skew point on power-law graphs, so the operator enforces its own
+    cap: ``max_degree`` neighbors survive per node, chosen by a
+    DETERMINISTIC hash rank (md5 of (seed, src, dst) ascending, dst
+    tie-break) — an unbiased, engine-portable sample that bounds every
+    adjacency row at O(max_degree) regardless of hub size. The draw
+    then runs over the SORTED capped list exactly as before, so walks
+    stay reproducible across engines, runs, and cluster sizes.
     """
-    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
     )
-    adj = und.groupBy("src").agg(
+    # Cap BEFORE the collect so the agg buffer is bounded at max_degree
+    # even for a hub with millions of neighbors: the window's sort state
+    # spills to disk; a collect_set-then-slice would not.
+    cap_key = F.md5(
+        F.concat(
+            F.lit(seed),
+            F.lit("-cap-"),
+            F.col("src").cast("string"),
+            F.lit("-"),
+            F.col("dst").cast("string"),
+        )
+    )
+    rk = F.row_number().over(Window.partitionBy("src").orderBy(cap_key, "dst"))
+    capped = und.withColumn("rk", rk).where(F.col("rk") <= max_degree)
+    adj = capped.groupBy("src").agg(
         F.sort_array(F.collect_set("dst")).alias("nbrs"),
         F.size(F.collect_set("dst")).alias("deg"),
     )

@@ -37,8 +37,30 @@ def _normalize(rows, cols):
     return [cols[i] for i in order], out
 
 
+def assert_driver_canonicalizable(name, sdf):
+    """The external driver canonicalizes results with pandas
+    (sort_values + value-hash); list/dict/struct cells raise
+    ``TypeError: unhashable type`` there — exactly what killed
+    kmeans_embeddings / pca_top_component / graph_random_walks in
+    round 3 while the stringifying local harness waved them through.
+    Mirror the driver: REJECT any non-scalar output column up front."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver's pandas "
+        "canonicalizer cannot sort/hash these; emit exploded rows or a "
+        "joined string instead"
+    )
+
+
 def compare(spark, name, fn, sql, sf_dir, max_diff_show=5):
     sdf = fn(spark, sf_dir)
+    assert_driver_canonicalizable(name, sdf)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -1,0 +1,105 @@
+"""Round-4 regression tests: driver-faithful canonicalizer rejection,
+random-walk hub-degree capping, and the scalarized outputs of the three
+queries that were driver-red in round 3."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_harness import assert_driver_canonicalizable
+
+
+def test_canonicalizer_rejects_array_columns(spark):
+    """An array-typed output column must FAIL local parity up front —
+    the exact class of bug (round-3 verdict: unhashable 'list' in the
+    driver's pandas canonicalizer) that the old stringifying harness
+    let through."""
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vec array<double>")
+    with pytest.raises(AssertionError, match="non-scalar"):
+        assert_driver_canonicalizable("demo", df)
+
+
+def test_canonicalizer_rejects_struct_and_map(spark):
+    df = spark.range(1).select(F.struct(F.lit(1).alias("a")).alias("s"))
+    with pytest.raises(AssertionError, match="non-scalar"):
+        assert_driver_canonicalizable("demo_struct", df)
+    df2 = spark.range(1).select(F.create_map(F.lit("k"), F.lit(1)).alias("m"))
+    with pytest.raises(AssertionError, match="non-scalar"):
+        assert_driver_canonicalizable("demo_map", df2)
+
+
+def test_canonicalizer_accepts_scalars(spark):
+    assert_driver_canonicalizable(
+        "ok", spark.createDataFrame([(1, "x", 2.5)], "a long, b string, c double")
+    )
+
+
+def test_random_walk_hub_degree_cap(spark):
+    """Star graph: hub 0 with 200 spokes, cap at 64 — the hub's
+    adjacency row must carry exactly max_degree neighbors, chosen by
+    the deterministic hash rank, and every walk must still complete."""
+    from simpletasks_data_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 201)], "u long, v long"
+    )
+    w = random_walks(edges, length=3, seed="t", max_degree=64)
+    rows = {r["walk_id"]: r["path"] for r in w.collect()}
+    assert len(rows) == 201  # one walk per node
+    assert all(len(p) == 4 for p in rows.values())
+    # hub neighbors visited from spokes: every odd step from a spoke
+    # returns to the hub; steps FROM the hub land in its capped list
+    hub_next = {p[1] for wid, p in rows.items() if wid == 0}
+    assert hub_next <= set(range(1, 201))
+    # deterministic: re-running yields byte-identical walks
+    rows2 = {r["walk_id"]: r["path"] for r in random_walks(
+        edges, length=3, seed="t", max_degree=64).collect()}
+    assert rows == rows2
+    # the cap binds: the set of distinct nodes reachable from the hub
+    # across many (seed, step) draws cannot exceed max_degree
+    many = random_walks(edges, length=20, seed="u", max_degree=64)
+    hub_paths = [r["path"] for r in many.collect() if r["walk_id"] == 0]
+    from_hub = set()
+    for p in hub_paths:
+        for a, b in zip(p, p[1:]):
+            if a == 0:
+                from_hub.add(b)
+    assert len(from_hub) <= 64
+
+
+def test_random_walk_cap_matches_uncapped_when_slack(spark):
+    """cap > degree: identical walks to an effectively-uncapped run."""
+    from simpletasks_data_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "u long, v long"
+    )
+    a = {r["walk_id"]: r["path"] for r in random_walks(
+        edges, length=4, seed="s", max_degree=64).collect()}
+    b = {r["walk_id"]: r["path"] for r in random_walks(
+        edges, length=4, seed="s", max_degree=10**6).collect()}
+    assert a == b
+
+
+def test_kmeans_query_output_is_scalar(spark):
+    from simpletasks_data_spark import queries as C
+
+    df = C.queries()["kmeans_embeddings"](spark, "/root/testdata/sf0.001")
+    assert_driver_canonicalizable("kmeans_embeddings", df)
+    assert df.columns == ["cluster_id", "n_members", "inertia", "dim", "value"]
+
+
+def test_pca_query_output_is_scalar(spark):
+    from simpletasks_data_spark import queries as C
+
+    df = C.queries()["pca_top_component"](spark, "/root/testdata/sf0.001")
+    assert_driver_canonicalizable("pca_top_component", df)
+    assert df.columns == ["eigenvalue", "variance_share", "dim", "loading"]
+    assert df.count() == 64
+
+
+def test_walks_query_output_is_scalar(spark):
+    from simpletasks_data_spark import queries as C
+
+    df = C.queries()["graph_random_walks"](spark, "/root/testdata/sf0.001")
+    assert_driver_canonicalizable("graph_random_walks", df)
+    assert dict(df.dtypes)["path"] == "string"
