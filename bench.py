@@ -1,9 +1,24 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Prints ONE final JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully materialized (count) per run; the session is warmed
 once so JVM startup isn't billed to the first query.
+
+Output protocol (round-3 verdict: the external harness keeps only the
+LAST ~2000 chars of combined output and json-parses the final line — a
+67-query summary overflowed it and the timings survived only as a
+truncated string):
+
+- one short ``{"query": ..., "sec": ...}`` line per query as it runs
+  (live log; these may scroll out of the capture window);
+- the COMPLETE summary is written to ``bench_full.json`` next to this
+  script (committed evidence, independent of any capture window);
+- the final stdout line is the required summary JSON, size-capped: the
+  ``queries`` dict keeps the baseline-continuity subset (round-1's 17
+  bench queries, so every historical comparison stays line-parseable)
+  plus the slowest remaining queries until the line would exceed
+  ~1500 chars; ``n_queries``/``queries_full`` point at the full set.
 """
 
 from __future__ import annotations
@@ -93,10 +108,51 @@ BENCH_QUERIES = [
 ]
 
 
+# Round-1's bench set: these ALWAYS ride the final summary line so every
+# cross-round comparison against the adopted r1 baseline stays parseable.
+BASELINE_SUBSET = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "top_parts_per_brand", "merge_upsert",
+    "merge_dedup_last_wins", "dedup_exact", "dedup_minhash",
+    "dedup_simhash_pairs", "knn_bruteforce", "knn_ivf_signbits",
+    "text_stats", "text_quality", "events_sessionize",
+]
+
+_LINE_BUDGET = 1500  # chars; harness capture window is ~2000
+
+
+def _summary_line(timings: dict[str, float], total: float, sf: float) -> str:
+    keep = {n: timings[n] for n in BASELINE_SUBSET if n in timings}
+    rest = sorted(
+        (n for n in timings if n not in keep),
+        key=lambda n: -timings[n],
+    )
+    envelope = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": keep,
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_full": "bench_full.json",
+    }
+    for n in rest:
+        keep[n] = timings[n]
+        if len(json.dumps(envelope, separators=(",", ":"))) > _LINE_BUDGET:
+            del keep[n]
+            break
+    return json.dumps(envelope, separators=(",", ":"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_spark(app_name="simpletasks-data-spark-bench")
+    # No console progress bars: \r-spam is what polluted the harness's
+    # 2000-char tail window in rounds 1-3.
+    spark = get_spark(
+        app_name="simpletasks-data-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     # Warm up the JVM + parquet footers with a trivial action.
     catalog.load(spark, sf_dir, "region").count()
@@ -113,20 +169,24 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout lines above carry the detail
     spark.stop()
+    print(_summary_line(timings, total, sf), flush=True)
 
 
 if __name__ == "__main__":
