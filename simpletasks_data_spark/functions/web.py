@@ -50,16 +50,28 @@ TRACKING_PARAM_RE = r"^(utm_|fbclid|gclid|msclkid|ref$|ref=)"
 
 
 def canonical_url(url: Column | str) -> Column:
-    """Canonical form for crawl dedup: lowercase scheme+host, strip the
-    fragment, drop tracking query params (utm_*/fbclid/gclid/msclkid/
-    ref), SORT the surviving params (order never distinguishes
+    """Canonical form for crawl dedup: lowercase scheme+authority, strip
+    the fragment, drop tracking query params (utm_*/fbclid/gclid/
+    msclkid/ref), SORT the surviving params (order never distinguishes
     resources), collapse trailing slashes in the path (root stays '/').
     Pure JVM expressions (parse_url + array ops) — the canonical string
     is the dedup/bloom/partition key for 100 TB crawl frontiers, so it
-    must never pay a Python round-trip."""
+    must never pay a Python round-trip.
+
+    AUTHORITY, not HOST: host:port must survive canonicalization —
+    http://host:8080/x and http://host/x are distinct resources and
+    HOST would falsely merge them. Only the host:port half (after the
+    last '@') is case-folded; userinfo, when present, is kept verbatim
+    (usernames can be case-sensitive)."""
     u = _c(url)
     scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    auth = F.parse_url(u, F.lit("AUTHORITY"))
+    hostport = F.lower(F.element_at(F.split(auth, "@"), -1))
+    userinfo = F.when(
+        auth.contains("@"),
+        F.concat(F.regexp_replace(auth, "@[^@]*$", ""), F.lit("@")),
+    ).otherwise(F.lit(""))
+    host = F.concat(userinfo, hostport)
     path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     q = F.parse_url(u, F.lit("QUERY"))

@@ -387,6 +387,7 @@ def bm25_related_docs(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_permille: int = 100,
 ) -> DataFrame:
     """BM25 "more-like-this" retrieval: every document whose id hashes
     into the query stratum (``id % query_mod == 0``) retrieves its
@@ -410,6 +411,16 @@ def bm25_related_docs(
     window partitions on qid, the natural spread key. Ranking uses the
     4-decimal-rounded score (cross-engine ln parity) with doc-id
     tie-break.
+
+    **Common-token fan-out bound**: a stopword-grade token (df near N)
+    would make the candidate join quadratic-ish at scale — every query
+    containing it matches almost every document. Tokens with
+    ``df * 1000 > max_df_permille * N`` (default: df > 10% of the
+    corpus) are dropped from the QUERY side before the candidate join,
+    so they never fan out; their IDF is near the noise floor, and the
+    identical integer-exact cut applies in the SQL oracle, keeping
+    scores engine-exact rather than approximated. Set
+    ``max_df_permille = 1000`` to disable.
     """
     t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     tok = t.select(id_col, F.explode("_toks").alias("token"))
@@ -423,9 +434,18 @@ def bm25_related_docs(
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
     )
+    # df ceiling: integer-exact (df * 1000 <= permille * N), applied to
+    # the THIN query side before the candidate join so a stopword-grade
+    # token never reaches the tf-side fan-out at all.
+    kept_tokens = (
+        dfreq.crossJoin(F.broadcast(stats.select("_n")))
+        .where(F.col("df") * 1000 <= max_df_permille * F.col("_n"))
+        .select("token")
+    )
     qterms = (
         tf.where((F.col(id_col) % query_mod) == 0)
         .select(F.col(id_col).alias("query_id"), "token")
+        .join(F.broadcast(kept_tokens), "token")
     )
     idf = F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_part = (F.col("tf") * (k1 + 1.0)) / (

@@ -37,7 +37,12 @@ def skyline(df: DataFrame, minimize: Sequence[str]) -> DataFrame:
     def frontier(batches):
         import numpy as np
 
-        pdf = pd.concat(list(batches), ignore_index=True)
+        # mapInPandas invokes with ZERO Arrow batches for an empty input
+        # partition; pd.concat([]) raises, so guard before concatenating.
+        batches = list(batches)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
         if not len(pdf):
             return
         vals = pdf[cols].to_numpy(dtype=np.float64)

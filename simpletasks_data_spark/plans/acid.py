@@ -158,11 +158,17 @@ class TxnTable:
                 elif "dv" in action:
                     # merge-on-read deletion vector: mark row positions
                     # of an EXISTING file as deleted without rewriting
-                    # it; a later add (rewrite) of the path clears them
+                    # it; a later add (rewrite) of the path clears them.
+                    # A vector for a path absent from the state is log
+                    # corruption — fail loudly, never drop it silently.
                     tgt = state.get(action["dv"]["path"])
-                    if tgt is not None:
-                        merged = set(tgt.get("dv") or []) | set(action["dv"]["positions"])
-                        tgt["dv"] = sorted(merged)
+                    if tgt is None:
+                        raise ValueError(
+                            f"commit {v}: deletion vector targets unknown "
+                            f"file {action['dv']['path']!r}"
+                        )
+                    merged = set(tgt.get("dv") or []) | set(action["dv"]["positions"])
+                    tgt["dv"] = sorted(merged)
         return state
 
     def _try_commit(self, version: int, record: dict) -> bool:
@@ -444,22 +450,39 @@ class TxnTable:
 
     def _apply_dvs(self, df: DataFrame, files: Dict[str, dict]) -> DataFrame:
         """Filter out rows covered by deletion vectors (merge-on-read):
-        one broadcast anti-join on (file uri, row position) — the
+        one broadcast anti-join on (file NAME, row position) — the
         hidden ``_metadata`` columns come straight from the scan, so no
         data column is touched and the plan stays one pruned scan +
         broadcast anti-join. No-op (and no plan change) when the
-        snapshot carries no DVs."""
+        snapshot carries no DVs.
+
+        Matching is on ``_metadata.file_name`` vs basename(rel), never
+        on a hand-built absolute ``file:`` URI: URI representation
+        (symlinks, encoding, scheme) diverges silently between the
+        driver's ``os.path`` view and Spark's scan, and a missed match
+        would RESURRECT deleted rows. File names inside the table are
+        Spark-staged ``part-*.parquet`` (no URL-encodable characters),
+        and any basename ambiguity across the snapshot raises loudly
+        instead of risking a wrong-file match."""
         dv_rows = []
+        dv_bases = set()
         for rel, action in files.items():
-            for pos in action.get("dv") or []:
-                # Spark's _metadata.file_path renders local files as
-                # "file:/abs/path" (single slash)
-                uri = "file:" + os.path.abspath(os.path.join(self.path, rel))
-                dv_rows.append((uri, int(pos)))
+            if action.get("dv"):
+                dv_bases.add(os.path.basename(rel))
+                for pos in action["dv"]:
+                    dv_rows.append((os.path.basename(rel), int(pos)))
         if not dv_rows:
             return df
+        all_bases = [os.path.basename(rel) for rel in files]
+        dupes = dv_bases & {b for b in all_bases if all_bases.count(b) > 1}
+        if dupes:
+            raise ValueError(
+                f"deletion-vector file names {sorted(dupes)} are ambiguous in "
+                "this snapshot (same basename under multiple directories); "
+                "run compact() to materialize the vectors first"
+            )
         dv_df = self.spark.createDataFrame(dv_rows, "_dv_file string, _dv_pos long")
-        tagged = df.withColumn("_f", F.col("_metadata.file_path")).withColumn(
+        tagged = df.withColumn("_f", F.col("_metadata.file_name")).withColumn(
             "_p", F.col("_metadata.row_index")
         )
         kept = tagged.join(
@@ -501,7 +524,7 @@ class TxnTable:
         matches = (
             live.where(condition)
             .select(
-                F.col("_metadata.file_path").alias("_f"),
+                F.col("_metadata.file_name").alias("_f"),
                 F.col("_metadata.row_index").alias("_p"),
             )
             .collect()
@@ -511,10 +534,23 @@ class TxnTable:
                 f"{len(matches)} matched rows > max_positions={max_positions}; "
                 "use delete() (copy-on-write) for this selectivity"
             )
+        # Map scanned file NAMES back to the snapshot's relative paths on
+        # the driver (never by URI prefix-stripping — representation
+        # divergence there would silently mis-key the vector). An unknown
+        # or ambiguous name raises HERE, at write time, not at read time.
+        base_to_rel: Dict[str, str] = {}
+        for rel in files:
+            b = os.path.basename(rel)
+            base_to_rel[b] = None if b in base_to_rel else rel
         by_rel: Dict[str, list] = {}
-        prefix = "file:" + os.path.abspath(self.path) + os.sep
         for r in matches:
-            rel = r["_f"][len(prefix):] if r["_f"].startswith(prefix) else r["_f"]
+            rel = base_to_rel.get(r["_f"], "")
+            if not rel:
+                raise ValueError(
+                    f"matched row in file {r['_f']!r} which is "
+                    + ("ambiguous" if rel is None else "not")
+                    + " in the snapshot — cannot record a deletion vector"
+                )
             by_rel.setdefault(rel, []).append(int(r["_p"]))
         actions = [
             {"dv": {"path": rel, "positions": sorted(ps)}}

@@ -7706,7 +7706,9 @@ tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1,
 dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
 dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-q AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % 97 = 0),
+kept AS (SELECT token FROM dfreq CROSS JOIN stats WHERE df * 1000 <= 900 * n),
+q AS (SELECT doc_id AS query_id, token FROM tf JOIN kept USING (token)
+      WHERE doc_id % 97 = 0),
 s AS (
   SELECT q.query_id, tf.doc_id,
          round(sum(
@@ -7734,8 +7736,16 @@ def bm25_related_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 97 == 0) pulls its top-5 related documents, Okapi-scored
     over the shared vocabulary. See ``operators/corpus.bm25_related_docs``
     for the scale shape (one doc-term shuffle, broadcast doc-freq +
-    corpus stats, token equi-join — never a corpus cross join)."""
-    return CP.bm25_related_docs(load(spark, sf_dir, "documents"), k=5)
+    corpus stats, token equi-join — never a corpus cross join). The
+    common-token fan-out bound runs at 900 permille here (only
+    stopword-grade df > 90% tokens are cut; the oracle applies the
+    identical integer cut): the synthetic corpus draws from a ~30-token
+    vocabulary where median df is ~80%, so a production-style 10%
+    ceiling would vacuously empty the result — on a natural Zipfian
+    corpus set max_df_permille ≈ 100."""
+    return CP.bm25_related_docs(
+        load(spark, sf_dir, "documents"), k=5, max_df_permille=900
+    )
 
 
 @register("supplier_triangles", """
@@ -8200,7 +8210,7 @@ WITH s AS (
   GROUP BY l_suppkey
 ),
 ranked AS (
-  SELECT *, min(avg_delay) OVER (ORDER BY avg_cost ASC, l_suppkey ASC
+  SELECT *, min(avg_delay) OVER (ORDER BY avg_cost ASC, avg_delay ASC, l_suppkey ASC
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
             AS best_delay_so_far
   FROM s
@@ -8219,9 +8229,12 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one per-supplier agg (shuffle on suppkey), then the
     window over the supplier-sized frame; for >2 dimensions, block-
     local frontiers + a frontier-of-frontiers merge keep it
-    distributed. Ties: equal-cost suppliers compare in suppkey order,
-    so an equal-cost-equal-delay twin is dominated (strict `<`),
-    keeping the frontier minimal and deterministic."""
+    distributed. Ties: equal-cost suppliers scan in avg_delay order
+    (then suppkey), so within a cost tie the BEST delay is seen first —
+    a dominated equal-cost-worse-delay row can never outrun its
+    dominator into the frontier — and an equal-cost-equal-delay twin is
+    dominated (strict `<`), keeping the frontier minimal and
+    deterministic."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_suppkey",
@@ -8238,7 +8251,7 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
     w = (
-        Window.orderBy(F.asc("avg_cost"), F.asc("l_suppkey"))
+        Window.orderBy(F.asc("avg_cost"), F.asc("avg_delay"), F.asc("l_suppkey"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranked = s.withColumn("best_delay_so_far", F.min("avg_delay").over(w))

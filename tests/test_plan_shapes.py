@@ -316,6 +316,15 @@ def test_bm25_scans_corpus_text_once(spark):
     assert "BroadcastHashJoin" in plan  # doc-freq + corpus stats broadcast
 
 
+def test_bm25_df_ceiling_filters_query_tokens(spark):
+    """The common-token fan-out bound must survive into the physical
+    plan: the query-token side joins a df-filtered token frame
+    ((df * 1000) <= permille * N) BEFORE the candidate join, so a
+    stopword-grade token never fans out against the corpus."""
+    plan = _plan(Q.queries()["bm25_related_docs"](spark, SF))
+    assert "* 1000)" in plan, "df-ceiling filter missing from the plan"
+
+
 def test_containment_verifies_with_array_intersect(spark):
     plan = _plan(Q.queries()["dedup_containment"](spark, SF))
     # exact verification must intersect collected arrays per candidate,

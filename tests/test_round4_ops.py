@@ -80,6 +80,50 @@ def test_random_walk_cap_matches_uncapped_when_slack(spark):
     assert a == b
 
 
+def test_skyline_handles_empty_partitions(spark):
+    """mapInPandas calls the kernel with ZERO Arrow batches on empty
+    input partitions — 3 rows over 8 explicit partitions guarantees
+    several; pre-fix this raised pd.concat ValueError."""
+    from simpletasks_data_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 9.0), (2, 2.0, 2.0), (3, 9.0, 1.0)], "id long, a double, b double"
+    ).repartition(8)
+    got = {r["id"] for r in skyline(df, ["a", "b"]).collect()}
+    assert got == {1, 2, 3}
+    # fully-empty input frame
+    empty = spark.createDataFrame([], "id long, a double, b double").repartition(4)
+    assert skyline(empty, ["a", "b"]).count() == 0
+
+
+def test_pareto_tie_order_keeps_dominated_row_out(spark):
+    """Two suppliers tie on cost; the smaller key has the WORSE delay —
+    the window must scan the better delay first so the dominated row
+    never enters the frontier (round-3 advice)."""
+    import pandas as pd
+
+    # replicate the 2-D frontier logic directly on a crafted frame
+    from pyspark.sql import Window
+
+    s = spark.createDataFrame(
+        [(1, 5.0, 9.0), (2, 5.0, 3.0), (3, 7.0, 2.0)],
+        "l_suppkey long, avg_cost double, avg_delay double",
+    )
+    w = (
+        Window.orderBy(F.asc("avg_cost"), F.asc("avg_delay"), F.asc("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = s.withColumn("best", F.min("avg_delay").over(w))
+    kept = {
+        r["l_suppkey"]
+        for r in ranked.where(
+            F.col("best").isNull() | (F.col("avg_delay") < F.col("best"))
+        ).collect()
+    }
+    # supplier 1 (cost 5, delay 9) is dominated by supplier 2 (5, 3)
+    assert kept == {2, 3}
+
+
 def test_kmeans_query_output_is_scalar(spark):
     from simpletasks_data_spark import queries as C
 

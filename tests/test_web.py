@@ -54,6 +54,11 @@ def test_canonical_url_rules_and_idempotence(spark):
         ("http://site.org/x?ref=abc&refresh=1", "http://site.org/x?refresh=1"),
         ("http://site.org/x?fbclid=1&gclid=2&msclkid=3", "http://site.org/x"),
         ("http://site.org/p//", "http://site.org/p"),
+        # non-default port is a DISTINCT resource — must survive
+        ("http://Site.ORG:8080/x", "http://site.org:8080/x"),
+        ("http://site.org:8080/x?utm_b=1", "http://site.org:8080/x"),
+        # userinfo kept verbatim (case-sensitive), host:port folded
+        ("http://User@Site.ORG:81/x", "http://User@site.org:81/x"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(canonical_url("u").alias("c")).collect()]
