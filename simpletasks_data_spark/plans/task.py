@@ -21,6 +21,7 @@ compute the full merge plan and counter dict, skip both writes.
 from __future__ import annotations
 
 import datetime
+import logging
 from typing import Any, Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,20 @@ class ImportJob:
         # logger.warning sites (importtask.py:262-284). Kept OUT of the
         # result dict so the counter shape stays verbatim-reference.
         self.warnings: List[Dict[str, int]] = []
+        # Reference ergonomics (importtask.py:206, 219): a task-scoped
+        # logger and a progress callback. The reference wraps its row loop
+        # in self.progress(); Spark has no row loop, so the analogue is a
+        # per-lifecycle-stage callback — override progress() to wire a
+        # progress bar / metrics emitter (a SparkListener gives per-task
+        # granularity beyond this).
+        self.logger = logging.getLogger(
+            f"{__name__.split('.')[0]}.{type(self).__name__}"
+        )
+
+    def progress(self, stage: str, **info: Any) -> None:
+        """Per-stage progress hook (reference importtask.py:206 wraps its
+        row iterator in ``self.progress``); default just logs."""
+        self.logger.info("progress: %s %s", stage, info or "")
 
     # -- overridable lifecycle hooks (importtask.py:81-111) -----------------
     def get_sources(self) -> Sequence[Source]:
@@ -90,6 +105,7 @@ class ImportJob:
     # ----------------------------------------------------------------------
     def run(self) -> Dict[str, Any]:
         results: Dict[str, Any] = {}
+        self.progress("pre_process")
         results["preprocess"] = self.pre_process()
 
         target_cols = self.target.columns
@@ -107,6 +123,7 @@ class ImportJob:
         per_source = []
         self.warnings = []
         for source, bound in zip(sources, bounds):
+            self.progress("merge_source", source=source.name)
             step = merge_source(self.spark, image, source, bound, target_cols)
             # merge_source already checkpointed the merged frame; the image
             # here is a thin projection over it (no re-execution).
@@ -181,6 +198,7 @@ class ImportJob:
         self.result_df = final
 
         results["precommit"] = self.pre_commit()
+        self.progress("commit", dryrun=self.dryrun)
         if not self.dryrun:
             self.target.overwrite(final)
             if self.history_df is not None and self.history_sink is not None:

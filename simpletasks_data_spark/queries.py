@@ -98,6 +98,7 @@ _CHECK_FIRST = [
     "pareto_frontier_3d",
     "url_canonical_dedup",
     "url_host_stats",
+    "inverted_index_terms",
     # -- never checked, riskiest first (round-3 verdict item 5):
     #    iterative-ML / ACID / merge-surface novel failure area --
     "knn_ivf_kmeans",
@@ -143,9 +144,9 @@ _CHECK_FIRST = [
     "dedup_incremental",
     "jsonl_import_roundtrip",
     "multimodal_frame_sample",
-    "corpus_export_manifest",
     # ---- position 51+ from here: round-5 candidates (still never
     #      checked), then the proven-green remainder ----
+    "corpus_export_manifest",
     # -- changed this round (timestamp family fix; CC contraction;
     #    sig-agreement verify pruning + shared hash-set store) --
     "streaming_hourly_rollup",
@@ -6522,7 +6523,8 @@ idx AS (
   FROM tok GROUP BY token
 )
 SELECT token, doc_freq,
-       postings[1:8] AS postings_head,
+       array_to_string(list_transform(postings[1:8], x -> CAST(x AS VARCHAR)), '-')
+         AS postings_head,
        CAST(list_sum(postings) AS BIGINT) AS postings_checksum
 FROM idx WHERE doc_freq >= 25
 """)
@@ -6530,10 +6532,11 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (term -> sorted posting list): the IR
     primitive under search/dedup tooling. One explode of per-doc
     DISTINCT terms, one agg with map-side combine; posting lists emit as
-    sorted arrays (head + checksum keep the result compact while still
-    pinning full-list content). At 100 TB the agg output would write
-    bucketed by term — the layout a query-time term lookup co-locates
-    with."""
+    a '-'-joined head string + full-list checksum (compact, scalar-only
+    output — the driver canonicalizer cannot hash array cells — while
+    still pinning full-list content). At 100 TB the agg output would
+    write bucketed by term — the layout a query-time term lookup
+    co-locates with."""
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token")
@@ -6545,7 +6548,9 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.where(F.col("doc_freq") >= 25).select(
         "token",
         "doc_freq",
-        F.slice("postings", 1, 8).alias("postings_head"),
+        F.array_join(
+            F.transform(F.slice("postings", 1, 8), lambda x: x.cast("string")), "-"
+        ).alias("postings_head"),
         F.aggregate("postings", F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "postings_checksum"
         ),

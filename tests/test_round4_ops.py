@@ -124,6 +124,48 @@ def test_pareto_tie_order_keeps_dominated_row_out(spark):
     assert kept == {2, 3}
 
 
+def test_importjob_progress_hook_and_logger(spark):
+    """Reference ergonomics (importtask.py:206, 219): progress() fires at
+    each lifecycle stage with the source name, and self.logger is a
+    package-namespaced std-logging logger."""
+    from simpletasks_data_spark.mapping import Mapping
+    from simpletasks_data_spark.plans.target import TargetTable
+    from simpletasks_data_spark.plans.task import ImportJob
+    from simpletasks_data_spark.sources.generator import GeneratorSource
+
+    df = spark.createDataFrame([(1, "A")], "id long, col1 string")
+    target = TargetTable(schema=df.schema, df=df, primary_keys=("id",))
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.col1 = self.auto()
+
+        def get_header_line_number(self):
+            return -1
+
+    seen = []
+
+    class Job(ImportJob):
+        def progress(self, stage, **info):
+            seen.append((stage, info))
+            super().progress(stage, **info)
+
+    job = Job(
+        spark,
+        target,
+        sources=[GeneratorSource([["1", "B"]], M(), name="gen")],
+        dryrun=True,
+    )
+    job.run()
+    stages = [s for s, _ in seen]
+    assert stages == ["pre_process", "merge_source", "commit"]
+    assert seen[1][1] == {"source": "gen"}
+    assert seen[2][1] == {"dryrun": True}
+    assert job.logger.name.startswith("simpletasks_data_spark.")
+
+
 def test_kmeans_query_output_is_scalar(spark):
     from simpletasks_data_spark import queries as C
 
