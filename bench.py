@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "funnel_time_to_convert",
     "jsonl_gzip_roundtrip",
     "knn_ivf_kmeans",
+    # round-4 additions
+    "dedup_exact_substrings",
+    "domain_cap_sample",
+    "embedding_drift_by_label",
 ]
 
 

@@ -542,3 +542,30 @@ def kn_bigram_doc_logprob(
             F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
         )
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col,
+    order_cols,
+    n: int,
+) -> DataFrame:
+    """Diversity cap: keep at most ``n`` rows per group, chosen by a
+    DETERMINISTIC rank (``order_cols`` must totally order rows within a
+    group — include a unique id as the last key). The standard curation
+    guard against single-host/single-source domination of a training
+    mix: a crawl where one domain contributes 10M pages gets capped to
+    its best ``n`` by quality before mixing.
+
+    Scale shape: one shuffle on the group key; the window's sort spills,
+    and the filter drops rows before anything downstream — state per
+    group never exceeds the sort buffer, and the output is bounded at
+    ``n * n_groups`` rows regardless of skew (the hot-domain problem
+    this operator exists to kill).
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .where(F.col("_cap_rk") <= n)
+        .drop("_cap_rk")
+    )

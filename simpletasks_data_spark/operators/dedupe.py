@@ -617,3 +617,50 @@ def containment_pairs(
     return verified.where(F.col("containment") >= threshold).select(
         "id_a", "id_b", "containment"
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 12,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring detection at token-window granularity —
+    the "exact substring dedup" stage of training-data pipelines (find
+    verbatim boilerplate/licenses/templates copied across documents),
+    complementing document-level MinHash: two documents sharing one
+    50-token license paragraph are NOT near-duplicates globally, but the
+    span itself should be deduplicated or down-weighted.
+
+    Every ``window``-token sliding span (stride 1) is emitted and spans
+    occurring in >= ``min_docs`` DISTINCT documents are reported with
+    their document count, total occurrence count, and smallest holder id.
+
+    Scale shape: span generation is MAP-ONLY (one ``token_ngrams``
+    array expression per doc, no join); the single shuffle is the span
+    groupBy, O(total corpus tokens) rows — the honest lower bound for
+    exact substring matching without a distributed suffix array. Spans
+    hash-partition uniformly (they are near-unique strings), so there is
+    no skew key; map-side partial aggregation collapses within-doc
+    repeats early. To trade recall for cost at 100 TB, raise the stride
+    on ONE side (stride-S windows still catch every repeat of length
+    >= window + S - 1); the reference pipeline keeps stride 1.
+    """
+    from ..functions.text import token_ngrams
+
+    t = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") >= window)
+    spans = t.select(
+        "_id", F.explode(token_ngrams(F.col("_toks"), window)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("_id").cast("long").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -400,3 +400,48 @@ def knn_bruteforce_blas(
     return q.mapInPandas(
         score, "query_id long, neighbor_id long, rank long, cosine double"
     )
+
+
+def centroid_drift_by_group(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Per-group embedding-centroid drift vs the global centroid — the
+    corpus-mix monitor a training pipeline runs per source/shard/day:
+    a group whose centroid points away from the corpus centroid (low
+    cosine) signals topic/domain drift or a poisoned shard before any
+    model sees the data.
+
+    Returns (group, n_vecs, drift_cosine): cosine between the group's
+    mean vector and the global mean vector, both on the 1e-6 avg grid
+    (the same determinism contract as the k-means/pca family so a SQL
+    oracle lands on identical bytes), cosine rounded at 4.
+
+    Scale shape: ONE hash aggregation computes every per-group per-dim
+    mean (map-side partials; groups x dims tiny output); the global
+    centroid is the same agg without keys (single row, broadcast). The
+    cosine is a codegen'd array fold over group-count-sized data — no
+    per-vector second pass, no shuffle beyond the one agg.
+    """
+    arr = as_double(vec_col)
+    g_aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")] + [
+        F.round(F.avg(F.element_at(arr, d + 1)), 6).alias(f"m{d}")
+        for d in range(dims)
+    ]
+    per_group = emb.groupBy(F.col(group_col).alias("group")).agg(*g_aggs)
+    glob = emb.agg(
+        *[F.round(F.avg(F.element_at(arr, d + 1)), 6).alias(f"g{d}") for d in range(dims)]
+    )
+    joined = per_group.crossJoin(F.broadcast(glob))
+    c = F.array(*[F.col(f"m{d}") for d in range(dims)])
+    g = F.array(*[F.col(f"g{d}") for d in range(dims)])
+    dot = F.aggregate(F.zip_with(c, g, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    nc = F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    ng = F.sqrt(F.aggregate(F.transform(g, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return joined.select(
+        "group",
+        "n_vecs",
+        F.round(dot / (nc * ng), 4).alias("drift_cosine"),
+    )

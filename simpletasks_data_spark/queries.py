@@ -146,6 +146,9 @@ _CHECK_FIRST = [
     "multimodal_frame_sample",
     # ---- position 51+ from here: round-5 candidates (still never
     #      checked), then the proven-green remainder ----
+    "dedup_exact_substrings",
+    "domain_cap_sample",
+    "embedding_drift_by_label",
     "corpus_export_manifest",
     # -- changed this round (timestamp family fix; CC contraction;
     #    sig-agreement verify pruning + shared hash-set store) --
@@ -10065,3 +10068,122 @@ def kmeans_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["kmeans_cluster_topics"] = _ORACLES["kmeans_cluster_topics"].replace(
     "__KM2__", _kmeans_ctes(8, 2, 64)
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: exact substring dedup, diversity capping, centroid drift
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_exact_substrings", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+ix AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 11)) AS i
+  FROM t WHERE len(toks) >= 12
+),
+w AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 11), ' ') AS span
+  FROM ix
+)
+SELECT span,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM w GROUP BY span
+HAVING count(DISTINCT doc_id) >= 2
+""")
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (12-token sliding windows,
+    stride 1): every span copied verbatim across >= 2 documents — the
+    boilerplate/license/template finder that document-level MinHash
+    misses. Map-only span generation, ONE O(corpus tokens) shuffle on
+    the span key (near-unique strings, no skew). See
+    operators/dedupe.exact_substring_spans for the 100 TB cost model
+    and the stride trade-off."""
+    return DD.exact_substring_spans(
+        load(spark, sf_dir, "documents"), window=12, min_docs=2
+    )
+
+
+@register("domain_cap_sample", """
+WITH d AS (
+  SELECT doc_id, n_chars, 'h' || CAST(doc_id % 37 AS VARCHAR) AS host
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY host) AS n_total
+  FROM d
+)
+SELECT host,
+       CAST(any_value(n_total) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (rk <= 5) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) FILTER (rk <= 5) AS BIGINT) AS first_kept_doc,
+       CAST(sum(n_chars) FILTER (rk <= 5) AS BIGINT) AS kept_chars
+FROM r GROUP BY host
+""")
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain diversity cap: at most 5 documents per host survive,
+    chosen by (n_chars desc, doc_id) — the curation guard that stops a
+    single crawled domain from dominating a training mix. Hosts are
+    synthesized deterministically (doc_id % 37) since the synthetic
+    corpus carries no URL; the report shows, per host, how many docs
+    existed and what the cap kept. One shuffle on the host key; the cap
+    bounds output at n * hosts regardless of domain skew. See
+    operators/corpus.cap_per_group."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")).alias("host"),
+    )
+    totals = d.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    kept = CP.cap_per_group(d, "host", [F.desc("n_chars"), F.asc("doc_id")], 5)
+    agg = kept.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").cast("long").alias("first_kept_doc"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return totals.join(agg, "host").select(
+        "host", "n_total", "n_kept", "first_kept_doc", "kept_chars"
+    )
+
+
+@register("embedding_drift_by_label", """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+ix AS (
+  SELECT label, v, unnest(generate_series(1, 64)) AS i FROM e
+),
+cl AS (
+  SELECT label, list(m ORDER BY i) AS c FROM (
+    SELECT label, i, round(avg(v[i]), 6) AS m FROM ix GROUP BY label, i
+  ) GROUP BY label
+),
+nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM e GROUP BY label),
+cg AS (
+  SELECT list(m ORDER BY i) AS g FROM (
+    SELECT i, round(avg(v[i]), 6) AS m FROM ix GROUP BY i
+  )
+)
+SELECT CAST(cl.label AS BIGINT) AS "group", nv.n_vecs,
+       round(list_dot_product(cl.c, cg.g)
+             / (sqrt(list_sum(list_transform(cl.c, x -> x * x)))
+                * sqrt(list_sum(list_transform(cg.g, x -> x * x)))), 4)
+         AS drift_cosine
+FROM cl JOIN nv USING (label) CROSS JOIN cg
+""")
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding-centroid drift vs the global corpus centroid
+    (cosine on 1e-6-grid means, rounded at 4) — the shard/source/day
+    health monitor that flags topic drift or a poisoned slice before
+    training. ONE hash agg for all per-group means + a single-row
+    global agg broadcast. See operators/similarity.centroid_drift_by_
+    group for the determinism contract shared with k-means/PCA."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.centroid_drift_by_group(emb, group_col="label", dims=64)
+    return out.select(
+        F.col("group").cast("long").alias("group"), "n_vecs", "drift_cosine"
+    )

@@ -189,3 +189,74 @@ def test_walks_query_output_is_scalar(spark):
     df = C.queries()["graph_random_walks"](spark, "/root/testdata/sf0.001")
     assert_driver_canonicalizable("graph_random_walks", df)
     assert dict(df.dtypes)["path"] == "string"
+
+
+def test_exact_substring_spans_detects_copied_span(spark):
+    from simpletasks_data_spark.operators.dedupe import exact_substring_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + shared + " beta"),
+            (2, "gamma delta " + shared),
+            (3, "unrelated text entirely different tokens here " * 3),
+            (4, "short doc"),  # < window tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_substring_spans(docs, window=12, min_docs=2).collect()
+    spans = {r["span"]: r for r in out}
+    assert shared in spans
+    hit = spans[shared]
+    assert hit["n_docs"] == 2 and hit["first_doc"] == 1
+    # every reported span is held by >= 2 docs
+    assert all(r["n_docs"] >= 2 for r in out)
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.operators.corpus import cap_per_group
+
+    rows = [(g, i, (i * 7) % 13) for g in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "grp string, id long, q long")
+    kept = cap_per_group(df, "grp", [F.desc("q"), F.asc("id")], 5)
+    got = kept.groupBy("grp").count().collect()
+    assert {r["grp"]: r["count"] for r in got} == {"a": 5, "b": 5}
+    # deterministic: best-q rows win, id tiebreak
+    a_ids = sorted(r["id"] for r in kept.where(F.col("grp") == "a").collect())
+    expected = sorted(
+        sorted(range(20), key=lambda i: (-((i * 7) % 13), i))[:5]
+    )
+    assert a_ids == expected
+    # the helper column must not leak
+    assert "_cap_rk" not in kept.columns
+
+
+def test_centroid_drift_identity_group(spark):
+    from simpletasks_data_spark.operators.similarity import centroid_drift_by_group
+
+    # one group IS the global corpus -> drift_cosine == 1.0
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(6)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = centroid_drift_by_group(df, group_col="label", dims=4).collect()
+    assert len(out) == 1
+    assert out[0]["n_vecs"] == 6
+    assert abs(out[0]["drift_cosine"] - 1.0) < 1e-9
+
+
+def test_centroid_drift_orthogonal_groups(spark):
+    from simpletasks_data_spark.operators.similarity import centroid_drift_by_group
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    got = {r["group"]: r["drift_cosine"]
+           for r in centroid_drift_by_group(df, group_col="label", dims=2).collect()}
+    # global centroid = (0.5, 0.5); each unit axis is at 45 degrees
+    import math
+    assert abs(got[0] - round(math.cos(math.pi / 4), 4)) < 1e-3
+    assert got[0] == got[1]
