@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "dedup_exact_substrings",
     "domain_cap_sample",
     "embedding_drift_by_label",
+    "graph_kcore_suppliers",
+    "vocab_coverage_by_source",
 ]
 
 

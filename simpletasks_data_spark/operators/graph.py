@@ -498,3 +498,57 @@ def random_walks(
             "walk_id", F.concat(F.col("path"), F.array(nxt)).alias("path")
         )
     return walks
+
+
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
+    """K-core decomposition by synchronous peeling: round r removes every
+    node whose CURRENT degree is < k; survivors after the peel reaches a
+    fixpoint are the k-core. Returns one row per node of the input graph:
+    (node, peel_round) with peel_round = the round that removed the node,
+    or 0 for core members — the full onion, so the result is informative
+    even when the core is empty (small graphs) or the peel is a no-op
+    (dense graphs).
+
+    Deterministic without tie-breaks: simultaneous peeling makes the
+    per-round removal set a pure function of the graph, and the k-core
+    itself is unique — so an unrolled fixed-round SQL oracle lands on
+    identical rows whether or not it runs extra no-op rounds past the
+    fixpoint.
+
+    Scale shape (the Lloyd/LPA iterative discipline): each round is ONE
+    degree aggregation (map-side partials) + a left join against the
+    surviving-node set + two semi-joins filtering the live edge list;
+    per-round frames are checkpointed so lineage stays flat. The driver
+    holds only a 1-row count per round (the convergence barrier that IS
+    the algorithm); ``max_rounds`` bounds the round count — peeling
+    removes >= 1 node per non-terminal round, and real corpora converge
+    in a handful of rounds because degrees drop geometrically.
+    """
+    und = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select("src").distinct()
+    live = und
+    peeled = []
+    for r in range(1, max_rounds + 1):
+        degs = live.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        deg = nodes.join(degs, "src", "left").select(
+            "src", F.coalesce(F.col("_d"), F.lit(0)).alias("_d")
+        )
+        low = deg.where(F.col("_d") < k).select("src").localCheckpoint(eager=True)
+        if low.count() == 0:
+            break
+        peeled.append(low.select("src", F.lit(r).cast("long").alias("peel_round")))
+        nodes = deg.where(F.col("_d") >= k).select("src").localCheckpoint(eager=True)
+        live = (
+            live.join(nodes, "src", "semi")
+            .join(nodes.withColumnRenamed("src", "dst"), "dst", "semi")
+            .localCheckpoint(eager=False)
+        )
+    out = nodes.select("src", F.lit(0).cast("long").alias("peel_round"))
+    for p in peeled:
+        out = out.unionByName(p)
+    return out.select(F.col("src").alias("node"), "peel_round")

@@ -149,6 +149,8 @@ _CHECK_FIRST = [
     "dedup_exact_substrings",
     "domain_cap_sample",
     "embedding_drift_by_label",
+    "graph_kcore_suppliers",
+    "vocab_coverage_by_source",
     "corpus_export_manifest",
     # -- changed this round (timestamp family fix; CC contraction;
     #    sig-agreement verify pruning + shared hash-set store) --
@@ -8422,31 +8424,11 @@ def communities_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # distributed top-K (K = 1% of pairs): the oracle's global rank
-    # window would sort EVERY pair on one partition — instead derive
-    # the support threshold from the (tiny) support histogram and rank
-    # only the boundary ties, so no data-sized single-partition sort
-    k1 = sup.agg(F.ceil(F.count(F.lit(1)) / 100.0).alias("k"))
-    hist = sup.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy(F.desc("n")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    hist = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
-        "cum_before", F.col("cum") - F.col("c")
-    )
-    thr = (
-        hist.crossJoin(F.broadcast(k1))
-        .where((F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum")))
-        .select(F.col("n").alias("s_star"), (F.col("k") - F.col("cum_before")).alias("quota"))
-    )
-    sup2 = sup.crossJoin(F.broadcast(thr))
-    keep_above = sup2.where(F.col("n") > F.col("s_star"))
-    w_ties = Window.partitionBy("s_star").orderBy(F.asc("u"), F.asc("v"))
-    ties = (
-        sup2.where(F.col("n") == F.col("s_star"))
-        .withColumn("trn", F.row_number().over(w_ties))
-        .where(F.col("trn") <= F.col("quota"))
-    )
-    edges = keep_above.select("u", "v").unionByName(ties.select("u", "v"))
+    # window would sort EVERY pair on one partition — _top_frac_edges
+    # derives the support threshold from the (tiny) support histogram
+    # and ranks only the boundary ties, so no data-sized
+    # single-partition sort (helper shared with graph_kcore_suppliers)
+    edges = _top_frac_edges(sup, 100)
     lp = label_propagation(edges, iterations=3)
     sized = lp.groupBy("community").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
@@ -10186,4 +10168,165 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.centroid_drift_by_group(emb, group_col="label", dims=64)
     return out.select(
         F.col("group").cast("long").alias("group"), "n_vecs", "drift_cosine"
+    )
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8, denom: int = 10) -> str:
+    """Unrolled synchronous peel (operators/graph.k_core contract): the
+    k-core fixpoint is unique and rounds past it are no-ops, so a fixed
+    unroll is exact whether or not the engine early-exits."""
+    parts = []
+    prev_n, prev_e = "n0", "e0"
+    selects = []
+    for t in range(1, rounds + 1):
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT n.src, coalesce(c.d, 0) AS d
+  FROM {prev_n} n LEFT JOIN (SELECT src, count(*) AS d FROM {prev_e} GROUP BY src) c
+  USING (src)
+),
+p{t} AS MATERIALIZED (SELECT src FROM d{t} WHERE d < {k}),
+n{t} AS MATERIALIZED (SELECT src FROM d{t} WHERE d >= {k}),
+e{t} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev_e} e
+  JOIN n{t} a ON e.src = a.src JOIN n{t} b ON e.dst = b.src
+)""")
+        selects.append(
+            f"SELECT src, CAST({t} AS BIGINT) AS peel_round FROM p{t}"
+        )
+        prev_n, prev_e = f"n{t}", f"e{t}"
+    selects.append(f"SELECT src, CAST(0 AS BIGINT) AS peel_round FROM n{rounds}")
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sup AS (SELECT u, v, count(*) AS n FROM pairs GROUP BY u, v),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (ORDER BY n DESC, u ASC, v ASC) AS rn,
+           count(*) OVER () AS total
+    FROM sup
+  ) WHERE rn <= ceil(total / {denom}.0)
+),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
+)),
+n0 AS MATERIALIZED (SELECT DISTINCT src FROM und),
+e0 AS MATERIALIZED (SELECT src, dst FROM und),
+{", ".join(parts)}
+SELECT CAST(src AS BIGINT) AS suppkey, peel_round
+FROM ({" UNION ALL ".join(selects)})
+"""
+
+
+def _top_frac_edges(sup: DataFrame, denom: int) -> DataFrame:
+    """TOP-1/denom strongest (u, v) pairs by support — the distributed
+    top-K pattern shared with communities_suppliers: derive the support
+    threshold from the (tiny) support histogram, rank ONLY boundary ties
+    — never a data-sized single-partition sort. Integer-exact with (u, v)
+    tie-break so the SQL oracle's global rank window agrees."""
+    kq = sup.agg(F.ceil(F.count(F.lit(1)) / float(denom)).alias("k"))
+    hist = sup.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+    thr = (
+        hist.crossJoin(F.broadcast(kq))
+        .where((F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum")))
+        .select(F.col("n").alias("s_star"), (F.col("k") - F.col("cum_before")).alias("quota"))
+    )
+    sup2 = sup.crossJoin(F.broadcast(thr))
+    keep_above = sup2.where(F.col("n") > F.col("s_star"))
+    w_ties = Window.partitionBy("s_star").orderBy(F.asc("u"), F.asc("v"))
+    ties = (
+        sup2.where(F.col("n") == F.col("s_star"))
+        .withColumn("trn", F.row_number().over(w_ties))
+        .where(F.col("trn") <= F.col("quota"))
+    )
+    return keep_above.select("u", "v").unionByName(ties.select("u", "v"))
+
+
+@register("graph_kcore_suppliers", _kcore_oracle_sql(3, 8, 10))
+def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=3) of the supplier co-occurrence graph
+    over its top-10% strongest edges: every node reports the peel round
+    that removed it (0 = survives in the 3-core) — the influence/
+    robustness layering next to triangles, communities, and pagerank,
+    and the graph-side analogue of a quality funnel (how deep does a
+    supplier sit in the collaboration web?). Unique fixpoint => no
+    tie-breaks; see operators/graph.k_core for the one-agg-per-round
+    peel shape and _top_frac_edges for the threshold-not-sort edge
+    cut."""
+    from .operators.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    sup = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    edges = _top_frac_edges(sup, 10)
+    out = k_core(edges, k=3, max_rounds=8)
+    return out.select(F.col("node").cast("long").alias("suppkey"), "peel_round")
+
+
+@register("vocab_coverage_by_source", f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS.format(c='text')}) AS token FROM documents
+),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+vocab AS (SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT 10),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM tok LEFT JOIN vocab v USING (token)
+  GROUP BY source
+)
+SELECT source, n_tokens, n_covered,
+       round(n_covered * 1.0 / n_tokens, 4) AS coverage
+FROM per
+""")
+def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report: the fraction of each
+    source's token OCCURRENCES covered by the corpus's top-10 vocabulary
+    — the tokenizer-fit signal a pipeline checks per source before
+    training (low coverage = the tokenizer will fragment that source).
+    One token explode feeds both the count and the coverage join; the
+    vocabulary is a tiny broadcast; one agg per source. Top-10 (not a
+    production 32k) because the synthetic corpus draws from a ~30-token
+    vocabulary — the shape, not the constant, is the operator."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = cnt.orderBy(F.desc("n"), F.asc("token")).limit(10).select(
+        "token", F.lit(1).alias("_v")
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("_v"), F.lit(0)).cast("long").alias("n_covered"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_covered",
+        F.round(F.col("n_covered") * 1.0 / F.col("n_tokens"), 4).alias("coverage"),
     )

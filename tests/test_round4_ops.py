@@ -260,3 +260,40 @@ def test_centroid_drift_orthogonal_groups(spark):
     import math
     assert abs(got[0] - round(math.cos(math.pi / 4), 4)) < 1e-3
     assert got[0] == got[1]
+
+
+def test_k_core_triangle_with_tail(spark):
+    from simpletasks_data_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "u long, v long"
+    )
+    got = {r["node"]: r["peel_round"] for r in k_core(edges, k=2).collect()}
+    # tail node 4 (degree 1) peels in round 1; the triangle is the 2-core
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1}
+    # k=3: nobody has degree 3 after the tail goes -> everything peels
+    got3 = {r["node"]: r["peel_round"] for r in k_core(edges, k=3).collect()}
+    assert got3[4] == 1 and all(v >= 1 for v in got3.values())
+    assert set(got3) == {1, 2, 3, 4}
+
+
+def test_k_core_chain_peels_inward(spark):
+    from simpletasks_data_spark.operators.graph import k_core
+
+    # path 1-2-3-4-5 with k=2: endpoints peel first, then inward
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r["node"]: r["peel_round"] for r in k_core(edges, k=2).collect()}
+    assert got[1] == 1 and got[5] == 1
+    assert got[2] == 2 and got[4] == 2
+    assert got[3] == 3  # the middle survives two rounds then drops
+
+
+def test_vocab_coverage_sums(spark):
+    from simpletasks_data_spark import queries as C
+
+    df = C.queries()["vocab_coverage_by_source"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows and all(0.0 <= r["coverage"] <= 1.0 for r in rows)
+    assert all(r["n_covered"] <= r["n_tokens"] for r in rows)
