@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "embedding_drift_by_label",
     "graph_kcore_suppliers",
     "vocab_coverage_by_source",
+    "timeseries_forward_fill_nation",
 ]
 
 

@@ -195,3 +195,57 @@ def interval_overlap_join(
         .where(overlap & first_shared)
         .drop("_cell", "_lc0", "_rc0")
     )
+
+
+def calendar_forward_fill(
+    obs: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Gap-fill a per-(key, day) observation frame onto the DENSE global
+    calendar and forward-fill the value — the time-series densification
+    step behind "last known state per day" reports (price carried
+    forward, inventory positions, slowly-updating metrics). Days before
+    a key's first observation stay NULL (nothing to carry).
+
+    Returns (key, day, n_obs, <value_col>_ff): n_obs is a per-day FACT
+    and zero-fills on gap days (``count_col`` if given, else a 0/1
+    observed flag); only the value column forward-fills.
+
+    Scale shape: the calendar bounds are ONE global min/max agg (single
+    row); the dense frame is calendar x keys — an explode of a
+    sequence() against the broadcast key list, never a shuffle of the
+    observation data; observations left-join on (key, day) (one
+    shuffle); the forward fill is last_value IGNORE NULLS over
+    (key, day-ordered) — one window pass that rides the same (key)
+    partitioning. Total: one shuffle of calendar-sized (not
+    observation-sized) rows plus the observation join.
+    """
+    bounds = obs.agg(
+        F.min(day_col).alias("_dmin"), F.max(day_col).alias("_dmax")
+    )
+    keys = obs.select(F.col(key_col)).distinct()
+    calendar = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("_dmin"), F.col("_dmax"))).alias(day_col),
+        )
+    )
+    joined = calendar.join(obs, [key_col, day_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = joined.withColumn(
+        f"{value_col}_ff", F.last(value_col, ignorenulls=True).over(w)
+    )
+    n_obs = (
+        F.coalesce(F.col(count_col), F.lit(0)).cast("long")
+        if count_col
+        else F.when(F.col(value_col).isNull(), F.lit(0)).otherwise(F.lit(1)).cast("long")
+    )
+    return out.select(key_col, day_col, n_obs.alias("n_obs"), f"{value_col}_ff")

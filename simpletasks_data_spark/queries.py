@@ -151,6 +151,7 @@ _CHECK_FIRST = [
     "embedding_drift_by_label",
     "graph_kcore_suppliers",
     "vocab_coverage_by_source",
+    "timeseries_forward_fill_nation",
     "corpus_export_manifest",
     # -- changed this round (timestamp family fix; CC contraction;
     #    sig-agreement verify pruning + shared hash-set store) --
@@ -10330,3 +10331,66 @@ def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_covered",
         F.round(F.col("n_covered") * 1.0 / F.col("n_tokens"), 4).alias("coverage"),
     )
+
+
+@register("timeseries_forward_fill_nation", """
+WITH o AS (
+  SELECT n.n_name AS nation, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         round(avg(o.o_totalprice), 4) AS avg_price
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS dmin, max(day) AS dmax FROM o),
+days AS (
+  SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+keys AS (SELECT DISTINCT nation FROM o),
+cal AS (SELECT k.nation, d.day FROM keys k CROSS JOIN days d),
+j AS (
+  SELECT cal.nation, cal.day,
+         coalesce(o.n_orders, 0) AS n_obs, o.avg_price
+  FROM cal LEFT JOIN o ON o.nation = cal.nation AND o.day = cal.day
+)
+SELECT nation, day, CAST(n_obs AS BIGINT) AS n_obs,
+       last_value(avg_price IGNORE NULLS) OVER (
+         PARTITION BY nation ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_price_ff
+FROM j
+""")
+def timeseries_forward_fill_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar forward fill: per-nation daily order stats over
+    1994-Q1, gap days zero-counted with the last observed average price
+    carried forward — the time-series densification primitive (last
+    known state per day) behind price/inventory/state reports. One
+    global bounds agg, a broadcast key x calendar explode, one
+    observation join, one window pass riding the same key partitioning.
+    See operators/temporal.calendar_forward_fill."""
+    from .operators.temporal import calendar_forward_fill
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_day", F.col("o_orderdate").cast("date")
+    ).where(
+        (F.col("o_day") >= F.lit("1996-01-01")) & (F.col("o_day") < F.lit("1996-04-01"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    obs = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+    out = calendar_forward_fill(
+        obs, key_col="nation", day_col="day", value_col="avg_price",
+        count_col="n_orders",
+    )
+    return out.select("nation", "day", "n_obs", "avg_price_ff")

@@ -297,3 +297,31 @@ def test_vocab_coverage_sums(spark):
     rows = df.collect()
     assert rows and all(0.0 <= r["coverage"] <= 1.0 for r in rows)
     assert all(r["n_covered"] <= r["n_tokens"] for r in rows)
+
+
+def test_calendar_forward_fill_gaps(spark):
+    import datetime as dt
+
+    from simpletasks_data_spark.operators.temporal import calendar_forward_fill
+
+    obs = spark.createDataFrame(
+        [
+            ("a", dt.date(2020, 1, 1), 2, 10.0),
+            ("a", dt.date(2020, 1, 4), 1, 20.0),
+            ("b", dt.date(2020, 1, 2), 3, 7.0),
+        ],
+        "k string, day date, n long, v double",
+    )
+    out = calendar_forward_fill(obs, "k", "day", "v", count_col="n")
+    rows = {(r["k"], str(r["day"])): (r["n_obs"], r["avg" if False else "v_ff"])
+            for r in out.collect()}
+    # calendar spans global min..max (Jan 1-4), both keys densified
+    assert len(rows) == 8
+    assert rows[("a", "2020-01-01")] == (2, 10.0)
+    assert rows[("a", "2020-01-02")] == (0, 10.0)   # gap: carried value
+    assert rows[("a", "2020-01-03")] == (0, 10.0)
+    assert rows[("a", "2020-01-04")] == (1, 20.0)
+    # key b: before first observation the fill is NULL
+    assert rows[("b", "2020-01-01")] == (0, None)
+    assert rows[("b", "2020-01-02")] == (3, 7.0)
+    assert rows[("b", "2020-01-04")] == (0, 7.0)
