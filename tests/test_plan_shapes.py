@@ -214,6 +214,10 @@ def test_plan_lint_no_antipatterns(spark):
         "inverted_index_terms", "embedding_random_projection",
         "attribution_linear_multitouch", "entity_match_customers",
         "cdc_chunk_documents", "multimodal_wav_roundtrip",
+        # round-4 additions (lazily plannable)
+        "dedup_exact_substrings", "domain_cap_sample",
+        "embedding_drift_by_label", "vocab_coverage_by_source",
+        "timeseries_forward_fill_nation",
     ]
     bad = {}
     for name in LAZY:
