@@ -48,6 +48,8 @@ __all__ = [
     "bm25_related_docs",
     "weighted_sample",
     "balance_mixture",
+    "dsir_logratio_weights",
+    "budget_select_by_quality",
 ]
 
 
@@ -568,4 +570,130 @@ def cap_per_group(
         df.withColumn("_cap_rk", F.row_number().over(w))
         .where(F.col("_cap_rk") <= n)
         .drop("_cap_rk")
+    )
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the mean log2 likelihood ratio of its tokens under the
+    TARGET distribution vs the RAW distribution, both unigram models
+    with add-1 smoothing over the raw vocabulary. Sampling raw docs
+    proportionally to exp(weight) then approximates sampling from the
+    target domain — the standard recipe for tilting a web-scale corpus
+    toward a curated domain (Wikipedia, books, code).
+
+    Returns (id, n_tokens, logratio): logratio > 0 means the doc looks
+    more target-like than the corpus average.
+
+    Scale shape: two token hash-aggs build the models (raw vocab +
+    target vocab); the merged model is vocabulary-sized, so it
+    BROADCASTS back onto the raw token stream and scoring is a map-side
+    join + one per-doc agg. The 100 TB corpus is scanned twice and
+    shuffled once (the vocab agg on the high-cardinality token key —
+    well spread); the target sample is small by construction. Tokens
+    outside the raw vocabulary cannot occur (raw defines the stream);
+    target-unseen tokens get the +1 smoothing mass.
+    """
+    tok = docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("t"))
+    tgt_tok = target.select(F.explode(tokens(text_col)).alias("t"))
+    raw_cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt_raw"))
+    tgt_cnt = tgt_tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt_tgt"))
+    model = raw_cnt.join(tgt_cnt, "t", "left").na.fill({"cnt_tgt": 0})
+    sums = model.agg(
+        F.sum("cnt_raw").alias("tot_raw"),
+        F.sum("cnt_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    scored = model.crossJoin(F.broadcast(sums)).withColumn(
+        "lr",
+        F.log2(
+            (F.col("cnt_tgt") + 1).cast("double") / (F.col("tot_tgt") + F.col("vocab"))
+        )
+        - F.log2(
+            (F.col("cnt_raw") + 1).cast("double") / (F.col("tot_raw") + F.col("vocab"))
+        ),
+    )
+    return (
+        tok.join(F.broadcast(scored.select("t", "lr")), "t")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            # + 0.0 canonicalizes IEEE negative zero across engines
+            (F.round(F.avg("lr"), round_digits) + F.lit(0.0)).alias("logratio"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "logratio")
+    )
+
+
+def budget_select_by_quality(
+    docs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    tokens_col: str,
+    budget: DataFrame,
+    grid: int = 1000,
+) -> DataFrame:
+    """Select the highest-quality documents whose token counts fit a
+    global budget — the "give me the best 60%-of-tokens slice" curation
+    step — WITHOUT a global sort. Quality is quantized onto an integer
+    grid (``round(quality * grid)``); per-bucket token sums (at most
+    ``grid + 1`` rows) are cumulated highest-bucket-first to find the
+    boundary bucket; buckets strictly above it are kept by pure FILTER,
+    and only the boundary bucket is ordered (by ``id_col``) to take the
+    prefix that tops the budget off. ``budget`` is a 1-row frame with a
+    long ``_budget`` column (so "60% of total tokens" stays a lazy agg —
+    no driver collect). Returns ``docs`` plus a boolean ``kept`` flag.
+
+    Scale shape: one hash agg to the tiny bucket frame; the cumsum runs
+    on <= grid+1 rows via a single-partition window — bounded by the
+    GRID, not the data. The two threshold scalars broadcast back, so the
+    keep decision is a map-side filter for every bucket except the
+    boundary one, which alone is ordered (a window over one bucket's
+    rows). At 100 TB tighten ``grid`` if that bucket grows too hot
+    (finer grid => smaller buckets). All integer/long arithmetic, so
+    engines agree exactly.
+    """
+    d = docs.withColumn("_bk", F.round(F.col(quality_col) * grid).cast("long"))
+    buckets = d.groupBy("_bk").agg(F.sum(tokens_col).cast("long").alias("_btok"))
+    w = Window.orderBy(F.desc("_bk")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("_cum", F.sum("_btok").over(w)).crossJoin(
+        F.broadcast(budget)
+    )
+    # boundary = highest bucket whose cumulative sum exceeds the budget
+    # (null when everything fits; then every doc is kept)
+    bnd = cum.agg(
+        F.max(F.when(F.col("_cum") > F.col("_budget"), F.col("_bk"))).alias("_bnd_bk")
+    )
+    thresholds = (
+        bnd.join(cum, F.col("_bnd_bk") == F.col("_bk"), "left")
+        .select(
+            "_bnd_bk",
+            F.coalesce(
+                F.col("_budget") - (F.col("_cum") - F.col("_btok")), F.lit(0)
+            ).alias("_bnd_room"),
+        )
+    )
+    wb = Window.partitionBy("_bk").orderBy(F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        d.crossJoin(F.broadcast(thresholds))
+        .withColumn(
+            "_run",
+            F.when(F.col("_bk") == F.col("_bnd_bk"), F.sum(tokens_col).over(wb)),
+        )
+        .withColumn(
+            "kept",
+            F.col("_bnd_bk").isNull()
+            | (F.col("_bk") > F.col("_bnd_bk"))
+            | ((F.col("_bk") == F.col("_bnd_bk")) & (F.col("_run") <= F.col("_bnd_room"))),
+        )
+        .drop("_bk", "_bnd_bk", "_bnd_room", "_run")
     )

@@ -445,3 +445,80 @@ def centroid_drift_by_group(
         "n_vecs",
         F.round(dot / (nc * ng), 4).alias("drift_cosine"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    broadcast_candidates: bool | str = "auto",
+    max_broadcast_rows: int = 1_000_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query vector, the top-k most-similar candidates with a
+    DIFFERENT label — the near-misses a ranker must learn to push away.
+    Returns (query_id, query_label, neighbor_id, neighbor_label, rank,
+    cosine).
+
+    Shape: identical to ``knn_bruteforce`` (exact cosine + window top-k)
+    with the cross-label predicate applied BEFORE ranking, so same-label
+    rows never enter the sort. This is the correctness baseline; at
+    100 TB route candidate generation through ``knn_ivf_kmeans``-style
+    cell probing first and apply the label filter inside each cell —
+    the mining predicate composes with any ANN candidate generator. The
+    broadcast gate mirrors ``knn_bruteforce``'s.
+    """
+    q = (
+        _norm_frame(queries, id_col, vec_col, "q")
+        .withColumnRenamed("q_id", "query_id")
+        .join(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("query_label"),
+            ),
+            "query_id",
+        )
+    )
+    c = (
+        _norm_frame(emb, id_col, vec_col, "c")
+        .withColumnRenamed("c_id", "neighbor_id")
+        .join(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    if broadcast_candidates == "auto":
+        broadcast_candidates = emb.count() <= max_broadcast_rows
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("query_label") != F.col("neighbor_label"))
+        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            F.round(F.col("sim_r"), 4).alias("cosine"),
+        )
+    )

@@ -10394,3 +10394,163 @@ def timeseries_forward_fill_nation(spark: SparkSession, sf_dir: str) -> DataFram
         count_col="n_orders",
     )
     return out.select("nation", "day", "n_obs", "avg_price_ff")
+
+
+@register("dsir_importance_weights", f"""
+WITH tok AS (SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS t FROM documents),
+tgt AS (
+  SELECT unnest({SQL_TOKENS.format(c='text')}) AS t FROM documents WHERE lang = 'en'
+),
+raw_cnt AS (SELECT t, count(*) AS cnt_raw FROM tok GROUP BY t),
+tgt_cnt AS (SELECT t, count(*) AS cnt_tgt FROM tgt GROUP BY t),
+model AS (
+  SELECT r.t, r.cnt_raw, coalesce(g.cnt_tgt, 0) AS cnt_tgt
+  FROM raw_cnt r LEFT JOIN tgt_cnt g USING (t)
+),
+sums AS (
+  SELECT sum(cnt_raw) AS tot_raw, sum(cnt_tgt) AS tot_tgt, count(*) AS vocab
+  FROM model
+),
+lr AS (
+  SELECT t,
+         log2(CAST(cnt_tgt + 1 AS DOUBLE) / (tot_tgt + vocab))
+         - log2(CAST(cnt_raw + 1 AS DOUBLE) / (tot_raw + vocab)) AS lr
+  FROM model CROSS JOIN sums
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lr), 4) + 0.0 AS logratio
+FROM tok JOIN lr USING (t) GROUP BY doc_id
+""")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights tilting the raw corpus toward the
+    English slice: per-doc mean log2 likelihood ratio under add-1
+    unigram models of target (lang='en') vs raw. Docs scoring > 0 look
+    more target-like; sampling proportional to exp(weight) approximates
+    the target domain — the standard corpus-tilting recipe. Two vocab
+    hash-aggs build the models, the merged model broadcasts back onto
+    the token stream, one per-doc agg scores (see
+    operators/corpus.dsir_logratio_weights for the 100 TB shape)."""
+    docs = load(spark, sf_dir, "documents")
+    out = CP.dsir_logratio_weights(
+        docs, docs.where(F.col("lang") == "en"), id_col="doc_id", text_col="text"
+    )
+    return out.select("doc_id", "n_tokens", "logratio")
+
+
+@register("token_budget_selection", f"""
+WITH tok AS (SELECT doc_id, source, unnest({SQL_TOKENS.format(c='text')}) AS t FROM documents),
+d AS (
+  SELECT doc_id, any_value(source) AS source,
+         count(*) AS n_tok, count(DISTINCT t) AS n_dist
+  FROM tok GROUP BY doc_id
+),
+d2 AS (SELECT *, (10000 * n_dist) // n_tok AS bk FROM d),
+b AS (SELECT bk, sum(n_tok) AS btok FROM d2 GROUP BY bk),
+c AS (SELECT bk, btok, sum(btok) OVER (ORDER BY bk DESC) AS cum FROM b),
+budget AS (SELECT (sum(n_tok) * 6) // 10 AS bud FROM d),
+bnd AS (
+  SELECT max(CASE WHEN cum > bud THEN bk END) AS bnd_bk FROM c CROSS JOIN budget
+),
+room AS (
+  SELECT any_value(bnd_bk) AS bnd_bk,
+         coalesce(max(CASE WHEN bk = bnd_bk THEN bud - (cum - btok) END), 0) AS bnd_room
+  FROM c CROSS JOIN budget CROSS JOIN bnd
+),
+flag AS (
+  SELECT d2.source, d2.n_tok,
+         CASE WHEN bnd_bk IS NULL OR bk > bnd_bk THEN TRUE
+              WHEN bk = bnd_bk
+                   AND sum(n_tok) OVER (PARTITION BY bk ORDER BY doc_id) <= bnd_room
+                THEN TRUE
+              ELSE FALSE END AS kept
+  FROM d2 CROSS JOIN room
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(n_tok) FILTER (kept), 0) AS BIGINT) AS tokens_kept
+FROM flag GROUP BY source
+""")
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-thresholded corpus selection under a global token budget
+    (keep the best 60%-of-tokens slice, quality = distinct-token ratio
+    on an integer grid) WITHOUT a global sort: a bucket histogram finds
+    the boundary quality bucket, everything above it survives by pure
+    filter, and only the boundary bucket is ordered to top the budget
+    off. Per-source report of docs/tokens kept. All integer arithmetic
+    (bucket = 10000*n_dist DIV n_tok), so the oracle agrees bit-for-bit.
+    See operators/corpus.budget_select_by_quality for the 100 TB shape:
+    ordered state is ONE bucket, never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(TX.tokens("text")).alias("t"))
+    d = tok.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("t").cast("long").alias("n_dist"),
+    )
+    d = d.withColumn(
+        "q", ((F.lit(10000) * F.col("n_dist")) / F.col("n_tok")).cast("long").cast("double")
+    )
+    budget = d.agg(
+        ((F.sum("n_tok") * 6) / 10).cast("long").alias("_budget")
+    )
+    flagged = CP.budget_select_by_quality(
+        d, id_col="doc_id", quality_col="q", tokens_col="n_tok", budget=budget, grid=1
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tok"))), F.lit(0)
+        ).cast("long").alias("tokens_kept"),
+    )
+
+
+@register("hard_negatives_embeddings", f"""
+WITH {SQL_EMB_NORM},
+lab AS (SELECT vec_id, label FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, ql.label AS query_label,
+         c.vec_id AS neighbor_id, cl.label AS neighbor_label,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM n q
+  JOIN lab ql ON q.vec_id = ql.vec_id
+  JOIN n c ON q.vec_id != c.vec_id
+  JOIN lab cl ON c.vec_id = cl.vec_id
+  WHERE q.vec_id % 25 = 0 AND ql.label != cl.label
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+       neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
+       CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+FROM r WHERE rank <= 3
+""")
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector (vec_id % 25 == 0) the top-3 most-similar vectors with
+    a DIFFERENT label — the near-misses a ranker must learn to separate.
+    Exact-cosine correctness baseline over the broadcast candidate set;
+    the label predicate composes with the IVF cell-probe generators for
+    the 100 TB path (operators/similarity.hard_negatives)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.hard_negatives(
+        emb,
+        emb.where(F.col("vec_id") % 25 == 0),
+        label_col="label",
+        k=3,
+        broadcast_candidates=True,
+    )
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        F.col("rank").cast("long").alias("rank"),
+        "cosine",
+    )

@@ -217,7 +217,8 @@ def test_plan_lint_no_antipatterns(spark):
         # round-4 additions (lazily plannable)
         "dedup_exact_substrings", "domain_cap_sample",
         "embedding_drift_by_label", "vocab_coverage_by_source",
-        "timeseries_forward_fill_nation",
+        "timeseries_forward_fill_nation", "dsir_importance_weights",
+        "token_budget_selection",
     ]
     bad = {}
     for name in LAZY:
