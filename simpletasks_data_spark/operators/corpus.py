@@ -50,6 +50,8 @@ __all__ = [
     "balance_mixture",
     "dsir_logratio_weights",
     "budget_select_by_quality",
+    "jaccard_related_docs",
+    "rrf_fuse",
 ]
 
 
@@ -696,4 +698,120 @@ def budget_select_by_quality(
             | ((F.col("_bk") == F.col("_bnd_bk")) & (F.col("_run") <= F.col("_bnd_room"))),
         )
         .drop("_bk", "_bnd_bk", "_bnd_room", "_run")
+    )
+
+
+def jaccard_related_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_mod: int = 97,
+    k: int = 5,
+) -> DataFrame:
+    """Token-set Jaccard "more-like-this" retrieval: each query-stratum
+    document (``id % query_mod == 0``) ranks the corpus by
+    ``|q ∩ d| / |q ∪ d|`` over DISTINCT token sets — the set-overlap
+    twin of ``bm25_related_docs`` (frequency-weighted) used as the
+    second system in hybrid rank fusion.
+
+    Scale shape: one distinct (doc, token) explode (checkpointed so the
+    set-size reduction reuses it), a thin query slice equi-joined on
+    ``token`` (bounded by |queries| x posting length — the query stratum
+    is a ``1/query_mod`` sample, so the candidate frame is linear in the
+    corpus per query, never all-pairs), set sizes joined back on the id
+    keys. Jaccard here is EXACT, so no df ceiling is applied (dropping
+    a common token would change the intersection); at 100 TB cap recall
+    loss-free with PPJoin prefix filtering (see ``dedupe.py``'s
+    containment join) rather than a frequency cut.
+
+    Returns (query_id, id_col, rank, jaccard); rank by 1e-6-rounded
+    jaccard then id.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    q = (
+        tok.where((F.col(id_col) % query_mod) == 0)
+        .select(F.col(id_col).alias("query_id"), "token")
+    )
+    inter = (
+        tok.join(q, "token")
+        .where(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    qsz = sz.select(F.col(id_col).alias("query_id"), F.col("_sz").alias("_qsz"))
+    jac = (
+        inter.join(F.broadcast(qsz.where((F.col("query_id") % query_mod) == 0)), "query_id")
+        .join(sz, id_col)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter") / (F.col("_qsz") + F.col("_sz") - F.col("_inter")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc(id_col))
+    return (
+        jac.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "jaccard")
+    )
+
+
+def rrf_fuse(
+    rankings: Dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    k: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) of N retrieval
+    systems: every (query, doc) pair scores ``sum over systems of
+    1 / (rrf_k + rank_sys)`` for the systems that retrieved it, and the
+    fused list re-ranks by that score. The standard score-free way to
+    combine lexical (BM25) and set/vector rankings — no calibration of
+    incomparable score scales, just ranks.
+
+    ``rankings`` maps system name -> DataFrame(query_id, id_col, rank).
+    Returns (query_id, id_col, rank, rrf_score, <name>_rank per system;
+    0 when that system did not retrieve the pair).
+
+    Scale shape: a union of already-top-k'd (thin) ranking frames, ONE
+    hash agg on (query_id, id), and a per-query top-k window — the
+    fusion never touches the corpus, only the k*N retrieved rows per
+    query. Determinism: each pair folds <= N reciprocal terms (tiny,
+    exact-order-independent at the 1e-6 rounding), tie-break by id.
+    """
+    parts = [
+        df.select(
+            "query_id",
+            F.col(id_col),
+            F.col("rank").cast("long").alias("_r"),
+            F.lit(name).alias("_sys"),
+        )
+        for name, df in rankings.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    aggs = [
+        F.round(F.sum(1.0 / (F.lit(rrf_k) + F.col("_r"))), 6).alias("rrf_score")
+    ]
+    for name in rankings:
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("_sys") == name, F.col("_r"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{name}_rank")
+        )
+    fused = u.groupBy("query_id", id_col).agg(*aggs)
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return fused.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= k
     )

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from ..functions.vectors import as_double, bucket_signbits, cosine, norm2, suggest_signbit_bits
 
 __all__ = ["knn_bruteforce", "knn_ivf_signbits", "knn_quantized_rescore",
-    "knn_bruteforce_blas", "embedding_dedupe_pairs", "ivf_centroids"]
+    "knn_bruteforce_blas", "embedding_dedupe_pairs", "ivf_centroids",
+    "hard_negatives", "retrieval_eval"]
 
 
 def _norm_frame(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
@@ -521,4 +522,111 @@ def hard_negatives(
             "rank",
             F.round(F.col("sim_r"), 4).alias("cosine"),
         )
+    )
+
+
+def retrieval_eval(
+    emb: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Retrieval-quality evaluation: rank the full candidate set for
+    each query by exact cosine, treat same-``label_col`` candidates as
+    relevant, and report the standard ranking metrics per query at
+    cutoff ``k`` — reciprocal rank (RR@k), recall@k, and nDCG@k (binary
+    gains, IDCG over ``min(n_relevant, k)`` ideal positions). This is
+    the metric harness a retrieval/embedding training pipeline runs
+    after every index or encoder change; ``ann_recall_report`` measures
+    an ANN index against exact search, this measures the EMBEDDING
+    itself against labels.
+
+    Returns (query_id, query_label, n_relevant, hits_at_k, rr_at_k,
+    recall_at_k, ndcg_at_k).
+
+    Shape: the exact-cosine ranking is ``knn_bruteforce``'s broadcast
+    plan; metrics fold in ONE per-query hash agg (no second shuffle —
+    rank, relevance flag, and DCG terms are all row-local after the
+    window). IDCG needs no join: ``aggregate(sequence(...))`` folds the
+    closed-form ideal DCG JVM-side. At 100 TB swap the candidate
+    generator for the IVF cell-probe variants; the metric agg is
+    generator-agnostic. Determinism: ranks order by 1e-6-rounded cosine
+    then id (module contract), metrics round to 1e-4.
+    """
+    q = (
+        _norm_frame(queries, id_col, vec_col, "q")
+        .withColumnRenamed("q_id", "query_id")
+        .join(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("query_label"),
+            ),
+            "query_id",
+        )
+    )
+    c = (
+        _norm_frame(emb, id_col, vec_col, "c")
+        .withColumnRenamed("c_id", "neighbor_id")
+        .join(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), F.col("neighbor_id").asc()
+    )
+    rel = (F.col("query_label") == F.col("neighbor_label")).cast("int")
+    ranked = pairs.withColumn("rank", F.row_number().over(w)).withColumn("rel", rel)
+    in_k = F.col("rank") <= k
+    per_q = ranked.groupBy("query_id", "query_label").agg(
+        F.sum("rel").cast("long").alias("n_relevant"),
+        F.sum(F.when(in_k, F.col("rel")).otherwise(0)).cast("long").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("_first_rel"),
+        F.sum(
+            F.when(in_k & (F.col("rel") == 1), 1.0 / F.log2(F.col("rank") + 1.0)).otherwise(0.0)
+        ).alias("_dcg"),
+    )
+    idcg = F.when(
+        F.col("n_relevant") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k)).cast("int")),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    return per_q.withColumn("_idcg", idcg).select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "n_relevant",
+        "hits_at_k",
+        F.round(
+            F.when(F.col("_first_rel") <= k, 1.0 / F.col("_first_rel")).otherwise(0.0), 4
+        ).alias("rr_at_k"),
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0, F.col("hits_at_k") / F.col("n_relevant")
+            ).otherwise(0.0),
+            4,
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")).otherwise(0.0), 4
+        ).alias("ndcg_at_k"),
     )

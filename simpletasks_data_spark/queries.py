@@ -9049,7 +9049,10 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
+def _logreg_ctes(iterations: int = 5, lr: float = 1.0) -> str:
+    """Shared unrolled-GD CTE chain (features + weight rounds) for the
+    logreg-family oracles: mirrors ``_logreg_orders_train`` exactly
+    (same features, zero init, 1e-6 weight quantization per round)."""
     rounds = []
     for t in range(1, iterations + 1):
         prev = f"w{t-1}"
@@ -9060,16 +9063,20 @@ def _logreg_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
   FROM f CROSS JOIN {prev}
   GROUP BY {prev}.w0, {prev}.w1, {prev}.w2
 )""")
-    last = f"w{iterations}"
-    return f"""
-WITH f AS MATERIALIZED (
+    return f"""f AS MATERIALIZED (
   SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
          o_totalprice / 100000.0 AS x1,
          date_diff('day', DATE '1992-01-01', o_orderdate) / 1000.0 AS x2
   FROM orders
 ),
 w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
-{", ".join(rounds)},
+{", ".join(rounds)}"""
+
+
+def _logreg_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
+    last = f"w{iterations}"
+    return f"""
+WITH {_logreg_ctes(iterations, lr)},
 scored AS (
   SELECT f.y, 1.0 / (1.0 + exp(-({last}.w0 + {last}.w1 * f.x1 + {last}.w2 * f.x2))) AS p
   FROM f CROSS JOIN {last}
@@ -9084,16 +9091,15 @@ GROUP BY {last}.w0, {last}.w1, {last}.w2
 """
 
 
-@register("logreg_urgent_orders", _logreg_oracle_sql(5))
-def logreg_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed logistic regression by full-batch gradient descent:
-    predict urgent order priority from (price, order-day) with 5
-    synchronous GD rounds — each round is ONE aggregation computing the
-    3 gradient components (weights live on the driver as literals, the
-    kmeans/PCA execution pattern; per-round 1e-6 weight quantization
-    makes the trajectory engine-exact for the unrolled MATERIALIZED-CTE
-    oracle). Reports final weights, training log-loss, and 0.5-cut
-    accuracy — the supervised-learning member of the iterative family."""
+def _logreg_orders_train(
+    spark: SparkSession, sf_dir: str, iterations: int = 5, lr: float = 1.0
+) -> tuple:
+    """Shared GD trainer for the logreg family: returns the checkpointed
+    (y, x1, x2) feature frame and the trained weights [w0, w1, w2].
+    Each round is ONE aggregation computing the 3 gradient components;
+    weights live on the driver as codegen literals (the kmeans/PCA
+    execution pattern) and are quantized to 1e-6 per round so the
+    trajectory is engine-exact for ``_logreg_ctes``'s unrolled oracle."""
     from .operators.clustering import _round_half_up
 
     orders = load(spark, sf_dir, "orders").select(
@@ -9103,9 +9109,8 @@ def logreg_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) / 1000.0
         ).alias("x2"),
     ).localCheckpoint(eager=True)
-    lr = 1.0
     w = [0.0, 0.0, 0.0]
-    for _ in range(5):
+    for _ in range(iterations):
         z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
         resid = F.col("y") - 1.0 / (1.0 + F.exp(-z))
         row = orders.agg(
@@ -9116,6 +9121,20 @@ def logreg_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = [
             _round_half_up(w[k] + lr * row[f"g{k}"], 6) for k in range(3)
         ]
+    return orders, w
+
+
+@register("logreg_urgent_orders", _logreg_oracle_sql(5))
+def logreg_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent:
+    predict urgent order priority from (price, order-day) with 5
+    synchronous GD rounds — each round is ONE aggregation computing the
+    3 gradient components (weights live on the driver as literals, the
+    kmeans/PCA execution pattern; per-round 1e-6 weight quantization
+    makes the trajectory engine-exact for the unrolled MATERIALIZED-CTE
+    oracle). Reports final weights, training log-loss, and 0.5-cut
+    accuracy — the supervised-learning member of the iterative family."""
+    orders, w = _logreg_orders_train(spark, sf_dir, iterations=5, lr=1.0)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     p = 1.0 / (1.0 + F.exp(-z))
     return orders.agg(
@@ -10553,4 +10572,221 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_label").cast("long").alias("neighbor_label"),
         F.col("rank").cast("long").alias("rank"),
         "cosine",
+    )
+
+
+@register("retrieval_eval_embeddings", f"""
+WITH {SQL_EMB_NORM},
+lab AS (SELECT vec_id, label FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, ql.label AS query_label,
+         c.vec_id AS neighbor_id, cl.label AS neighbor_label,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM n q
+  JOIN lab ql ON q.vec_id = ql.vec_id
+  JOIN n c ON q.vec_id != c.vec_id
+  JOIN lab cl ON c.vec_id = cl.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+),
+m AS (
+  SELECT query_id, any_value(query_label) AS query_label,
+         CAST(sum(CASE WHEN query_label = neighbor_label THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+         CAST(sum(CASE WHEN rank <= 10 AND query_label = neighbor_label THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+         min(CASE WHEN query_label = neighbor_label THEN rank END) AS first_rel,
+         sum(CASE WHEN rank <= 10 AND query_label = neighbor_label
+                  THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg
+  FROM r GROUP BY query_id
+),
+ideal AS (
+  SELECT a.i AS r, sum(1.0 / log2(b.i + 1.0)) AS idcg
+  FROM generate_series(1, 10) a(i)
+  JOIN generate_series(1, 10) b(i) ON b.i <= a.i
+  GROUP BY a.i
+),
+i AS (
+  SELECT m.*, coalesce(ideal.idcg, 0.0) AS idcg
+  FROM m LEFT JOIN ideal ON ideal.r = least(m.n_relevant, 10)
+)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label, n_relevant, hits_at_k,
+       round(CASE WHEN first_rel <= 10 THEN 1.0 / first_rel ELSE 0.0 END, 4) AS rr_at_k,
+       round(CASE WHEN n_relevant > 0 THEN hits_at_k * 1.0 / n_relevant ELSE 0.0 END, 4) AS recall_at_k,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 4) AS ndcg_at_k
+FROM i
+""")
+def retrieval_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding retrieval-quality harness: every query-stratum vector
+    (vec_id % 20 == 0) ranks the corpus by exact cosine; same-label
+    candidates count as relevant; per-query RR@10, recall@10, nDCG@10.
+    ``ann_recall_report`` scores an ANN index against exact search —
+    this scores the EMBEDDING SPACE against labels, the metric a
+    training pipeline tracks across encoder versions. One broadcast
+    ranking plan + ONE per-query hash agg; IDCG folds closed-form
+    JVM-side (operators/similarity.retrieval_eval)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.retrieval_eval(
+        emb, emb.where(F.col("vec_id") % 20 == 0), label_col="label", k=10
+    )
+
+
+_RRF_BM25_SQL = f"""
+t AS (SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+kept AS (SELECT token FROM dfreq CROSS JOIN stats WHERE df * 1000 <= 900 * n),
+q AS (SELECT doc_id AS query_id, token FROM tf JOIN kept USING (token)
+      WHERE doc_id % 97 = 0),
+s AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 4) AS score
+  FROM tf
+  JOIN q USING (token)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.token = tf.token
+  CROSS JOIN stats
+  WHERE q.query_id != tf.doc_id
+  GROUP BY 1, 2
+),
+b20 AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= 20
+)"""
+
+_RRF_JACCARD_SQL = """
+dtok AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dtok GROUP BY 1),
+jq AS (SELECT doc_id AS query_id, token FROM dtok WHERE doc_id % 97 = 0),
+ji AS (
+  SELECT jq.query_id, dtok.doc_id, CAST(count(*) AS BIGINT) AS inter
+  FROM dtok JOIN jq USING (token)
+  WHERE jq.query_id != dtok.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT ji.query_id, ji.doc_id,
+         round(ji.inter * 1.0 / (qs.sz + cs.sz - ji.inter), 6) AS jaccard
+  FROM ji
+  JOIN sz qs ON qs.doc_id = ji.query_id
+  JOIN sz cs ON cs.doc_id = ji.doc_id
+),
+j20 AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY jaccard DESC, doc_id ASC) AS rank
+    FROM jac
+  ) WHERE rank <= 20
+)"""
+
+
+@register("hybrid_rrf_retrieval", f"""
+WITH {_RRF_BM25_SQL},
+{_RRF_JACCARD_SQL},
+uni AS (
+  SELECT query_id, doc_id, rank, 'bm25' AS sys FROM b20
+  UNION ALL
+  SELECT query_id, doc_id, rank, 'jaccard' AS sys FROM j20
+),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+         CAST(coalesce(max(CASE WHEN sys = 'bm25' THEN rank END), 0) AS BIGINT) AS bm25_rank,
+         CAST(coalesce(max(CASE WHEN sys = 'jaccard' THEN rank END), 0) AS BIGINT) AS jaccard_rank
+  FROM uni GROUP BY 1, 2
+),
+fr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+       rrf_score, bm25_rank, jaccard_rank
+FROM fr WHERE rank <= 5
+""")
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: BM25 (frequency-
+    weighted) and token-set Jaccard (set-overlap) each retrieve top-20
+    per query-stratum document; RRF (k=60) fuses the two rank lists and
+    the top-5 fused results are reported with each system's rank (0 =
+    not retrieved by that system). Score-free fusion is the standard
+    way to combine incomparable scoring scales (lexical + vector) — the
+    fusion step only ever touches the 20*N_systems retrieved rows per
+    query, never the corpus (operators/corpus.rrf_fuse)."""
+    docs = load(spark, sf_dir, "documents")
+    bm25 = CP.bm25_related_docs(docs, k=20, max_df_permille=900).select(
+        "query_id", "doc_id", "rank"
+    )
+    jac = CP.jaccard_related_docs(docs, k=20).select("query_id", "doc_id", "rank")
+    fused = CP.rrf_fuse({"bm25": bm25, "jaccard": jac}, rrf_k=60, k=5)
+    return fused.select(
+        "query_id", "doc_id", "rank", "rrf_score", "bm25_rank", "jaccard_rank"
+    )
+
+
+def _calibration_oracle_sql(iterations: int = 5, lr: float = 1.0, bins: int = 10) -> str:
+    last = f"w{iterations}"
+    return f"""
+WITH {_logreg_ctes(iterations, lr)},
+scored AS (
+  SELECT f.y, 1.0 / (1.0 + exp(-({last}.w0 + {last}.w1 * f.x1 + {last}.w2 * f.x2))) AS p
+  FROM f CROSS JOIN {last}
+),
+g AS (
+  SELECT least(CAST(floor(p * {bins}) AS BIGINT), {bins - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         round(avg(p), 4) AS mean_predicted,
+         round(avg(y), 4) AS frac_positive
+  FROM scored GROUP BY 1
+)
+SELECT bin, n, mean_predicted, frac_positive,
+       round(abs(mean_predicted - frac_positive), 4) AS gap
+FROM g
+"""
+
+
+@register("calibration_bins_urgent", _calibration_oracle_sql(5))
+def calibration_bins_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration report (reliability diagram data) for the
+    GD logistic model of ``logreg_urgent_orders``: predictions bucketed
+    into 10 equal-width bins, per-bin count, mean predicted probability,
+    observed positive rate, and |gap| — the per-bin terms of expected
+    calibration error. Shares the exact training trajectory with the
+    logreg query (``_logreg_orders_train``, 1e-6-quantized weights) so
+    the unrolled-CTE oracle stays engine-exact; the report itself is ONE
+    map-side bin assignment + ONE 10-row hash agg over the scored frame.
+    A 100 TB scoring pass is a pure map with driver-literal weights."""
+    orders, w = _logreg_orders_train(spark, sf_dir, iterations=5, lr=1.0)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    g = (
+        orders.select(F.col("y"), p.alias("p"))
+        .withColumn("bin", F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_predicted"),
+            F.round(F.avg("y"), 4).alias("frac_positive"),
+        )
+    )
+    return g.select(
+        "bin",
+        "n",
+        "mean_predicted",
+        "frac_positive",
+        F.round(F.abs(F.col("mean_predicted") - F.col("frac_positive")), 4).alias("gap"),
     )

@@ -218,7 +218,8 @@ def test_plan_lint_no_antipatterns(spark):
         "dedup_exact_substrings", "domain_cap_sample",
         "embedding_drift_by_label", "vocab_coverage_by_source",
         "timeseries_forward_fill_nation", "dsir_importance_weights",
-        "token_budget_selection",
+        "token_budget_selection", "hybrid_rrf_retrieval",
+        "retrieval_eval_embeddings",
     ]
     bad = {}
     for name in LAZY:

@@ -325,3 +325,99 @@ def test_calendar_forward_fill_gaps(spark):
     assert rows[("b", "2020-01-01")] == (0, None)
     assert rows[("b", "2020-01-02")] == (3, 7.0)
     assert rows[("b", "2020-01-04")] == (0, 7.0)
+
+
+def test_rrf_fuse_known_ranks(spark):
+    """Two 3-item rank lists with one shared doc: the shared doc's RRF
+    score must be the two-term sum and outrank single-system docs."""
+    from simpletasks_data_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 14, 3)], "query_id long, doc_id long, rank long"
+    )
+    out = rrf_fuse({"sa": a, "sb": b}, rrf_k=60, k=10).orderBy("rank").collect()
+    assert out[0]["doc_id"] == 11  # in both lists
+    assert out[0]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[0]["sa_rank"] == 2 and out[0]["sb_rank"] == 1
+    # doc 10 (rank 1 in sa only): 1/61 — ties doc 13's... no: doc 13 is 1/62
+    assert out[1]["doc_id"] == 10 and out[1]["sb_rank"] == 0
+    assert {r["doc_id"] for r in out} == {10, 11, 12, 13, 14}
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    from simpletasks_data_spark.operators.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(1, 20, 1), (1, 7, 2)], "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame([(1, 7, 1), (1, 20, 2)], "query_id long, doc_id long, rank long")
+    out = rrf_fuse({"sa": a, "sb": b}, rrf_k=60, k=10).orderBy("rank").collect()
+    # both docs score 1/61 + 1/62: tie resolves to the smaller doc_id
+    assert [r["doc_id"] for r in out] == [7, 20]
+
+
+def test_retrieval_eval_perfect_and_zero(spark):
+    """Two orthogonal label groups: retrieval within a group is perfect
+    (all relevant candidates rank first), so RR=1, recall=1, nDCG=1."""
+    from simpletasks_data_spark.operators.similarity import retrieval_eval
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.95, 0.05, 0.0], 0),
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.9, 0.1], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {
+        r["query_id"]: r
+        for r in retrieval_eval(emb, emb, label_col="label", k=10).collect()
+    }
+    assert len(out) == 5
+    for qid, r in out.items():
+        assert r["rr_at_k"] == 1.0, r
+        assert r["recall_at_k"] == 1.0, r
+        assert r["ndcg_at_k"] == 1.0, r
+    assert out[1]["n_relevant"] == 2 and out[4]["n_relevant"] == 1
+
+
+def test_retrieval_eval_worst_case(spark):
+    """A query whose only relevant candidate ranks LAST (beyond k):
+    RR@k, recall contribution and nDCG must reflect the miss."""
+    from simpletasks_data_spark.operators.similarity import retrieval_eval
+
+    # query 1 (label 0): nearest neighbors are all label 1; its single
+    # label-0 twin is orthogonal, ranking it last among 4 candidates
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),   # relevant but orthogonal -> last
+        (3, [0.99, 0.01, 0.0], 1),
+        (4, [0.98, 0.02, 0.0], 1),
+        (5, [0.97, 0.03, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.where(F.col("vec_id") == 1)
+    r = retrieval_eval(emb, q, label_col="label", k=2).collect()[0]
+    assert r["n_relevant"] == 1 and r["hits_at_k"] == 0
+    assert r["rr_at_k"] == 0.0 and r["recall_at_k"] == 0.0 and r["ndcg_at_k"] == 0.0
+
+
+def test_jaccard_related_docs_exact_values(spark):
+    from simpletasks_data_spark.operators.corpus import jaccard_related_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta delta"),
+            (2, "alpha zeta eta theta"),
+            (3, "iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = jaccard_related_docs(docs, query_mod=4, k=3).collect()  # query = doc 0
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[1]["jaccard"] == 0.5       # {alpha,beta} / 4
+    assert by_doc[2]["jaccard"] == round(1 / 6, 6)
+    assert 3 not in by_doc                   # no shared tokens
+    assert by_doc[1]["rank"] == 1 and by_doc[2]["rank"] == 2
