@@ -32,7 +32,7 @@ from ..functions.vectors import as_double, bucket_signbits, cosine, norm2, sugge
 
 __all__ = ["knn_bruteforce", "knn_ivf_signbits", "knn_quantized_rescore",
     "knn_bruteforce_blas", "embedding_dedupe_pairs", "ivf_centroids",
-    "hard_negatives", "retrieval_eval"]
+    "hard_negatives", "retrieval_eval", "mmr_select"]
 
 
 def _norm_frame(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFrame:
@@ -629,4 +629,138 @@ def retrieval_eval(
         F.round(
             F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")).otherwise(0.0), 4
         ).alias("ndcg_at_k"),
+    )
+
+
+def mmr_select(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    m: int = 10,
+    lam: float = 0.7,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998): per query, greedily pick ``k`` results from the
+    top-``m`` cosine candidates, each round maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in picked} sim(d, s)`` — high
+    relevance, low redundancy. The de-duplicating re-rank step between
+    ANN retrieval and a context window / training batch.
+
+    Returns (query_id, pick_order, ``id_col``, mmr_score); round 1's
+    score is ``lam * rel`` (the max-term is empty).
+
+    Shape: relevance ranking is the broadcast ``knn_bruteforce`` plan
+    cut to top-``m``; candidate-pair sims are an m-per-query self-join
+    (m^2 rows per query — bounded by the CUT, not the corpus) and both
+    frames checkpoint once. Each greedy round then touches only
+    candidate-sized frames: one max-sim agg + one argmin pick per
+    query, never the corpus — at 100 TB the loop cost is O(k * m^2 *
+    |Q|) independent of collection size, and candidates can come from
+    any ANN generator instead. Determinism: rel/sim round to 1e-6 (safe:
+    both engines round the IDENTICAL raw double), then scores are pure
+    INTEGER arithmetic in micro-units — ``lam`` is snapped to a rational
+    num/den and ``score_i = num * rel_i - (den - num) * msim_i`` ranks
+    as a long, so no derived float ever re-rounds (``lam * rel`` on the
+    1e-6 grid would land on exact decimal halves ~10% of the time and
+    flip between engines). ``mmr_score = score_i / (den * 1e6)``.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(lam).limit_denominator(1000)
+    num, den = fr.numerator, fr.denominator
+    scale = float(den * 1_000_000)
+    q = _norm_frame(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
+    c = _norm_frame(emb, id_col, vec_col, "c").withColumnRenamed("c_id", "doc_id")
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("doc_id"))
+        .withColumn("rel", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    cand = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= m)
+        .withColumn("_rel_i", F.round(F.col("rel") * 1e6).cast("long"))
+        .select("query_id", "doc_id", "_rel_i", "c_vec", "c_norm")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        "query_id",
+        F.col("doc_id").alias("_a"),
+        F.col("c_vec").alias("_av"),
+        F.col("c_norm").alias("_an"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("doc_id").alias("_b"),
+        F.col("c_vec").alias("_bv"),
+        F.col("c_norm").alias("_bn"),
+    )
+    pdot = F.aggregate(
+        F.zip_with(F.col("_av"), F.col("_bv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    psim = (
+        a.join(b, "query_id")
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            "query_id",
+            "_a",
+            "_b",
+            F.round(F.round(pdot / (F.col("_an") * F.col("_bn")), 6) * 1e6)
+            .cast("long")
+            .alias("_sim_i"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = cand.drop("c_vec", "c_norm")
+    pick_w = Window.partitionBy("query_id").orderBy(
+        F.col("_score_i").desc(), F.col("doc_id").asc()
+    )
+    sel = (
+        cand.withColumn("_score_i", F.lit(num) * F.col("_rel_i"))
+        .withColumn("_rn", F.row_number().over(pick_w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id", F.lit(1).cast("long").alias("pick_order"), "doc_id", "_score_i"
+        )
+    )
+    for t in range(2, k + 1):
+        remaining = cand.join(sel, ["query_id", "doc_id"], "left_anti")
+        msim = (
+            psim.join(
+                sel.select("query_id", F.col("doc_id").alias("_b")), ["query_id", "_b"]
+            )
+            .groupBy("query_id", F.col("_a").alias("doc_id"))
+            .agg(F.max("_sim_i").alias("_msim_i"))
+        )
+        pick = (
+            remaining.join(msim, ["query_id", "doc_id"])
+            .withColumn(
+                "_score_i",
+                F.lit(num) * F.col("_rel_i") - F.lit(den - num) * F.col("_msim_i"),
+            )
+            .withColumn("_rn", F.row_number().over(pick_w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "query_id", F.lit(t).cast("long").alias("pick_order"), "doc_id", "_score_i"
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        "pick_order",
+        "doc_id",
+        (F.col("_score_i") / F.lit(scale)).alias("mmr_score"),
     )

@@ -10790,3 +10790,95 @@ def calibration_bins_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_positive",
         F.round(F.abs(F.col("mean_predicted") - F.col("frac_positive")), 4).alias("gap"),
     )
+
+
+def _mmr_oracle_sql(k: int = 4, m: int = 10, lam: float = 0.7, query_mod: int = 50) -> str:
+    """Unrolled greedy-MMR oracle, mirroring ``mmr_select``'s
+    integer-micro-unit scores: rel/sim round to 1e-6 (safe — both
+    engines round the identical raw double) and everything derived is
+    BIGINT arithmetic (``lam * rel`` re-rounded as a float lands on
+    exact decimal halves ~10% of the time and flips between engines)."""
+    from fractions import Fraction
+
+    fr = Fraction(lam).limit_denominator(1000)
+    num, den = fr.numerator, fr.denominator
+    scale = f"{den * 1_000_000}.0"
+    rounds = []
+    for t in range(2, k + 1):
+        prev = f"sel{t-1}"
+        rounds.append(f""",
+m{t} AS (
+  SELECT c.query_id, c.doc_id,
+         {num} * c.rel_i - {den - num} * max(p.sim_i) AS score_i
+  FROM cand c
+  JOIN ps p ON p.query_id = c.query_id AND p.da = c.doc_id
+  JOIN {prev} s ON s.query_id = p.query_id AND s.doc_id = p.db
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+  GROUP BY c.query_id, c.doc_id, c.rel_i
+),
+pick{t} AS (
+  SELECT query_id, {t} AS pick_order, doc_id, score_i FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_i DESC, doc_id) AS rn
+    FROM m{t}
+  ) WHERE rn = 1
+),
+sel{t} AS (SELECT * FROM sel{t-1} UNION ALL SELECT * FROM pick{t})""")
+    return f"""
+WITH {SQL_EMB_NORM},
+p0 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS rel
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+),
+cand AS (
+  SELECT query_id, doc_id, CAST(round(rel * 1000000) AS BIGINT) AS rel_i FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id) AS rn
+    FROM p0
+  ) WHERE rn <= {m}
+),
+ps AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         CAST(round(round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+                    * 1000000) AS BIGINT) AS sim_i
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id AND a.doc_id != b.doc_id
+  JOIN n na ON na.vec_id = a.doc_id
+  JOIN n nb ON nb.vec_id = b.doc_id
+),
+sel1 AS (
+  SELECT query_id, 1 AS pick_order, doc_id, {num} * rel_i AS score_i FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel_i DESC, doc_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+){"".join(rounds)}
+SELECT query_id, CAST(pick_order AS BIGINT) AS pick_order, doc_id,
+       score_i / {scale} + 0.0 AS mmr_score
+FROM sel{k}
+"""
+
+
+@register("mmr_diversified_retrieval", _mmr_oracle_sql(4, 10, 0.7, 50))
+def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: each query-stratum vector
+    (vec_id % 50 == 0) greedily picks 4 diverse results from its top-10
+    cosine candidates (lambda = 0.7) — the redundancy-removing step
+    between ANN retrieval and a RAG context window or training batch.
+    Every greedy round touches only candidate-sized frames (m^2 pair
+    sims per query, computed once), never the corpus; the 1e-6-rounded
+    score/sim trajectory makes the unrolled greedy oracle engine-exact
+    (operators/similarity.mmr_select)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.mmr_select(
+        emb, emb.where(F.col("vec_id") % 50 == 0), k=4, m=10, lam=0.7
+    )
+    return out.select(
+        "query_id",
+        "pick_order",
+        "doc_id",
+        (F.col("mmr_score") + F.lit(0.0)).alias("mmr_score"),
+    )

@@ -421,3 +421,39 @@ def test_jaccard_related_docs_exact_values(spark):
     assert by_doc[2]["jaccard"] == round(1 / 6, 6)
     assert 3 not in by_doc                   # no shared tokens
     assert by_doc[1]["rank"] == 1 and by_doc[2]["rank"] == 2
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Query along x; candidates: two near-identical high-rel vectors
+    (a, b) and one moderately relevant orthogonal-ish vector (c). Pure
+    relevance ranks a, b first; MMR must pick a then c (b is redundant
+    with a), demonstrating the diversity term."""
+    from simpletasks_data_spark.operators.similarity import mmr_select
+
+    rows = [
+        (100, [1.0, 0.0], 0),   # query
+        (1, [0.99, 0.01], 0),   # top relevance
+        (2, [0.99, 0.011], 0),  # near-duplicate of 1
+        (3, [0.6, 0.8], 0),     # diverse, lower relevance
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = (
+        mmr_select(emb, emb.where(F.col("vec_id") == 100), k=2, m=3, lam=0.3)
+        .orderBy("pick_order")
+        .collect()
+    )
+    assert [r["doc_id"] for r in out] == [1, 3]
+    assert out[0]["pick_order"] == 1 and out[1]["pick_order"] == 2
+
+
+def test_mmr_round1_is_pure_relevance(spark):
+    from simpletasks_data_spark.operators.similarity import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.5, 0.5], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = mmr_select(emb, emb.where(F.col("vec_id") == 0), k=1, m=2, lam=0.7).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1
