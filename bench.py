@@ -112,6 +112,14 @@ BENCH_QUERIES = [
     "graph_kcore_suppliers",
     "vocab_coverage_by_source",
     "timeseries_forward_fill_nation",
+    # round-4 retrieval / curation batch
+    "dsir_importance_weights",
+    "token_budget_selection",
+    "hard_negatives_embeddings",
+    "retrieval_eval_embeddings",
+    "hybrid_rrf_retrieval",
+    "calibration_bins_urgent",
+    "mmr_diversified_retrieval",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "sample_frames",
     "encode_ppm",
     "decode_ppm",
+    "ahash_ppm",
     "resize_ppm",
     "encode_png",
     "decode_png",
@@ -611,3 +612,48 @@ def decode_png(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, _PNG_SCHEMA)
+
+
+def ahash_ppm(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: parse the P6
+    payload, gray = (r + g + b) // 3 per pixel, bit i set when pixel
+    i's gray is >= the image mean, packed row-major into a long — the
+    classic aHash near-duplicate-image fingerprint. Hash comparison is
+    ALL integer arithmetic (``gray * n_px >= sum(gray)`` instead of a
+    float mean), so engines agree bit-for-bit.
+
+    Returns (media_id, ahash, ok); corrupt payloads yield ok=false with
+    a NULL hash instead of failing the task. Downstream: group or
+    band-join on ``ahash`` (or Hamming-ball probes on hash prefixes)
+    exactly like the text SimHash family — the image member of the
+    dedup suite. Runs as one Arrow-batched mapInPandas over pruned
+    (media_id, payload); output is a row per image, never pixel rows.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if b is None or bytes(b[:2]) != b"P6":
+                        raise ValueError("not a P6 ppm")
+                    parts = bytes(b).split(b"\n", 3)
+                    w, h = (int(x) for x in parts[1].split())
+                    maxval = int(parts[2])
+                    raw = parts[3][: w * h * 3]
+                    if maxval != 255 or len(raw) < w * h * 3 or w * h > 64:
+                        raise ValueError("truncated, non-8-bit, or > 64 px")
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                    gray = (arr.astype(np.int64).sum(axis=2) // 3).reshape(-1)
+                    s = int(gray.sum())
+                    bits = gray * gray.size >= s
+                    ah = int(sum(1 << i for i in np.nonzero(bits)[0]))
+                    rows.append((mid, ah, True))
+                except Exception:
+                    rows.append((mid, None, False))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash", "ok"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, "media_id long, ahash long, ok boolean"
+    )

@@ -10882,3 +10882,45 @@ def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("mmr_score") + F.lit(0.0)).alias("mmr_score"),
     )
+
+
+@register("multimodal_ahash_dedup", """
+WITH px AS (
+  SELECT doc_id AS media_id, g.k,
+         (CAST(concat('0x', substr(md5(text), CAST(2 * g.k + 1 AS INT), 2)) AS BIGINT)
+          + CAST(concat('0x', substr(md5(text || 'g'), CAST(2 * g.k + 1 AS INT), 2)) AS BIGINT)
+          + CAST(concat('0x', substr(md5(text || 'b'), CAST(2 * g.k + 1 AS INT), 2)) AS BIGINT))
+         // 3 AS gray
+  FROM documents CROSS JOIN generate_series(0, 15) g(k)
+),
+w AS (
+  SELECT media_id, k, gray, sum(gray) OVER (PARTITION BY media_id) AS sg FROM px
+),
+a AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN gray * 16 >= sg
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ahash
+  FROM w GROUP BY media_id
+)
+SELECT media_id, ahash,
+       CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS bucket_size
+FROM a
+""")
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL decoded pixels: each
+    document renders to a 4x4 P6 PPM, the aHash operator re-parses the
+    binary (numpy pixel path) and emits the integer-exact 16-bit
+    average-hash; identical hashes bucket together (bucket_size > 1 =
+    near-identical images). The image member of the dedup family — the
+    hash plays the SimHash role, so banding/Hamming probes compose
+    unchanged. The oracle predicts every hash straight from md5 hex
+    without touching binary, so a mis-sliced header or channel
+    deinterleave cannot hash-match (operators/multimodal.ahash_ppm)."""
+    from .operators.multimodal import ahash_ppm, encode_ppm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = ahash_ppm(encode_ppm(docs, "doc_id", "text", side=4))
+    w = Window.partitionBy("ahash")
+    return h.select(
+        "media_id", "ahash", F.count(F.lit(1)).over(w).cast("long").alias("bucket_size")
+    )

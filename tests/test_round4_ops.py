@@ -457,3 +457,34 @@ def test_mmr_round1_is_pure_relevance(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     out = mmr_select(emb, emb.where(F.col("vec_id") == 0), k=1, m=2, lam=0.7).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 1
+
+
+def test_ahash_identical_images_collide_and_corrupt_flagged(spark):
+    """Identical text -> identical aHash; corrupt payload -> ok=false,
+    NULL hash; near-inverse images differ."""
+    from simpletasks_data_spark.operators.multimodal import ahash_ppm, encode_ppm
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different text")],
+        "doc_id long, text string",
+    )
+    media = encode_ppm(docs, "doc_id", "text", side=4)
+    out = {r["media_id"]: r for r in ahash_ppm(media).collect()}
+    assert out[1]["ahash"] == out[2]["ahash"] and out[1]["ok"]
+    assert out[3]["ahash"] != out[1]["ahash"]
+    # corrupt: not a P6 payload
+    bad = spark.createDataFrame([(9, bytearray(b"JUNK"))], "media_id long, payload binary")
+    r = ahash_ppm(bad).collect()[0]
+    assert r["ok"] is False and r["ahash"] is None
+
+
+def test_ahash_known_bits(spark):
+    """Hand-built 2x2 P6 image: two bright pixels, two dark — the hash
+    must set exactly the bright pixels' row-major bits."""
+    from simpletasks_data_spark.operators.multimodal import ahash_ppm
+
+    # pixels row-major: (200,200,200), (10,10,10), (10,10,10), (200,200,200)
+    payload = b"P6\n2 2\n255\n" + bytes([200] * 3 + [10] * 3 + [10] * 3 + [200] * 3)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    r = ahash_ppm(df).collect()[0]
+    assert r["ok"] and r["ahash"] == (1 << 0) + (1 << 3)
