@@ -46,6 +46,7 @@ __all__ = [
     "decode_png",
     "encode_wav",
     "decode_wav",
+    "fingerprint_wav",
     "FEATURE_DIM",
 ]
 
@@ -656,4 +657,76 @@ def ahash_ppm(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, "media_id long, ahash long, ok boolean"
+    )
+
+
+def fingerprint_wav(media: DataFrame) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded samples — the audio member
+    of the dedup family (aHash's twin): walk the RIFF chunks, decode the
+    mono PCM16 stream, and emit three integer-exact features:
+
+    - ``sign_hash``: bit k set when sample k >= 0 (waveform polarity
+      signature);
+    - ``energy_hash``: bit k set when ``|s_k| * n >= sum |s_j|`` —
+      above-mean energy per position, the aHash threshold trick applied
+      to amplitude (no float mean, engines agree bit-for-bit);
+    - ``zero_crossings``: count of adjacent sign flips (the classic
+      cheap timbre proxy).
+
+    Identical recordings collide on (sign_hash, energy_hash); bucket or
+    band-join on the pair exactly like SimHash. A production version
+    swaps the kernel for spectral peaks (Shazam-style constellation) —
+    same schema, same one-pass mapInPandas plan over pruned
+    (media_id, payload). Caps at 64 samples so the packed hash fits a
+    long; corrupt payloads yield ok=false.
+    """
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(b or b"")
+                    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                        raise ValueError("not RIFF/WAVE")
+                    pos, fmt, data = 12, None, None
+                    while pos + 8 <= len(raw):
+                        cid, sz = raw[pos:pos + 4], struct.unpack("<I", raw[pos + 4:pos + 8])[0]
+                        body = raw[pos + 8:pos + 8 + sz]
+                        if cid == b"fmt ":
+                            fmt = struct.unpack("<HHIIHH", body[:16])
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + sz + (sz & 1)
+                    if fmt is None or data is None:
+                        raise ValueError("missing chunk")
+                    audio_fmt, channels, _, _, _, bits = fmt
+                    if audio_fmt != 1 or channels != 1 or bits != 16:
+                        raise ValueError("not mono PCM16")
+                    s = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.int64)
+                    n = int(s.size)
+                    if n == 0 or n > 64:
+                        raise ValueError("empty or > 64 samples")
+                    nonneg = s >= 0
+                    sign_hash = int(sum(1 << i for i in np.nonzero(nonneg)[0]))
+                    av = np.abs(s)
+                    tot = int(av.sum())
+                    energy_hash = int(sum(1 << i for i in np.nonzero(av * n >= tot)[0]))
+                    zc = int((nonneg[:-1] != nonneg[1:]).sum())
+                    rows.append((mid, sign_hash, energy_hash, zc, True))
+                except Exception:
+                    rows.append((mid, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sign_hash", "energy_hash",
+                         "zero_crossings", "ok"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches,
+        "media_id long, sign_hash long, energy_hash long, "
+        "zero_crossings long, ok boolean",
     )

@@ -10924,3 +10924,55 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "media_id", "ahash", F.count(F.lit(1)).over(w).cast("long").alias("bucket_size")
     )
+
+
+@register("multimodal_audio_fingerprint", """
+WITH sm AS (
+  SELECT doc_id AS media_id, g.k,
+         CAST(concat('0x', substr(md5(text), CAST(4 * g.k + 3 AS INT), 2)) AS BIGINT) * 256
+         + CAST(concat('0x', substr(md5(text), CAST(4 * g.k + 1 AS INT), 2)) AS BIGINT) AS u
+  FROM documents CROSS JOIN generate_series(0, 7) g(k)
+),
+s AS (
+  SELECT media_id, k, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM sm
+),
+w AS (
+  SELECT media_id, k, v, abs(v) AS av,
+         sum(abs(v)) OVER (PARTITION BY media_id) AS sa,
+         lead(v) OVER (PARTITION BY media_id ORDER BY k) AS nv
+  FROM s
+),
+a AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN v >= 0 THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS sign_hash,
+         CAST(sum(CASE WHEN av * 8 >= sa THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS energy_hash,
+         CAST(sum(CASE WHEN nv IS NOT NULL AND ((v >= 0) != (nv >= 0))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM w GROUP BY media_id
+)
+SELECT media_id, sign_hash, energy_hash, zero_crossings,
+       CAST(count(*) OVER (PARTITION BY sign_hash, energy_hash) AS BIGINT) AS bucket_size
+FROM a
+""")
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint dedup over REAL decoded audio: each document
+    renders to an actual RIFF/WAVE (16 PCM16 samples), the fingerprint
+    operator re-walks the chunks, decodes with numpy, and emits
+    integer-exact polarity/energy hashes + zero-crossing counts;
+    identical (sign_hash, energy_hash) pairs bucket as duplicate
+    recordings. The audio member of the dedup family — the oracle
+    re-derives every sample as signed little-endian int16 straight from
+    md5 hex, so a mis-walked chunk list or endianness slip cannot match
+    (operators/multimodal.fingerprint_wav)."""
+    from .operators.multimodal import encode_wav, fingerprint_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = fingerprint_wav(encode_wav(docs, "doc_id", "text"))
+    w = Window.partitionBy("sign_hash", "energy_hash")
+    return fp.select(
+        "media_id",
+        "sign_hash",
+        "energy_hash",
+        "zero_crossings",
+        F.count(F.lit(1)).over(w).cast("long").alias("bucket_size"),
+    )

@@ -488,3 +488,31 @@ def test_ahash_known_bits(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
     r = ahash_ppm(df).collect()[0]
     assert r["ok"] and r["ahash"] == (1 << 0) + (1 << 3)
+
+
+def test_wav_fingerprint_known_waveform(spark):
+    """Hand-built WAV: samples [100, -100, 100, -100] — alternating
+    polarity gives sign bits 0101, 3 zero crossings, and ALL energy
+    bits set (equal magnitudes)."""
+    import struct
+
+    from simpletasks_data_spark.operators.multimodal import fingerprint_wav
+
+    pcm = struct.pack("<4h", 100, -100, 100, -100)
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 16000, 2, 16, b"data", len(pcm),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(header + pcm))], "media_id long, payload binary"
+    )
+    r = fingerprint_wav(df).collect()[0]
+    assert r["ok"]
+    assert r["sign_hash"] == 0b0101      # samples 0 and 2 are >= 0
+    assert r["zero_crossings"] == 3
+    assert r["energy_hash"] == 0b1111    # all |s| equal -> all at mean
+    # corrupt payload path
+    bad = spark.createDataFrame([(2, bytearray(b"nope"))], "media_id long, payload binary")
+    rb = fingerprint_wav(bad).collect()[0]
+    assert rb["ok"] is False and rb["sign_hash"] is None
