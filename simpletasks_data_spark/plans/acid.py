@@ -408,12 +408,28 @@ class TxnTable:
                 return T.StructType.fromJson(json.loads(rec["schema"]))
         return self.schema
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest version whose commit wall-clock is <= ``ts`` (Delta's
+        timestamp-travel rule); -1 when every commit is newer. Scans the
+        log records (driver metadata, same cost class as ``history``)
+        rather than assuming commit timestamps are monotone — concurrent
+        writers with clock skew can interleave."""
+        best = -1
+        for v in range(self.latest_version() + 1):
+            if self._read_commit(v).get("ts", 0.0) <= ts:
+                best = max(best, v)
+        return best
+
     def read(
         self,
         version: Optional[int] = None,
         prune: Optional[Dict[str, tuple]] = None,
+        timestamp: Optional[float] = None,
     ) -> DataFrame:
-        """Snapshot read; ``version`` = time travel to that commit.
+        """Snapshot read; ``version`` = time travel to that commit,
+        ``timestamp`` = time travel to the table as of that wall-clock
+        instant (latest commit at or before it — mutually exclusive
+        with ``version``).
 
         ``prune``: {column: (lo, hi)} — skip files whose footer min/max
         (recorded in the log at commit time) cannot intersect the range,
@@ -421,6 +437,10 @@ class TxnTable:
         file without stats for the column is always kept, and callers
         still apply the real filter — results are identical with or
         without pruning, only the scanned file set shrinks."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at_timestamp(timestamp)
         latest = self.latest_version()
         if version is None:
             version = latest
@@ -848,6 +868,7 @@ class TxnTable:
                 {
                     "version": rec["version"],
                     "op": rec["op"],
+                    "ts": rec.get("ts"),
                     "n_added": sum(1 for a in rec["actions"] if "add" in a),
                     "n_removed": sum(1 for a in rec["actions"] if "remove" in a),
                 }

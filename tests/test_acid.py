@@ -462,3 +462,30 @@ def test_replace_where_backfill_idempotent(spark, tmp_path):
     t.replace_where(fixed, F.col("day") == 3, prune={"day": (3, 3)}, partition_by=["day"])
     assert {r["id"] for r in t.read().where(F.col("day") == 3).collect()} == got
     assert t.read().count() == 90
+
+
+def test_timestamp_time_travel(spark, tdir):
+    """read(timestamp=) resolves to the latest commit at or before the
+    instant — Delta's rule; before-everything yields the empty table."""
+    import time as _time
+
+    t = TxnTable(spark, tdir, schema=_df(spark, 0, 1).schema)
+    t0 = _time.time()
+    _time.sleep(0.02)
+    t.append(_df(spark, 0, 5))
+    _time.sleep(0.02)
+    t1 = _time.time()
+    _time.sleep(0.02)
+    t.append(_df(spark, 5, 8))
+    _time.sleep(0.02)
+    t2 = _time.time()
+
+    assert t.version_at_timestamp(t0) == -1
+    assert t.read(timestamp=t0).count() == 0
+    assert t.version_at_timestamp(t1) == 0
+    assert t.read(timestamp=t1).count() == 5
+    assert t.version_at_timestamp(t2) == 1
+    assert t.read(timestamp=t2).count() == 8
+    assert t.history()[0]["ts"] is not None
+    with pytest.raises(ValueError):
+        t.read(version=0, timestamp=t1)
