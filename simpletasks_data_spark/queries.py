@@ -10976,3 +10976,41 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_crossings",
         F.count(F.lit(1)).over(w).cast("long").alias("bucket_size"),
     )
+
+
+@register("streaming_minhash_dedup", f"""
+WITH {_minhash_ctes()},
+hits AS (SELECT id_b AS id, min(id_a) AS matched_id FROM cand GROUP BY id_b)
+SELECT c.id, h.matched_id, h.matched_id IS NOT NULL AS is_dup
+FROM corpus c LEFT JOIN hits h ON c.id = h.id
+""")
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fuzzy dedup run to completion: the planted-duplicate
+    corpus arrives as 5 file micro-batches; each batch is MinHash-signed
+    once and probed against the accumulated band-bucket store (O(batch)
+    per increment, never O(corpus)). Candidate pairs are recorded
+    oriented (higher id -> lowest matching lower id), which makes the
+    final answer ARRIVAL-ORDER INDEPENDENT — the streaming fold must
+    converge to exactly the batch-mode LSH oracle over the whole corpus
+    (streaming/ingest.streaming_lsh_dedup)."""
+    import os
+    import tempfile
+
+    from .streaming import streaming_lsh_dedup
+
+    corpus = _corpus(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="slsh_")
+    src = os.path.join(base, "src")
+    corpus.repartitionByRange(5, "id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q, read_result = streaming_lsh_dedup(stream, os.path.join(base, "state"))
+    h = q.start()
+    try:
+        h.processAllAvailable()
+    finally:
+        h.stop()
+    return read_result()

@@ -4,6 +4,7 @@ from .ingest import (
     streaming_dedupe,
     streaming_hourly_counts,
     streaming_interval_join,
+    streaming_lsh_dedup,
     streaming_merge_into,
     streaming_sessions,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "streaming_hourly_counts",
     "streaming_interval_join",
     "streaming_sessions",
+    "streaming_lsh_dedup",
     "streaming_merge_into",
     "capped_sessions_batch",
     "capped_sessions_stateful",

@@ -173,3 +173,94 @@ def streaming_interval_join(
         & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_ts}"))
     )
     return i.join(p, cond, how)
+
+
+def streaming_lsh_dedup(
+    doc_stream: DataFrame,
+    state_dir: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+):
+    """Streaming fuzzy dedup: each micro-batch of documents is MinHash-
+    signed ONCE, probed against the accumulated band-bucket store, and
+    folded in — continuous-ingestion LSH where every increment costs
+    O(batch), never O(corpus).
+
+    Per batch: band buckets for the new docs; candidate pairs = new x
+    (store + new) sharing a (band, bucket); every pair is recorded
+    ORIENTED as (higher id, lower id), so the final per-doc answer —
+    "matched_id = smallest lower-id doc sharing a band, is_dup =
+    matched_id exists" — is ARRIVAL-ORDER INDEPENDENT: whichever side
+    of a pair arrives second finds the other in the store, and the
+    min-fold makes duplicate observations idempotent. That makes the
+    result identical to batch-mode LSH over the full corpus (the
+    oracle), with no coordination between batches.
+
+    State layout under ``state_dir`` (parquet appends; at 100 TB both
+    stores live bucketed by (band, bucket) so a probe only shuffles the
+    batch's buckets): ``buckets/`` — one row per (band, bucket, id)
+    ever seen; ``matches/`` — oriented candidate observations.
+
+    Returns (query_handle, read_result) where ``read_result()`` yields
+    (id, matched_id, is_dup) for every ingested doc.
+    """
+    import os
+
+    from ..operators import dedupe as DD
+
+    spark = doc_stream.sparkSession
+    buckets_dir = os.path.join(state_dir, "buckets")
+    matches_dir = os.path.join(state_dir, "matches")
+    ids_dir = os.path.join(state_dir, "ids")
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        sig = DD.minhash_signatures(batch_df, id_col, text_col, n, num_hashes)
+        bn = DD.band_buckets(sig, id_col, num_hashes, bands).localCheckpoint(
+            eager=True
+        )
+        sides = [bn]
+        if os.path.isdir(buckets_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(buckets_dir)
+        ):
+            sides.append(spark.read.parquet(buckets_dir))
+        other = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+        pairs = (
+            bn.alias("x")
+            .join(
+                other.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x._id") != F.col("y._id")),
+            )
+            .select(
+                F.greatest(F.col("x._id"), F.col("y._id")).alias("id"),
+                F.least(F.col("x._id"), F.col("y._id")).alias("matched_id"),
+            )
+        )
+        pairs.write.mode("append").parquet(matches_dir)
+        bn.write.mode("append").parquet(buckets_dir)
+        batch_df.select(F.col(id_col).alias("id")).write.mode("append").parquet(
+            ids_dir
+        )
+
+    query = (
+        doc_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(state_dir, "ck"))
+        .foreachBatch(fold)
+    )
+
+    def read_result() -> DataFrame:
+        ids = spark.read.parquet(ids_dir)
+        hits = (
+            spark.read.parquet(matches_dir)
+            .groupBy("id")
+            .agg(F.min("matched_id").alias("matched_id"))
+        )
+        return ids.join(hits, "id", "left").select(
+            "id", "matched_id", F.col("matched_id").isNotNull().alias("is_dup")
+        )
+
+    return query, read_result

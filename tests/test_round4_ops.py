@@ -516,3 +516,38 @@ def test_wav_fingerprint_known_waveform(spark):
     bad = spark.createDataFrame([(2, bytearray(b"nope"))], "media_id long, payload binary")
     rb = fingerprint_wav(bad).collect()[0]
     assert rb["ok"] is False and rb["sign_hash"] is None
+
+
+def test_streaming_lsh_dedup_order_independent(spark, tmp_path):
+    """The streaming fold must converge to batch LSH regardless of how
+    docs split into micro-batches: an exact copy arriving BEFORE its
+    original must still resolve (higher id -> lower id)."""
+    from simpletasks_data_spark.streaming import streaming_lsh_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (900001, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated text about spark accumulators and shuffles"),
+    ]
+    results = []
+    for tag, order_col in (("fwd", F.col("id").asc()), ("rev", F.col("id").desc())):
+        docs = spark.createDataFrame(rows, "id long, text string")
+        src = str(tmp_path / f"src_{tag}")
+        # one file per row; sort direction flips which doc arrives first
+        docs.repartitionByRange(3, order_col).write.parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q, read_result = streaming_lsh_dedup(stream, str(tmp_path / f"st_{tag}"))
+        h = q.start()
+        try:
+            h.processAllAvailable()
+        finally:
+            h.stop()
+        results.append({r["id"]: (r["matched_id"], r["is_dup"]) for r in read_result().collect()})
+    assert results[0] == results[1]
+    assert results[0][900001] == (1, True)   # copy matches its original
+    assert results[0][1] == (None, False)     # original is the keeper
+    assert results[0][2] == (None, False)
