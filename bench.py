@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "hybrid_rrf_retrieval",
     "calibration_bins_urgent",
     "mmr_diversified_retrieval",
+    "multimodal_ahash_dedup",
+    "multimodal_audio_fingerprint",
+    "streaming_minhash_dedup",
 ]
 
 

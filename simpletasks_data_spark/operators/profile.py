@@ -29,7 +29,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile"]
+__all__ = ["profile", "k_anonymity_report"]
 
 _NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
 
@@ -76,3 +76,49 @@ def profile(df: DataFrame, columns: Sequence[str] | None = None, approx: bool = 
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    ks: Sequence[int] = (2, 5, 10, 20),
+) -> DataFrame:
+    """Privacy-governance check before a dataset ships to training: group
+    rows into equivalence classes on the quasi-identifier columns and
+    report, for each candidate ``k``, how far the table is from
+    k-anonymity — a record is re-identifiable when its quasi-identifier
+    combination is shared by fewer than k rows.
+
+    Returns one row per k: (k, n_classes, n_small_classes, rows_at_risk,
+    risk_pct) where a "small" class has size < k; risk_pct is the
+    at-risk row fraction rounded to 1e-4.
+
+    Shape: ONE hash agg builds the class-size frame (the only pass over
+    the table — the 100 TB cost); the per-k report is a tiny
+    broadcast-k cross join + second agg over class sizes, not rows. The
+    generalization loop of a full Mondrian anonymizer would iterate
+    this exact report while coarsening the quasi-columns (bucketing
+    numerics, truncating zips) — each iteration stays one scan.
+    """
+    sizes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("_sz")
+    )
+    kf = df.sparkSession.createDataFrame([(int(k),) for k in ks], "k long")
+    return (
+        sizes.crossJoin(F.broadcast(kf))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("_sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_small_classes"),
+            F.sum(F.when(F.col("_sz") < F.col("k"), F.col("_sz")).otherwise(0))
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.round(
+                F.sum(F.when(F.col("_sz") < F.col("k"), F.col("_sz")).otherwise(0))
+                / F.sum("_sz"),
+                4,
+            ).alias("risk_pct"),
+        )
+    )

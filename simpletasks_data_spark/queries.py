@@ -11014,3 +11014,36 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         h.stop()
     return read_result()
+
+
+@register("k_anonymity_customers", """
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM customer GROUP BY 1, 2, 3
+),
+ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       round(sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 1.0 / sum(sz), 4) AS risk_pct
+FROM sizes CROSS JOIN ks
+GROUP BY k
+""")
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table on the quasi-identifier
+    triple (nation, market segment, account-balance kilobucket): for
+    each candidate k, the classes and rows a re-identification attack
+    could single out. The governance gate a dataset passes before
+    shipping to training — one hash agg over the table, per-k report on
+    the tiny class-size frame (operators/profile.k_anonymity_report)."""
+    from .operators.profile import k_anonymity_report
+
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], ks=(2, 5, 10, 20)
+    )

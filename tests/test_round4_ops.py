@@ -551,3 +551,18 @@ def test_streaming_lsh_dedup_order_independent(spark, tmp_path):
     assert results[0][900001] == (1, True)   # copy matches its original
     assert results[0][1] == (None, False)     # original is the keeper
     assert results[0][2] == (None, False)
+
+
+def test_k_anonymity_known_classes(spark):
+    """4 rows in classes of sizes {3, 1}: at k=2 only the singleton is
+    at risk; at k=5 everything is."""
+    from simpletasks_data_spark.operators.profile import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2)], "g string, v int"
+    )
+    rep = {r["k"]: r for r in k_anonymity_report(df, ["g"], ks=(2, 5)).collect()}
+    assert rep[2]["n_classes"] == 2
+    assert rep[2]["n_small_classes"] == 1 and rep[2]["rows_at_risk"] == 1
+    assert rep[2]["risk_pct"] == 0.25
+    assert rep[5]["rows_at_risk"] == 4 and rep[5]["risk_pct"] == 1.0
