@@ -11047,3 +11047,53 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(
         cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], ks=(2, 5, 10, 20)
     )
+
+
+@register("xml_import_roundtrip", """
+SELECT doc_id, text, lang, n_chars FROM documents
+""")
+def xml_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML-dump ingestion end-to-end (the Wikipedia-dump shape): write
+    `documents` as real XML records via Spark 4's native xml sink,
+    re-import through XmlSource (rowTag streaming + explicit schema —
+    record-splittable parallel parse, no inference pass) into an empty
+    target via the standard merge. XML entity escaping round-trips
+    strings losslessly, so the oracle is the original table projection
+    (sources/xml.py)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources import XmlSource
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    out_dir = tempfile.mkdtemp(prefix="sds_xmlrt_")
+    docs.coalesce(1).write.mode("overwrite").format("xml").option("rowTag", "doc").save(out_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    class _XmlMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.doc_id = Field("doc_id")
+            self.text = Field("text")
+            self.lang = Field("lang")
+            self.n_chars = Field("n_chars")
+
+        def get_key_column_name(self):
+            return "doc_id"
+
+    target = TargetTable(
+        schema=schema, df=spark.createDataFrame([], schema), primary_keys=("doc_id",)
+    )
+    src = XmlSource(out_dir, _XmlMapping(), schema=schema, row_tag="doc")
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    job.run()
+    return job.result_df

@@ -2,6 +2,7 @@ from .base import ImportMode, Source
 from .csv import CsvSource
 from .generator import GeneratorSource
 from .jsonl import JsonlSource
+from .xml import XmlSource
 from .table import JdbcSource, Relation, TableSource
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "Relation",
     "GeneratorSource",
     "JsonlSource",
+    "XmlSource",
 ]

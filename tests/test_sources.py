@@ -345,3 +345,49 @@ def test_jdbc_source_plumbing_and_merge(spark, monkeypatch):
     target = TargetTable(schema=schema, df=spark.createDataFrame([], schema), primary_keys=("id",))
     res = ImportJob(spark, target, sources=[src], dryrun=True).run()
     assert res["created"] == 3
+
+
+def test_xml_source_escaping_and_merge(spark, tmp_path):
+    """XML records with entity-escaped special characters round-trip
+    losslessly through the native rowTag parser; records missing the key
+    element parse to NULL ids and count ignored, not fatal."""
+    from pyspark.sql import types as T
+
+    from simpletasks_data_spark.sources import XmlSource
+
+    p = tmp_path / "dump.xml"
+    p.write_text(
+        "<rows>\n"
+        "<doc><id>1</id><txt>a &lt;tag&gt; &amp; more</txt></doc>\n"
+        "<doc><txt>no id element</txt></doc>\n"
+        "<doc><id>2</id><txt>beta</txt></doc>\n"
+        "</rows>\n"
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("txt", T.StringType())]
+    )
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = Field("id")
+            self.txt = Field("txt")
+
+        def get_key_column_name(self):
+            return "id"
+
+    src = XmlSource(str(p), M(), schema=schema, row_tag="doc")
+    raw = src.load_raw(spark)
+    assert raw.count() == 3
+    assert SRC_POS in raw.columns
+
+    target = TargetTable(
+        schema=schema, df=spark.createDataFrame([], schema), primary_keys=("id",)
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    assert res["created"] == 2
+    assert res["sources"][0]["ignored_missing_id"] == 1
+    assert {r.id: r.txt for r in job.result_df.collect()} == {
+        1: "a <tag> & more", 2: "beta"
+    }
