@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "multimodal_ahash_dedup",
     "multimodal_audio_fingerprint",
     "streaming_minhash_dedup",
+    "k_anonymity_customers",
+    "xml_import_roundtrip",
 ]
 
 

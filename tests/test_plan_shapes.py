@@ -219,7 +219,9 @@ def test_plan_lint_no_antipatterns(spark):
         "embedding_drift_by_label", "vocab_coverage_by_source",
         "timeseries_forward_fill_nation", "dsir_importance_weights",
         "token_budget_selection", "hybrid_rrf_retrieval",
-        "retrieval_eval_embeddings",
+        "retrieval_eval_embeddings", "hard_negatives_embeddings",
+        "multimodal_ahash_dedup", "multimodal_audio_fingerprint",
+        "k_anonymity_customers",
     ]
     bad = {}
     for name in LAZY:
