@@ -42,7 +42,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count", "triangle_count_degree_oriented", "label_propagation", "random_walks"]
+__all__ = ["connected_components", "connected_components_bigstar", "dedup_clusters", "pagerank", "triangle_count", "triangle_count_degree_oriented", "label_propagation", "random_walks", "walk_cooccurrence"]
 
 
 def connected_components(
@@ -552,3 +552,62 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     for p in peeled:
         out = out.unionByName(p)
     return out.select(F.col("src").alias("node"), "peel_round")
+
+
+def walk_cooccurrence(
+    walks: DataFrame,
+    window: int = 2,
+    min_count: int = 3,
+    id_col: str = "walk_id",
+    path_col: str = "path",
+) -> DataFrame:
+    """Skip-gram co-occurrence statistics over a random-walk corpus —
+    the counting half of DeepWalk/node2vec: nodes within ``window``
+    positions on the same walk co-occur; pairs are canonicalized
+    (u < v), floored at ``min_count``, and scored with a PMI-style
+    association ``ln(c_uv * n_pos / (occ_u * occ_v))`` (n_pos = total
+    node occurrences). High-PMI pairs are the edges an embedding would
+    pull together — the graph twin of token PMI collocations.
+
+    Shape: one posexplode of the walk frame (length+1 rows per walk),
+    a within-walk self-join bounded by |walk| * window pairs per walk
+    (never the graph), one pair hash agg, unigram margins broadcast
+    back. Walk corpora scale as walks * length — independent of edge
+    count — so the join input is already the REDUCED frame.
+
+    Returns (u, v, n_cooccur, pmi).
+    """
+    pos = walks.select(
+        F.col(id_col).alias("_wid"), F.posexplode(path_col).alias("_pos", "_node")
+    ).localCheckpoint(eager=False)
+    a = pos.select(F.col("_wid"), F.col("_pos").alias("_pa"), F.col("_node").alias("_na"))
+    b = pos.select(F.col("_wid"), F.col("_pos").alias("_pb"), F.col("_node").alias("_nb"))
+    co = (
+        a.join(b, "_wid")
+        .where(
+            (F.col("_pb") > F.col("_pa"))
+            & (F.col("_pb") - F.col("_pa") <= window)
+            & (F.col("_na") != F.col("_nb"))
+        )
+        .groupBy(
+            F.least("_na", "_nb").alias("u"), F.greatest("_na", "_nb").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooccur"))
+        .where(F.col("n_cooccur") >= min_count)
+    )
+    occ = pos.groupBy(F.col("_node")).agg(F.count(F.lit(1)).cast("long").alias("_occ"))
+    n = occ.agg(F.sum("_occ").cast("long").alias("_npos"))
+    return (
+        co.join(F.broadcast(occ.select(F.col("_node").alias("u"), F.col("_occ").alias("_ou"))), "u")
+        .join(F.broadcast(occ.select(F.col("_node").alias("v"), F.col("_occ").alias("_ov"))), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "u",
+            "v",
+            "n_cooccur",
+            F.round(
+                F.log(F.col("n_cooccur") * 1.0 * F.col("_npos") / (F.col("_ou") * F.col("_ov"))),
+                4,
+            ).alias("pmi"),
+        )
+    )

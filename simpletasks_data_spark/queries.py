@@ -9548,7 +9548,11 @@ def jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _walks_oracle_sql(length: int = 5, max_degree: int = 64) -> str:
+def _walks_ctes(length: int = 5, max_degree: int = 64) -> str:
+    """Shared CTE chain for the random-walk family: support-floored
+    supplier co-occurrence edges -> hash-capped sorted adjacency ->
+    ``length`` deterministic hash-draw steps, ending at ``s{length}``
+    with (walk_id, path LIST)."""
     steps = []
     for t in range(1, length + 1):
         prev = f"s{t-1}"
@@ -9560,8 +9564,7 @@ def _walks_oracle_sql(length: int = 5, max_degree: int = 64) -> str:
                  % a.deg + 1 AS INT)]) AS path
   FROM {prev} w JOIN adj a ON a.src = w.path[len(w.path)]
 )""")
-    return f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    return f"""li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
 pairs AS (
   SELECT a.l_suppkey AS u, b.l_suppkey AS v
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
@@ -9583,7 +9586,12 @@ adj AS (
   FROM ranked WHERE rk <= {max_degree} GROUP BY src
 ),
 s0 AS (SELECT src AS walk_id, [src] AS path FROM adj),
-{", ".join(steps)}
+{", ".join(steps)}"""
+
+
+def _walks_oracle_sql(length: int = 5, max_degree: int = 64) -> str:
+    return f"""
+WITH {_walks_ctes(length, max_degree)}
 SELECT CAST(walk_id AS BIGINT) AS walk_id,
        array_to_string(list_transform(path, x -> CAST(x AS VARCHAR)), '-')
          AS path
@@ -9603,6 +9611,20 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer can hash it (array columns broke it in round 3). See
     operators/graph.random_walks; edges share supplier_triangles'
     support-floored construction."""
+    w = _supplier_walks(spark, sf_dir)
+    return w.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.array_join(
+            F.transform("path", lambda x: x.cast("string")), "-"
+        ).alias("path"),
+    )
+
+
+def _supplier_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared walk corpus for the random-walk family: support-floored
+    supplier co-occurrence edges -> deterministic hash-draw walks
+    (one 5-step walk per node, hub adjacency capped at 64). Mirrors
+    ``_walks_ctes`` exactly."""
     from .operators.graph import random_walks
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -9618,13 +9640,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_n") >= 5)
         .drop("_n")
     )
-    w = random_walks(edges, length=5, seed="walk", max_degree=64)
-    return w.select(
-        F.col("walk_id").cast("long").alias("walk_id"),
-        F.array_join(
-            F.transform("path", lambda x: x.cast("string")), "-"
-        ).alias("path"),
-    )
+    return random_walks(edges, length=5, seed="walk", max_degree=64)
 
 
 @register("events_seasonal_anomaly", """
@@ -11097,3 +11113,61 @@ def xml_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = ImportJob(spark, target, sources=[src], dryrun=True)
     job.run()
     return job.result_df
+
+
+@register("walk_cooccurrence_pmi", f"""
+WITH {_walks_ctes(5, 64)},
+pos AS (
+  SELECT walk_id, g.i AS pos, path[g.i] AS node
+  FROM s5 CROSS JOIN generate_series(1, 6) g(i)
+  WHERE g.i <= len(path)
+),
+co AS (
+  SELECT least(a.node, b.node) AS u, greatest(a.node, b.node) AS v,
+         CAST(count(*) AS BIGINT) AS n_cooccur
+  FROM pos a JOIN pos b ON a.walk_id = b.walk_id
+       AND b.pos > a.pos AND b.pos - a.pos <= 2 AND a.node != b.node
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+occ AS (SELECT node, CAST(count(*) AS BIGINT) AS occ FROM pos GROUP BY node),
+n AS (SELECT CAST(sum(occ) AS BIGINT) AS npos FROM occ),
+p AS (
+  SELECT co.u, co.v, co.n_cooccur,
+         round(ln(co.n_cooccur * 1.0 * n.npos / (ou.occ * ov.occ)), 4) AS pmi
+  FROM co
+  JOIN occ ou ON ou.node = co.u
+  JOIN occ ov ON ov.node = co.v
+  CROSS JOIN n
+),
+r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, u, v) AS rank FROM p)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, n_cooccur, pmi,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20
+""")
+def walk_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram statistics over the deterministic random-walk corpus —
+    the counting half of DeepWalk/node2vec: node pairs within a 2-step
+    window on the same walk, PMI-scored against walk-corpus unigram
+    occurrences, top-20. High-PMI pairs are what an embedding pulls
+    together; this is the graph twin of token_pmi_pairs, and the walk
+    corpus (walks x length rows) is already edge-count-independent
+    before the windowed self-join (operators/graph.walk_cooccurrence).
+    Shares the exact hash-draw walk trajectory with graph_random_walks
+    via _supplier_walks / _walks_ctes."""
+    from .operators.graph import walk_cooccurrence
+
+    co = walk_cooccurrence(
+        _supplier_walks(spark, sf_dir), window=2, min_count=3
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("u"), F.asc("v"))
+    return (
+        co.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            "n_cooccur",
+            "pmi",
+            "rank",
+        )
+    )

@@ -566,3 +566,21 @@ def test_k_anonymity_known_classes(spark):
     assert rep[2]["n_small_classes"] == 1 and rep[2]["rows_at_risk"] == 1
     assert rep[2]["risk_pct"] == 0.25
     assert rep[5]["rows_at_risk"] == 4 and rep[5]["risk_pct"] == 1.0
+
+
+def test_walk_cooccurrence_window_and_canonical_pairs(spark):
+    """One walk 1-2-3-2: window-2 pairs are (1,2)x2 [pos1-2, pos... ],
+    canonicalized u<v, self-pairs excluded."""
+    from simpletasks_data_spark.operators.graph import walk_cooccurrence
+
+    walks = spark.createDataFrame(
+        [(7, [1, 2, 3, 2])], "walk_id long, path array<long>"
+    )
+    out = {(r["u"], r["v"]): r["n_cooccur"] for r in
+           walk_cooccurrence(walks, window=2, min_count=1).collect()}
+    # pairs within distance 2: (1,2)@0-1, (1,3)@0-2, (2,3)@1-2, (2,2)@1-3 skip,
+    # (3,2)@2-3 -> (2,3)
+    assert out[(1, 2)] == 1
+    assert out[(1, 3)] == 1
+    assert out[(2, 3)] == 2
+    assert (2, 2) not in out
