@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "streaming_minhash_dedup",
     "k_anonymity_customers",
     "xml_import_roundtrip",
+    "walk_cooccurrence_pmi",
+    "ewma_region_revenue",
 ]
 
 

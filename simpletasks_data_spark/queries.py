@@ -11171,3 +11171,73 @@ def walk_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register("ewma_region_revenue", """
+WITH m AS (
+  SELECT r.r_name AS region,
+         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         round(sum(o.o_totalprice), 4) AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT region, month, revenue,
+         list(revenue) OVER (PARTITION BY region ORDER BY month
+                             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
+  FROM m
+)
+SELECT region, month, revenue,
+       CAST(len(arr) AS BIGINT) AS n_window,
+       round(
+         list_sum(list_transform(generate_series(1, len(arr)),
+                  i -> arr[i] * pow(0.7, len(arr) - i)))
+         / ((1 - pow(0.7, len(arr))) / (1 - 0.7)), 4) AS ewma
+FROM w
+""")
+def ewma_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of monthly revenue per
+    region (alpha = 0.3, 12-month window) — the smoothing/forecasting
+    baseline of the time-series family (the EWMA IS the one-step-ahead
+    forecast). The weighted fold runs over the windowed value ARRAY
+    (collect_list preserves frame order; the normalizer is the closed
+    form (1-c^n)/(1-c)), so no unboundedly-growing recursive state and
+    no exploding rebased weights — the window is 12 values per row
+    regardless of history length, partitioned on the natural region
+    key."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    m = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("region").orderBy("month").rowsBetween(-11, 0)
+    arr = F.collect_list("revenue").over(w)
+    withw = m.withColumn("arr", arr)
+    c = F.lit(0.7)
+    n = F.size("arr")
+    weights = F.sequence(n - 1, F.lit(0), F.lit(-1))
+    num = F.aggregate(
+        F.zip_with(F.col("arr"), weights, lambda x, k: x * F.pow(c, k.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = (1 - F.pow(c, n.cast("double"))) / (1 - c)
+    return withw.select(
+        "region",
+        "month",
+        "revenue",
+        n.cast("long").alias("n_window"),
+        F.round(num / den, 4).alias("ewma"),
+    )

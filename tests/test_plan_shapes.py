@@ -221,7 +221,8 @@ def test_plan_lint_no_antipatterns(spark):
         "token_budget_selection", "hybrid_rrf_retrieval",
         "retrieval_eval_embeddings", "hard_negatives_embeddings",
         "multimodal_ahash_dedup", "multimodal_audio_fingerprint",
-        "k_anonymity_customers",
+        "k_anonymity_customers", "ewma_region_revenue",
+        "walk_cooccurrence_pmi",
     ]
     bad = {}
     for name in LAZY:
