@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "xml_import_roundtrip",
     "walk_cooccurrence_pmi",
     "ewma_region_revenue",
+    "cusum_drift_events",
 ]
 
 

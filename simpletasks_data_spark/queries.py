@@ -11241,3 +11241,72 @@ def ewma_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_window"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+@register("cusum_drift_events", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, coalesce(stddev_samp(n), 0.0) AS sd
+  FROM hourly GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, h.hr, h.n,
+         h.n - s.mu - 0.5 * s.sd AS d, s.sd
+  FROM hourly h JOIN stats s USING (event_type)
+),
+cum AS (
+  SELECT event_type, hr, n, sd,
+         sum(d) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS s
+  FROM dev
+),
+cusum AS (
+  SELECT event_type, hr, n, sd, s,
+         s - least(min(s) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS UNBOUNDED PRECEDING), 0.0) AS c
+  FROM cum
+)
+SELECT event_type, hr AS hour, n AS n_events,
+       round(c, 4) AS cusum,
+       c > 4.0 * sd AS alarm
+FROM cusum
+""")
+def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift detection on hourly event volumes, per event
+    type (Page 1954): the textbook recursion ``C_t = max(0, C_{t-1} +
+    x_t - mu - k)`` is NOT window-expressible, but its closed form IS —
+    ``C_t = S_t - min(0, running-min of S)`` with S the running sum of
+    deviations (slack k = 0.5 sd, alarm at 4 sd). So the whole
+    sequential detector runs as TWO stacked windows over one hourly
+    agg — no recursion, no UDF, state bounded by the partition sort.
+    The change-point member of the anomaly family (z-score = pointwise,
+    seasonal = calendar-relative, CUSUM = cumulative drift)."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"),
+        F.coalesce(F.stddev_samp("n"), F.lit(0.0)).alias("sd"),
+    )
+    dev = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "d", F.col("n") - F.col("mu") - 0.5 * F.col("sd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dev.withColumn("s", F.sum("d").over(w))
+    c = F.col("s") - F.least(F.min("s").over(w), F.lit(0.0))
+    return cum.select(
+        "event_type",
+        F.col("hr").alias("hour"),
+        F.col("n").alias("n_events"),
+        F.round(c, 4).alias("cusum"),
+        (c > 4.0 * F.col("sd")).alias("alarm"),
+    )

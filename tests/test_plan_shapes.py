@@ -222,7 +222,7 @@ def test_plan_lint_no_antipatterns(spark):
         "retrieval_eval_embeddings", "hard_negatives_embeddings",
         "multimodal_ahash_dedup", "multimodal_audio_fingerprint",
         "k_anonymity_customers", "ewma_region_revenue",
-        "walk_cooccurrence_pmi",
+        "walk_cooccurrence_pmi", "cusum_drift_events",
     ]
     bad = {}
     for name in LAZY:

@@ -584,3 +584,20 @@ def test_walk_cooccurrence_window_and_canonical_pairs(spark):
     assert out[(1, 3)] == 1
     assert out[(2, 3)] == 2
     assert (2, 2) not in out
+
+
+def test_cusum_closed_form_equals_recursion():
+    """The prefix trick C_t = S_t - min(0, min_{s<=t} S_s) must equal
+    Page's recursion C_t = max(0, C_{t-1} + d_t) on an arbitrary
+    series (property over random-ish fixed data)."""
+    devs = [1.2, -3.0, 0.5, 0.7, -0.1, 2.5, -4.0, 1.0, 1.0, 1.0]
+    c_rec, out_rec = 0.0, []
+    for d in devs:
+        c_rec = max(0.0, c_rec + d)
+        out_rec.append(round(c_rec, 10))
+    s, mn, out_cf = 0.0, 0.0, []
+    for d in devs:
+        s += d
+        mn = min(mn, s)
+        out_cf.append(round(s - min(mn, 0.0), 10))
+    assert out_rec == out_cf
