@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "walk_cooccurrence_pmi",
     "ewma_region_revenue",
     "cusum_drift_events",
+    "benford_first_digit_orders",
 ]
 
 

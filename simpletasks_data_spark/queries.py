@@ -11332,3 +11332,61 @@ def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c, 4).alias("cusum"),
         (c > 4.0 * F.col("sd")).alias("alarm"),
     )
+
+
+@register("benford_first_digit_orders", """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+g AS (SELECT unnest(generate_series(1, 9)) AS digit),
+j AS (
+  SELECT g.digit, coalesce(obs.n_obs, 0) AS n_obs,
+         log10(1.0 + 1.0 / g.digit) AS p_benford
+  FROM g LEFT JOIN obs ON obs.digit = g.digit
+)
+SELECT j.digit, j.n_obs,
+       round(j.n_obs * 1.0 / n.total, 4) AS p_observed,
+       round(j.p_benford, 4) AS p_benford,
+       round(pow(j.n_obs - n.total * j.p_benford, 2) / (n.total * j.p_benford), 4)
+         AS chi2_term
+FROM j CROSS JOIN n
+""")
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-digit
+    distribution vs log10(1 + 1/d), with per-digit chi-square terms —
+    the classic fabricated-data / ingestion-corruption smell test (a
+    synthetic uniform price column FAILS Benford loudly, which is
+    itself informative on this generated data). First digit extracted
+    integer-exactly (leading char of the truncated integer, never
+    float log tricks, and explicit floor() — DuckDB's double->BIGINT
+    cast ROUNDS while Spark's truncates); one scan, 9-row report,
+    expected frame is a generated literal."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    g = spark.range(1, 10).select(F.col("id").alias("digit"))
+    j = (
+        g.join(obs, "digit", "left")
+        .na.fill({"n_obs": 0})
+        .withColumn("p_benford", F.log10(1.0 + 1.0 / F.col("digit")))
+        .crossJoin(F.broadcast(n))
+    )
+    return j.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("total"), 4).alias("p_observed"),
+        F.round(F.col("p_benford"), 4).alias("p_benford"),
+        F.round(
+            F.pow(F.col("n_obs") - F.col("total") * F.col("p_benford"), 2)
+            / (F.col("total") * F.col("p_benford")),
+            4,
+        ).alias("chi2_term"),
+    )

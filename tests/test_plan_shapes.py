@@ -223,6 +223,7 @@ def test_plan_lint_no_antipatterns(spark):
         "multimodal_ahash_dedup", "multimodal_audio_fingerprint",
         "k_anonymity_customers", "ewma_region_revenue",
         "walk_cooccurrence_pmi", "cusum_drift_events",
+        "benford_first_digit_orders",
     ]
     bad = {}
     for name in LAZY:
