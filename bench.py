@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "ewma_region_revenue",
     "cusum_drift_events",
     "benford_first_digit_orders",
+    "ppr_seeded_customers",
 ]
 
 

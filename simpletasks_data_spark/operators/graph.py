@@ -248,6 +248,8 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     round_at: int = 8,
+    reset_ids: Optional[DataFrame] = None,
+    reset_id_col: str = "id",
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame: ``(id,
     score)`` after ``iterations`` synchronous rounds of
@@ -266,7 +268,14 @@ def pagerank(
     same two-shuffle round as connected_components, with the edge frame
     checkpointed once up front. Nodes with no in-edges settle at (1-d).
     Dangling nodes (no out-edges) contribute nothing, matching the
-    simplified formulation (no dangling-mass redistribution)."""
+    simplified formulation (no dangling-mass redistribution).
+
+    ``reset_ids``: PERSONALIZED PageRank — the (1-d) reset mass lands
+    only on the given seed nodes (unnormalized: 1.0 per seed, so the
+    grid-quantization contract carries over unchanged); scores then
+    measure proximity to the seed set, the recommendation/expansion
+    primitive. ``None`` = uniform reset (classic PageRank, identical
+    to the previous behavior)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
@@ -278,7 +287,17 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    scores = nodes.select("id", F.lit(1.0).alias("score"))
+    if reset_ids is None:
+        nr = nodes.withColumn("_r", F.lit(1.0))
+    else:
+        seeds = (
+            reset_ids.select(F.col(reset_id_col).alias("id"))
+            .distinct()
+            .withColumn("_r", F.lit(1.0))
+        )
+        nr = nodes.join(seeds, "id", "left").na.fill({"_r": 0.0})
+    nr = nr.localCheckpoint(eager=True)
+    scores = nr.select("id", F.col("_r").alias("score"))
     for _ in range(iterations):
         contrib = (
             ed.join(scores.withColumnRenamed("id", "u"), "u")
@@ -286,11 +305,11 @@ def pagerank(
             .agg(F.sum(F.col("score") / F.col("_d")).alias("_in"))
         )
         scores = (
-            nodes.join(contrib, "id", "left")
+            nr.join(contrib, "id", "left")
             .select(
                 "id",
                 F.round(
-                    F.lit(1.0 - damping)
+                    F.lit(1.0 - damping) * F.col("_r")
                     + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
                     round_at,
                 ).alias("score"),

@@ -11390,3 +11390,72 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2_term"),
     )
+
+
+def _ppr_oracle_sql(iterations: int = 10) -> str:
+    layers = []
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        layers.append(f"""p{i} AS (
+  SELECT n.id,
+         round(0.15 * n._r + 0.85 * coalesce(sum(p.score / ed._d), 0), 8) AS score
+  FROM nr n
+  LEFT JOIN ed ON ed.v = n.id
+  LEFT JOIN {prev} p ON p.id = ed.u
+  GROUP BY n.id, n._r
+)""")
+        prev = f"p{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS u, s AS v FROM pairs UNION ALL SELECT s AS u, c AS v FROM pairs
+),
+deg AS (SELECT u, count(*) AS _d FROM edges GROUP BY u),
+ed AS (SELECT e.u, e.v, deg._d FROM edges e JOIN deg ON deg.u = e.u),
+nodes AS (SELECT DISTINCT u AS id FROM edges UNION SELECT DISTINCT v FROM edges),
+nr AS (
+  SELECT id, CASE WHEN id % 100 = 0 AND id < 1000000 THEN 1.0 ELSE 0.0 END AS _r
+  FROM nodes
+),
+p0 AS (SELECT id, _r AS score FROM nr),
+{", ".join(layers)}
+SELECT id, score FROM {prev} WHERE score > 0
+"""
+
+
+@register("ppr_seeded_customers", _ppr_oracle_sql(10))
+def ppr_seeded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the customer<->supplier trade graph:
+    the (1-d) reset mass lands only on the seed customers (custkey %
+    100 == 0), so scores measure proximity to the seed set — the
+    recommendation / audience-expansion primitive ("suppliers and
+    customers closest to this cohort"). Same two-shuffle round and
+    1e-8 grid-quantization contract as classic pagerank (the reset
+    vector is the ONLY change — operators/graph.pagerank(reset_ids=));
+    zero-score nodes (unreached in 10 rounds) are filtered on both
+    sides."""
+    from .operators.graph import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + 1000000).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        pairs.select(F.col("c").alias("id"))
+        .where((F.col("id") % 100 == 0))
+        .distinct()
+    )
+    out = pagerank(edges, iterations=10, reset_ids=seeds)
+    return out.where(F.col("score") > 0)

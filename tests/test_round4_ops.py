@@ -601,3 +601,30 @@ def test_cusum_closed_form_equals_recursion():
         mn = min(mn, s)
         out_cf.append(round(s - min(mn, 0.0), 10))
     assert out_rec == out_cf
+
+
+def test_ppr_uniform_seeds_equals_classic(spark):
+    from simpletasks_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3)], "src long, dst long"
+    )
+    classic = {r["id"]: r["score"] for r in pagerank(edges, iterations=5).collect()}
+    allnodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    uniform = {r["id"]: r["score"] for r in pagerank(
+        edges, iterations=5, reset_ids=allnodes).collect()}
+    assert classic == uniform
+
+
+def test_ppr_mass_concentrates_at_seed(spark):
+    """Chain 1->2->3 ... seeding node 1: score(1) > score(2) > score(3),
+    and a disconnected node scores 0."""
+    from simpletasks_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    s = {r["id"]: r["score"] for r in pagerank(edges, iterations=8, reset_ids=seeds).collect()}
+    assert s[1] > s[2] > s[3] > 0
+    assert s[8] == 0.0 and s[9] == 0.0
