@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "cusum_drift_events",
     "benford_first_digit_orders",
     "ppr_seeded_customers",
+    "conformal_urgent_orders",
 ]
 
 

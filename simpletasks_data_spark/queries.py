@@ -9071,10 +9071,17 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_ctes(iterations: int = 5, lr: float = 1.0) -> str:
-    """Shared unrolled-GD CTE chain (features + weight rounds) for the
-    logreg-family oracles: mirrors ``_logreg_orders_train`` exactly
-    (same features, zero init, 1e-6 weight quantization per round)."""
+_LOGREG_FEATURES_SQL = """SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+         o_totalprice / 100000.0 AS x1,
+         date_diff('day', DATE '1992-01-01', o_orderdate) / 1000.0 AS x2
+  FROM orders"""
+
+
+def _logreg_rounds(iterations: int = 5, lr: float = 1.0, train: str = "f") -> str:
+    """Unrolled-GD weight CTEs (w0..wN) over the ``train`` CTE —
+    mirrors ``_logreg_gd`` exactly (zero init, 1e-6 weight quantization
+    per round)."""
     rounds = []
     for t in range(1, iterations + 1):
         prev = f"w{t-1}"
@@ -9082,17 +9089,20 @@ def _logreg_ctes(iterations: int = 5, lr: float = 1.0) -> str:
   SELECT round({prev}.w0 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2))))), 6) AS w0,
          round({prev}.w1 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2)))) * f.x1), 6) AS w1,
          round({prev}.w2 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2)))) * f.x2), 6) AS w2
-  FROM f CROSS JOIN {prev}
+  FROM {train} f CROSS JOIN {prev}
   GROUP BY {prev}.w0, {prev}.w1, {prev}.w2
 )""")
-    return f"""f AS MATERIALIZED (
-  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
-         o_totalprice / 100000.0 AS x1,
-         date_diff('day', DATE '1992-01-01', o_orderdate) / 1000.0 AS x2
-  FROM orders
-),
-w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+    return f"""w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
 {", ".join(rounds)}"""
+
+
+def _logreg_ctes(iterations: int = 5, lr: float = 1.0) -> str:
+    """Shared unrolled-GD CTE chain (features + weight rounds) for the
+    logreg-family oracles: mirrors ``_logreg_orders_train`` exactly."""
+    return f"""f AS MATERIALIZED (
+  {_LOGREG_FEATURES_SQL}
+),
+{_logreg_rounds(iterations, lr)}"""
 
 
 def _logreg_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
@@ -9113,29 +9123,32 @@ GROUP BY {last}.w0, {last}.w1, {last}.w2
 """
 
 
-def _logreg_orders_train(
-    spark: SparkSession, sf_dir: str, iterations: int = 5, lr: float = 1.0
-) -> tuple:
-    """Shared GD trainer for the logreg family: returns the checkpointed
-    (y, x1, x2) feature frame and the trained weights [w0, w1, w2].
-    Each round is ONE aggregation computing the 3 gradient components;
-    weights live on the driver as codegen literals (the kmeans/PCA
-    execution pattern) and are quantized to 1e-6 per round so the
-    trajectory is engine-exact for ``_logreg_ctes``'s unrolled oracle."""
-    from .operators.clustering import _round_half_up
-
-    orders = load(spark, sf_dir, "orders").select(
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (o_orderkey, y, x1, x2) feature frame shared by the
+    logreg family — mirrors ``_LOGREG_FEATURES_SQL``."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
         F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
         (F.col("o_totalprice") / 100000.0).alias("x1"),
         (
             F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")) / 1000.0
         ).alias("x2"),
     ).localCheckpoint(eager=True)
+
+
+def _logreg_gd(features: DataFrame, iterations: int = 5, lr: float = 1.0) -> list:
+    """Full-batch GD over a feature frame: each round is ONE aggregation
+    computing the 3 gradient components; weights live on the driver as
+    codegen literals (the kmeans/PCA execution pattern) and quantize to
+    1e-6 per round so the trajectory is engine-exact for
+    ``_logreg_rounds``'s unrolled oracle."""
+    from .operators.clustering import _round_half_up
+
     w = [0.0, 0.0, 0.0]
     for _ in range(iterations):
         z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
         resid = F.col("y") - 1.0 / (1.0 + F.exp(-z))
-        row = orders.agg(
+        row = features.agg(
             F.avg(resid).alias("g0"),
             F.avg(resid * F.col("x1")).alias("g1"),
             F.avg(resid * F.col("x2")).alias("g2"),
@@ -9143,7 +9156,14 @@ def _logreg_orders_train(
         w = [
             _round_half_up(w[k] + lr * row[f"g{k}"], 6) for k in range(3)
         ]
-    return orders, w
+    return w
+
+
+def _logreg_orders_train(
+    spark: SparkSession, sf_dir: str, iterations: int = 5, lr: float = 1.0
+) -> tuple:
+    orders = _logreg_features(spark, sf_dir)
+    return orders, _logreg_gd(orders, iterations, lr)
 
 
 @register("logreg_urgent_orders", _logreg_oracle_sql(5))
@@ -11459,3 +11479,106 @@ def ppr_seeded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges, iterations=10, reset_ids=seeds)
     return out.where(F.col("score") > 0)
+
+
+def _conformal_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
+    last = f"w{iterations}"
+    return f"""
+WITH fall AS MATERIALIZED (
+  {_LOGREG_FEATURES_SQL}
+),
+f AS MATERIALIZED (SELECT * FROM fall WHERE o_orderkey % 5 >= 2),
+{_logreg_rounds(iterations, lr)},
+scored AS (
+  SELECT fall.o_orderkey, fall.y,
+         1.0 / (1.0 + exp(-({last}.w0 + {last}.w1 * fall.x1 + {last}.w2 * fall.x2))) AS p
+  FROM fall CROSS JOIN {last}
+),
+cal AS (
+  SELECT o_orderkey, 1.0 - (y * p + (1.0 - y) * (1.0 - p)) AS s
+  FROM scored WHERE o_orderkey % 5 = 0
+),
+nq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         (9 * (count(*) + 1) + 9) // 10 AS k
+  FROM cal
+),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s ASC, o_orderkey ASC) AS rk FROM cal
+),
+q AS (SELECT ranked.s AS qhat FROM ranked CROSS JOIN nq WHERE ranked.rk = nq.k),
+test AS (
+  SELECT y,
+         CASE WHEN p <= qhat THEN 1 ELSE 0 END AS in0,
+         CASE WHEN 1.0 - p <= qhat THEN 1 ELSE 0 END AS in1,
+         qhat
+  FROM scored CROSS JOIN q WHERE o_orderkey % 5 = 1
+)
+SELECT CAST(y AS BIGINT) AS true_class,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CASE WHEN (y = 1.0 AND in1 = 1) OR (y = 0.0 AND in0 = 1)
+                      THEN 1.0 ELSE 0.0 END), 4) AS coverage,
+       round(avg(in0 + in1), 4) AS avg_set_size,
+       round(any_value(qhat), 6) AS qhat
+FROM test GROUP BY y
+"""
+
+
+@register("conformal_urgent_orders", _conformal_oracle_sql(5))
+def conformal_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction sets for the GD logistic model
+    (Vovk et al.; alpha = 0.1): train on the 60% orderkey stratum,
+    calibrate nonconformity (1 - p_true) on a held-out 20%, take the
+    ceil((n+1)(1-alpha))-th order statistic as the threshold, and
+    report per-class empirical coverage + average prediction-set size
+    on the remaining 20% — the distribution-free uncertainty wrapper a
+    classifier ships with. The quantile index is integer-exact
+    ((9(n+1)+9) DIV 10) and the threshold is a raw double both engines
+    compute identically; the only ordered state is the calibration
+    stratum's rank window (at 100 TB: a KLL/t-digest sketch quantile —
+    the guarantee degrades gracefully with quantile error)."""
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_gd(feats.where(F.col("o_orderkey") % 5 >= 2), iterations=5, lr=1.0)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    scored = feats.select(
+        "o_orderkey", "y", (1.0 / (1.0 + F.exp(-z))).alias("p")
+    )
+    cal = scored.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (1.0 - (F.col("y") * F.col("p") + (1.0 - F.col("y")) * (1.0 - F.col("p")))).alias("s"),
+    )
+    nq = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        ((9 * (F.count(F.lit(1)) + 1) + 9) / 10).cast("long").alias("k"),
+    )
+    ranked = cal.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.asc("s"), F.asc("o_orderkey")))
+    )
+    q = ranked.crossJoin(F.broadcast(nq)).where(F.col("rk") == F.col("k")).select(
+        F.col("s").alias("qhat")
+    )
+    test = (
+        scored.where(F.col("o_orderkey") % 5 == 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "y",
+            F.when(F.col("p") <= F.col("qhat"), 1).otherwise(0).alias("in0"),
+            F.when(1.0 - F.col("p") <= F.col("qhat"), 1).otherwise(0).alias("in1"),
+            "qhat",
+        )
+    )
+    return test.groupBy(F.col("y").cast("long").alias("true_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.avg(
+                F.when(
+                    ((F.col("y") == 1.0) & (F.col("in1") == 1))
+                    | ((F.col("y") == 0.0) & (F.col("in0") == 1)),
+                    1.0,
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("coverage"),
+        F.round(F.avg(F.col("in0") + F.col("in1")), 4).alias("avg_set_size"),
+        F.round(F.first("qhat"), 6).alias("qhat"),
+    )
