@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "benford_first_digit_orders",
     "ppr_seeded_customers",
     "conformal_urgent_orders",
+    "ks_test_price_by_segment",
 ]
 
 

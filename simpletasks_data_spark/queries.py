@@ -11582,3 +11582,80 @@ def conformal_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("in0") + F.col("in1")), 4).alias("avg_set_size"),
         F.round(F.first("qhat"), 6).alias("qhat"),
     )
+
+
+@register("ks_test_price_by_segment", """
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, CAST(floor(o.o_totalprice / 1000.0) AS BIGINT) AS bk
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+b AS (
+  SELECT bk,
+         CAST(count(*) FILTER (seg = 'BUILDING') AS BIGINT) AS n1,
+         CAST(count(*) FILTER (seg = 'MACHINERY') AS BIGINT) AS n2
+  FROM o GROUP BY bk
+),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM b),
+c AS (
+  SELECT bk,
+         sum(n1) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(n2) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS c2
+  FROM b
+),
+d AS (
+  SELECT c.bk, abs(c.c1 * 1.0 / tot.t1 - c.c2 * 1.0 / tot.t2) AS dd
+  FROM c CROSS JOIN tot
+),
+mx AS (SELECT max(dd) AS ks FROM d)
+SELECT tot.t1 AS n1, tot.t2 AS n2,
+       round(mx.ks, 6) AS ks_d,
+       round(1.358 * sqrt((tot.t1 + tot.t2) * 1.0 / (tot.t1 * tot.t2)), 6) AS crit_05,
+       mx.ks > 1.358 * sqrt((tot.t1 + tot.t2) * 1.0 / (tot.t1 * tot.t2)) AS reject_05
+FROM tot CROSS JOIN mx
+""")
+def ks_test_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on order totals between the
+    BUILDING and MACHINERY customer segments — the distribution-shift
+    gate of the drift family (PSI = binned divergence, CUSUM = temporal
+    drift, KS = supremum ECDF gap). ECDFs are built on an integer price
+    grid (1000-unit buckets), so the ordered state is the BUCKET
+    histogram, never the rows — the same bounded-window trick as
+    token_budget_selection; at finer alpha tighten the grid. Reports D,
+    the 5%% critical value 1.358*sqrt((n1+n2)/(n1*n2)), and the
+    decision. All counts integer, one join + one agg + a grid-sized
+    window."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("bk"),
+        )
+    )
+    b = j.groupBy("bk").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    tot = b.agg(
+        F.sum("n1").cast("long").alias("t1"), F.sum("n2").cast("long").alias("t2")
+    )
+    w = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "bk", F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2")
+    ).crossJoin(F.broadcast(tot))
+    mx = cum.agg(
+        F.max(F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))).alias("ks"),
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+    )
+    crit = 1.358 * F.sqrt((F.col("t1") + F.col("t2")) * 1.0 / (F.col("t1") * F.col("t2")))
+    return mx.select(
+        F.col("t1").alias("n1"),
+        F.col("t2").alias("n2"),
+        F.round(F.col("ks"), 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.col("ks") > crit).alias("reject_05"),
+    )
