@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "ppr_seeded_customers",
     "conformal_urgent_orders",
     "ks_test_price_by_segment",
+    "fixedwidth_import_roundtrip",
 ]
 
 

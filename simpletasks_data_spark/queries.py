@@ -11659,3 +11659,58 @@ def ks_test_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (F.col("ks") > crit).alias("reject_05"),
     )
+
+
+@register("fixedwidth_import_roundtrip", """
+SELECT doc_id, lang, n_chars FROM documents
+""")
+def fixedwidth_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe-extract) ingestion end-to-end: format the
+    documents manifest as space-padded fixed-width lines, re-import
+    through FixedWidthSource (pure substring slicing, right-trimmed,
+    blank -> NULL) into an empty target via the standard merge. Keys are
+    unique so the splittable unordered read path is exercised; padding
+    round-trips losslessly for these fields, so the oracle is the
+    original projection (sources/fixedwidth.py)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .sources import FixedWidthSource
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out_dir = tempfile.mkdtemp(prefix="sds_fwrt_")
+    line = F.concat(
+        F.rpad(F.col("doc_id").cast("string"), 10, " "),
+        F.rpad(F.col("lang"), 8, " "),
+        F.rpad(F.col("n_chars").cast("string"), 10, " "),
+    )
+    docs.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(out_dir)
+
+    class _FwMapping(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.doc_id = self.auto()
+            self.lang = self.auto()
+            self.n_chars = self.auto()
+
+        def get_key_column_name(self):
+            return "doc_id"
+
+        def get_header_line_number(self):
+            return -1
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    target = TargetTable(
+        schema=schema, df=spark.createDataFrame([], schema), primary_keys=("doc_id",)
+    )
+    src = FixedWidthSource(out_dir, _FwMapping(), widths=[10, 8, 10], ordered=False)
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    job.run()
+    return job.result_df

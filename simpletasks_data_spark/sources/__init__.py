@@ -3,6 +3,7 @@ from .csv import CsvSource
 from .generator import GeneratorSource
 from .jsonl import JsonlSource
 from .xml import XmlSource
+from .fixedwidth import FixedWidthSource
 from .table import JdbcSource, Relation, TableSource
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "GeneratorSource",
     "JsonlSource",
     "XmlSource",
+    "FixedWidthSource",
 ]

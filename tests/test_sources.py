@@ -391,3 +391,52 @@ def test_xml_source_escaping_and_merge(spark, tmp_path):
     assert {r.id: r.txt for r in job.result_df.collect()} == {
         1: "a <tag> & more", 2: "beta"
     }
+
+
+def test_fixed_width_source_slices_trims_and_merges(spark, tmp_path):
+    """Fixed-width lines slice on declared widths, right-trim padding,
+    blank fields go NULL, and file order drives last-wins."""
+    from pyspark.sql import types as T
+
+    from simpletasks_data_spark.sources import FixedWidthSource
+
+    p = tmp_path / "extract.txt"
+    # widths: id=4, name=8, qty=4
+    p.write_text(
+        "1   alpha   12  \n"
+        "2   beta      7 \n"
+        "1   gamma   99  \n"   # duplicate key: file order -> gamma wins
+        "3           5   \n"   # blank name -> NULL
+    )
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.name = self.auto()
+            self.qty = self.auto()
+
+        def get_key_column_name(self):
+            return "id"
+
+        def get_header_line_number(self):
+            return -1
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    src = FixedWidthSource(str(p), M(), widths=[4, 8, 4])
+    raw = src.load_raw(spark)
+    assert raw.columns == ["_c0", "_c1", "_c2", SRC_POS]
+    target = TargetTable(
+        schema=schema, df=spark.createDataFrame([], schema), primary_keys=("id",)
+    )
+    job = ImportJob(spark, target, sources=[src], dryrun=True)
+    res = job.run()
+    got = {r.id: (r.name, r.qty) for r in job.result_df.collect()}
+    assert got == {1: ("gamma", 99), 2: ("beta", 7), 3: (None, 5)}
+    assert res["created"] == 3
