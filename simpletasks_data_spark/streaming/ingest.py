@@ -214,7 +214,6 @@ def streaming_lsh_dedup(
     spark = doc_stream.sparkSession
     buckets_dir = os.path.join(state_dir, "buckets")
     matches_dir = os.path.join(state_dir, "matches")
-    ids_dir = os.path.join(state_dir, "ids")
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         sig = DD.minhash_signatures(batch_df, id_col, text_col, n, num_hashes)
@@ -242,9 +241,6 @@ def streaming_lsh_dedup(
         )
         pairs.write.mode("append").parquet(matches_dir)
         bn.write.mode("append").parquet(buckets_dir)
-        batch_df.select(F.col(id_col).alias("id")).write.mode("append").parquet(
-            ids_dir
-        )
 
     query = (
         doc_stream.writeStream.outputMode("update")
@@ -253,7 +249,13 @@ def streaming_lsh_dedup(
     )
 
     def read_result() -> DataFrame:
-        ids = spark.read.parquet(ids_dir)
+        # every ingested doc has `bands` bucket rows — the id set falls
+        # out of the bucket store (no third per-batch write job)
+        ids = (
+            spark.read.parquet(buckets_dir)
+            .select(F.col("_id").alias("id"))
+            .distinct()
+        )
         hits = (
             spark.read.parquet(matches_dir)
             .groupBy("id")
