@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "conformal_urgent_orders",
     "ks_test_price_by_segment",
     "fixedwidth_import_roundtrip",
+    "auc_urgent_orders",
 ]
 
 

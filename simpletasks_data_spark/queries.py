@@ -11714,3 +11714,75 @@ def fixedwidth_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     job = ImportJob(spark, target, sources=[src], dryrun=True)
     job.run()
     return job.result_df
+
+
+@register("auc_urgent_orders", f"""
+WITH f AS MATERIALIZED (
+  {_LOGREG_FEATURES_SQL}
+),
+{_logreg_rounds(5, 1.0)},
+scored AS (
+  SELECT f.y, 1.0 / (1.0 + exp(-(w5.w0 + w5.w1 * f.x1 + w5.w2 * f.x2))) AS p
+  FROM f CROSS JOIN w5
+),
+g AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM scored GROUP BY p
+),
+r AS (
+  SELECT p, n, pos,
+         sum(n) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) - n AS before,
+         (n + 1) / 2.0 AS half
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS n1,
+         CAST(sum(n - pos) AS BIGINT) AS n0,
+         sum(pos * (before + half)) AS rank_sum_pos
+  FROM r
+)
+SELECT n1 AS n_positive, n0 AS n_negative,
+       round((rank_sum_pos - n1 * (n1 + 1) / 2.0) / (n1 * 1.0 * n0), 6) AS auc
+FROM s
+""")
+def auc_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC for the GD logistic model via the Mann-Whitney
+    rank-sum identity, TIE-AWARE: scores group to their distinct values
+    first (tied scores share the average rank ``before + (n+1)/2``), so
+    the statistic is the textbook mid-rank U — no sampled
+    thresholds, no trapezoid approximation. The ordered state is the
+    DISTINCT-score frame, one running-sum window over it; at 100 TB
+    bucket scores to a grid first (the histogram AUC) or sketch the two
+    score distributions. Completes the classifier-eval family:
+    accuracy/logloss (logreg), reliability (calibration), coverage
+    (conformal), ranking (this)."""
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_gd(feats, iterations=5, lr=1.0)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    scored = feats.select("y", (1.0 / (1.0 + F.exp(-z))).alias("p"))
+    g = scored.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    w_ord = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        "pos",
+        "n",
+        (F.sum("n").over(w_ord) - F.col("n")).alias("before"),
+        ((F.col("n") + 1) / 2.0).alias("half"),
+    )
+    s = r.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("n0"),
+        F.sum(F.col("pos") * (F.col("before") + F.col("half"))).alias("rank_sum_pos"),
+    )
+    return s.select(
+        F.col("n1").alias("n_positive"),
+        F.col("n0").alias("n_negative"),
+        F.round(
+            (F.col("rank_sum_pos") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * 1.0 * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )

@@ -628,3 +628,31 @@ def test_ppr_mass_concentrates_at_seed(spark):
     s = {r["id"]: r["score"] for r in pagerank(edges, iterations=8, reset_ids=seeds).collect()}
     assert s[1] > s[2] > s[3] > 0
     assert s[8] == 0.0 and s[9] == 0.0
+
+
+def test_auc_rank_sum_known_values(spark):
+    """Hand-computable AUC incl. a TIE: scores pos={0.9, 0.5}, neg={0.5,
+    0.1}. Pairwise: 3 wins + 1 half-credit tie out of 4 -> 0.875; the
+    mid-rank formula must agree (pos ranks 2.5 + 4, U = 3.5)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as FF
+
+    rows = [(1.0, 0.9), (1.0, 0.5), (0.0, 0.5), (0.0, 0.1)]
+    scored = spark.createDataFrame(rows, "y double, p double")
+    g = scored.groupBy("p").agg(
+        FF.count(FF.lit(1)).cast("long").alias("n"),
+        FF.sum(FF.when(FF.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    w_ord = W.orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    r = g.select(
+        "pos", "n",
+        (FF.sum("n").over(w_ord) - FF.col("n")).alias("before"),
+        ((FF.col("n") + 1) / 2.0).alias("half"),
+    )
+    s = r.agg(
+        FF.sum("pos").alias("n1"),
+        FF.sum(FF.col("n") - FF.col("pos")).alias("n0"),
+        FF.sum(FF.col("pos") * (FF.col("before") + FF.col("half"))).alias("rs"),
+    ).collect()[0]
+    auc = (s["rs"] - s["n1"] * (s["n1"] + 1) / 2.0) / (s["n1"] * s["n0"])
+    assert auc == 0.875
