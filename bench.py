@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "ks_test_price_by_segment",
     "fixedwidth_import_roundtrip",
     "auc_urgent_orders",
+    "sequence_pattern_match",
 ]
 
 

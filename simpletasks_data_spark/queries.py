@@ -11786,3 +11786,76 @@ def auc_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register("sequence_pattern_match", """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT CASE WHEN regexp_matches(seq, 'eee') THEN 1 ELSE 0 END AS p1,
+         CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END AS p2,
+         CASE WHEN regexp_matches(seq, '^s') THEN 1 ELSE 0 END AS p3
+  FROM s
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(p1) AS BIGINT) AS c1,
+         CAST(sum(p2) AS BIGINT) AS c2,
+         CAST(sum(p3) AS BIGINT) AS c3
+  FROM f
+)
+SELECT p.pattern, p.n_matched, a.n_users,
+       round(p.n_matched * 1.0 / a.n_users, 4) AS pct
+FROM a, (
+  SELECT 'triple_error' AS pattern, c1 AS n_matched FROM a
+  UNION ALL SELECT 'conversion_path', c2 FROM a
+  UNION ALL SELECT 'signup_first', c3 FROM a
+) p
+""")
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching (the Flink/Trino
+    CEP primitive) compiled to DataFrame ops: each user's event history
+    collapses to an ordered single-char code string (sorted by (ts,
+    event_id) inside ``array_sort`` — no window pass), and patterns are
+    plain regexes over it: 3+ consecutive errors, the
+    view-then-click-then-purchase path, signup-first. Per-pattern match
+    rates. One hash agg builds the sequences; matching is map-side.
+    At 100 TB bound the per-key string by sessionizing first (the
+    sequence is per-session, not per-lifetime) — same plan shape."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    flags = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("seq").rlike("eee"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("seq").rlike("v.*c.*p"), 1).otherwise(0)).cast("long").alias("c2"),
+        F.sum(F.when(F.col("seq").rlike("^s"), 1).otherwise(0)).cast("long").alias("c3"),
+    )
+    out = flags.select(
+        F.expr(
+            "stack(3, 'triple_error', c1, 'conversion_path', c2, 'signup_first', c3)"
+        ).alias("pattern", "n_matched"),
+        "n_users",
+    )
+    return out.select(
+        "pattern",
+        "n_matched",
+        "n_users",
+        F.round(F.col("n_matched") / F.col("n_users"), 4).alias("pct"),
+    )

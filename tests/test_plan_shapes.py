@@ -223,7 +223,8 @@ def test_plan_lint_no_antipatterns(spark):
         "multimodal_ahash_dedup", "multimodal_audio_fingerprint",
         "k_anonymity_customers", "ewma_region_revenue",
         "walk_cooccurrence_pmi", "cusum_drift_events",
-        "benford_first_digit_orders",
+        "benford_first_digit_orders", "sequence_pattern_match",
+        "auc_urgent_orders", "ks_test_price_by_segment",
     ]
     bad = {}
     for name in LAZY:
