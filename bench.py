@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "fixedwidth_import_roundtrip",
     "auc_urgent_orders",
     "sequence_pattern_match",
+    "price_elasticity_brands",
 ]
 
 
