@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "auc_urgent_orders",
     "sequence_pattern_match",
     "price_elasticity_brands",
+    "gini_revenue_by_nation",
 ]
 
 

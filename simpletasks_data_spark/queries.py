@@ -11902,3 +11902,55 @@ def price_elasticity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("lq", "lp"), 4).alias("elasticity"),
         F.round(F.regr_r2("lq", "lp"), 4).alias("r2"),
     )
+
+
+@register("gini_revenue_by_nation", """
+WITH pc AS (
+  SELECT n.n_name AS nation, o.o_custkey,
+         round(sum(o.o_totalprice), 4) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT nation, rev,
+         row_number() OVER (PARTITION BY nation ORDER BY rev, o_custkey) AS i
+  FROM pc
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(rev), 4) AS total_rev,
+       round((2 * sum(i * rev) - (count(*) + 1) * sum(rev))
+             / (count(*) * sum(rev)), 6) AS gini
+FROM r GROUP BY nation
+""")
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality index of customer revenue per nation via the
+    rank-sum identity G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) over
+    ascending-sorted revenues — the full-distribution complement to the
+    top-k concentration curve (revenue_concentration). Per-customer
+    revenue is rounded to 1e-4 BEFORE ranking so the rank order (and
+    hence the weighted sum) is engine-exact despite float-sum
+    associativity; the rank window partitions on the natural nation
+    key. One agg + one partitioned window + one agg."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.asc("rev"), F.asc("o_custkey"))
+    r = pc.withColumn("i", F.row_number().over(w))
+    return r.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("rev"), 4).alias("total_rev"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("rev")) - (F.count(F.lit(1)) + 1) * F.sum("rev"))
+            / (F.count(F.lit(1)) * F.sum("rev")),
+            6,
+        ).alias("gini"),
+    )

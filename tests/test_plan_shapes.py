@@ -225,7 +225,7 @@ def test_plan_lint_no_antipatterns(spark):
         "walk_cooccurrence_pmi", "cusum_drift_events",
         "benford_first_digit_orders", "sequence_pattern_match",
         "auc_urgent_orders", "ks_test_price_by_segment",
-        "price_elasticity_brands",
+        "price_elasticity_brands", "gini_revenue_by_nation",
     ]
     bad = {}
     for name in LAZY:
