@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "sequence_pattern_match",
     "price_elasticity_brands",
     "gini_revenue_by_nation",
+    "graph_percolation_supplier",
 ]
 
 

@@ -11954,3 +11954,122 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def _percolation_cc_sql(q: int) -> str:
+    return f"""
+  e{q} AS (SELECT ec.u, ec.v FROM ec JOIN thr ON thr.q = {q} WHERE ec.c >= thr.t),
+  ed{q} AS (
+    SELECT u, v FROM e{q} UNION SELECT v, u FROM e{q}
+  ),
+  nd{q} AS (SELECT DISTINCT u AS id FROM ed{q}),
+  reach{q}(id, r) AS (
+    SELECT id, id FROM nd{q}
+    UNION
+    SELECT w.id, e.v FROM reach{q} w JOIN ed{q} e ON e.u = w.r
+  ),
+  cc{q} AS (SELECT id, min(r) AS comp FROM reach{q} GROUP BY id),
+  rep{q} AS (
+    SELECT CAST({q} AS BIGINT) AS support_pctile,
+           CAST((SELECT any_value(t) FROM thr WHERE q = {q}) AS BIGINT) AS threshold,
+           CAST((SELECT count(*) FROM nd{q}) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM e{q}) AS BIGINT) AS n_edges,
+           CAST(coalesce(max(cnt), 0) AS BIGINT) AS giant_size,
+           round(coalesce(max(cnt), 0) * 1.0
+                 / greatest((SELECT count(*) FROM nd{q}), 1), 4) AS giant_frac
+    FROM (SELECT comp, count(*) AS cnt FROM cc{q} GROUP BY comp)
+  )"""
+
+
+@register("graph_percolation_supplier", f"""
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+ec AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY u, v),
+hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM ec GROUP BY c),
+hcum AS (SELECT c, sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ec),
+thr AS (
+  SELECT qq.q, min(h.c) AS t
+  FROM (SELECT unnest([50, 90, 99]) AS q) qq
+  JOIN hcum h ON h.cum * 100 >= qq.q * (SELECT n FROM ne)
+  GROUP BY qq.q
+),
+{",".join(_percolation_cc_sql(q) for q in (50, 90, 99))}
+SELECT * FROM rep50 UNION ALL SELECT * FROM rep90 UNION ALL SELECT * FROM rep99
+""")
+def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation / robustness sweep of the supplier co-occurrence
+    graph: cut edges below the p50 / p90 / p99 support percentile and
+    report how the giant connected component shrinks — the standard way
+    to pick a support floor for graph dedup/community pipelines (too
+    low = everything fuses, too high = the graph shatters). Thresholds
+    are DATA-RELATIVE (exact disc-percentiles off the bounded
+    support-count histogram, integer compare ``cum*100 >= q*n`` — never
+    a row-level sort), so the report is non-vacuous at every scale
+    factor. The edge-count agg is shared/checkpointed; each percentile
+    runs the iterative CC operator on its filtered edge set and the
+    three report rows union into one frame."""
+    from .operators.graph import connected_components
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    ec = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    hist = ec.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hist.select("c", F.sum("m").over(wcum).alias("cum"))
+    ne = ec.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+    thr = (
+        hcum.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("c").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    reports = []
+    for q in (50, 90, 99):
+        tq = F.broadcast(thr.where(F.col("q") == q).select("t"))
+        e = ec.crossJoin(tq).where(F.col("c") >= F.col("t"))
+        cc = connected_components(e, "u", "v")
+        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cnt"))
+        stats = (
+            sizes.agg(
+                F.lit(q).cast("long").alias("support_pctile"),
+                F.sum("cnt").cast("long").alias("n_nodes"),
+                F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("giant_size"),
+            )
+            .crossJoin(F.broadcast(tq.select(F.col("t").alias("threshold"))))
+            .crossJoin(
+                F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+            )
+        )
+        reports.append(
+            stats.select(
+                "support_pctile",
+                F.col("threshold").cast("long").alias("threshold"),
+                F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+                "n_edges",
+                "giant_size",
+                F.round(
+                    F.col("giant_size") / F.greatest(F.col("n_nodes"), F.lit(1)), 4
+                ).alias("giant_frac"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
