@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "price_elasticity_brands",
     "gini_revenue_by_nation",
     "graph_percolation_supplier",
+    "shapley_logreg_features",
 ]
 
 

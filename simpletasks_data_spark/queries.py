@@ -9078,21 +9078,40 @@ _LOGREG_FEATURES_SQL = """SELECT o_orderkey,
   FROM orders"""
 
 
-def _logreg_rounds(iterations: int = 5, lr: float = 1.0, train: str = "f") -> str:
-    """Unrolled-GD weight CTEs (w0..wN) over the ``train`` CTE —
-    mirrors ``_logreg_gd`` exactly (zero init, 1e-6 weight quantization
-    per round)."""
+def _logreg_rounds(
+    iterations: int = 5,
+    lr: float = 1.0,
+    train: str = "f",
+    mask: tuple = (1, 1),
+    prefix: str = "w",
+) -> str:
+    """Unrolled-GD weight CTEs (``{prefix}0..{prefix}N``) over the
+    ``train`` CTE — mirrors ``_logreg_gd`` exactly (zero init, 1e-6
+    weight quantization per round). ``mask`` freezes a feature's weight
+    at 0 (training on the feature subspace — the Shapley subset
+    models); ``prefix`` namespaces the chain so several models coexist
+    in one oracle."""
+    w1u = (
+        f"round({{prev}}.w1 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({{prev}}.w0 + {{prev}}.w1 * f.x1 + {{prev}}.w2 * f.x2)))) * f.x1), 6)"
+        if mask[0]
+        else "0.0"
+    )
+    w2u = (
+        f"round({{prev}}.w2 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({{prev}}.w0 + {{prev}}.w1 * f.x1 + {{prev}}.w2 * f.x2)))) * f.x2), 6)"
+        if mask[1]
+        else "0.0"
+    )
     rounds = []
     for t in range(1, iterations + 1):
-        prev = f"w{t-1}"
-        rounds.append(f"""w{t} AS MATERIALIZED (
+        prev = f"{prefix}{t-1}"
+        rounds.append(f"""{prefix}{t} AS MATERIALIZED (
   SELECT round({prev}.w0 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2))))), 6) AS w0,
-         round({prev}.w1 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2)))) * f.x1), 6) AS w1,
-         round({prev}.w2 + {lr} * avg((f.y - 1.0 / (1.0 + exp(-({prev}.w0 + {prev}.w1 * f.x1 + {prev}.w2 * f.x2)))) * f.x2), 6) AS w2
+         {w1u.format(prev=prev)} AS w1,
+         {w2u.format(prev=prev)} AS w2
   FROM {train} f CROSS JOIN {prev}
   GROUP BY {prev}.w0, {prev}.w1, {prev}.w2
 )""")
-    return f"""w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+    return f"""{prefix}0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
 {", ".join(rounds)}"""
 
 
@@ -9136,7 +9155,9 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
 
-def _logreg_gd(features: DataFrame, iterations: int = 5, lr: float = 1.0) -> list:
+def _logreg_gd(
+    features: DataFrame, iterations: int = 5, lr: float = 1.0, mask: tuple = (1, 1)
+) -> list:
     """Full-batch GD over a feature frame: each round is ONE aggregation
     computing the 3 gradient components; weights live on the driver as
     codegen literals (the kmeans/PCA execution pattern) and quantize to
@@ -9153,8 +9174,10 @@ def _logreg_gd(features: DataFrame, iterations: int = 5, lr: float = 1.0) -> lis
             F.avg(resid * F.col("x1")).alias("g1"),
             F.avg(resid * F.col("x2")).alias("g2"),
         ).collect()[0]
+        active = (1, mask[0], mask[1])
         w = [
-            _round_half_up(w[k] + lr * row[f"g{k}"], 6) for k in range(3)
+            _round_half_up(w[k] + lr * row[f"g{k}"], 6) if active[k] else 0.0
+            for k in range(3)
         ]
     return w
 
@@ -12073,3 +12096,84 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _shapley_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
+    chains = ",\n".join(
+        _logreg_rounds(iterations, lr, mask=m, prefix=pfx)
+        for pfx, m in (("a", (0, 0)), ("b", (1, 0)), ("c", (0, 1)), ("d", (1, 1)))
+    )
+    last = iterations
+    lls = ",\n".join(
+        f"""ll_{pfx} AS (
+  SELECT round(-avg(f.y * ln(pp) + (1.0 - f.y) * ln(1.0 - pp)), 6) AS ll FROM (
+    SELECT f.y,
+           1.0 / (1.0 + exp(-({pfx}{last}.w0 + {pfx}{last}.w1 * f.x1 + {pfx}{last}.w2 * f.x2))) AS pp
+    FROM f CROSS JOIN {pfx}{last}
+  ) f
+)"""
+        for pfx in ("a", "b", "c", "d")
+    )
+    return f"""
+WITH f AS MATERIALIZED (
+  {_LOGREG_FEATURES_SQL}
+),
+{chains},
+{lls}
+SELECT t.feature, t.phi, ll_a.ll AS logloss_empty, ll_d.ll AS logloss_full
+FROM ll_a, ll_b, ll_c, ll_d, (
+  SELECT 'x1_price' AS feature,
+         round(0.5 * ((ll_a.ll - ll_b.ll) + (ll_c.ll - ll_d.ll)), 6) AS phi
+  FROM ll_a, ll_b, ll_c, ll_d
+  UNION ALL
+  SELECT 'x2_orderday',
+         round(0.5 * ((ll_a.ll - ll_c.ll) + (ll_b.ll - ll_d.ll)), 6)
+  FROM ll_a, ll_b, ll_c, ll_d
+) t
+"""
+
+
+@register("shapley_logreg_features", _shapley_oracle_sql(5))
+def shapley_logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley attribution of the logistic model's training
+    log-loss to its two features — with two players the Shapley value
+    needs only the 4 coalition models (intercept-only, x1-only,
+    x2-only, full), each trained by the same masked GD (frozen weights
+    stay 0), so the game-theoretic attribution is exact, not sampled:
+    phi_i = mean over orderings of the log-loss REDUCTION the feature
+    brings when added. Efficiency (phi_1 + phi_2 = v(empty) - v(full))
+    is unit-tested. Each coalition is 5 one-agg GD rounds + one scoring
+    agg over the shared checkpointed feature frame — 4x the logreg
+    cost, embarrassingly parallelizable across coalitions at scale."""
+    feats = _logreg_features(spark, sf_dir)
+    lls = {}
+    for key, mask in (("a", (0, 0)), ("b", (1, 0)), ("c", (0, 1)), ("d", (1, 1))):
+        w = _logreg_gd(feats, iterations=5, lr=1.0, mask=mask)
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        lls[key] = feats.agg(
+            F.round(
+                -F.avg(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)), 6
+            ).alias(f"ll_{key}")
+        )
+    j = (
+        lls["a"]
+        .crossJoin(F.broadcast(lls["b"]))
+        .crossJoin(F.broadcast(lls["c"]))
+        .crossJoin(F.broadcast(lls["d"]))
+    )
+    phi1 = F.round(
+        0.5 * ((F.col("ll_a") - F.col("ll_b")) + (F.col("ll_c") - F.col("ll_d"))), 6
+    )
+    phi2 = F.round(
+        0.5 * ((F.col("ll_a") - F.col("ll_c")) + (F.col("ll_b") - F.col("ll_d"))), 6
+    )
+    rows = F.array(
+        F.struct(F.lit("x1_price").alias("feature"), phi1.alias("phi")),
+        F.struct(F.lit("x2_orderday").alias("feature"), phi2.alias("phi")),
+    )
+    return j.select(
+        F.explode(rows).alias("s"),
+        F.col("ll_a").alias("logloss_empty"),
+        F.col("ll_d").alias("logloss_full"),
+    ).select("s.feature", "s.phi", "logloss_empty", "logloss_full")

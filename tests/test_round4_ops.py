@@ -763,3 +763,24 @@ def test_budget_select_respects_budget_hypothesis(spark):
                 ) if any(q < min(kept_q) for q in drop_q) else True
 
     run()
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley efficiency: phi_1 + phi_2 must equal v(empty) - v(full)
+    (log-loss reduction fully attributed), on the real sf0.001 data."""
+    from simpletasks_data_spark import queries as C
+
+    rows = {r["feature"]: r for r in
+            C.queries()["shapley_logreg_features"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"x1_price", "x2_orderday"}
+    r = next(iter(rows.values()))
+    total = round(r["logloss_empty"] - r["logloss_full"], 5)
+    assert round(rows["x1_price"]["phi"] + rows["x2_orderday"]["phi"], 5) == total
+
+
+def test_masked_gd_freezes_features(spark):
+    from simpletasks_data_spark.queries import _logreg_features, _logreg_gd
+
+    feats = _logreg_features(spark, "/root/testdata/sf0.001")
+    w = _logreg_gd(feats, iterations=2, lr=1.0, mask=(0, 1))
+    assert w[1] == 0.0 and w[2] != 0.0 and w[0] != 0.0
