@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "gini_revenue_by_nation",
     "graph_percolation_supplier",
     "shapley_logreg_features",
+    "emd_price_by_segment",
 ]
 
 

@@ -12177,3 +12177,75 @@ def shapley_logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ll_a").alias("logloss_empty"),
         F.col("ll_d").alias("logloss_full"),
     ).select("s.feature", "s.phi", "logloss_empty", "logloss_full")
+
+
+@register("emd_price_by_segment", """
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, CAST(floor(o.o_totalprice / 1000.0) AS BIGINT) AS bk
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+b AS (
+  SELECT bk,
+         CAST(count(*) FILTER (seg = 'BUILDING') AS BIGINT) AS n1,
+         CAST(count(*) FILTER (seg = 'MACHINERY') AS BIGINT) AS n2
+  FROM o GROUP BY bk
+),
+tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM b),
+c AS (
+  SELECT bk,
+         sum(n1) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(n2) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS c2,
+         lead(bk) OVER (ORDER BY bk) AS nxt
+  FROM b
+)
+SELECT tot.t1 AS n1, tot.t2 AS n2,
+       round(sum(abs(c.c1 * 1.0 / tot.t1 - c.c2 * 1.0 / tot.t2)
+                 * coalesce(c.nxt - c.bk, 0)) * 1000.0, 4) AS emd
+FROM c CROSS JOIN tot
+GROUP BY tot.t1, tot.t2
+""")
+def emd_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the two
+    segments' order-total distributions — the MAGNITUDE-sensitive
+    complement to the KS supremum (KS says whether they differ, EMD
+    says by how many dollars): W1 = integral |CDF1 - CDF2| = sum over
+    grid gaps of the CDF gap times the gap width (in original units via
+    the 1000-unit bucket scale). Same bounded bucket-histogram shape as
+    ks_test_price_by_segment — the ordered state is the grid, never the
+    rows."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("o_totalprice") / 1000.0).cast("long").alias("bk"),
+        )
+    )
+    b = j.groupBy("bk").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    tot = b.agg(
+        F.sum("n1").cast("long").alias("t1"), F.sum("n2").cast("long").alias("t2")
+    )
+    w = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("bk")
+    cum = b.select(
+        "bk",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n2").over(w).alias("c2"),
+        F.lead("bk").over(wl).alias("nxt"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.groupBy("t1", "t2").agg(
+        F.round(
+            F.sum(
+                F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))
+                * F.coalesce(F.col("nxt") - F.col("bk"), F.lit(0))
+            )
+            * 1000.0,
+            4,
+        ).alias("emd")
+    ).select(F.col("t1").alias("n1"), F.col("t2").alias("n2"), "emd")
