@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "graph_percolation_supplier",
     "shapley_logreg_features",
     "emd_price_by_segment",
+    "sinkhorn_transition_matrix",
 ]
 
 

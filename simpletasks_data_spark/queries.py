@@ -12249,3 +12249,71 @@ def emd_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("emd")
     ).select(F.col("t1").alias("n1"), F.col("t2").alias("n2"), "emd")
+
+
+def _sinkhorn_oracle_sql(rounds: int = 4) -> str:
+    ctes = []
+    prev = "m0"
+    for t in range(1, rounds + 1):
+        ctes.append(f"""r{t} AS (
+  SELECT prev_type, next_type,
+         round(v / sum(v) OVER (PARTITION BY prev_type), 8) AS v
+  FROM {prev}
+),
+c{t} AS (
+  SELECT prev_type, next_type,
+         round(v / sum(v) OVER (PARTITION BY next_type), 8) AS v
+  FROM r{t}
+)""")
+        prev = f"c{t}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+m0 AS (
+  SELECT prev_type, event_type AS next_type, count(*) * 1.0 AS v
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+{", ".join(ctes)}
+SELECT prev_type, next_type, v AS p_ds,
+       round(sum(v) OVER (PARTITION BY prev_type), 6) AS row_sum,
+       round(sum(v) OVER (PARTITION BY next_type), 6) AS col_sum
+FROM {prev}
+"""
+
+
+@register("sinkhorn_transition_matrix", _sinkhorn_oracle_sql(4))
+def sinkhorn_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sinkhorn-Knopp normalization of the event transition-count
+    matrix: 4 rounds of alternating row/column normalization converge
+    the counts toward a DOUBLY stochastic matrix — the balanced
+    soft-assignment primitive behind optimal-transport matching and
+    SwAV-style cluster balancing. Every iteration is a window over the
+    |types|² matrix frame (25 rows), never the events; the single
+    data-sized shuffle is the per-user lag the transition count already
+    pays. Per-half-round 1e-8 quantization makes the trajectory
+    engine-exact for the unrolled oracle; the emitted row/col sums
+    (~1.0) exhibit the convergence."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    m = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg((F.count(F.lit(1)) * 1.0).alias("v"))
+    wr = Window.partitionBy("prev_type")
+    wc = Window.partitionBy("next_type")
+    for _ in range(4):
+        m = m.withColumn("v", F.round(F.col("v") / F.sum("v").over(wr), 8))
+        m = m.withColumn("v", F.round(F.col("v") / F.sum("v").over(wc), 8))
+    return m.select(
+        "prev_type",
+        "next_type",
+        F.col("v").alias("p_ds"),
+        F.round(F.sum("v").over(wr), 6).alias("row_sum"),
+        F.round(F.sum("v").over(wc), 6).alias("col_sum"),
+    )

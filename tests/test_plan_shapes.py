@@ -226,7 +226,7 @@ def test_plan_lint_no_antipatterns(spark):
         "benford_first_digit_orders", "sequence_pattern_match",
         "auc_urgent_orders", "ks_test_price_by_segment",
         "price_elasticity_brands", "gini_revenue_by_nation",
-        "emd_price_by_segment",
+        "emd_price_by_segment", "sinkhorn_transition_matrix",
     ]
     bad = {}
     for name in LAZY:
