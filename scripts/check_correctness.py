@@ -6,6 +6,7 @@ import sys, math
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e
 from simpletasks_data_spark.session import get_spark
+from tests.oracle_harness import dtype_kind_mismatches
 import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -21,15 +22,27 @@ for name, fn in qs.items():
     if only and name not in only:
         continue
     try:
-        sdf = fn(spark, sf).toPandas()
+        sdf_spark = fn(spark, sf)
+        sdf = sdf_spark.toPandas()
         if name not in osql:
             print(f"{name:35s} rows={len(sdf):6d} NO_ORACLE")
             continue
-        odf = con.execute(osql[name]).fetchdf()
+        rel = con.sql(osql[name])
+        o_types = rel.types
+        o_names = rel.columns
+        odf = rel.fetchdf()
         cols = sorted(sdf.columns)
         ocols = sorted(odf.columns)
         if cols != ocols:
             print(f"{name:35s} SCHEMA MISMATCH spark={cols} oracle={ocols}")
+            bad.append(name); continue
+        # Driver-faithful dtype gate: the driver stringifies pandas cells,
+        # so an int-vs-float kind divergence (e.g. DuckDB HUGEINT -> float64
+        # "78.0" vs Spark long "78") reds EVERY row there even though the
+        # old %.6g canonicalization here masked it (r4's hypertable red).
+        kind_bad = dtype_kind_mismatches(sdf_spark.schema, o_names, o_types)
+        if kind_bad:
+            print(f"{name:35s} DTYPE-KIND MISMATCH {kind_bad}")
             bad.append(name); continue
         if len(sdf) != len(odf):
             print(f"{name:35s} ROWS MISMATCH spark={len(sdf)} oracle={len(odf)}")

@@ -541,8 +541,16 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     holds only a 1-row count per round (the convergence barrier that IS
     the algorithm); ``max_rounds`` bounds the round count — peeling
     removes >= 1 node per non-terminal round, and real corpora converge
-    in a handful of rounds because degrees drop geometrically.
+    in a handful of rounds because degrees drop geometrically. Pass
+    ``max_rounds=None`` to loop to the true fixpoint (each round is one
+    cheap agg); with a bounded budget, a still-active peel after the
+    final round emits a ``UserWarning`` — the returned ``peel_round=0``
+    labels are then "survivors at the budget", a superset of the k-core
+    (a degenerate chain graph peels only its ends each round, so
+    convergence within the budget is NOT guaranteed in general).
     """
+    import warnings
+
     und = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -552,13 +560,23 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
     nodes = und.select("src").distinct()
     live = und
     peeled = []
-    for r in range(1, max_rounds + 1):
+    r = 1
+    while True:
         degs = live.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         deg = nodes.join(degs, "src", "left").select(
             "src", F.coalesce(F.col("_d"), F.lit(0)).alias("_d")
         )
         low = deg.where(F.col("_d") < k).select("src").localCheckpoint(eager=True)
         if low.count() == 0:
+            break
+        if max_rounds is not None and r > max_rounds:
+            warnings.warn(
+                f"k_core: peel still active after max_rounds={max_rounds}; "
+                "peel_round=0 labels are survivors at the budget, a SUPERSET "
+                "of the true k-core (pass max_rounds=None for the fixpoint)",
+                UserWarning,
+                stacklevel=2,
+            )
             break
         peeled.append(low.select("src", F.lit(r).cast("long").alias("peel_round")))
         nodes = deg.where(F.col("_d") >= k).select("src").localCheckpoint(eager=True)
@@ -567,6 +585,7 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 8) -> DataFrame:
             .join(nodes.withColumnRenamed("src", "dst"), "dst", "semi")
             .localCheckpoint(eager=False)
         )
+        r += 1
     out = nodes.select("src", F.lit(0).cast("long").alias("peel_round"))
     for p in peeled:
         out = out.unionByName(p)

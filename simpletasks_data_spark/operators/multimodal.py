@@ -615,6 +615,21 @@ def decode_png(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, _PNG_SCHEMA)
 
 
+def _pack_bits_i64(idx) -> int:
+    """Pack bit positions into a SIGNED int64: setting bit 63 in plain
+    Python ints yields >= 2**63, which overflows the declared Arrow
+    ``long`` column at pandas->Arrow conversion (outside the per-row
+    try/except — a task crash, not an ok=false row). Wrap to two's
+    complement instead, which also matches DuckDB's BIGINT ``<< 63``
+    wrap-to-negative semantics so oracles stay comparable."""
+    v = 0
+    for i in idx:
+        v |= 1 << int(i)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return int(v)
+
+
 def ahash_ppm(media: DataFrame) -> DataFrame:
     """Perceptual average-hash over REAL decoded pixels: parse the P6
     payload, gray = (r + g + b) // 3 per pixel, bit i set when pixel
@@ -649,7 +664,7 @@ def ahash_ppm(media: DataFrame) -> DataFrame:
                     gray = (arr.astype(np.int64).sum(axis=2) // 3).reshape(-1)
                     s = int(gray.sum())
                     bits = gray * gray.size >= s
-                    ah = int(sum(1 << i for i in np.nonzero(bits)[0]))
+                    ah = _pack_bits_i64(np.nonzero(bits)[0])
                     rows.append((mid, ah, True))
                 except Exception:
                     rows.append((mid, None, False))
@@ -677,8 +692,10 @@ def fingerprint_wav(media: DataFrame) -> DataFrame:
     band-join on the pair exactly like SimHash. A production version
     swaps the kernel for spectral peaks (Shazam-style constellation) —
     same schema, same one-pass mapInPandas plan over pruned
-    (media_id, payload). Caps at 64 samples so the packed hash fits a
-    long; corrupt payloads yield ok=false.
+    (media_id, payload). Caps at 64 samples; bit 63 wraps to signed
+    int64 two's complement (matching BIGINT << 63) so a full-width hash
+    still fits the declared long column. Corrupt payloads yield
+    ok=false.
     """
     import struct
 
@@ -711,10 +728,10 @@ def fingerprint_wav(media: DataFrame) -> DataFrame:
                     if n == 0 or n > 64:
                         raise ValueError("empty or > 64 samples")
                     nonneg = s >= 0
-                    sign_hash = int(sum(1 << i for i in np.nonzero(nonneg)[0]))
+                    sign_hash = _pack_bits_i64(np.nonzero(nonneg)[0])
                     av = np.abs(s)
                     tot = int(av.sum())
-                    energy_hash = int(sum(1 << i for i in np.nonzero(av * n >= tot)[0]))
+                    energy_hash = _pack_bits_i64(np.nonzero(av * n >= tot)[0])
                     zc = int((nonneg[:-1] != nonneg[1:]).sum())
                     rows.append((mid, sign_hash, energy_hash, zc, True))
                 except Exception:

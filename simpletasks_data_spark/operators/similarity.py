@@ -614,7 +614,10 @@ def retrieval_eval(
     ).otherwise(F.lit(0.0))
     return per_q.withColumn("_idcg", idcg).select(
         "query_id",
-        F.col("query_label").cast("long").alias("query_label"),
+        # verbatim, like hard_negatives: casting here would NULL out
+        # non-numeric label columns (e.g. string language labels) while
+        # relevance matching kept working — cast at the query layer.
+        "query_label",
         "n_relevant",
         "hits_at_k",
         F.round(

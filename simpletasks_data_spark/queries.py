@@ -2331,13 +2331,16 @@ WITH b15 AS (
   FROM events GROUP BY 1, 2
 ),
 h1 AS (
+  -- CAST: DuckDB promotes sum(BIGINT) to HUGEINT, which the UNION ALL
+  -- coerces and pandas fetches as float64 (78.0 vs Spark's long 78);
+  -- r4's only driver red. Pin the merged count back to BIGINT.
   SELECT make_timestamp((epoch_us(bucket_ts) // 3600000000) * 3600000000) AS bucket_ts,
-         event_type, sum(n) AS n, sum(total) AS total
+         event_type, CAST(sum(n) AS BIGINT) AS n, sum(total) AS total
   FROM b15 GROUP BY 1, 2
 ),
 d1 AS (
   SELECT make_timestamp((epoch_us(bucket_ts) // 86400000000) * 86400000000) AS bucket_ts,
-         event_type, sum(n) AS n, sum(total) AS total
+         event_type, CAST(sum(n) AS BIGINT) AS n, sum(total) AS total
   FROM b15 GROUP BY 1, 2
 )
 SELECT '15 minutes' AS grain, bucket_ts, event_type, n, round(total, 4) AS total_value FROM b15
@@ -10465,7 +10468,7 @@ FROM j
 """)
 def timeseries_forward_fill_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-calendar forward fill: per-nation daily order stats over
-    1994-Q1, gap days zero-counted with the last observed average price
+    1996-Q1, gap days zero-counted with the last observed average price
     carried forward — the time-series densification primitive (last
     known state per day) behind price/inventory/state reports. One
     global bounds agg, a broadcast key x calendar explode, one
@@ -10709,9 +10712,12 @@ def retrieval_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking plan + ONE per-query hash agg; IDCG folds closed-form
     JVM-side (operators/similarity.retrieval_eval)."""
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.retrieval_eval(
+    out = SIM.retrieval_eval(
         emb, emb.where(F.col("vec_id") % 20 == 0), label_col="label", k=10
     )
+    # dtype contract with the oracle lives here, not in the operator
+    # (which returns labels verbatim so string labels survive)
+    return out.withColumn("query_label", F.col("query_label").cast("long"))
 
 
 _RRF_BM25_SQL = f"""
@@ -11450,7 +11456,10 @@ def _ppr_oracle_sql(iterations: int = 10) -> str:
         prev = f"p{i}"
     return f"""
 WITH pairs AS (
-  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  -- parity tagging: customer nodes are even (2k), supplier nodes odd
+  -- (2k+1) — collision-free at EVERY scale factor, unlike an additive
+  -- +1e6 offset which custkey overtakes around sf 7
+  SELECT DISTINCT 2 * o_custkey AS c, 2 * l_suppkey + 1 AS s
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 edges AS (
@@ -11460,7 +11469,8 @@ deg AS (SELECT u, count(*) AS _d FROM edges GROUP BY u),
 ed AS (SELECT e.u, e.v, deg._d FROM edges e JOIN deg ON deg.u = e.u),
 nodes AS (SELECT DISTINCT u AS id FROM edges UNION SELECT DISTINCT v FROM edges),
 nr AS (
-  SELECT id, CASE WHEN id % 100 = 0 AND id < 1000000 THEN 1.0 ELSE 0.0 END AS _r
+  -- even id = customer; seed cohort custkey % 100 == 0 <=> id % 200 == 0
+  SELECT id, CASE WHEN id % 200 = 0 THEN 1.0 ELSE 0.0 END AS _r
   FROM nodes
 ),
 p0 AS (SELECT id, _r AS score FROM nr),
@@ -11479,7 +11489,10 @@ def ppr_seeded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-8 grid-quantization contract as classic pagerank (the reset
     vector is the ONLY change — operators/graph.pagerank(reset_ids=));
     zero-score nodes (unreached in 10 rounds) are filtered on both
-    sides."""
+    sides. Node ids are parity-tagged (customer = 2k even, supplier =
+    2k+1 odd) so the two key spaces can never collide at any scale
+    factor — an additive offset breaks silently once custkey reaches
+    it (sf ~ 7 for +1e6)."""
     from .operators.graph import pagerank
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -11487,8 +11500,8 @@ def ppr_seeded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1000000).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -11497,7 +11510,7 @@ def ppr_seeded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = (
         pairs.select(F.col("c").alias("id"))
-        .where((F.col("id") % 100 == 0))
+        .where((F.col("id") % 200 == 0))
         .distinct()
     )
     out = pagerank(edges, iterations=10, reset_ids=seeds)

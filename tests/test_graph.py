@@ -106,3 +106,29 @@ def test_dedup_clusters_bigstar_algorithm(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint")
     out = {r.doc_id: r for r in dedup_clusters(df, algorithm="bigstar").collect()}
     assert out[1].is_canonical and out[3].cluster_size == 3 and out[8].cluster_id == 7
+
+
+def test_kcore_path_graph_truncation_warns_and_fixpoint_loops(spark):
+    """ADVICE r4: a 17-node path with k=2 peels only its two ends per
+    round — 8 bounded rounds leave a non-core remnant labeled 0 (with a
+    UserWarning); max_rounds=None must peel everything to the fixpoint."""
+    import warnings
+
+    from simpletasks_data_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "u long, v long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {r["node"]: r["peel_round"] for r in k_core(edges, k=2, max_rounds=4).collect()}
+    assert any("peel still active" in str(w.message) for w in caught)
+    # 4 rounds peel 8 ends; the 9 middle nodes are mislabeled "core" (0)
+    assert sum(1 for v in out.values() if v == 0) == 9
+
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        full = {r["node"]: r["peel_round"] for r in k_core(edges, k=2, max_rounds=None).collect()}
+    assert not any("peel still active" in str(w.message) for w in caught2)
+    assert all(v > 0 for v in full.values())  # a path has no 2-core
+    assert max(full.values()) == 9  # 8 end-pair rounds + the lone survivor

@@ -784,3 +784,70 @@ def test_masked_gd_freezes_features(spark):
     feats = _logreg_features(spark, "/root/testdata/sf0.001")
     w = _logreg_gd(feats, iterations=2, lr=1.0, mask=(0, 1))
     assert w[1] == 0.0 and w[2] != 0.0 and w[0] != 0.0
+
+
+def test_ahash_64px_bit63_wraps_signed(spark):
+    """ADVICE r4 (medium): a full 8x8 image whose pixel 63 is bright
+    sets bit 63; packing must wrap to signed int64 (two's complement,
+    matching BIGINT << 63) instead of overflowing the Arrow long column
+    and crashing the task outside the per-row try/except."""
+    from simpletasks_data_spark.operators.multimodal import ahash_ppm
+
+    # 63 dark pixels then one bright pixel -> only bit 63 is >= mean.
+    body = bytes([10] * 3) * 63 + bytes([200] * 3)
+    payload = b"P6\n8 8\n255\n" + body
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    r = ahash_ppm(df).collect()[0]
+    assert r["ok"] and r["ahash"] == -(1 << 63)  # bit 63 alone, wrapped
+
+    # all-equal image: every bit set -> hash is -1 in two's complement
+    flat = b"P6\n8 8\n255\n" + bytes([100] * 3) * 64
+    df2 = spark.createDataFrame(
+        [(2, bytearray(flat))], "media_id long, payload binary"
+    )
+    r2 = ahash_ppm(df2).collect()[0]
+    assert r2["ok"] and r2["ahash"] == -1
+
+
+def test_wav_fingerprint_64_samples_bit63_wraps_signed(spark):
+    """ADVICE r4 (medium): 64-sample WAV with a loud final sample —
+    sign/energy hashes that set bit 63 wrap to signed int64 instead of
+    crashing at pandas->Arrow conversion."""
+    import struct
+
+    from simpletasks_data_spark.operators.multimodal import fingerprint_wav
+
+    samples = [-1] * 63 + [30000]  # only sample 63 is >= 0 and loud
+    pcm = struct.pack("<64h", *samples)
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 16000, 2, 16, b"data", len(pcm),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(header + pcm))], "media_id long, payload binary"
+    )
+    r = fingerprint_wav(df).collect()[0]
+    assert r["ok"]
+    assert r["sign_hash"] == -(1 << 63)    # only bit 63 -> wrapped
+    assert r["energy_hash"] == -(1 << 63)  # only the loud sample >= mean
+    assert r["zero_crossings"] == 1
+
+
+def test_retrieval_eval_string_labels_survive(spark):
+    """ADVICE r4: retrieval_eval must return query_label verbatim —
+    a string label column must not silently become NULL (the long cast
+    now lives at the query layer, like hard_negatives)."""
+    from simpletasks_data_spark.operators import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "en"), (2, [0.9, 0.1], "en"),
+         (3, [0.0, 1.0], "fr"), (4, [0.1, 0.9], "fr")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = SIM.retrieval_eval(emb, emb.where("vec_id = 1"), label_col="label", k=2)
+    rows = out.collect()
+    assert rows and rows[0]["query_label"] == "en"
+    assert dict(out.dtypes)["query_label"] == "string"
