@@ -83,229 +83,75 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # float to the front in this order; the remainder keep registration
 # order behind them.
 _CHECK_FIRST = [
-    # -- changed this round (round 4): the three round-3 reds, now
-    #    scalar-output (regression gate + first-green attempt) --
-    "kmeans_embeddings",
-    "pca_top_component",
-    "graph_random_walks",
-    # -- changed this round: df-ceiling / tie-order / DV-matching
-    #    re-checks (green r3, must not regress) --
-    "bm25_related_docs",
-    "pareto_frontier_suppliers",
-    "acid_delete_vectors",
-    # -- changed this round, never driver-checked: skyline empty-batch
-    #    fix + canonical_url AUTHORITY port fix --
-    "pareto_frontier_3d",
-    "url_canonical_dedup",
-    "url_host_stats",
-    "inverted_index_terms",
-    # -- never checked, riskiest first (round-3 verdict item 5):
-    #    iterative-ML / ACID / merge-surface novel failure area --
-    "knn_ivf_kmeans",
-    "acid_version_diff",
-    "acid_compaction",
-    "acid_pruned_read",
-    "entity_match_customers",
-    "incremental_rollup_refresh",
-    "nb_lang_confusion",
-    "robust_outliers_mad",
-    "multimodal_ppm_resize",
-    "zipf_token_slope",
-    "merge_validation_counters",
-    "merge_history_two_runs",
-    # -- never checked: ANN twin + text/ML stats --
-    "knn_quantized_rescore",
-    "ngram_lm_counts",
-    "feature_drift_psi",
-    "streaming_trending_topk",
-    "events_transition_matrix",
-    "streaming_left_outer_attribution",
-    # -- NEW this round (second half), never checked — novel failure
-    #    surface outranks plain TPC-H SQL per the standing rotation
-    #    rule: retrieval/curation batch, multimodal fingerprints,
-    #    streaming LSH, governance, sources, time-series --
-    "dsir_importance_weights",
-    "token_budget_selection",
-    "hard_negatives_embeddings",
+    # ==== round-5 window (driver checks the first 50) ====
+    # -- changed this round (regression gate): the r4 red's oracle cast
+    #    fix, the three de-ntiled queries (operators/ranking.exact_ntile),
+    #    the parity-tagged PPR encoding, the k-core budget warning, the
+    #    retrieval_eval label-cast move, and the signed-int64 bit packing --
+    "hypertable_rollup_events",
+    "discretize_price_deciles",
+    "zorder_layout_orders",
+    "rfm_customer_segments",
+    "ppr_seeded_customers",
+    "graph_kcore_suppliers",
     "retrieval_eval_embeddings",
-    "hybrid_rrf_retrieval",
-    "calibration_bins_urgent",
-    "mmr_diversified_retrieval",
     "multimodal_ahash_dedup",
     "multimodal_audio_fingerprint",
-    "streaming_minhash_dedup",
-    "k_anonymity_customers",
-    "xml_import_roundtrip",
-    "walk_cooccurrence_pmi",
-    "ewma_region_revenue",
-    "cusum_drift_events",
-    # -- never checked: TPC-H completion subset with novel shapes
-    #    (correlated min, scalar threshold, two-class agg, semi chain;
-    #    the plain-SQL q7-q22 tail stays parity-pinned and rotates to
-    #    round 5) --
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_cnt",
-    "q20_concentrated_suppliers",
-    "q12_ship_delay_priority",
-    # -- never checked: sketches / hypertable / interchange tail --
-    "hypertable_rollup_events",
-    "sketch_histogram_quantile",
-    "jsonl_import_roundtrip",
-    # ---- position 51+ from here: round-5 candidates (still never
-    #      checked), then the proven-green remainder ----
+    # -- never checked: the round-4 stats/governance batch (most novel
+    #    failure surface per the r4 verdict, item 5) --
+    "graph_percolation_supplier",
+    "shapley_logreg_features",
+    "emd_price_by_segment",
+    "sinkhorn_transition_matrix",
+    "ks_test_price_by_segment",
+    "auc_urgent_orders",
+    "conformal_urgent_orders",
+    "sequence_pattern_match",
+    "gini_revenue_by_nation",
+    "price_elasticity_brands",
+    "benford_first_digit_orders",
+    "fixedwidth_import_roundtrip",
+    # -- never checked: the TPC-H tail (reference capability claims
+    #    stay driver-backed — r4 verdict item 6) --
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
     "q13_order_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q18_large_volume_customers",
     "q19_or_predicate_revenue",
+    "q21_sole_late_supplier",
     "q22_idle_customers",
-    "q15_top_supplier",
+    # -- never checked: sketches / dedup / ANN / sources / corpus tail
+    #    (backlog shrink, riskiest families first) --
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "dedup_incremental",
     "multimodal_frame_sample",
     "knn_bruteforce_blas",
+    "jsonl_import_roundtrip",
     "dedup_exact_substrings",
     "domain_cap_sample",
     "embedding_drift_by_label",
-    "graph_kcore_suppliers",
     "vocab_coverage_by_source",
     "timeseries_forward_fill_nation",
     "corpus_export_manifest",
-    # -- changed this round (timestamp family fix; CC contraction;
-    #    sig-agreement verify pruning + shared hash-set store) --
-    "streaming_hourly_rollup",
-    "streaming_sessions",
-    "capped_sessions",
-    "streaming_capped_sessions",
-    "streaming_click_attribution",
-    "streaming_exact_dedup",
-    "dedup_clusters",
-    "dedup_minhash_verified",
-    # retained-corpus / rate-by-source compose dedup_clusters (in-window)
-    # and stay parity-pinned locally; their slots go to the round's two
-    # new flagship compositions
-    "pagerank_customer_supplier",
-    "curation_funnel",
-    "q5_local_supplier_volume",
-    # -- named in the round-2 verdict as must-check --
-    "range_join_purchase_clicks",
-    "scd2_user_state",
-    "profile_orders",
-    "expectations_orders",
-    # -- new this round, never driver-checked --
-    "acid_snapshot_rollup",
-    "acid_merge_versions",
-    "acid_delete_vectors",
-    "acid_replace_where",
-    "sketch_cms_heavy_hitters",
-    "temperature_mixture_langs",
-    "streaming_hll_distinct_users",
-    "multimodal_ppm_roundtrip",
-    "multimodal_png_roundtrip",
-    "streaming_acid_sink",
-    "overlap_join_order_windows",
-    "format_list_roundtrip",
-    "merge_write_commit",
-    "merge_write_dry_run",
-    "dedup_semantic_clusters",
-    "quality_unigram_logprob",
-    "merge_multi_source",
-    "streaming_late_data_drop",
-    "streaming_sliding_windows",
-    "streaming_running_totals",
-    "streaming_foreachbatch_merge",
-    "dedup_passages",
-    # -- round 3's new operator batch (positions 38-48), never
-    #    driver-checked: iterative k-means, BM25 retrieval, triangle
-    #    counting, robust MAD outliers, z-order layout, containment
-    #    dedup, Zipf fit, Kaplan-Meier, ACID snapshot diff, rolling
-    #    distinct actives, Pareto skyline --
-    "kmeans_embeddings",
-    "bm25_related_docs",
-    "supplier_triangles",
-    "logreg_urgent_orders",
-    "zorder_layout_orders",
-    "dedup_containment",
-    "pca_top_component",
-    "survival_km_first_purchase",
-    "graph_random_walks",
-    "rolling_7d_active_users",
-    "pareto_frontier_suppliers",
-    # -- last two in-window slots: round-2 flagships still without a
-    #    driver row (IVM + entity resolution; the ANN twins ride the
-    #    bench instead, TPC-H completions are the lowest-novelty SQL
-    #    and rotate out, all parity-pinned locally) --
-    "communities_suppliers",
-    "bpe_train_merges",
-    # position 51+ from here
-    "acid_version_diff",
-    "multimodal_ppm_resize",
-    "acid_pruned_read",
-    "acid_compaction",
-    "robust_outliers_mad",
-    "nb_lang_confusion",
-    "zipf_token_slope",
-    "entity_match_customers",
-    "incremental_rollup_refresh",
-    "streaming_left_outer_attribution",
-    "knn_quantized_rescore",
-    "knn_bruteforce_blas",
-    "ngram_lm_counts",
-    "feature_drift_psi",
-    "streaming_trending_topk",
-    "events_transition_matrix",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q16_supplier_cnt",
-    "q20_concentrated_suppliers",
-    "q12_ship_delay_priority",
-    # -- rotated out of the 50-window this round (all pinned by the
-    #    always-run local parity suite + dedicated unit/plan tests):
-    #    orc_export_roundtrip, corpus_global_shuffle,
-    #    bucketed_join_orders_customer, events_funnel_conversion,
-    #    events_retention_cohorts, q9_product_profit,
-    #    q21_sole_late_supplier, ann_recall_report,
-    #    merge_history_two_runs, events_anomaly_zscore,
-    #    dedup_clusters_bigstar, knn_incremental_probe,
-    #    boilerplate_ngram_fraction, corpus_health_by_source --
-    "orc_export_roundtrip",
     "corpus_global_shuffle",
-    "bucketed_join_orders_customer",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "q9_product_profit",
-    "q21_sole_late_supplier",
     "ann_recall_report",
-    "merge_history_two_runs",
-    "events_anomaly_zscore",
-    "dedup_clusters_bigstar",
     "knn_incremental_probe",
-    "boilerplate_ngram_fraction",
-    "corpus_health_by_source",
-    # -- registered round 2, never driver-checked (riskiest first;
-    #    straightforward TPC-H breadth rotates behind — it is pinned by
-    #    the local parity suite every run) --
-    "hypertable_rollup_events",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_histogram_quantile",
-    "merge_validation_counters",
-    "dedup_incremental",
-    "corpus_export_manifest",
-    "multimodal_frame_sample",
-    "jsonl_import_roundtrip",
-    # position 51+: checked only if the driver's window exceeds 50 queries
+    "dedup_retained_corpus",
+    "decontaminate_benchmark_overlap",
+    "pii_scrub_customers",
+    # ---- position 51+ from here: round-6 candidates (still never
+    #      checked), then the proven-green remainder (all pinned every
+    #      run by the local oracle-parity suite) ----
     "bloom_semi_join_orders",
     "corpus_hash_split",
     "corpus_stratified_sample",
     "vocab_top_tokens",
-    "decontaminate_benchmark_overlap",
     "ivf_centroids_by_cell",
-    "pii_scrub_customers",
     "bpe_token_count",
     "tfidf_top_terms",
     "chunk_documents",
@@ -313,19 +159,53 @@ _CHECK_FIRST = [
     "embedding_quantize_int8",
     "weighted_sample_quality",
     "balance_mixture_langs",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q19_or_predicate_revenue",
-    "q22_idle_customers",
-    "q15_top_supplier",
-    "q13_order_distribution",
-    "q14_promo_revenue",
     "cube_qty_by_flag_status",
     "rolling_revenue_features",
-    "url_host_stats",
-    "customers_without_orders_antijoin",
+    "dedup_clusters_bigstar",
+    "boilerplate_ngram_fraction",
+    "corpus_health_by_source",
+    "orc_export_roundtrip",
+    "bucketed_join_orders_customer",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "dedup_rate_by_source",
+    "cdc_chunk_documents",
+    "feature_hash_tf",
+    "revenue_concentration",
+    "multimodal_wav_roundtrip",
+    "embedding_random_projection",
+    "attribution_linear_multitouch",
+    "dedup_canonical_by_quality",
+    "ml_lag_features",
+    "skew_diagnosis_orders",
+    "bootstrap_mean_orders",
+    "cms_join_size_estimate",
+    "kmv_set_operations",
+    "weighted_sample_without_replacement",
+    "basket_brand_pairs",
+    "cluster_aware_holdout_split",
+    "ab_test_conversion_ztest",
+    "embedding_outliers_by_cell",
+    "geo_nearest_warehouse",
+    "sentence_split_stats",
+    "streaming_static_enrichment",
+    "streaming_dynamic_gap_sessions",
+    "conversion_by_session_depth",
+    "repeat_purchase_intervals",
+    "quantile_normalize_sources",
+    "association_rules_brands",
+    "bpe_encode_stats",
+    "quality_bigram_kn_logprob",
+    "dedup_minhash_eval",
+    "token_pmi_pairs",
+    "jsonl_gzip_roundtrip",
+    "events_seasonal_anomaly",
+    "funnel_time_to_convert",
+    "referential_integrity_report",
+    "chi2_lang_source_independence",
+    "cohort_ltv_curve",
+    "kmeans_cluster_topics",
 ]
 
 
@@ -7221,16 +7101,21 @@ FROM t GROUP BY decile
 def discretize_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency discretization (decile binning) of order price —
     the feature-engineering transform for monotone-bucketed models.
-    ntile is deterministic under the (value, key) tie-broken total
-    order; the report shows each bin's row count and value range. The
-    single-partition sort is over orders-per-key aggregable data here;
-    at the 100 TB point ntile boundaries come from the histogram
-    quantile sketch instead (sketch_histogram_quantile) and the binning
-    becomes a map-only broadcast lookup."""
+    The cuts are deterministic under the (value, key) tie-broken total
+    order; the report shows each bin's row count and value range.
+    Binning runs as operators/ranking.exact_ntile — a sampled range
+    exchange + per-partition rank + closed-form bucket map, bit-equal
+    to SQL ntile but with NO single-partition window (the whole orders
+    table never funnels through one task). A sketch-boundary variant
+    (approximate cuts, one pass) is sketch_histogram_quantile."""
+    from .operators.ranking import exact_ntile
+
     orders = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = orders.select(
-        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    t = exact_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        10,
+        ["o_totalprice", "o_orderkey"],
+        out_col="decile",
     )
     return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -8018,11 +7903,14 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters on EITHER dimension skip most buckets.
 
     Scale shape: the morton code is pure codegen'd integer arithmetic
-    (map-only); at 100 TB the bucketing is ``repartitionByRange(code)``
-    + parquet write (sampled range exchange, no global sort). The demo
-    uses ``ntile`` over the code order instead, because its exact
-    boundaries give an engine-identical oracle — same layout, exact
-    rather than sampled cuts."""
+    (map-only), and the bucketing IS ``repartitionByRange(morton)`` —
+    operators/ranking.exact_ntile range-partitions on the code (sampled
+    split points, exactly the exchange a z-order table write uses),
+    ranks within partitions, and maps ranks to ntile-identical buckets
+    in closed form. No single-partition sort; the oracle's exact ntile
+    boundaries still match bit-for-bit."""
+    from .operators.ranking import exact_ntile
+
     base = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -8036,8 +7924,7 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         morton = tx + ty if morton is None else morton + tx + ty
     coded = base.withColumn("morton", morton)
-    w = Window.orderBy("morton", "o_orderkey")
-    bucketed = coded.withColumn("bucket", F.ntile(32).over(w).cast("long"))
+    bucketed = exact_ntile(coded, 32, ["morton", "o_orderkey"], out_col="bucket")
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("o_custkey").cast("long").alias("custkey_min"),
@@ -9429,13 +9316,16 @@ FROM seg GROUP BY segment
 """)
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency/frequency/monetary quintiles per
-    customer (custkey tie-breaks make the ntile cuts engine-exact),
-    mapped to the classic lifecycle segments, reported as per-segment
-    profiles. One per-customer agg; the quintile windows run on the
-    customer frame (at extreme cardinality the cuts come from a
-    quantile sketch instead — discretize_price_deciles documents that
-    path). The CRM-analytics staple on the analytics side of the
-    engine."""
+    customer (custkey tie-breaks make the cuts engine-exact), mapped to
+    the classic lifecycle segments, reported as per-segment profiles.
+    One per-customer agg (checkpointed once), then THREE independent
+    exact-ntile passes — each a sampled range exchange + per-partition
+    rank (operators/ranking.exact_ntile), never a single-partition
+    window; the old plan pushed the whole customer frame through three
+    sequential one-task sorts. The CRM-analytics staple on the
+    analytics side of the engine."""
+    from .operators.ranking import exact_ntile
+
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -9448,11 +9338,17 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("frequency"),
             F.round(F.sum("o_totalprice"), 4).alias("monetary"),
         )
+        .localCheckpoint(eager=True)
     )
-    r = F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-    scored = per_cust.withColumn("r", r).withColumn("f", f).withColumn("m", m)
+    scored = exact_ntile(
+        per_cust, 5, [F.asc("recency_days"), F.asc("o_custkey")], out_col="r"
+    )
+    scored = exact_ntile(
+        scored, 5, [F.desc("frequency"), F.asc("o_custkey")], out_col="f"
+    )
+    scored = exact_ntile(
+        scored, 5, [F.desc("monetary"), F.asc("o_custkey")], out_col="m"
+    )
     segment = (
         F.when((F.col("r") <= 2) & (F.col("f") <= 2) & (F.col("m") <= 2), "champion")
         .when((F.col("r") <= 2) & (F.col("f") <= 3), "loyal")
@@ -11155,7 +11051,11 @@ def xml_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
     out_dir = tempfile.mkdtemp(prefix="sds_xmlrt_")
-    docs.coalesce(1).write.mode("overwrite").format("xml").option("rowTag", "doc").save(out_dir)
+    # FIXTURE GENERATION, not the ingest path: repartition(4) writes a
+    # multi-file XML dump so the re-import below actually exercises the
+    # splittable multi-file parallel parse (one part per task). The read
+    # side never coalesces.
+    docs.repartition(4).write.mode("overwrite").format("xml").option("rowTag", "doc").save(out_dir)
 
     schema = T.StructType(
         [

@@ -355,3 +355,20 @@ def test_round3_lazy_queries_no_antipatterns(spark):
         plan = _plan(Q.queries()[name](spark, SF))
         hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
         assert not hits, f"{name}: {hits}"
+
+
+def test_ntile_queries_have_no_single_partition_window(spark):
+    """r4 verdict item 3: the three former global-ntile queries now bin
+    via operators/ranking.exact_ntile (range exchange + per-partition
+    rank + closed-form bucket) — no partitionless WindowExec, no
+    Exchange SinglePartition anywhere in their plans."""
+    for name in ("discretize_price_deciles", "zorder_layout_orders",
+                 "rfm_customer_segments"):
+        plan = _plan(Q.queries()[name](spark, SF))
+        tree = _tree(plan)
+        assert "Exchange SinglePartition" not in tree, (
+            f"{name} funnels through one partition:\n{tree}"
+        )
+        assert "ntile" not in plan.lower(), (
+            f"{name} still plans a window ntile:\n{tree}"
+        )

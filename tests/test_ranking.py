@@ -1,0 +1,58 @@
+"""operators/ranking: the distributed exact-rank / exact-ntile pattern
+must be bit-identical to the window functions it replaces."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from simpletasks_data_spark.operators.ranking import (  # noqa: E402
+    exact_ntile,
+    global_row_number,
+)
+
+
+def _frame(spark, n, seed):
+    # deterministic pseudo-random values with ties, unique tie-break id
+    return spark.range(n).select(
+        F.col("id"),
+        (F.hash(F.col("id") + seed) % 7).alias("v"),
+    ).repartition(8)
+
+
+def test_global_row_number_matches_window(spark):
+    df = _frame(spark, 500, 11)
+    got, total = global_row_number(df, ["v", "id"], "pos", partitions=8)
+    assert total == 500
+    w = Window.orderBy("v", "id")
+    want = df.withColumn("pos", F.row_number().over(w).cast("long"))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+@pytest.mark.parametrize("n,buckets", [(500, 10), (503, 7), (5, 10), (64, 5)])
+def test_exact_ntile_matches_window_ntile(spark, n, buckets):
+    df = _frame(spark, n, n + buckets)
+    got = exact_ntile(df, buckets, ["v", "id"], out_col="b", partitions=8)
+    w = Window.orderBy("v", "id")
+    want = df.withColumn("b", F.ntile(buckets).over(w).cast("long"))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_exact_ntile_desc_ordering(spark):
+    df = _frame(spark, 200, 3)
+    got = exact_ntile(df, 5, [F.desc("v"), F.asc("id")], out_col="b", partitions=8)
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.withColumn("b", F.ntile(5).over(w).cast("long"))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_empty_frame(spark):
+    df = _frame(spark, 100, 1).where("v > 100")
+    got, total = global_row_number(df, ["v", "id"], "pos")
+    assert total == 0 and got.count() == 0
+    assert exact_ntile(df, 4, ["v", "id"]).count() == 0
