@@ -36,7 +36,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocked_entity_pairs"]
+__all__ = ["blocked_entity_pairs", "passjoin_pairs"]
 
 
 def _verify(cand: DataFrame, block_cols: list, max_distance: int) -> DataFrame:
@@ -119,3 +119,88 @@ def blocked_entity_pairs(
     )
     cand = a.join(b, block_cols).where(F.col("id_a") < F.col("id_b"))
     return _verify(cand, block_cols, max_distance)
+
+
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_len: int = 24,
+    max_distance: int = 2,
+    pad_char: str = "#",
+) -> DataFrame:
+    """PassJoin-style segment blocking (Li, Deng, Feng: "PassJoin: a
+    partition-based method for similarity joins", VLDB 2012) — the
+    edit-distance similarity JOIN that is exact for ANY threshold, the
+    missing tier between the d=1 symmetric-delete neighborhood above
+    and quadratic within-block verify.
+
+    Every row's text is cut to a fixed-length key (``rpad(substr(s, 1,
+    key_len))`` so all keys compare at equal length), and the key is
+    partitioned into ``max_distance + 1`` equal segments. Pigeonhole:
+    an edit script of cost <= d touches at most d segments, so at least
+    one segment of A survives VERBATIM in B, displaced by at most d
+    positions (one per preceding indel). Candidate generation is
+    therefore an EQUI-JOIN of segment grams against position-shifted
+    probe grams — d+1 seg keys and at most (d+1)(2d+1) probe keys per
+    row, never an all-pairs product — followed by one bounded-DP
+    levenshtein verify per distinct pair (Spark's threshold variant
+    early-exits the DP row when the band exceeds d).
+
+    Returns (id_a, id_b, dist) with id_a < id_b and dist <= d. Scale
+    shape: key space is fixed-length so gram-bucket sizes track true
+    near-match density; the distinct() before verify bounds levenshtein
+    calls by the candidate count; no stage holds more than one gram
+    bucket. ``key_len`` must be divisible by ``max_distance + 1``.
+    """
+    n_seg = max_distance + 1
+    if key_len % n_seg:
+        raise ValueError(f"key_len={key_len} not divisible by {n_seg} segments")
+    seg_len = key_len // n_seg
+
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.rpad(F.substring(F.col(text_col), 1, key_len), key_len, pad_char).alias("_key"),
+    )
+    seg_rows = []
+    for i in range(n_seg):
+        start = 1 + i * seg_len
+        seg_rows.append(
+            F.struct(F.lit(i).alias("i"),
+                     F.substring("_key", start, seg_len).alias("gram"))
+        )
+    segs = keyed.select(
+        "_id", "_key", F.explode(F.array(*seg_rows)).alias("_s")
+    ).select("_id", "_key", F.col("_s.i").alias("i"), F.col("_s.gram").alias("gram"))
+
+    probe_rows = []
+    for i in range(n_seg):
+        for shift in range(-max_distance, max_distance + 1):
+            start = 1 + i * seg_len + shift
+            if 1 <= start <= key_len - seg_len + 1:
+                probe_rows.append(
+                    F.struct(F.lit(i).alias("i"),
+                             F.substring("_key", start, seg_len).alias("gram"))
+                )
+    probes = keyed.select(
+        "_id", "_key", F.explode(F.array(*probe_rows)).alias("_p")
+    ).select("_id", "_key", F.col("_p.i").alias("i"), F.col("_p.gram").alias("gram"))
+
+    cand = (
+        segs.alias("a")
+        .join(probes.alias("b"), ["i", "gram"])
+        .where(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+            F.least("a._key", "b._key").alias("_ka"),
+            F.greatest("a._key", "b._key").alias("_kb"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("_ka", "_kb", max_distance)
+    return (
+        cand.withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -12230,3 +12230,68 @@ def sinkhorn_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v").over(wr), 6).alias("row_sum"),
         F.round(F.sum("v").over(wc), 6).alias("col_sum"),
     )
+
+
+def _passjoin_oracle_sql(key_len: int = 24, d: int = 2) -> str:
+    """DuckDB twin of operators/linkage.passjoin_pairs: enumerate the
+    SAME segment/probe geometry (fixed-length rpad key, d+1 segments,
+    position shifts bounded by the key) so the candidate sets — and
+    therefore the verified pairs — are engine-identical."""
+    n_seg = d + 1
+    seg_len = key_len // n_seg
+    segs, probes = [], []
+    for i in range(n_seg):
+        start = 1 + i * seg_len
+        segs.append(f"({i}, substr(key, {start}, {seg_len}))")
+        for shift in range(-d, d + 1):
+            s = start + shift
+            if 1 <= s <= key_len - seg_len + 1:
+                probes.append(f"({i}, substr(key, {s}, {seg_len}))")
+    seg_sql = " UNION ALL ".join(
+        f"SELECT id, key, {t[1:-1].split(',')[0].strip()} AS i, "
+        f"{','.join(t[1:-1].split(',')[1:]).strip()} AS gram FROM n"
+        for t in segs
+    )
+    probe_sql = " UNION ALL ".join(
+        f"SELECT id, key, {t[1:-1].split(',')[0].strip()} AS i, "
+        f"{','.join(t[1:-1].split(',')[1:]).strip()} AS gram FROM n"
+        for t in probes
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id AS id,
+         rpad(substr({SQL_NORM.format(c='text')}, 1, {key_len}), {key_len}, '#') AS key
+  FROM documents
+),
+segs AS ({seg_sql}),
+probes AS ({probe_sql}),
+cand AS (
+  SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+         least(a.key, b.key) AS ka, greatest(a.key, b.key) AS kb
+  FROM segs a JOIN probes b ON a.i = b.i AND a.gram = b.gram AND a.id <> b.id
+)
+SELECT id_a, id_b, CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(ka, kb) <= {d}
+"""
+
+
+@register("fuzzy_dedup_edit_distance", _passjoin_oracle_sql(24, 2))
+def fuzzy_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup via PassJoin segment blocking (exact
+    for the threshold, VLDB'12): normalized 24-char document prefixes
+    within levenshtein distance 2 pair up through a (segment, shifted
+    gram) EQUI-join — d+1 seg keys vs <= (d+1)(2d+1) probe keys per
+    row, pigeonhole-complete, never all-pairs — then one bounded-DP
+    verify per distinct candidate. Fills the gap between symmetric-
+    delete (exact, d=1 only) and MinHash (probabilistic): the member
+    of the dedup family for typo-level near-duplicates
+    (operators/linkage.passjoin_pairs)."""
+    from .functions.text import normalize_text
+    from .operators.linkage import passjoin_pairs
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("norm")
+    )
+    return passjoin_pairs(
+        docs, "doc_id", "norm", key_len=24, max_distance=2
+    )
