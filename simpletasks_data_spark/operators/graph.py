@@ -649,3 +649,50 @@ def walk_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def bfs_reach(edges: DataFrame, seeds: DataFrame, radius: int = 3) -> DataFrame:
+    """Multi-source breadth-first reach: for every seed node, count how
+    many NEW nodes are first reached at hop 1, 2, ... ``radius`` over
+    the undirected graph — the neighborhood-growth / influence-radius
+    profile (the exact small-radius core of HyperBall; swap the exact
+    per-seed visited set for an HLL register merge to go unbounded).
+
+    ``edges`` is (u, v); ``seeds`` is a 1-column frame of node ids.
+    Returns (seed, radius, n_new) — rows only where n_new > 0.
+
+    Shape (the synchronous-rounds discipline shared with pagerank/CC):
+    each hop is ONE equi-join of the frontier against the adjacency
+    frame + one anti-join against the visited set + a distinct — all
+    keyed shuffles, nothing global; frontier/visited checkpoint per
+    round to keep lineage flat. State is (seed, node) pairs, bounded by
+    seeds x reach — the reason seeds are a SMALL cohort (hubs, a query
+    set), not the whole graph; all-nodes reach at 100 TB is HyperBall
+    territory (constant-size sketch per node instead of exact sets).
+    """
+    und = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_col = seeds.columns[0]
+    visited = seeds.select(
+        F.col(seed_col).alias("seed"), F.col(seed_col).alias("node")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    out = None
+    for r in range(1, radius + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        cnt = nxt.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+        cnt = cnt.select("seed", F.lit(r).cast("long").alias("radius"), "n_new")
+        out = cnt if out is None else out.unionByName(cnt)
+        frontier = nxt
+    return out

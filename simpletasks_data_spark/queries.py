@@ -12295,3 +12295,412 @@ def fuzzy_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passjoin_pairs(
         docs, "doc_id", "norm", key_len=24, max_distance=2
     )
+
+
+_OLS_MOMENTS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x1 * y) AS BIGINT) AS s1y,
+       CAST(sum(x2 * y) AS BIGINT) AS s2y,
+       CAST(sum(y * y) AS BIGINT) AS syy
+FROM (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+)
+"""
+
+
+@register("ols_price_model", f"""
+WITH m AS ({_OLS_MOMENTS_SQL}),
+md AS (
+  -- CAST AS DOUBLE up front: DuckDB types a bare "* 1.0" as DECIMAL and
+  -- would run the solve in exact decimal arithmetic while Spark runs
+  -- doubles; the expression trees must match operand-for-operand
+  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+         CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y, CAST(syy AS DOUBLE) AS syy,
+         n AS n_raw
+  FROM m
+),
+d AS (
+  SELECT *,
+    (n  * (s11 * s22 - s12 * s12)
+   - s1 * (s1 * s22 - s12 * s2)
+   + s2 * (s1 * s12 - s11 * s2)) AS det,
+    (sy  * (s11 * s22 - s12 * s12)
+   - s1  * (s1y * s22 - s12 * s2y)
+   + s2  * (s1y * s12 - s11 * s2y)) AS det0,
+    (n  * (s1y * s22 - s12 * s2y)
+   - sy * (s1 * s22 - s12 * s2)
+   + s2 * (s1 * s2y - s1y * s2)) AS det1,
+    (n  * (s11 * s2y - s1y * s12)
+   - s1 * (s1 * s2y - s1y * s2)
+   + sy * (s1 * s12 - s11 * s2)) AS det2
+  FROM md
+),
+b AS (
+  SELECT n, n_raw, sy, s1y, s2y, syy,
+         det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+  FROM d
+)
+SELECT CAST(n_raw AS BIGINT) AS n,
+       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                 / (syy - sy / n * sy), 6) AS r2
+FROM b
+""")
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS (normal equations, 3x3 Cramer solve) predicting
+    line price from quantity and discount — the exact-analytics sibling
+    of the GD logistic family. The determinism discipline: features are
+    snapped to an INTEGER grid (whole dollars / percent / units), so
+    the nine sufficient-statistic moments are exact BIGINT sums no
+    matter how partial aggregation orders them; the solve then runs the
+    IDENTICAL double expression tree in both engines on those exact
+    integers. ONE map + ONE hash agg over lineitem (map-side partials);
+    the 3x3 solve is a scalar select on the 1-row moment frame — the
+    plan a 100 TB regression fit should have (sums never leave the
+    agg; no per-row weight traffic). At extreme SF the y*y moment
+    outgrows int64 around sf~100 — swap the moment sums to
+    DECIMAL(38,0) there; the shape is unchanged."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def _c(name):
+        return F.col(name) * 1.0
+
+    det = (
+        F.col("n") * (_c("s11") * _c("s22") - _c("s12") * _c("s12"))
+        - F.col("s1") * (_c("s1") * _c("s22") - _c("s12") * _c("s2"))
+        + F.col("s2") * (_c("s1") * _c("s12") - _c("s11") * _c("s2"))
+    )
+    det0 = (
+        F.col("sy") * (_c("s11") * _c("s22") - _c("s12") * _c("s12"))
+        - F.col("s1") * (_c("s1y") * _c("s22") - _c("s12") * _c("s2y"))
+        + F.col("s2") * (_c("s1y") * _c("s12") - _c("s11") * _c("s2y"))
+    )
+    det1 = (
+        F.col("n") * (_c("s1y") * _c("s22") - _c("s12") * _c("s2y"))
+        - F.col("sy") * (_c("s1") * _c("s22") - _c("s12") * _c("s2"))
+        + F.col("s2") * (_c("s1") * _c("s2y") - _c("s1y") * _c("s2"))
+    )
+    det2 = (
+        F.col("n") * (_c("s11") * _c("s2y") - _c("s1y") * _c("s12"))
+        - F.col("s1") * (_c("s1") * _c("s2y") - _c("s1y") * _c("s2"))
+        + F.col("sy") * (_c("s1") * _c("s12") - _c("s11") * _c("s2"))
+    )
+    solved = m.select(
+        "n", "sy", "s1y", "s2y", "syy",
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+    )
+    sse = (
+        F.col("syy")
+        - F.col("b0") * F.col("sy")
+        - F.col("b1") * F.col("s1y")
+        - F.col("b2") * F.col("s2y")
+    )
+    sst = F.col("syy") - F.col("sy") * 1.0 / F.col("n") * F.col("sy")
+    return solved.select(
+        "n",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(1.0 - sse / sst, 6).alias("r2"),
+    )
+
+
+@register("acf_daily_revenue", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT unnest([1, 7, 28]) AS lag),
+pairs AS (
+  SELECT l.lag, a.r AS ra, b.r AS rb
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + l.lag * INTERVAL 1 DAY
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+         CAST(sum(ra * ra) AS BIGINT) AS saa,
+         CAST(sum(rb * rb) AS BIGINT) AS sbb,
+         CAST(sum(ra * rb) AS BIGINT) AS sab
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       -- CAST AS DOUBLE, not "* 1.0": DuckDB types a bare 1.0 as DECIMAL,
+       -- silently switching the whole moment expression to exact decimal
+       -- arithmetic (overflowing DECIMAL(38) at sf0.01) while Spark
+       -- computes doubles — the trees must match operand-for-operand
+       round((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * (CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS acf
+FROM m
+""")
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1/7/28 — the seasonality probe a forecasting pipeline runs before
+    model choice (lag-7 spikes = weekly cycle). Same determinism
+    discipline as ols_price_model: the series snaps to whole-dollar
+    BIGINTs, each lag's Pearson moments are exact integer sums (order-
+    independent under partial aggregation), and the final correlation
+    is one identical double expression per engine. Shape: one date agg
+    (hash, map-side partials), then a lag EQUI-join on exact date
+    offsets (the series frame is |days| rows — tiny relative to
+    orders at any SF), one hash agg per lag. The lag frame is a 3-row
+    literal broadcast."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.floor("o_totalprice")).cast("long").alias("r"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7), F.lit(28))).alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags))
+    pairs = a.join(
+        daily.select(F.col("d").alias("d2"), F.col("r").alias("rb")),
+        F.date_add(a["d"], F.col("lag")) == F.col("d2"),
+    ).select("lag", F.col("r").alias("ra"), "rb")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+    )
+    num = F.col("n_pairs") * 1.0 * F.col("sab") - F.col("sa") * 1.0 * F.col("sb")
+    den = F.sqrt(
+        (F.col("n_pairs") * 1.0 * F.col("saa") - F.col("sa") * 1.0 * F.col("sa"))
+        * (F.col("n_pairs") * 1.0 * F.col("sbb") - F.col("sb") * 1.0 * F.col("sb"))
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+@register("propensity_match_urgent", f"""
+WITH f AS MATERIALIZED ({_LOGREG_FEATURES_SQL}),
+{_logreg_rounds(5, 1.0, train="f")},
+scored AS (
+  SELECT f.o_orderkey, f.y,
+         CAST(round(1.0 / (1.0 + exp(-(w5.w0 + w5.w1 * f.x1 + w5.w2 * f.x2)))
+                    * 1000000) AS BIGINT) AS si
+  FROM f CROSS JOIN w5
+),
+t AS (SELECT o_orderkey AS t_key, si AS t_si FROM scored WHERE y = 1.0),
+c AS (SELECT o_orderkey AS c_key, si AS c_si, si // 5000 AS b FROM scored WHERE y = 0.0),
+tx AS (
+  SELECT t_key, t_si, t_si // 5000 + d.d AS b
+  FROM t CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d
+),
+cand AS (
+  SELECT t_key, t_si, c_key, c_si, abs(t_si - c_si) AS gap
+  FROM tx JOIN c USING (b)
+  WHERE abs(t_si - c_si) <= 5000
+),
+best AS (
+  SELECT t_key, c_key, gap,
+         row_number() OVER (PARTITION BY t_key ORDER BY gap, c_key) AS rn
+  FROM cand
+)
+SELECT b.t_key, b.c_key, CAST(b.gap AS BIGINT) AS gap_micro,
+       CAST(ot.dollars - oc.dollars AS BIGINT) AS dy_dollars
+FROM best b
+JOIN (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS dollars FROM orders) ot
+  ON ot.o_orderkey = b.t_key
+JOIN (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS dollars FROM orders) oc
+  ON oc.o_orderkey = b.c_key
+WHERE b.rn = 1
+""")
+def propensity_match_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching (Rosenbaum & Rubin): urgent orders are
+    the treatment, the shared GD logistic model scores every order, and
+    each treated unit matches its nearest control within a 0.005
+    caliper — the causal-inference curation step for building balanced
+    evaluation cohorts. Scores snap to an integer micro-unit grid
+    (round of the SAME raw double both engines compute), so nearest
+    and ties are integer-exact (gap, then control key).
+
+    Shape: candidate generation is a caliper-bucket EQUI-join — treated
+    rows fan out to 3 buckets (own +- 1, which provably covers every
+    pair within one caliper), controls stay put; per-treated nearest is
+    a window over candidate rows partitioned BY TREATED KEY (bounded
+    per-partition, never global). At 100 TB a hot score region fattens
+    buckets — shrink the bucket width (finer than the caliper, probing
+    ceil(caliper/width)+1 neighbors) to re-bound them; the join stays
+    the same. Returns one row per matched pair with the integer score
+    gap and outcome delta (whole dollars, exact)."""
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_gd(feats, iterations=5, lr=1.0)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    scored = feats.select(
+        "o_orderkey",
+        "y",
+        F.round((1.0 / (1.0 + F.exp(-z))) * 1000000).cast("long").alias("si"),
+    )
+    t = scored.where(F.col("y") == 1.0).select(
+        F.col("o_orderkey").alias("t_key"), F.col("si").alias("t_si")
+    )
+    c = scored.where(F.col("y") == 0.0).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.col("si").alias("c_si"),
+        F.expr("si div 5000").alias("b"),
+    )
+    tx = t.select(
+        "t_key",
+        "t_si",
+        F.explode(
+            F.array(
+                F.expr("t_si div 5000 - 1"),
+                F.expr("t_si div 5000"),
+                F.expr("t_si div 5000 + 1"),
+            )
+        ).alias("b"),
+    )
+    cand = (
+        tx.join(c, "b")
+        .withColumn("gap", F.abs(F.col("t_si") - F.col("c_si")))
+        .where(F.col("gap") <= 5000)
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("t_key").orderBy(F.asc("gap"), F.asc("c_key"))
+        ),
+    ).where(F.col("rn") == 1)
+    dollars = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.floor("o_totalprice").cast("long").alias("dollars")
+    )
+    return (
+        best.join(dollars.withColumnRenamed("o_orderkey", "t_key").withColumnRenamed("dollars", "_dt"), "t_key")
+        .join(dollars.withColumnRenamed("o_orderkey", "c_key").withColumnRenamed("dollars", "_dc"), "c_key")
+        .select(
+            "t_key",
+            "c_key",
+            F.col("gap").cast("long").alias("gap_micro"),
+            (F.col("_dt") - F.col("_dc")).cast("long").alias("dy_dollars"),
+        )
+    )
+
+
+@register("graph_reach_hubs", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+prs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sup AS (SELECT u, v, count(*) AS n FROM prs GROUP BY u, v),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (ORDER BY n DESC, u ASC, v ASC) AS rn,
+           count(*) OVER () AS total
+    FROM sup
+  ) WHERE rn <= ceil(total / 10.0)
+),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
+)),
+deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+hubs AS (
+  SELECT src AS seed FROM (
+    SELECT src, row_number() OVER (ORDER BY d DESC, src ASC) AS rk FROM deg
+  ) WHERE rk <= 10
+),
+v0 AS (SELECT seed, seed AS node FROM hubs),
+f1 AS MATERIALIZED (
+  SELECT DISTINCT f.seed, u.dst AS node FROM v0 f JOIN und u ON u.src = f.node
+  EXCEPT SELECT seed, node FROM v0
+),
+v1 AS MATERIALIZED (SELECT seed, node FROM v0 UNION SELECT seed, node FROM f1),
+f2 AS MATERIALIZED (
+  SELECT DISTINCT f.seed, u.dst AS node FROM f1 f JOIN und u ON u.src = f.node
+  EXCEPT SELECT seed, node FROM v1
+),
+v2 AS MATERIALIZED (SELECT seed, node FROM v1 UNION SELECT seed, node FROM f2),
+f3 AS (
+  SELECT DISTINCT f.seed, u.dst AS node FROM f2 f JOIN und u ON u.src = f.node
+  EXCEPT SELECT seed, node FROM v2
+)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(1 AS BIGINT) AS radius,
+       CAST(count(*) AS BIGINT) AS n_new FROM f1 GROUP BY seed
+UNION ALL
+SELECT CAST(seed AS BIGINT), CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM f2 GROUP BY seed
+UNION ALL
+SELECT CAST(seed AS BIGINT), CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM f3 GROUP BY seed
+""")
+def graph_reach_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence radius of the top-10 hub suppliers: multi-source BFS
+    over the top-10% strongest co-occurrence edges, counting nodes
+    FIRST reached at hop 1/2/3 per hub — the neighborhood-growth
+    profile (exact small-radius HyperBall; see operators/graph.
+    bfs_reach for the sketch-swap scale path). Hubs = highest
+    undirected degree, supplier-key tie-break; edge cut shares
+    _top_frac_edges' histogram threshold (never a data-sized sort).
+    The rank<=10 hub filter compiles to WindowGroupLimit (map-side
+    top-k), not a global sort."""
+    from .operators.graph import bfs_reach
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    prs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    sup = (
+        prs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    edges = _top_frac_edges(sup, 10).localCheckpoint(eager=True)
+    und = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    rk = F.row_number().over(Window.orderBy(F.desc("d"), F.asc("src")))
+    hubs = deg.withColumn("rk", rk).where(F.col("rk") <= 10).select(
+        F.col("src").alias("seed")
+    )
+    out = bfs_reach(edges, hubs, radius=3)
+    return out.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("radius").cast("long").alias("radius"),
+        "n_new",
+    )

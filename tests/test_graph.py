@@ -132,3 +132,23 @@ def test_kcore_path_graph_truncation_warns_and_fixpoint_loops(spark):
     assert not any("peel still active" in str(w.message) for w in caught2)
     assert all(v > 0 for v in full.values())  # a path has no 2-core
     assert max(full.values()) == 9  # 8 end-pair rounds + the lone survivor
+
+
+def test_bfs_reach_path_graph(spark):
+    """Path 1-2-3-4-5, seeds {1, 3}: hop-wise first-reach counts must be
+    exact (seed 1 reaches one new node per hop; seed 3 reaches both
+    sides at hop 1, ends at hop 2)."""
+    from simpletasks_data_spark.operators.graph import bfs_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    seeds = spark.createDataFrame([(1,), (3,)], "seed long")
+    got = {
+        (r["seed"], r["radius"]): r["n_new"]
+        for r in bfs_reach(edges, seeds, radius=3).collect()
+    }
+    assert got == {
+        (1, 1): 1, (1, 2): 1, (1, 3): 1,      # 2, then 3, then 4
+        (3, 1): 2, (3, 2): 2,                 # {2,4} then {1,5}; no hop 3
+    }
