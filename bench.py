@@ -141,6 +141,13 @@ BENCH_QUERIES = [
     "shapley_logreg_features",
     "emd_price_by_segment",
     "sinkhorn_transition_matrix",
+    # round 5 additions
+    "fuzzy_dedup_edit_distance",
+    "ols_price_model",
+    "acf_daily_revenue",
+    "propensity_match_urgent",
+    "graph_reach_hubs",
+    "als_factors_retail",
 ]
 
 

@@ -12704,3 +12704,137 @@ def graph_reach_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("radius").cast("long").alias("radius"),
         "n_new",
     )
+
+
+_ALS_RATINGS_SQL = """
+SELECT o_custkey AS c, l_suppkey AS s,
+       CAST(round(ln(1.0 + CAST(sum(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)) AS DOUBLE) / 100.0)
+                  * 1000000) AS BIGINT) AS rv
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+_ALS_SOLVE_SQL = """
+  SELECT {key},
+         CAST(round((CAST(s22 + 100000000000 AS DOUBLE) * CAST(b1 AS DOUBLE)
+                   - CAST(s12 AS DOUBLE) * CAST(b2 AS DOUBLE))
+                  / (CAST(s11 + 100000000000 AS DOUBLE)
+                     * CAST(s22 + 100000000000 AS DOUBLE)
+                   - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+                  * 1000000) AS BIGINT) AS fx,
+         CAST(round((CAST(s11 + 100000000000 AS DOUBLE) * CAST(b2 AS DOUBLE)
+                   - CAST(s12 AS DOUBLE) * CAST(b1 AS DOUBLE))
+                  / (CAST(s11 + 100000000000 AS DOUBLE)
+                     * CAST(s22 + 100000000000 AS DOUBLE)
+                   - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+                  * 1000000) AS BIGINT) AS fy
+  FROM {moments}
+"""
+
+
+@register("als_factors_retail", f"""
+WITH r AS MATERIALIZED ({_ALS_RATINGS_SQL}),
+v0 AS (
+  SELECT s, CAST(round((1.0 + (s % 7) / 10.0) * 1000000) AS BIGINT) AS fx,
+         CAST(round((1.0 - (s % 5) / 10.0) * 1000000) AS BIGINT) AS fy
+  FROM (SELECT DISTINCT s FROM r)
+),
+um AS (
+  SELECT r.c AS k,
+         CAST(sum(v.fx * v.fx) AS BIGINT) AS s11,
+         CAST(sum(v.fx * v.fy) AS BIGINT) AS s12,
+         CAST(sum(v.fy * v.fy) AS BIGINT) AS s22,
+         CAST(sum(r.rv * v.fx) AS BIGINT) AS b1,
+         CAST(sum(r.rv * v.fy) AS BIGINT) AS b2
+  FROM r JOIN v0 v USING (s) GROUP BY r.c
+),
+u1 AS ({_ALS_SOLVE_SQL.format(key="k", moments="um")}),
+im AS (
+  SELECT r.s AS k,
+         CAST(sum(u.fx * u.fx) AS BIGINT) AS s11,
+         CAST(sum(u.fx * u.fy) AS BIGINT) AS s12,
+         CAST(sum(u.fy * u.fy) AS BIGINT) AS s22,
+         CAST(sum(r.rv * u.fx) AS BIGINT) AS b1,
+         CAST(sum(r.rv * u.fy) AS BIGINT) AS b2
+  FROM r JOIN u1 u ON u.k = r.c GROUP BY r.s
+),
+v1 AS ({_ALS_SOLVE_SQL.format(key="k", moments="im")})
+SELECT CAST(k AS BIGINT) AS id, 'user' AS role, fx AS fx_micro, fy AS fy_micro FROM u1
+UNION ALL
+SELECT CAST(k AS BIGINT), 'item', fx, fy FROM v1
+""")
+def als_factors_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS matrix factorization (k=2, lambda=0.1, one user + one item
+    half-step) over the customer x supplier log-revenue matrix — the
+    collaborative-filtering / embedding-trainer primitive, run under
+    the repo's integer-sufficient-statistics discipline: factors live
+    on a 1e-6 micro-grid as BIGINTs, so each half-step's normal-
+    equation moments (Sigma v v^T, Sigma r v) are EXACT integer sums —
+    partial-aggregation order cannot perturb them — and the 2x2 ridge
+    solve is one identical double expression tree per engine
+    (lambda folds in exactly as +1e11 on the scaled diagonal).
+
+    Shape: ratings = one join + one hash agg; each half-step = one
+    equi-join (ratings x other-side factors) + ONE hash agg to the
+    5 moments + a map-only solve — the classic distributed-ALS plan
+    (factor frames are |users| / |items| rows, always the small side;
+    at 100 TB they hash-join co-partitioned on the rating keys, never
+    broadcast-mandatory). Moment magnitudes hold in int64 to ~sf30
+    (log-ratings keep factors O(10)); beyond that the moment sums swap
+    to DECIMAL(38,0), same shape. Returns integer micro-factors per
+    (id, role)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    r = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum(cents).alias("_cents"))
+        .select(
+            "c",
+            "s",
+            F.round(F.log(1.0 + F.col("_cents").cast("double") / 100.0) * 1000000)
+            .cast("long")
+            .alias("rv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v0 = r.select("s").distinct().select(
+        "s",
+        F.round((1.0 + (F.col("s") % 7) / 10.0) * 1000000).cast("long").alias("fx"),
+        F.round((1.0 - (F.col("s") % 5) / 10.0) * 1000000).cast("long").alias("fy"),
+    )
+
+    lam = F.lit(100000000000)  # 0.1 * 1e12 on the micro^2 moment scale
+
+    def half_step(ratings, factors, join_key, group_key):
+        m = (
+            ratings.join(factors, join_key)
+            .groupBy(F.col(group_key).alias("k"))
+            .agg(
+                F.sum(F.col("fx") * F.col("fx")).alias("s11"),
+                F.sum(F.col("fx") * F.col("fy")).alias("s12"),
+                F.sum(F.col("fy") * F.col("fy")).alias("s22"),
+                F.sum(F.col("rv") * F.col("fx")).alias("b1"),
+                F.sum(F.col("rv") * F.col("fy")).alias("b2"),
+            )
+        )
+        a11 = (F.col("s11") + lam).cast("double")
+        a22 = (F.col("s22") + lam).cast("double")
+        a12 = F.col("s12").cast("double")
+        det = a11 * a22 - a12 * a12
+        fx = F.round((a22 * F.col("b1").cast("double") - a12 * F.col("b2").cast("double")) / det * 1000000).cast("long")
+        fy = F.round((a11 * F.col("b2").cast("double") - a12 * F.col("b1").cast("double")) / det * 1000000).cast("long")
+        return m.select("k", fx.alias("fx"), fy.alias("fy"))
+
+    u1 = half_step(r, v0, "s", "c").localCheckpoint(eager=True)
+    v1 = half_step(r, u1.withColumnRenamed("k", "c"), "c", "s")
+    return (
+        u1.select(F.col("k").cast("long").alias("id"), F.lit("user").alias("role"),
+                  F.col("fx").alias("fx_micro"), F.col("fy").alias("fy_micro"))
+        .unionByName(
+            v1.select(F.col("k").cast("long").alias("id"), F.lit("item").alias("role"),
+                      F.col("fx").alias("fx_micro"), F.col("fy").alias("fy_micro"))
+        )
+    )
