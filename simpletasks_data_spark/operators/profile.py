@@ -26,10 +26,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["profile", "k_anonymity_report"]
+__all__ = ["profile", "k_anonymity_report", "exact_group_median"]
 
 _NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
 
@@ -122,3 +122,67 @@ def k_anonymity_report(
             ).alias("risk_pct"),
         )
     )
+
+
+def exact_group_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    bucket_width: int = 100000,
+) -> DataFrame:
+    """EXACT per-group lower median (the k-th order statistic with
+    k = (n+1)//2) of an INTEGER value column, computed without ever
+    sorting the data — the two-pass histogram-refinement pattern that
+    replaces ``ORDER BY`` quantiles at scale (the exact sibling of the
+    histogram sketch in operators/sketches.py).
+
+    Pass 1: one hash agg to the (group, value div bucket_width)
+    histogram; a cumulative window ordered by bucket runs PER GROUP
+    over at most value_range/bucket_width rows — the GRID, never the
+    data — and pinpoints each group's boundary bucket plus the residual
+    rank inside it. Pass 2: rows are semi-joined to their group's one
+    boundary bucket (a broadcastable group->bucket map: ONE row per
+    group), aggregated to a (group, value) histogram — at most
+    bucket_width rows per group — and the residual rank picks the exact
+    value with a second grid-sized window. No stage ever holds a
+    data-sized sort; ties need no break because duplicates collapse
+    into histogram counts.
+
+    Returns (group_cols..., n, median) with n and median as longs.
+    """
+    g = list(group_cols)
+    v = F.col(value_col)
+    h1 = df.groupBy(*g, (v - (v % bucket_width)).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wg = Window.partitionBy(*g).orderBy("_b")
+    h1 = h1.withColumn("_cum", F.sum("_c").over(wg)).withColumn(
+        "_before", F.col("_cum") - F.col("_c")
+    )
+    wt = Window.partitionBy(*g)
+    h1 = h1.withColumn("_n", F.max("_cum").over(wt)).withColumn(
+        "_k", F.expr("(_n + 1) div 2")
+    )
+    bound = (
+        h1.where((F.col("_before") < F.col("_k")) & (F.col("_k") <= F.col("_cum")))
+        .select(
+            *g,
+            F.col("_b").alias("_bb"),
+            (F.col("_k") - F.col("_before")).cast("long").alias("_k2"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    )
+    inb = df.join(F.broadcast(bound), g).where(
+        (v - (v % bucket_width)) == F.col("_bb")
+    )
+    h2 = inb.groupBy(*g, v.alias("_v"), F.col("_k2"), F.col("n")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wv = Window.partitionBy(*g).orderBy("_v")
+    h2 = h2.withColumn("_cum", F.sum("_c").over(wv)).withColumn(
+        "_before", F.col("_cum") - F.col("_c")
+    )
+    out = h2.where(
+        (F.col("_before") < F.col("_k2")) & (F.col("_k2") <= F.col("_cum"))
+    )
+    return out.select(*g, "n", F.col("_v").cast("long").alias("median"))

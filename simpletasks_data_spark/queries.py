@@ -12838,3 +12838,174 @@ def als_factors_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("fx").alias("fx_micro"), F.col("fy").alias("fy_micro"))
         )
     )
+
+
+@register("exact_median_price_by_priority", """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM c
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS median
+FROM r WHERE rn = (n + 1) // 2
+""")
+def exact_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-priority median order price (lower median, integer
+    cents) via two-pass histogram refinement — no data-sized sort
+    anywhere: pass 1 pinpoints each group's boundary bucket on a
+    value_range/1e5 grid, pass 2 resolves the exact cent inside that
+    single bucket (operators/profile.exact_group_median). The oracle
+    states the SPECIFICATION as the naive rank window; the engine plan
+    is the one that survives 100 TB (the sketch twin with error bars
+    is sketch_histogram_quantile)."""
+    from .operators.profile import exact_group_median
+
+    c = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return exact_group_median(c, ["o_orderpriority"], "cents")
+
+
+@register("ohlc_hourly_events", """
+WITH v AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket_ts, event_type
+                            ORDER BY ts, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY bucket_ts, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM v
+)
+SELECT bucket_ts, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open,
+       CAST(max(cents) AS BIGINT) AS high,
+       CAST(min(cents) AS BIGINT) AS low,
+       CAST(max(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close
+FROM r GROUP BY bucket_ts, event_type
+""")
+def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (the candlestick / market-data resample): per
+    (hour, event_type) bar with open = first value, close = last value
+    (ts then event_id tie-break — deterministic under concurrent
+    timestamps), high/low = extremes; values on the integer cent grid.
+    ONE hash agg over events: open/close ride min_by/max_by ordered by
+    a packed (ts, event_id) struct — no window pass, no sort; the bar
+    frame is |hours x types| rows. The continuous-aggregate sibling of
+    hypertable_rollup_events for order-sensitive aggregates."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("bucket_ts", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min_by("cents", key).alias("open"),
+        F.max("cents").alias("high"),
+        F.min("cents").alias("low"),
+        F.max_by("cents", key).alias("close"),
+    )
+
+
+def _hits_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled HITS (max-normalized, 1e-8 grid per half-step) over the
+    distinct customer->supplier edge set — mirrors the Spark loop in
+    hits_customer_supplier round for round."""
+    parts = ["h0 AS MATERIALIZED (SELECT DISTINCT c AS id, 1.0 AS h FROM e)"]
+    prev_h = "h0"
+    for t in range(1, rounds + 1):
+        # every CTE MATERIALIZED: each level is referenced twice (score +
+        # its own max), so inlined CTEs re-evaluate the whole chain
+        # EXPONENTIALLY in the round count (observed 300s at sf0.001)
+        parts.append(f"""ar{t} AS MATERIALIZED (
+  SELECT e.s AS id, sum(p.h) AS raw
+  FROM e JOIN {prev_h} p ON p.id = e.c GROUP BY e.s
+),
+a{t} AS MATERIALIZED (
+  SELECT id, round(raw / (SELECT max(raw) FROM ar{t}), 8) AS a FROM ar{t}
+),
+hr{t} AS MATERIALIZED (
+  SELECT e.c AS id, sum(p.a) AS raw
+  FROM e JOIN a{t} p ON p.id = e.s GROUP BY e.c
+),
+h{t} AS MATERIALIZED (
+  SELECT id, round(raw / (SELECT max(raw) FROM hr{t}), 8) AS h FROM hr{t}
+)""")
+        prev_h = f"h{t}"
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+{", ".join(parts)}
+SELECT CAST(id AS BIGINT) AS id, 'hub' AS role, h AS score FROM h{rounds}
+UNION ALL
+SELECT CAST(id AS BIGINT), 'authority', a FROM a{rounds}
+"""
+
+
+@register("hits_customer_supplier", _hits_oracle_sql(4))
+def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over the customer->supplier
+    trade graph: customers are hubs (score = sum of their suppliers'
+    authority), suppliers authorities (sum of their customers' hub
+    score), max-normalized and snapped to the 1e-8 grid each half-step
+    — the same per-round quantization contract as pagerank, so the
+    unrolled oracle agrees. 4 rounds; each half-step is ONE equi-join +
+    ONE hash agg on the (contracting) score frame plus a 1-row max
+    broadcast — never a global sort. The eigenvector-centrality sibling
+    of pagerank/PPR in the graph family."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = e.select("c").distinct().select(F.col("c").alias("id"), F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(4):
+        ar = (
+            e.join(h.withColumnRenamed("id", "c"), "c")
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        mx = ar.agg(F.max("raw").alias("_mx"))
+        a = ar.crossJoin(F.broadcast(mx)).select(
+            "id", F.round(F.col("raw") / F.col("_mx"), 8).alias("a")
+        ).localCheckpoint(eager=True)
+        hr = (
+            e.join(a.withColumnRenamed("id", "s"), "s")
+            .groupBy(F.col("c").alias("id"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        mxh = hr.agg(F.max("raw").alias("_mx"))
+        h = hr.crossJoin(F.broadcast(mxh)).select(
+            "id", F.round(F.col("raw") / F.col("_mx"), 8).alias("h")
+        ).localCheckpoint(eager=True)
+    hubs = h.select(
+        F.col("id").cast("long").alias("id"),
+        F.lit("hub").alias("role"),
+        F.col("h").alias("score"),
+    )
+    auths = a.select(
+        F.col("id").cast("long").alias("id"),
+        F.lit("authority").alias("role"),
+        F.col("a").alias("score"),
+    )
+    return hubs.unionByName(auths)

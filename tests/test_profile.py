@@ -42,3 +42,28 @@ def test_profile_one_scan_and_approx_no_expand(spark):
     approx = _plan(profile(df, approx=True)).split("\n\n")[0]
     assert approx.count("Scan parquet") == 1
     assert "Expand" not in approx  # ...the HLL path must not
+
+
+def test_exact_group_median_crafted(spark):
+    """Odd/even group sizes, duplicate values, and values straddling a
+    bucket boundary must all yield the exact lower median."""
+    from simpletasks_data_spark.operators.profile import exact_group_median
+
+    rows = (
+        [("a", v) for v in [5, 1, 9, 7, 3]]            # odd: median 5
+        + [("b", v) for v in [10, 20, 30, 40]]          # even: lower = 20
+        + [("c", v) for v in [2, 2, 2, 99999, 100001]]  # dupes + boundary
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: (r["n"], r["median"])
+        for r in exact_group_median(df, ["g"], "v", bucket_width=100000).collect()
+    }
+    assert got == {"a": (5, 5), "b": (4, 20), "c": (5, 2)}
+
+    # tiny bucket width forces real two-level refinement
+    got2 = {
+        r["g"]: r["median"]
+        for r in exact_group_median(df, ["g"], "v", bucket_width=3).collect()
+    }
+    assert got2 == {"a": 5, "b": 20, "c": 2}
