@@ -13009,3 +13009,191 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+@register("als_recommend_topk", f"""
+WITH r AS MATERIALIZED ({_ALS_RATINGS_SQL}),
+v0 AS (
+  SELECT s, CAST(round((1.0 + (s % 7) / 10.0) * 1000000) AS BIGINT) AS fx,
+         CAST(round((1.0 - (s % 5) / 10.0) * 1000000) AS BIGINT) AS fy
+  FROM (SELECT DISTINCT s FROM r)
+),
+um AS (
+  SELECT r.c AS k,
+         CAST(sum(v.fx * v.fx) AS BIGINT) AS s11,
+         CAST(sum(v.fx * v.fy) AS BIGINT) AS s12,
+         CAST(sum(v.fy * v.fy) AS BIGINT) AS s22,
+         CAST(sum(r.rv * v.fx) AS BIGINT) AS b1,
+         CAST(sum(r.rv * v.fy) AS BIGINT) AS b2
+  FROM r JOIN v0 v USING (s) GROUP BY r.c
+),
+u1 AS MATERIALIZED ({_ALS_SOLVE_SQL.format(key="k", moments="um")}),
+im AS (
+  SELECT r.s AS k,
+         CAST(sum(u.fx * u.fx) AS BIGINT) AS s11,
+         CAST(sum(u.fx * u.fy) AS BIGINT) AS s12,
+         CAST(sum(u.fy * u.fy) AS BIGINT) AS s22,
+         CAST(sum(r.rv * u.fx) AS BIGINT) AS b1,
+         CAST(sum(r.rv * u.fy) AS BIGINT) AS b2
+  FROM r JOIN u1 u ON u.k = r.c GROUP BY r.s
+),
+v1 AS MATERIALIZED ({_ALS_SOLVE_SQL.format(key="k", moments="im")}),
+cohort AS (SELECT k AS c, fx AS ufx, fy AS ufy FROM u1 WHERE k % 100 = 0),
+scored AS (
+  SELECT ch.c, v.k AS s,
+         CAST(ch.ufx * v.fx + ch.ufy * v.fy AS BIGINT) AS score_micro2
+  FROM cohort ch CROSS JOIN v1 v
+  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.c = ch.c AND r.s = v.k)
+),
+ranked AS (
+  SELECT c, s, score_micro2,
+         row_number() OVER (PARTITION BY c
+                            ORDER BY score_micro2 DESC, s ASC) AS rk
+  FROM scored
+)
+SELECT CAST(c AS BIGINT) AS c, CAST(s AS BIGINT) AS s,
+       score_micro2, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+""")
+def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 unseen-supplier recommendations for a customer cohort from
+    the ALS factors (als_factors_retail's exact half-steps re-run):
+    score = integer micro-factor dot product (EXACT int64 — no float
+    ranking ties), already-purchased pairs anti-joined out, rank ties
+    broken by supplier key. Shape: the cohort (a filtered slice of
+    users) joins against the full item-factor frame — at demo scale a
+    broadcast nested loop over |items|; at 100 TB this step IS the ANN
+    problem and swaps to the IVF cell-probe plan (knn_ivf_kmeans) over
+    the factor space, same contract. Everything upstream is the
+    documented exact-ALS plan."""
+    from .operators.ranking import exact_ntile  # noqa: F401  (family pointer)
+
+    factors = _QUERIES["als_factors_retail"](spark, sf_dir).localCheckpoint(eager=True)
+    users = factors.where(
+        (F.col("role") == "user") & (F.col("id") % 100 == 0)
+    ).select(F.col("id").alias("c"), F.col("fx_micro").alias("ufx"), F.col("fy_micro").alias("ufy"))
+    items = factors.where(F.col("role") == "item").select(
+        F.col("id").alias("s"), F.col("fx_micro").alias("vfx"), F.col("fy_micro").alias("vfy")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    seen = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    scored = (
+        users.crossJoin(F.broadcast(items))
+        .join(seen, ["c", "s"], "left_anti")
+        .select(
+            "c",
+            "s",
+            (F.col("ufx") * F.col("vfx") + F.col("ufy") * F.col("vfy")).alias("score_micro2"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("c").orderBy(F.desc("score_micro2"), F.asc("s"))
+    )
+    return scored.withColumn("rk", rk).where(F.col("rk") <= 3).select(
+        F.col("c").cast("long").alias("c"),
+        F.col("s").cast("long").alias("s"),
+        F.col("score_micro2").cast("long").alias("score_micro2"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+@register("ols_trend_by_nation", """
+WITH f AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(date_diff('day', DATE '1992-01-01', o.o_orderdate) AS BIGINT) AS x,
+         CAST(floor(o.o_totalprice) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM f GROUP BY nation
+)
+SELECT CAST(nation AS BIGINT) AS nation, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS slope_per_day,
+       round((CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+FROM m
+""")
+def ols_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order-value trend: simple OLS slope/intercept of whole-
+    dollar price against order day, one regression per group from the
+    SAME exact-integer-moment discipline as ols_price_model — grouped
+    sufficient statistics in ONE hash agg (map-side partials; the
+    group-by key just rides the shuffle), closed-form slope per group.
+    The grouped-regression primitive (per-segment trends, per-source
+    drift slopes) that never materializes per-group frames."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    f = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    m = f.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return m.select(
+        F.col("nation").cast("long").alias("nation"),
+        "n",
+        F.round(slope, 8).alias("slope_per_day"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+    )
+
+
+@register("partitioned_parquet_prune", """
+SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+WHERE year(o_orderdate) = 1995
+GROUP BY 1
+""")
+def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout end-to-end: orders written
+    partitioned by order year (the layout a 100 TB fact table lives
+    in), re-read with a partition-key predicate — Catalyst prunes to
+    the one year directory at PLAN time (PartitionFilters in the scan,
+    pinned by test_plan_shapes), so the scan touches 1/7th of the
+    files before any row is read — then a monthly rollup. The oracle
+    computes the same report off the unpartitioned table, proving the
+    partitioned roundtrip is content-preserving. The fixture write is
+    per-query scratch, not the ingest path."""
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="sds_part_")
+    orders = load(spark, sf_dir, "orders")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(out_dir)
+    back = spark.read.parquet(out_dir).where(F.col("o_year") == 1995)
+    return back.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )

@@ -372,3 +372,13 @@ def test_ntile_queries_have_no_single_partition_window(spark):
         assert "ntile" not in plan.lower(), (
             f"{name} still plans a window ntile:\n{tree}"
         )
+
+
+def test_partitioned_read_prunes_at_plan_time(spark):
+    """The partitioned-lake query's scan must carry the o_year predicate
+    as a PartitionFilter (directory pruning), not a post-scan Filter."""
+    df = Q.queries()["partitioned_parquet_prune"](spark, SF)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):][:200]
+    assert "o_year" in seg, f"o_year not pruned at plan time:\n{seg}"
