@@ -13197,3 +13197,86 @@ def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
     )
+
+
+@register("pivot_priority_by_segment", """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS urgent,
+       CAST(count(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS high,
+       CAST(count(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS medium,
+       CAST(count(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS not_specified,
+       CAST(count(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS low
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab) of order priority across market segments via the
+    native ``groupBy().pivot()`` API WITH an explicit value list — the
+    two-pass value-discovery scan is skipped and the plan is ONE hash
+    agg with conditional counts (exactly the oracle's CASE WHEN shape),
+    which is the only pivot that scales: never let pivot() infer
+    columns from data at 100 TB."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_orderpriority"
+    )
+    piv = (
+        j.groupBy("segment")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "segment",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).cast("long").alias("urgent"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).cast("long").alias("high"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).cast("long").alias("medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).cast("long").alias("not_specified"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).cast("long").alias("low"),
+    )
+
+
+@register("rollup_revenue_geo", """
+SELECT coalesce(r.r_name, '(all)') AS region,
+       CASE WHEN r.r_name IS NULL THEN '(all)'
+            ELSE coalesce(n.n_name, '(all)') END AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def rollup_revenue_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region -> nation -> grand total) of order
+    revenue — the drill-down report shape. Native ``rollup()``: Spark
+    plans ONE scan with an Expand (3 grouping sets), partial-aggregated
+    map-side, instead of three scans + union. NULL grouping markers are
+    folded to '(all)' labels on both engines (Spark emits the same
+    NULLs the SQL standard does; labels avoid NULL-sorting divergence
+    in the driver canonicalizer)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    out = j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+    return out.select(
+        F.coalesce(F.col("r_name"), F.lit("(all)")).alias("region"),
+        F.when(F.col("r_name").isNull(), F.lit("(all)"))
+        .otherwise(F.coalesce(F.col("n_name"), F.lit("(all)")))
+        .alias("nation"),
+        "n_orders",
+        "revenue",
+    )
