@@ -13280,3 +13280,283 @@ def rollup_revenue_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+@register("boosted_stumps_urgent", """
+WITH f AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         CAST(floor(o_totalprice / 10000) AS BIGINT) AS p,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) // 365 AS BIGINT) AS d
+  FROM orders
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy FROM f),
+g1 AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+  FROM f GROUP BY p
+),
+c1 AS (
+  SELECT p, sum(n) OVER w AS nl, sum(sy) OVER w AS sl
+  FROM g1 WINDOW w AS (ORDER BY p ROWS UNBOUNDED PRECEDING)
+),
+s1 AS (
+  SELECT c1.p AS t, c1.nl, c1.sl, tot.n, tot.sy,
+         CAST(c1.sl AS DOUBLE) * CAST(c1.sl AS DOUBLE) / CAST(c1.nl AS DOUBLE)
+       + CAST(tot.sy - c1.sl AS DOUBLE) * CAST(tot.sy - c1.sl AS DOUBLE)
+         / CAST(tot.n - c1.nl AS DOUBLE) AS score
+  FROM c1 CROSS JOIN tot WHERE c1.nl > 0 AND c1.nl < tot.n
+),
+b1 AS MATERIALIZED (
+  SELECT t, nl, sl, n, sy,
+         CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE) AS mul,
+         CAST(sy - sl AS DOUBLE) / CAST(n - nl AS DOUBLE) AS mur,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS f0
+  FROM (SELECT *, row_number() OVER (ORDER BY score DESC, t ASC) AS rk FROM s1)
+  WHERE rk = 1
+),
+g2 AS (
+  SELECT f.d, CAST(count(*) AS BIGINT) AS n, CAST(sum(f.y) AS BIGINT) AS sy,
+         CAST(sum(CASE WHEN f.p <= b1.t THEN 1 ELSE 0 END) AS BIGINT) AS nl1
+  FROM f CROSS JOIN b1 GROUP BY f.d
+),
+r2 AS (
+  SELECT g2.d, g2.n,
+         CAST(g2.sy AS DOUBLE) - CAST(g2.nl1 AS DOUBLE) * b1.mul
+           - CAST(g2.n - g2.nl1 AS DOUBLE) * b1.mur AS sr
+  FROM g2 CROSS JOIN b1
+),
+c2 AS (
+  SELECT d, sum(n) OVER w AS nl, sum(sr) OVER w AS sl,
+         sum(n) OVER () AS n, sum(sr) OVER () AS sy
+  FROM r2 WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+s2 AS (
+  SELECT d AS t, nl, sl, n, sy,
+         sl * sl / CAST(nl AS DOUBLE)
+       + (sy - sl) * (sy - sl) / CAST(n - nl AS DOUBLE) AS score
+  FROM c2 WHERE nl > 0 AND nl < n
+),
+b2 AS (
+  SELECT t, sl / CAST(nl AS DOUBLE) AS mul, (sy - sl) / CAST(n - nl AS DOUBLE) AS mur
+  FROM (SELECT *, row_number() OVER (ORDER BY score DESC, t ASC) AS rk FROM s2)
+  WHERE rk = 1
+)
+SELECT CAST(0 AS BIGINT) AS round, 'base' AS feature, -1.0 AS threshold,
+       round(f0, 6) AS left_value, round(f0, 6) AS right_value FROM b1
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'price_bucket', CAST(t AS DOUBLE),
+       round(mul - f0, 6), round(mur - f0, 6) FROM b1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'year_bucket', CAST(t AS DOUBLE),
+       round(mul, 6), round(mur, 6) FROM b2
+""")
+def boosted_stumps_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of L2 gradient boosting with depth-1 trees (stumps)
+    predicting urgency: round 1 splits on the price-bucket grid, round 2
+    fits the residual on the order-year grid — the tree-ensemble member
+    of the ML family next to GD logreg / OLS / ALS. Split search is the
+    HISTOGRAM method every scalable GBDT uses (XGBoost/LightGBM): one
+    hash agg per feature to a bounded bucket grid, a cumulative window
+    ON THE GRID scores every threshold from exact integer label sums
+    (round-2 residual sums are one identical double tree from those
+    ints), argmax with threshold tie-break. No per-row model state, no
+    data-sized sort; each round = one agg + grid-sized windows. Returns
+    the model itself (base value + per-round stump)."""
+    f = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias("p"),
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1992-01-01') div 365 AS BIGINT)"
+        ).alias("d"),
+    ).localCheckpoint(eager=True)
+    tot = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
+    )
+    g1 = f.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
+    )
+    wgrid = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c1 = g1.select(
+        "p", F.sum("n").over(wgrid).alias("nl"), F.sum("sy").over(wgrid).alias("sl")
+    )
+    s1 = (
+        c1.crossJoin(F.broadcast(tot))
+        .where((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+        .select(
+            F.col("p").alias("t"), "nl", "sl", "n", "sy",
+            (
+                F.col("sl").cast("double") * F.col("sl").cast("double") / F.col("nl").cast("double")
+                + (F.col("sy") - F.col("sl")).cast("double")
+                * (F.col("sy") - F.col("sl")).cast("double")
+                / (F.col("n") - F.col("nl")).cast("double")
+            ).alias("score"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("t")))
+    b1 = (
+        s1.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select(
+            "t", "nl", "sl", "n", "sy",
+            (F.col("sl").cast("double") / F.col("nl").cast("double")).alias("mul"),
+            ((F.col("sy") - F.col("sl")).cast("double") / (F.col("n") - F.col("nl")).cast("double")).alias("mur"),
+            (F.col("sy").cast("double") / F.col("n").cast("double")).alias("f0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g2 = (
+        f.crossJoin(F.broadcast(b1.select("t", "mul", "mur", "f0")))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.when(F.col("p") <= F.col("t"), 1).otherwise(0)).cast("long").alias("nl1"),
+            F.any_value("mul").alias("mul"),
+            F.any_value("mur").alias("mur"),
+        )
+    )
+    r2 = g2.select(
+        "d",
+        "n",
+        (
+            F.col("sy").cast("double")
+            - F.col("nl1").cast("double") * F.col("mul")
+            - (F.col("n") - F.col("nl1")).cast("double") * F.col("mur")
+        ).alias("sr"),
+    )
+    wgrid2 = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c2 = r2.select(
+        "d",
+        F.sum("n").over(wgrid2).alias("nl"),
+        F.sum("sr").over(wgrid2).alias("sl"),
+        F.sum("n").over(wall).alias("n"),
+        F.sum("sr").over(wall).alias("sy"),
+    )
+    s2 = c2.where((F.col("nl") > 0) & (F.col("nl") < F.col("n"))).select(
+        F.col("d").alias("t"), "nl", "sl", "n", "sy",
+        (
+            F.col("sl") * F.col("sl") / F.col("nl").cast("double")
+            + (F.col("sy") - F.col("sl")) * (F.col("sy") - F.col("sl"))
+            / (F.col("n") - F.col("nl")).cast("double")
+        ).alias("score"),
+    )
+    b2 = (
+        s2.withColumn("rk", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("t"))))
+        .where(F.col("rk") == 1)
+        .select(
+            "t",
+            (F.col("sl") / F.col("nl").cast("double")).alias("mul"),
+            ((F.col("sy") - F.col("sl")) / (F.col("n") - F.col("nl")).cast("double")).alias("mur"),
+        )
+    )
+    base = b1.select(
+        F.lit(0).cast("long").alias("round"),
+        F.lit("base").alias("feature"),
+        F.lit(-1.0).alias("threshold"),
+        F.round("f0", 6).alias("left_value"),
+        F.round("f0", 6).alias("right_value"),
+    )
+    r1 = b1.select(
+        F.lit(1).cast("long").alias("round"),
+        F.lit("price_bucket").alias("feature"),
+        F.col("t").cast("double").alias("threshold"),
+        F.round(F.col("mul") - F.col("f0"), 6).alias("left_value"),
+        F.round(F.col("mur") - F.col("f0"), 6).alias("right_value"),
+    )
+    r2row = b2.select(
+        F.lit(2).cast("long").alias("round"),
+        F.lit("year_bucket").alias("feature"),
+        F.col("t").cast("double").alias("threshold"),
+        F.round("mul", 6).alias("left_value"),
+        F.round("mur", 6).alias("right_value"),
+    )
+    return base.unionByName(r1).unionByName(r2row)
+
+
+@register("xcorr_click_purchase", """
+WITH hours AS (
+  SELECT epoch_us(ts) // 3600000000 AS h, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS cv FROM hours WHERE event_type = 'click' GROUP BY h),
+p AS (SELECT h, CAST(count(*) AS BIGINT) AS pv FROM hours WHERE event_type = 'purchase' GROUP BY h),
+lags AS (SELECT unnest([-6, -3, -1, 0, 1, 3, 6]) AS lag),
+pairs AS (
+  SELECT l.lag, c.cv, p.pv
+  FROM c CROSS JOIN lags l JOIN p ON p.h = c.h + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(cv) AS BIGINT) AS sa, CAST(sum(pv) AS BIGINT) AS sb,
+         CAST(sum(cv * cv) AS BIGINT) AS saa,
+         CAST(sum(pv * pv) AS BIGINT) AS sbb,
+         CAST(sum(cv * pv) AS BIGINT) AS sab
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       round((CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE)
+            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+           / sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * (CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS xcorr
+FROM m
+""")
+def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly click and purchase
+    count series (lags -6..+6 hours): positive-lag peaks mean clicks
+    LEAD purchases — the causal-direction probe next to acf/attribution.
+    Identical discipline to acf_daily_revenue: exact integer hourly
+    counts, one lag EQUI-join on the (tiny) series frame per lag value,
+    Pearson from exact integer moments in one identical double tree.
+    The lag frame is a 7-row literal broadcast."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the cast is the
+        # identity instant and unix_micros matches DuckDB's epoch_us
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 AS BIGINT)"
+        ).alias("h"),
+        "event_type",
+    )
+    c = ev.where(F.col("event_type") == "click").groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("cv")
+    )
+    p = ev.where(F.col("event_type") == "purchase").groupBy(
+        F.col("h").alias("h2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("pv"))
+    lags = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in (-6, -3, -1, 0, 1, 3, 6)])
+        ).alias("lag")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(lags))
+        .join(p, F.col("h2") == F.col("h") + F.col("lag"))
+        .select("lag", "cv", "pv")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("cv").alias("sa"),
+        F.sum("pv").alias("sb"),
+        F.sum(F.col("cv") * F.col("cv")).alias("saa"),
+        F.sum(F.col("pv") * F.col("pv")).alias("sbb"),
+        F.sum(F.col("cv") * F.col("pv")).alias("sab"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sad, sbd = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saad, sbbd, sabd = (
+        F.col("saa").cast("double"),
+        F.col("sbb").cast("double"),
+        F.col("sab").cast("double"),
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(
+            (nd * sabd - sad * sbd)
+            / F.sqrt((nd * saad - sad * sad) * (nd * sbbd - sbd * sbd)),
+            6,
+        ).alias("xcorr"),
+    )
