@@ -13560,3 +13560,53 @@ def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xcorr"),
     )
+
+
+@register("incremental_join_view_refresh", """
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""")
+def incremental_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view: orders and
+    lineitem each arrive as base + a late batch (orderkey strata); the
+    stored view is built from the bases only, then refreshed with the
+    delta-join identity dA|x|B + A|x|dB + dA|x|dB (operators/
+    incremental.incremental_join_refresh) and a partial-aggregate merge
+    — the stored inputs are probed once by the batch and never re-
+    joined against each other. The oracle is the FULL recompute over
+    the complete tables: green means the incremental path is exactly
+    equivalent, which is the IVM contract. Mergeable partials (count +
+    raw revenue sum) live in the view; rounding happens only at
+    read-out."""
+    from .operators.incremental import incremental_join_refresh
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    ob, od = o.where(F.col("o_orderkey") % 50 != 0), o.where(F.col("o_orderkey") % 50 == 0)
+    lb, ld = li.where(F.col("o_orderkey") % 70 != 0), li.where(F.col("o_orderkey") % 70 == 0)
+
+    def view_partial(rows):
+        return rows.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+
+    stored = view_partial(ob.join(lb, "o_orderkey")).localCheckpoint(eager=True)
+    delta_rows = incremental_join_refresh(ob, lb, od, ld, on=["o_orderkey"])
+    refreshed = (
+        stored.unionByName(view_partial(delta_rows))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n_lines").alias("n_lines"), F.sum("_rev").alias("_rev"))
+    )
+    return refreshed.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("_rev", 4).alias("revenue"),
+    )

@@ -82,3 +82,26 @@ def test_untouched_stream_does_not_shuffle(spark):
     # untouched branch is Scan -> broadcast anti-join -> Union, nothing
     # else.
     assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 1, tree
+
+
+def test_incremental_join_refresh_three_terms(spark):
+    """dA|x|B, A|x|dB, and dA|x|dB must each contribute exactly once:
+    base ⋈ base rows must NOT appear in the delta."""
+    from simpletasks_data_spark.operators.incremental import incremental_join_refresh
+
+    A = spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, av string")
+    B = spark.createDataFrame([(1, "b1"), (3, "b3")], "k long, bv string")
+    dA = spark.createDataFrame([(3, "a3")], "k long, av string")
+    dB = spark.createDataFrame([(1, "b1x"), (3, "b3x")], "k long, bv string")
+    got = sorted(
+        (r["k"], r["av"], r["bv"])
+        for r in incremental_join_refresh(A, B, dA, dB, on=["k"]).collect()
+    )
+    # dA⋈B: (3,a3,b3); A⋈dB: (1,a1,b1x); dA⋈dB: (3,a3,b3x)
+    assert got == [(1, "a1", "b1x"), (3, "a3", "b3"), (3, "a3", "b3x")]
+
+    # full-join equivalence: base-join + delta == join of the unions
+    full = A.unionByName(dA).join(B.unionByName(dB), "k")
+    base = A.join(B, "k")
+    inc = base.unionByName(incremental_join_refresh(A, B, dA, dB, on=["k"]))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, inc.collect()))
