@@ -696,3 +696,51 @@ def bfs_reach(edges: DataFrame, seeds: DataFrame, radius: int = 3) -> DataFrame:
         out = cnt if out is None else out.unionByName(cnt)
         frontier = nxt
     return out
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single/multi-source shortest paths with INTEGER weights, bounded
+    to ``max_hops`` relaxation rounds (distributed Bellman-Ford) over
+    the undirected graph. Returns (src_id, node, dist) for every node
+    whose <= max_hops-hop distance is finite — exact: min-plus on
+    integers has no float drift, and synchronous relaxation makes each
+    round a pure function of the previous frontier.
+
+    Shape: each round is ONE equi-join (current distances x adjacency)
+    + ONE min aggregation per (source, node) — keyed shuffles only,
+    checkpointed per round. State is (sources x reached) rows, the same
+    bounded-cohort contract as bfs_reach; all-pairs distances at 100 TB
+    are sketch territory. Weights must be positive integers (cost
+    grids, hop counts, quantized lengths).
+    """
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col(weight_col).alias("w"))
+        .unionAll(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"), F.col(weight_col).alias("w"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    src_col = sources.columns[0]
+    dist = sources.select(
+        F.col(src_col).alias("src_id"),
+        F.col(src_col).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(und, dist["node"] == und["a"])
+            .select("src_id", F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("src_id", "node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

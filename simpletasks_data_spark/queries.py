@@ -13610,3 +13610,182 @@ def incremental_join_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_lines").cast("long").alias("n_lines"),
         F.round("_rev", 4).alias("revenue"),
     )
+
+
+def _sssp_oracle_sql(hops: int = 4) -> str:
+    """Unrolled bounded Bellman-Ford (operators/graph.sssp_bounded) over
+    the weighted supplier co-occurrence graph; integer min-plus, so the
+    unroll is exact. Every CTE MATERIALIZED (re-evaluation discipline,
+    see _hits_oracle_sql)."""
+    parts = []
+    prev = "d0"
+    for t in range(1, hops + 1):
+        parts.append(f"""d{t} AS MATERIALIZED (
+  SELECT src_id, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT src_id, node, dist FROM {prev}
+    UNION ALL
+    SELECT p.src_id, u.b AS node, p.dist + u.w AS dist
+    FROM {prev} p JOIN und u ON u.a = p.node
+  ) GROUP BY src_id, node
+)""")
+        prev = f"d{t}"
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+prs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sup AS (SELECT u, v, count(*) AS n FROM prs GROUP BY u, v),
+we AS (SELECT u, v, CAST(greatest(1, 9 - n) AS BIGINT) AS w FROM sup),
+und AS MATERIALIZED (SELECT DISTINCT a, b, w FROM (
+  SELECT u AS a, v AS b, w FROM we UNION ALL SELECT v, u, w FROM we
+)),
+deg AS (SELECT a, count(*) AS d FROM und GROUP BY a),
+hubs AS (
+  SELECT a AS seed FROM (
+    SELECT a, row_number() OVER (ORDER BY d DESC, a ASC) AS rk FROM deg
+  ) WHERE rk <= 3
+),
+d0 AS MATERIALIZED (SELECT seed AS src_id, seed AS node, CAST(0 AS BIGINT) AS dist FROM hubs),
+{", ".join(parts)}
+SELECT CAST(src_id AS BIGINT) AS src_id, CAST(node AS BIGINT) AS node, dist
+FROM {prev}
+"""
+
+
+@register("sssp_hub_suppliers", _sssp_oracle_sql(4))
+def sssp_hub_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (<= 4 relaxation rounds) from the top-3
+    hub suppliers over the co-occurrence graph, edge cost = greatest(1,
+    9 - support) so strong collaborations are cheap — the DISTANCE
+    member of the graph family next to bfs_reach's reach counts.
+    Integer min-plus Bellman-Ford: exact, no float drift, one equi-join
+    + one min agg per round (operators/graph.sssp_bounded)."""
+    from .operators.graph import sssp_bounded
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    prs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    sup = prs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+    we = sup.select(
+        "u", "v", F.greatest(F.lit(1), F.lit(9) - F.col("n")).cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    und = (
+        we.select(F.col("u").alias("a"), F.col("v").alias("b"), "w")
+        .unionAll(we.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    hubs = (
+        deg.withColumn("rk", F.row_number().over(Window.orderBy(F.desc("d"), F.asc("a"))))
+        .where(F.col("rk") <= 3)
+        .select(F.col("a").alias("seed"))
+    )
+    out = sssp_bounded(we, hubs, max_hops=4, weight_col="w")
+    return out.select(
+        F.col("src_id").cast("long").alias("src_id"),
+        F.col("node").cast("long").alias("node"),
+        "dist",
+    )
+
+
+@register("integrity_checksums_by_nation", """
+WITH rows_c AS (
+  SELECT c_nationkey AS nation,
+         -- cents cast to BIGINT before VARCHAR: round() is a DOUBLE and
+         -- would stringify as '209523.0' vs Spark's long '209523'
+         CAST(concat('0x', substr(md5(concat(CAST(c_custkey AS VARCHAR), '|', c_name,
+                     '|', CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM customer
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS checksum
+FROM rows_c GROUP BY nation
+""")
+def integrity_checksums_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent anti-entropy checksums per partition key: every
+    customer row canonicalizes to a string (integer-cent balance so
+    float formatting can't diverge), md5-hashes, and the per-nation
+    bit_xor of 60-bit hash prefixes is the partition fingerprint — the
+    replication/migration verification primitive (compare per-key
+    (n_rows, checksum) across two systems; any single-row difference
+    flips the XOR, and XOR never overflows at any row count, unlike a
+    sum). XOR is exact under any aggregation order,
+    the whole thing is ONE map + ONE hash agg, and md5 is engine-
+    portable (the repo's standard portable-hash choice)."""
+    c = load(spark, sf_dir, "customer")
+    canon = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.lit("|"),
+        F.col("c_name"),
+        F.lit("|"),
+        F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        c.select(F.col("c_nationkey").alias("nation"), h.alias("h"))
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("checksum"),
+        )
+        .select(F.col("nation").cast("long").alias("nation"), "n_rows", "checksum")
+    )
+
+
+@register("join_fanout_audit", """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+f AS (
+  SELECT c.user_id, c.n_click, p.n_purchase,
+         c.n_click * p.n_purchase AS fanout
+  FROM c JOIN p USING (user_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, n_click, n_purchase,
+       CAST(fanout AS BIGINT) AS fanout
+FROM (
+  SELECT *, row_number() OVER (ORDER BY fanout DESC, user_id ASC) AS rk FROM f
+) WHERE rk <= 10
+""")
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion audit BEFORE running a many-to-many join: per-key
+    multiplicity histograms on each side predict the exact output
+    cardinality (sum of per-key products) and surface the top offender
+    keys — the skew/blowup diagnostic a pipeline runs before a
+    click x purchase correlation join (total predicted rows is
+    sum(fanout); a hot user here is the salting candidate for
+    operators/skew.py). Cost: two key aggs + a key join on the
+    ALREADY-REDUCED count frames — never the raw join. Top-10 compiles
+    to WindowGroupLimit (map-side rank), not a global sort."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_click")
+    )
+    p = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchase")
+    )
+    f = c.join(p, "user_id").withColumn(
+        "fanout", (F.col("n_click") * F.col("n_purchase")).cast("long")
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("fanout"), F.asc("user_id")))
+    return (
+        f.withColumn("rk", rk)
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_click",
+            "n_purchase",
+            "fanout",
+        )
+    )

@@ -152,3 +152,19 @@ def test_bfs_reach_path_graph(spark):
         (1, 1): 1, (1, 2): 1, (1, 3): 1,      # 2, then 3, then 4
         (3, 1): 2, (3, 2): 2,                 # {2,4} then {1,5}; no hop 3
     }
+
+
+def test_sssp_bounded_weighted_path(spark):
+    """Triangle with a shortcut: 1-2 (w5), 2-3 (w5), 1-3 (w20) — the
+    two-hop route (10) must beat the direct edge (20); hop bound 1 must
+    return the direct cost."""
+    from simpletasks_data_spark.operators.graph import sssp_bounded
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 20)], "u long, v long, w long"
+    )
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    d2 = {r["node"]: r["dist"] for r in sssp_bounded(edges, seeds, max_hops=2).collect()}
+    assert d2 == {1: 0, 2: 5, 3: 10}
+    d1 = {r["node"]: r["dist"] for r in sssp_bounded(edges, seeds, max_hops=1).collect()}
+    assert d1 == {1: 0, 2: 5, 3: 20}
