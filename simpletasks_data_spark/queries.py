@@ -147,6 +147,28 @@ _CHECK_FIRST = [
     # ---- position 51+ from here: round-6 candidates (still never
     #      checked), then the proven-green remainder (all pinned every
     #      run by the local oracle-parity suite) ----
+    # round-5 additions (all sf0.01-verified locally; riskiest first)
+    "als_factors_retail",
+    "als_recommend_topk",
+    "fuzzy_dedup_edit_distance",
+    "boosted_stumps_urgent",
+    "hits_customer_supplier",
+    "sssp_hub_suppliers",
+    "exact_median_price_by_priority",
+    "propensity_match_urgent",
+    "incremental_join_view_refresh",
+    "ols_price_model",
+    "ols_trend_by_nation",
+    "acf_daily_revenue",
+    "xcorr_click_purchase",
+    "graph_reach_hubs",
+    "integrity_checksums_by_nation",
+    "join_fanout_audit",
+    "ohlc_hourly_events",
+    "partitioned_parquet_prune",
+    "pivot_priority_by_segment",
+    "rollup_revenue_geo",
+    # earlier never-checked backlog
     "bloom_semi_join_orders",
     "corpus_hash_split",
     "corpus_stratified_sample",
