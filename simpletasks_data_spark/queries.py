@@ -13811,3 +13811,168 @@ def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fanout",
         )
     )
+
+
+@register("target_encode_mktsegment", """
+WITH f AS (
+  SELECT c.c_mktsegment AS cat, o.o_orderkey % 5 AS fold,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+per AS (
+  SELECT cat, fold, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM f GROUP BY cat, fold
+),
+tot AS (
+  SELECT cat, CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st
+  FROM per GROUP BY cat
+)
+SELECT per.cat, CAST(per.fold AS BIGINT) AS fold, per.n,
+       round((CAST(tot.st - per.s AS DOUBLE) + 20.0 * 0.2)
+           / (CAST(tot.nt - per.n AS DOUBLE) + 20.0), 6) AS te
+FROM per JOIN tot USING (cat)
+""")
+def target_encode_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding of market segment against urgency —
+    the leakage-safe categorical encoder GBDT pipelines feed on: each
+    (category, fold) cell's encoding uses ONLY other folds' rows,
+    computed as (S_total - S_fold + m*prior) / (N_total - N_fold + m)
+    (additive smoothing, m=20, prior=0.2) from exact per-cell integer
+    sums — so the whole encoder is one (cat, fold) hash agg + one
+    cat-level re-agg + a map-only formula; the data is never re-scanned
+    per fold. Returns the encoder table (cat, fold, n, te) a training
+    join would broadcast."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("cat"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    per = f.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("y").cast("long").alias("s")
+    )
+    tot = per.groupBy("cat").agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("s").cast("long").alias("st")
+    )
+    te = (
+        ((F.col("st") - F.col("s")).cast("double") + 20.0 * 0.2)
+        / ((F.col("nt") - F.col("n")).cast("double") + 20.0)
+    )
+    return (
+        per.join(tot, "cat")
+        .select(
+            "cat",
+            F.col("fold").cast("long").alias("fold"),
+            "n",
+            F.round(te, 6).alias("te"),
+        )
+    )
+
+
+def _kfold_auc_oracle_sql(k: int = 5, iterations: int = 5) -> str:
+    """Unrolled k-fold CV: one GD chain per fold (trained on the other
+    folds), held-out scoring folded into one CASE expression, tie-aware
+    mid-rank AUC per fold with fold-partitioned windows."""
+    chains, trains = [], []
+    for f in range(k):
+        trains.append(
+            f"t{f} AS MATERIALIZED (SELECT * FROM fall WHERE o_orderkey % {k} != {f})"
+        )
+        chains.append(_logreg_rounds(iterations, 1.0, train=f"t{f}", prefix=f"wf{f}_"))
+    case = " ".join(
+        f"WHEN fall.o_orderkey % {k} = {f} THEN "
+        f"1.0 / (1.0 + exp(-(wf{f}_{iterations}.w0 + wf{f}_{iterations}.w1 * fall.x1"
+        f" + wf{f}_{iterations}.w2 * fall.x2)))"
+        for f in range(k)
+    )
+    crosses = " ".join(f"CROSS JOIN wf{f}_{iterations}" for f in range(k))
+    return f"""
+WITH fall AS MATERIALIZED ({_LOGREG_FEATURES_SQL}),
+{", ".join(trains)},
+{", ".join(chains)},
+scored AS MATERIALIZED (
+  SELECT fall.o_orderkey % {k} AS fold, fall.y,
+         CASE {case} END AS p
+  FROM fall {crosses}
+),
+g AS (
+  SELECT fold, p, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM scored GROUP BY fold, p
+),
+r AS (
+  SELECT fold, pos, n,
+         sum(n) OVER (PARTITION BY fold ORDER BY p
+                      ROWS UNBOUNDED PRECEDING) - n AS before,
+         (n + 1) / 2.0 AS half
+  FROM g
+),
+s AS (
+  SELECT fold, CAST(sum(pos) AS BIGINT) AS n1,
+         CAST(sum(n - pos) AS BIGINT) AS n0,
+         sum(pos * (before + half)) AS rank_sum_pos
+  FROM r GROUP BY fold
+)
+SELECT CAST(fold AS BIGINT) AS fold, n1 AS n_positive, n0 AS n_negative,
+       round((rank_sum_pos - n1 * (n1 + 1) / 2.0)
+           / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc
+FROM s
+"""
+
+
+@register("kfold_cv_auc_urgent", _kfold_auc_oracle_sql(5, 5))
+def kfold_cv_auc_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated ROC AUC of the GD logistic model — the
+    model-selection harness: each fold's model trains on the OTHER four
+    (5 GD chains, weights as codegen literals), every row is scored by
+    exactly the model that never saw it (one CASE over fold — a single
+    scoring pass, no per-fold rescans), and the tie-aware mid-rank AUC
+    runs per fold under FOLD-PARTITIONED windows. Generalization of
+    auc_urgent_orders from train-set AUC to honest out-of-fold AUC;
+    same distinct-score ordered state per fold (grid-bucket or sketch
+    it beyond that)."""
+    feats = _logreg_features(spark, sf_dir)
+    k = 5
+    ws = [
+        _logreg_gd(feats.where(F.col("o_orderkey") % k != f), iterations=5, lr=1.0)
+        for f in range(k)
+    ]
+    p_expr = None
+    for f in range(k):
+        z = F.lit(ws[f][0]) + F.lit(ws[f][1]) * F.col("x1") + F.lit(ws[f][2]) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        cond = F.col("o_orderkey") % k == f
+        p_expr = F.when(cond, p) if p_expr is None else p_expr.when(cond, p)
+    scored = feats.select(
+        (F.col("o_orderkey") % k).alias("fold"), "y", p_expr.alias("p")
+    )
+    g = scored.groupBy("fold", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    w_ord = Window.partitionBy("fold").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.select(
+        "fold",
+        "pos",
+        "n",
+        (F.sum("n").over(w_ord) - F.col("n")).alias("before"),
+        ((F.col("n") + 1) / 2.0).alias("half"),
+    )
+    s = r.groupBy("fold").agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("n0"),
+        F.sum(F.col("pos") * (F.col("before") + F.col("half"))).alias("rank_sum_pos"),
+    )
+    return s.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n1").alias("n_positive"),
+        F.col("n0").alias("n_negative"),
+        F.round(
+            (F.col("rank_sum_pos") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1").cast("double") * F.col("n0").cast("double")),
+            6,
+        ).alias("auc"),
+    )
