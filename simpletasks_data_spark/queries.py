@@ -13976,3 +13976,74 @@ def kfold_cv_auc_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register("multimodal_ahash_hamming1", """
+WITH px AS (
+  SELECT doc_id AS media_id, g.k,
+         (CAST(concat('0x', substr(md5(text), CAST(2 * g.k + 1 AS INT), 2)) AS BIGINT)
+          + CAST(concat('0x', substr(md5(text || 'g'), CAST(2 * g.k + 1 AS INT), 2)) AS BIGINT)
+          + CAST(concat('0x', substr(md5(text || 'b'), CAST(2 * g.k + 1 AS INT), 2)) AS BIGINT))
+         // 3 AS gray
+  FROM documents CROSS JOIN generate_series(0, 15) g(k)
+),
+w AS (
+  SELECT media_id, k, gray, sum(gray) OVER (PARTITION BY media_id) AS sg FROM px
+),
+a AS MATERIALIZED (
+  SELECT media_id,
+         CAST(sum(CASE WHEN gray * 16 >= sg
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS ahash
+  FROM w GROUP BY media_id
+),
+probes AS (
+  SELECT media_id, ahash, xor(ahash, CAST(1 AS BIGINT) << g.i) AS probe
+  FROM a CROSS JOIN generate_series(0, 15) g(i)
+  UNION ALL
+  SELECT media_id, ahash, ahash AS probe FROM a
+),
+cand AS (
+  SELECT DISTINCT least(p.media_id, b.media_id) AS id_a,
+         greatest(p.media_id, b.media_id) AS id_b,
+         bit_count(xor(p.ahash, b.ahash)) AS hd
+  FROM probes p JOIN a b ON b.ahash = p.probe AND p.media_id <> b.media_id
+)
+SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming FROM cand
+""")
+def multimodal_ahash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs within Hamming distance 1 of the
+    decoded-pixel aHash: each image emits its hash plus all 16
+    single-bit flips as probe keys, and candidates come from one
+    equi-join of probes against hashes — the SimHash bit-flip probing
+    trick applied to the image fingerprint, catching near-dups that
+    exact-hash bucketing (multimodal_ahash_dedup) misses. Probe fan-out
+    is bits+1 per image (constant), never pairwise; the oracle
+    re-derives every hash straight from md5 so a mis-decoded channel
+    cannot pair up. hd is exact bit_count of the xor."""
+    from .operators.multimodal import ahash_ppm, encode_ppm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h = ahash_ppm(encode_ppm(docs, "doc_id", "text", side=4)).select(
+        "media_id", "ahash"
+    ).localCheckpoint(eager=True)
+    flips = spark.range(16).select(F.col("id").cast("int").alias("i"))
+    probes = (
+        h.crossJoin(F.broadcast(flips))
+        .select(
+            "media_id",
+            "ahash",
+            F.col("ahash").bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), i)")).alias("probe"),
+        )
+        .unionByName(h.select("media_id", "ahash", F.col("ahash").alias("probe")))
+    )
+    b = h.select(F.col("media_id").alias("b_id"), F.col("ahash").alias("b_hash"))
+    cand = (
+        probes.join(b, (F.col("b_hash") == F.col("probe")) & (F.col("media_id") != F.col("b_id")))
+        .select(
+            F.least("media_id", "b_id").alias("id_a"),
+            F.greatest("media_id", "b_id").alias("id_b"),
+            F.bit_count(F.col("ahash").bitwiseXOR(F.col("b_hash"))).alias("hd"),
+        )
+        .distinct()
+    )
+    return cand.select("id_a", "id_b", F.col("hd").cast("long").alias("hamming"))
