@@ -14047,3 +14047,188 @@ def multimodal_ahash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.select("id_a", "id_b", F.col("hd").cast("long").alias("hamming"))
+
+
+@register("permutation_test_urgent_price", """
+WITH f AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CAST(floor(o_totalprice) AS BIGINT) AS y
+  FROM orders
+),
+perms AS (SELECT unnest(generate_series(0, 19)) AS perm),
+assign AS (
+  SELECT p.perm, f.y,
+         CASE WHEN p.perm = 0 THEN f.t
+              WHEN CAST(concat('0x', substr(md5(concat(CAST(f.o_orderkey AS VARCHAR),
+                        ':perm:', CAST(p.perm AS VARCHAR))), 1, 8)) AS BIGINT) % 5 = 0
+              THEN 1 ELSE 0 END AS g
+  FROM f CROSS JOIN perms p
+),
+m AS (
+  SELECT perm,
+         CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM assign GROUP BY perm
+),
+d AS (
+  SELECT perm,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff
+  FROM m
+)
+SELECT CAST(count(CASE WHEN perm > 0 THEN 1 END) AS BIGINT) AS n_perms,
+       round(max(CASE WHEN perm = 0 THEN diff END), 6) AS observed_diff,
+       CAST(sum(CASE WHEN perm > 0 AND abs(diff) >=
+                abs((SELECT diff FROM d WHERE perm = 0)) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_as_extreme
+FROM d
+""")
+def permutation_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the urgent-vs-rest mean price gap with
+    HASH-SEEDED pseudo-permutations (20 relabelings via md5(orderkey,
+    perm) — deterministic, engine-portable, and embarrassingly parallel:
+    ALL permutations compute in ONE pass as a 20-way conditional agg
+    over the crossed frame, never B sequential shuffles). Group means
+    come from exact whole-dollar integer sums; the report is the
+    observed diff plus how many null-relabelings are at least as
+    extreme (n_as_extreme/n_perms is the p-value). perm=0 carries the
+    real labels. At 100 TB the cross-with-perms factor is the only
+    cost knob — B scales linearly, rows never reshuffle."""
+    f = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    perms = spark.range(20).select(F.col("id").cast("int").alias("perm"))
+    hashed = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":perm:"),
+                    F.col("perm").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    g = F.when(F.col("perm") == 0, F.col("t")).otherwise(
+        F.when(hashed % 5 == 0, 1).otherwise(0)
+    )
+    assign = f.crossJoin(F.broadcast(perms)).select("perm", "y", g.alias("g"))
+    m = assign.groupBy("perm").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("y")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 0, F.col("y")).otherwise(0)).cast("long").alias("s0"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    d = m.select(
+        "perm",
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double")
+        ).alias("diff"),
+    ).localCheckpoint(eager=True)
+    obs = d.where(F.col("perm") == 0).select(F.col("diff").alias("obs"))
+    return (
+        d.crossJoin(F.broadcast(obs))
+        .agg(
+            F.sum(F.when(F.col("perm") > 0, 1).otherwise(0)).cast("long").alias("n_perms"),
+            F.round(F.max(F.when(F.col("perm") == 0, F.col("diff"))), 6).alias("observed_diff"),
+            F.sum(
+                F.when(
+                    (F.col("perm") > 0) & (F.abs(F.col("diff")) >= F.abs(F.col("obs"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_as_extreme"),
+        )
+    )
+
+
+@register("interpolate_daily_revenue", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS r
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+    AND o_orderkey % 7 = 0
+  GROUP BY 1
+),
+bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds
+),
+j AS (SELECT s.d, daily.r FROM spine s LEFT JOIN daily ON daily.d = s.d),
+ff AS (
+  SELECT d, r,
+         max(CASE WHEN r IS NOT NULL THEN d END) OVER w AS pd,
+         last_value(r IGNORE NULLS) OVER w AS pv,
+         min(CASE WHEN r IS NOT NULL THEN d END) OVER w2 AS nd,
+         first_value(r IGNORE NULLS) OVER w2 AS nv
+  FROM j
+  WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING),
+         w2 AS (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+out AS (
+  SELECT d,
+         CASE WHEN r IS NOT NULL THEN CAST(r AS DOUBLE)
+              ELSE CAST(pv AS DOUBLE)
+                 + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                   * date_diff('day', pd, d) / date_diff('day', pd, nd)
+         END AS v,
+         CASE WHEN r IS NULL THEN 1 ELSE 0 END AS interpolated
+  FROM ff
+)
+SELECT d, round(v, 4) AS revenue, CAST(interpolated AS BIGINT) AS interpolated
+FROM out
+""")
+def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling with LINEAR interpolation over a sparse daily series
+    (a 1-in-7 orderkey stratum of 1996-Q1 revenue): a generated date
+    spine left-joins the observations, previous/next anchors come from
+    two IGNORE NULLS window passes over the SERIES frame (|days| rows —
+    never the fact table), and missing days get the exact linear blend
+    in whole-dollar doubles. The interpolation sibling of
+    timeseries_forward_fill_nation (step-fill); integer anchors make
+    the blend one identical double tree per engine."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("o_orderkey") % 7 == 0)
+    )
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor("o_totalprice")).cast("long").alias("r")
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    j = spine.join(daily, "d", "left")
+    wprev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    ff = j.select(
+        "d",
+        "r",
+        F.max(F.when(F.col("r").isNotNull(), F.col("d"))).over(wprev).alias("pd"),
+        F.last("r", ignorenulls=True).over(wprev).alias("pv"),
+        F.min(F.when(F.col("r").isNotNull(), F.col("d"))).over(wnext).alias("nd"),
+        F.first("r", ignorenulls=True).over(wnext).alias("nv"),
+    )
+    blend = F.col("pv").cast("double") + (
+        F.col("nv").cast("double") - F.col("pv").cast("double")
+    ) * F.datediff("d", "pd") / F.datediff("nd", "pd")
+    return ff.select(
+        "d",
+        F.round(
+            F.when(F.col("r").isNotNull(), F.col("r").cast("double")).otherwise(blend), 4
+        ).alias("revenue"),
+        F.when(F.col("r").isNull(), 1).otherwise(0).cast("long").alias("interpolated"),
+    )
