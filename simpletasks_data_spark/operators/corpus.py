@@ -815,3 +815,70 @@ def rrf_fuse(
     return fused.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= k
     )
+
+
+def suffix_ranks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+) -> DataFrame:
+    """Distributed suffix ranking by PREFIX DOUBLING (Manber-Myers), the
+    suffix-array construction that powers exact-substring dedup of
+    training corpora (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): every (doc, pos) suffix gets the dense
+    rank of its first ``window`` characters in O(log window) rounds —
+    each round doubles the compared span by re-ranking the PAIR
+    (rank[pos], rank[pos + span]).
+
+    The scale discipline per round: the pair frame groups to its
+    DISTINCT pairs (the alphabet of the next round — contracts fast),
+    the distinct frame gets an exact dense rank via the range-exchange
+    + offset-map pattern (operators/ranking.global_row_number — a
+    sampled range partition, never a single-task sort), and positions
+    re-join their new rank by pair key. No stage ever globally sorts
+    the position frame itself; at 100 TB the position frame is the
+    big side of plain equi-joins only.
+
+    Returns (``id_col``, pos, rank) with pos 1-based and rank the dense
+    rank of the suffix's first ``window`` chars under binary collation
+    — identical to ``dense_rank() OVER (ORDER BY substr(text, pos,
+    window))``, which is the oracle's one-liner and the proof the
+    doubling is right. ``window`` must be a power of two.
+    """
+    from .ranking import global_row_number
+
+    if window & (window - 1):
+        raise ValueError(f"window={window} must be a power of two")
+
+    chars = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("_pos0", "_ch"),
+    ).where(F.col("_ch") != "")
+    pos = chars.select(
+        "_doc",
+        (F.col("_pos0") + 1).alias("_pos"),
+        F.ascii("_ch").cast("long").alias("_r"),
+    ).localCheckpoint(eager=True)
+
+    span = 1
+    while span < window:
+        nxt = pos.select(
+            "_doc", (F.col("_pos") - span).alias("_pos"), F.col("_r").alias("_r2")
+        )
+        paired = pos.join(nxt, ["_doc", "_pos"], "left").select(
+            "_doc", "_pos", "_r", F.coalesce("_r2", F.lit(-1)).alias("_r2")
+        )
+        alphabet = paired.select("_r", "_r2").distinct()
+        ranked, _ = global_row_number(alphabet, ["_r", "_r2"], "_nr")
+        pos = (
+            paired.join(ranked, ["_r", "_r2"])
+            .select("_doc", "_pos", F.col("_nr").alias("_r"))
+            .localCheckpoint(eager=True)
+        )
+        span *= 2
+    return pos.select(
+        F.col("_doc").alias(id_col),
+        F.col("_pos").cast("long").alias("pos"),
+        F.col("_r").cast("long").alias("rank"),
+    )

@@ -14232,3 +14232,38 @@ def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.when(F.col("r").isNull(), 1).otherwise(0).cast("long").alias("interpolated"),
     )
+
+
+@register("suffix_ranks_corpus", f"""
+WITH n AS (
+  SELECT doc_id, substr({SQL_NORM.format(c='text')}, 1, 160) AS s
+  FROM documents WHERE doc_id % 10 = 0
+),
+u AS (
+  SELECT doc_id, s, unnest(generate_series(1, strlen(s))) AS pos FROM n
+),
+p AS (SELECT doc_id, pos, substr(s, CAST(pos AS INT), 32) AS w FROM u)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank
+FROM p
+""")
+def suffix_ranks_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array ranks over a corpus stratum by distributed PREFIX
+    DOUBLING (operators/corpus.suffix_ranks): 5 rounds re-rank
+    (rank[pos], rank[pos+span]) pairs — each round one distinct + one
+    range-exchange dense rank on the CONTRACTING pair alphabet + one
+    equi-join back, never a global sort of the position frame. Equal
+    final ranks = identical 32-char windows, i.e. the exact substring-
+    duplication census of Lee et al.'s dedup (dedup_exact_substrings'
+    rigorous big sibling). The oracle ranks the same suffixes with a
+    direct substring sort — green means five doubling rounds compose
+    to exactly that."""
+    from .functions.text import normalize_text
+    from .operators.corpus import suffix_ranks
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.substring(normalize_text("text"), 1, 160).alias("s"))
+    )
+    return suffix_ranks(docs, "doc_id", "s", window=32)

@@ -174,3 +174,25 @@ def test_passage_dedupe_invariants_hypothesis(spark):
         assert kept <= total and (kept == total) == (not any_shared)
 
     run()
+
+
+def test_suffix_ranks_banana(spark):
+    """banana: suffix order a < ana < anana < banana < na < nana gives
+    dense window-ranks identical to a direct suffix sort."""
+    from simpletasks_data_spark.operators.corpus import suffix_ranks
+
+    df = spark.createDataFrame([(1, "banana")], "doc_id long, s string")
+    got = {r["pos"]: r["rank"] for r in suffix_ranks(df, "doc_id", "s", window=8).collect()}
+    # suffixes by pos: 1 banana, 2 anana, 3 nana, 4 ana, 5 na, 6 a
+    # sorted: a(6)=1, ana(4)=2, anana(2)=3, banana(1)=4, na(5)=5, nana(3)=6
+    assert got == {6: 1, 4: 2, 2: 3, 1: 4, 5: 5, 3: 6}
+
+    # two docs: equal windows share a rank (the dedup census property)
+    df2 = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd"), (3, "zbcd")], "doc_id long, s string"
+    )
+    rows = suffix_ranks(df2, "doc_id", "s", window=4).collect()
+    by_key = {(r["doc_id"], r["pos"]): r["rank"] for r in rows}
+    assert by_key[(1, 1)] == by_key[(2, 1)]        # 'abcd' == 'abcd'
+    assert by_key[(1, 2)] == by_key[(3, 2)]        # 'bcd' shared
+    assert by_key[(1, 1)] != by_key[(3, 1)]        # 'abcd' != 'zbcd'
