@@ -148,6 +148,15 @@ BENCH_QUERIES = [
     "propensity_match_urgent",
     "graph_reach_hubs",
     "als_factors_retail",
+    "hits_customer_supplier",
+    "sssp_hub_suppliers",
+    "exact_median_price_by_priority",
+    "boosted_stumps_urgent",
+    "suffix_ranks_corpus",
+    "kfold_cv_auc_urgent",
+    "incremental_join_view_refresh",
+    "permutation_test_urgent_price",
+    "multimodal_ahash_hamming1",
 ]
 
 

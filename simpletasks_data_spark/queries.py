@@ -168,6 +168,12 @@ _CHECK_FIRST = [
     "partitioned_parquet_prune",
     "pivot_priority_by_segment",
     "rollup_revenue_geo",
+    "suffix_ranks_corpus",
+    "kfold_cv_auc_urgent",
+    "target_encode_mktsegment",
+    "multimodal_ahash_hamming1",
+    "permutation_test_urgent_price",
+    "interpolate_daily_revenue",
     # earlier never-checked backlog
     "bloom_semi_join_orders",
     "corpus_hash_split",
