@@ -89,3 +89,125 @@ def exact_ntile(
             r <= head, F.expr(f"(_gr - 1) div {q + 1}") + 1
         ).otherwise(F.lit(m) + F.expr(f"(_gr - 1 - {head}) div {q}") + 1)
     return ranked.withColumn(out_col, bucket.cast("long")).drop("_gr")
+
+
+def nearest_in_1d(
+    points: DataFrame,
+    candidates: DataFrame,
+    key_col: str = "key",
+    value_col: str = "v",
+    max_gap: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed EXACT 1-D nearest-neighbor: for every point, the
+    nearest candidate by |value gap| on an integer value axis — the
+    sorted-merge matching kernel (propensity matching, price banding,
+    snap-to-grid). A bucket equi-join degenerates quadratically when
+    values CONCENTRATE (every row lands in one bucket — observed 383 s
+    at sf0.1 for propensity scores); the sorted-merge is O(n log n)
+    regardless of the distribution.
+
+    Ties are deterministic: candidates collapse to one representative
+    per distinct value (min key), and an equidistant lower/higher
+    neighbor resolves to the LOWER value side.
+
+    Shape: one range exchange over the merged (candidates + points)
+    frame sorted by (value, role, key) — the sanctioned distributed
+    total order — then per-PARTITION prev/next windows; partition
+    boundaries are stitched with an O(partitions) driver-held carry map
+    (the zipWithIndex discipline: the driver holds partition metadata,
+    never data). No single-partition stage at any size.
+
+    Returns (``key_col``, match_key, match_v, gap).
+    """
+    reps = candidates.groupBy(F.col(value_col).alias("_v")).agg(
+        F.min(key_col).alias("_ck")
+    )
+    merged = reps.select(
+        "_v", F.lit(0).alias("_typ"), F.col("_ck").alias("_k")
+    ).unionByName(
+        points.select(
+            F.col(value_col).alias("_v"),
+            F.lit(1).alias("_typ"),
+            F.col(key_col).alias("_k"),
+        )
+    )
+    n_parts = partitions or points.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        merged.repartitionByRange(n_parts, "_v", "_typ", "_k")
+        .sortWithinPartitions("_v", "_typ", "_k")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # per-partition first/last candidate (struct keeps (v, key) consistent)
+    cstruct = F.when(F.col("_typ") == 0, F.struct("_v", "_k"))
+    wprev = Window.partitionBy("_pid").orderBy("_v", "_typ", "_k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wnext = Window.partitionBy("_pid").orderBy("_v", "_typ", "_k").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    # O(partitions) boundary metadata -> carry maps (ONE collect)
+    meta = (
+        ordered.groupBy("_pid")
+        .agg(
+            F.min(F.when(F.col("_typ") == 0, F.struct("_v", "_k"))).alias("lo"),
+            F.max(F.when(F.col("_typ") == 0, F.struct("_v", "_k"))).alias("hi"),
+        )
+        .collect()
+    )
+    edges = {r["_pid"]: (r["lo"], r["hi"]) for r in meta if r["lo"] is not None}
+    pids = sorted(r["_pid"] for r in meta)
+    carry_prev, carry_next, last_seen = {}, {}, None
+    for pid in pids:
+        carry_prev[pid] = last_seen
+        if pid in edges:
+            last_seen = tuple(edges[pid][1])
+    nxt_seen = None
+    for pid in reversed(pids):
+        carry_next[pid] = nxt_seen
+        if pid in edges:
+            nxt_seen = tuple(edges[pid][0])
+
+    def _carry_expr(m):
+        entries = []
+        for pid, val in m.items():
+            if val is not None:
+                entries.extend(
+                    [F.lit(pid), F.struct(F.lit(val[0]).alias("_v"), F.lit(val[1]).alias("_k"))]
+                )
+        if not entries:
+            return F.lit(None).cast("struct<_v:long,_k:long>")
+        return F.element_at(F.create_map(*entries), F.col("_pid"))
+
+    # windows run over the FULL merged frame (controls must be visible
+    # to the frame); only then do points filter out
+    windowed = ordered.select(
+        "_pid",
+        "_typ",
+        F.col("_k").alias("_pk"),
+        F.col("_v").alias("_pv"),
+        F.coalesce(F.last(cstruct, ignorenulls=True).over(wprev), _carry_expr(carry_prev)).alias("_prev"),
+        F.coalesce(F.first(cstruct, ignorenulls=True).over(wnext), _carry_expr(carry_next)).alias("_next"),
+    )
+    out = windowed.where(F.col("_typ") == 1)
+    gap_prev = F.col("_pv") - F.col("_prev._v")
+    gap_next = F.col("_next._v") - F.col("_pv")
+    use_prev = F.col("_prev").isNotNull() & (
+        F.col("_next").isNull() | (gap_prev <= gap_next)
+    )
+    picked = out.select(
+        "_pk",
+        "_pv",
+        F.when(use_prev, F.col("_prev")).otherwise(F.col("_next")).alias("_m"),
+    ).where(F.col("_m").isNotNull())
+    gap = F.abs(F.col("_pv") - F.col("_m._v"))
+    res = picked.select(
+        F.col("_pk").alias(key_col),
+        F.col("_m._k").alias("match_key"),
+        F.col("_m._v").alias("match_v"),
+        gap.alias("gap"),
+    )
+    if max_gap is not None:
+        res = res.where(F.col("gap") <= max_gap)
+    return res

@@ -12549,49 +12549,56 @@ scored AS (
                     * 1000000) AS BIGINT) AS si
   FROM f CROSS JOIN w5
 ),
-t AS (SELECT o_orderkey AS t_key, si AS t_si FROM scored WHERE y = 1.0),
-c AS (SELECT o_orderkey AS c_key, si AS c_si, si // 5000 AS b FROM scored WHERE y = 0.0),
-tx AS (
-  SELECT t_key, t_si, t_si // 5000 + d.d AS b
-  FROM t CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d
+creps AS (SELECT si AS v, min(o_orderkey) AS ck FROM scored WHERE y = 0.0 GROUP BY si),
+merged AS (
+  SELECT v, 0 AS typ, ck AS k FROM creps
+  UNION ALL
+  SELECT si AS v, 1 AS typ, o_orderkey AS k FROM scored WHERE y = 1.0
 ),
-cand AS (
-  SELECT t_key, t_si, c_key, c_si, abs(t_si - c_si) AS gap
-  FROM tx JOIN c USING (b)
-  WHERE abs(t_si - c_si) <= 5000
+w AS (
+  SELECT v, typ, k,
+         last_value(CASE WHEN typ = 0 THEN v END IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN typ = 0 THEN k END IGNORE NULLS) OVER wp AS pk,
+         first_value(CASE WHEN typ = 0 THEN v END IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN typ = 0 THEN k END IGNORE NULLS) OVER wn AS nk
+  FROM merged
+  WINDOW wp AS (ORDER BY v, typ, k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (ORDER BY v, typ, k ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
 ),
-best AS (
-  SELECT t_key, c_key, gap,
-         row_number() OVER (PARTITION BY t_key ORDER BY gap, c_key) AS rn
-  FROM cand
+pick AS (
+  SELECT k AS t_key,
+         CASE WHEN pv IS NOT NULL AND (nv IS NULL OR v - pv <= nv - v)
+              THEN pk ELSE nk END AS c_key,
+         CASE WHEN pv IS NOT NULL AND (nv IS NULL OR v - pv <= nv - v)
+              THEN v - pv ELSE nv - v END AS gap
+  FROM w WHERE typ = 1
 )
-SELECT b.t_key, b.c_key, CAST(b.gap AS BIGINT) AS gap_micro,
+SELECT p.t_key, p.c_key, CAST(p.gap AS BIGINT) AS gap_micro,
        CAST(ot.dollars - oc.dollars AS BIGINT) AS dy_dollars
-FROM best b
+FROM pick p
 JOIN (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS dollars FROM orders) ot
-  ON ot.o_orderkey = b.t_key
+  ON ot.o_orderkey = p.t_key
 JOIN (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS dollars FROM orders) oc
-  ON oc.o_orderkey = b.c_key
-WHERE b.rn = 1
+  ON oc.o_orderkey = p.c_key
+WHERE p.c_key IS NOT NULL AND p.gap <= 5000
 """)
 def propensity_match_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Propensity-score matching (Rosenbaum & Rubin): urgent orders are
     the treatment, the shared GD logistic model scores every order, and
     each treated unit matches its nearest control within a 0.005
-    caliper — the causal-inference curation step for building balanced
-    evaluation cohorts. Scores snap to an integer micro-unit grid
-    (round of the SAME raw double both engines compute), so nearest
-    and ties are integer-exact (gap, then control key).
+    caliper on the integer micro-score grid. Matching runs as the
+    distributed sorted-merge 1-D nearest-neighbor
+    (operators/ranking.nearest_in_1d): one range exchange over the
+    merged frame + per-partition prev/next windows + an O(partitions)
+    boundary carry — O(n log n) REGARDLESS of how scores distribute.
+    (The previous caliper-BUCKET equi-join went quadratic when the
+    sigmoid concentrated scores into one bucket: 383 s at sf0.1 vs
+    ~1 s for this plan.) Ties are deterministic: controls collapse to
+    min-key per distinct score, equidistant neighbors resolve to the
+    lower-score side. Returns one row per matched pair with the
+    integer score gap and outcome delta (whole dollars, exact)."""
+    from .operators.ranking import nearest_in_1d
 
-    Shape: candidate generation is a caliper-bucket EQUI-join — treated
-    rows fan out to 3 buckets (own +- 1, which provably covers every
-    pair within one caliper), controls stay put; per-treated nearest is
-    a window over candidate rows partitioned BY TREATED KEY (bounded
-    per-partition, never global). At 100 TB a hot score region fattens
-    buckets — shrink the bucket width (finer than the caliper, probing
-    ceil(caliper/width)+1 neighbors) to re-bound them; the join stays
-    the same. Returns one row per matched pair with the integer score
-    gap and outcome delta (whole dollars, exact)."""
     feats = _logreg_features(spark, sf_dir)
     w = _logreg_gd(feats, iterations=5, lr=1.0)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
@@ -12599,47 +12606,29 @@ def propensity_match_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "y",
         F.round((1.0 / (1.0 + F.exp(-z))) * 1000000).cast("long").alias("si"),
-    )
+    ).localCheckpoint(eager=True)
     t = scored.where(F.col("y") == 1.0).select(
-        F.col("o_orderkey").alias("t_key"), F.col("si").alias("t_si")
+        F.col("o_orderkey").alias("key"), F.col("si").alias("v")
     )
     c = scored.where(F.col("y") == 0.0).select(
-        F.col("o_orderkey").alias("c_key"),
-        F.col("si").alias("c_si"),
-        F.expr("si div 5000").alias("b"),
+        F.col("o_orderkey").alias("key"), F.col("si").alias("v")
     )
-    tx = t.select(
-        "t_key",
-        "t_si",
-        F.explode(
-            F.array(
-                F.expr("t_si div 5000 - 1"),
-                F.expr("t_si div 5000"),
-                F.expr("t_si div 5000 + 1"),
-            )
-        ).alias("b"),
-    )
-    cand = (
-        tx.join(c, "b")
-        .withColumn("gap", F.abs(F.col("t_si") - F.col("c_si")))
-        .where(F.col("gap") <= 5000)
-    )
-    best = cand.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("t_key").orderBy(F.asc("gap"), F.asc("c_key"))
-        ),
-    ).where(F.col("rn") == 1)
+    matched = nearest_in_1d(t, c, key_col="key", value_col="v", max_gap=5000)
     dollars = load(spark, sf_dir, "orders").select(
         "o_orderkey", F.floor("o_totalprice").cast("long").alias("dollars")
     )
     return (
-        best.join(dollars.withColumnRenamed("o_orderkey", "t_key").withColumnRenamed("dollars", "_dt"), "t_key")
+        matched.select(
+            F.col("key").alias("t_key"),
+            F.col("match_key").alias("c_key"),
+            F.col("gap").cast("long").alias("gap_micro"),
+        )
+        .join(dollars.withColumnRenamed("o_orderkey", "t_key").withColumnRenamed("dollars", "_dt"), "t_key")
         .join(dollars.withColumnRenamed("o_orderkey", "c_key").withColumnRenamed("dollars", "_dc"), "c_key")
         .select(
             "t_key",
             "c_key",
-            F.col("gap").cast("long").alias("gap_micro"),
+            "gap_micro",
             (F.col("_dt") - F.col("_dc")).cast("long").alias("dy_dollars"),
         )
     )

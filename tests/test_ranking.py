@@ -56,3 +56,36 @@ def test_empty_frame(spark):
     got, total = global_row_number(df, ["v", "id"], "pos")
     assert total == 0 and got.count() == 0
     assert exact_ntile(df, 4, ["v", "id"]).count() == 0
+
+
+def test_nearest_in_1d_exact(spark):
+    """Nearest candidate with caliper, min-key collapse at equal values,
+    lower-side tie break — and boundary carry across range partitions
+    (forced with partitions=4 over interleaved values)."""
+    from simpletasks_data_spark.operators.ranking import nearest_in_1d
+
+    pts = spark.createDataFrame(
+        [(1, 10), (2, 25), (3, 100), (4, 55)], "key long, v long"
+    )
+    cands = spark.createDataFrame(
+        [(101, 12), (102, 20), (103, 30), (104, 30), (105, 50)],
+        "key long, v long",
+    )
+    got = {
+        r["key"]: (r["match_key"], r["match_v"], r["gap"])
+        for r in nearest_in_1d(pts, cands, max_gap=50, partitions=4).collect()
+    }
+    assert got[1] == (101, 12, 2)
+    # 25 is equidistant from 20 and 30 -> lower side (20) wins
+    assert got[2] == (102, 20, 5)
+    # equal-value candidates collapse to min key (103, not 104)
+    assert got[4] == (105, 50, 5)
+    assert got[3] == (105, 50, 50)  # carry across partitions, at caliper
+
+    got2 = {
+        r["key"]: r["match_key"]
+        for r in nearest_in_1d(
+            pts.where("key = 3"), cands.where("v = 30"), partitions=4
+        ).collect()
+    }
+    assert got2[3] == 103  # min-key representative at the tied value
