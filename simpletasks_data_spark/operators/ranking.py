@@ -20,10 +20,11 @@ otherwise straddle a range boundary.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Mapping, Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def global_row_number(
@@ -89,6 +90,98 @@ def exact_ntile(
             r <= head, F.expr(f"(_gr - 1) div {q + 1}") + 1
         ).otherwise(F.lit(m) + F.expr(f"(_gr - 1 - {head}) div {q}") + 1)
     return ranked.withColumn(out_col, bucket.cast("long")).drop("_gr")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence,
+    sum_cols: Mapping[str, str],
+    partition_by: Sequence[str] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sums (``sum(c) OVER (ORDER BY order_by
+    ROWS UNBOUNDED PRECEDING)``) of each column in ``sum_cols``
+    (``{input_col: output_col}``), optionally per ``partition_by`` group
+    — without the partitionless ``WindowExec`` that funnels the whole
+    frame through one task.
+
+    Same discipline as :func:`global_row_number`: one range exchange on
+    ``(partition_by..., order_by...)``, per-partition running sums under
+    a ``(_pid, partition_by...)`` window, then each partition's base is
+    the sum of EARLIER partitions' group totals — O(partitions ×
+    groups) driver metadata, stitched back via a broadcast equi-join
+    (never a literal the size of the data). ``partition_by`` must be
+    BOUNDED cardinality (folds, segments — not keys): the driver holds
+    one row per (partition, group).
+
+    ``order_by`` must be a strict total order within each group (the
+    range exchange may split ties across partitions otherwise).
+    """
+    keys = [*partition_by, *order_by]
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    gcols = ["_pid", *partition_by]
+    totals = ordered.groupBy(*gcols).agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+    )
+    rows = totals.collect()
+
+    def _zero(dt):
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return 0.0
+        if isinstance(dt, T.DecimalType):
+            from decimal import Decimal
+
+            return Decimal(0)
+        return 0
+
+    zeros = {c: _zero(totals.schema[f"_t_{c}"].dataType) for c in sum_cols}
+    # exclusive prefix of per-partition totals, accumulated per group in
+    # range-partition (= sort) order
+    acc: dict = {}
+    base_rows = []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in partition_by)
+        cur = acc.setdefault(g, dict(zeros))
+        base_rows.append(
+            tuple([r["_pid"], *g, *[cur[c] for c in sum_cols]])
+        )
+        for c in sum_cols:
+            cur[c] = cur[c] + (r[f"_t_{c}"] or 0)
+    if not base_rows:
+        out = ordered.drop("_pid")
+        for c, name in sum_cols.items():
+            out = out.withColumn(name, F.lit(None).cast(ordered.schema[c].dataType))
+        return out
+    base_schema = T.StructType(
+        [totals.schema["_pid"]]
+        + [totals.schema[c] for c in partition_by]
+        + [
+            T.StructField(f"_b_{c}", totals.schema[f"_t_{c}"].dataType)
+            for c in sum_cols
+        ]
+    )
+    bases = df.sparkSession.createDataFrame(base_rows, base_schema)
+    w = Window.partitionBy(*gcols).orderBy(*order_by).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = ordered.select(
+        "*", *[F.sum(c).over(w).alias(f"_r_{c}") for c in sum_cols]
+    )
+    joined = run.join(F.broadcast(bases), on=gcols, how="left")
+    out = joined.select(
+        *[c for c in df.columns],
+        *[
+            (F.col(f"_r_{c}") + F.coalesce(F.col(f"_b_{c}"), F.lit(0))).alias(name)
+            for c, name in sum_cols.items()
+        ],
+    )
+    return out
 
 
 def nearest_in_1d(
@@ -169,15 +262,30 @@ def nearest_in_1d(
         if pid in edges:
             nxt_seen = tuple(edges[pid][0])
 
+    # carry struct type derives from the INPUT columns (ADVICE r5: a
+    # hardcoded long/long literal mis-types int/string keys at analysis)
+    carry_type = T.StructType(
+        [
+            T.StructField("_v", ordered.schema["_v"].dataType),
+            T.StructField("_k", ordered.schema["_k"].dataType),
+        ]
+    )
+
     def _carry_expr(m):
         entries = []
         for pid, val in m.items():
             if val is not None:
                 entries.extend(
-                    [F.lit(pid), F.struct(F.lit(val[0]).alias("_v"), F.lit(val[1]).alias("_k"))]
+                    [
+                        F.lit(pid),
+                        F.struct(
+                            F.lit(val[0]).cast(carry_type["_v"].dataType).alias("_v"),
+                            F.lit(val[1]).cast(carry_type["_k"].dataType).alias("_k"),
+                        ),
+                    ]
                 )
         if not entries:
-            return F.lit(None).cast("struct<_v:long,_k:long>")
+            return F.lit(None).cast(carry_type)
         return F.element_at(F.create_map(*entries), F.col("_pid"))
 
     # windows run over the FULL merged frame (controls must be visible

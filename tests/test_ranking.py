@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from simpletasks_data_spark.operators.ranking import (  # noqa: E402
     exact_ntile,
+    global_prefix_sum,
     global_row_number,
+    nearest_in_1d,
 )
 
 
@@ -58,11 +60,51 @@ def test_empty_frame(spark):
     assert exact_ntile(df, 4, ["v", "id"]).count() == 0
 
 
+def test_global_prefix_sum_matches_window(spark):
+    df = _frame(spark, 500, 7).select(
+        "id", "v", (F.col("id") % 13).alias("n"), (F.col("v") / 3.0).alias("x")
+    )
+    got = global_prefix_sum(
+        df, ["v", "id"], {"n": "cum_n", "x": "cum_x"}, partitions=8
+    )
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "*", F.sum("n").over(w).alias("cum_n"), F.sum("x").over(w).alias("cum_x")
+    )
+    gl = {r["id"]: (r["cum_n"], r["cum_x"]) for r in got.collect()}
+    for r in want.collect():
+        assert gl[r["id"]][0] == r["cum_n"]
+        assert abs(gl[r["id"]][1] - r["cum_x"]) < 1e-9
+
+
+def test_global_prefix_sum_partitioned(spark):
+    df = _frame(spark, 400, 3).select(
+        "id", "v", (F.col("id") % 5).alias("fold"), (F.col("id") % 11).alias("n")
+    )
+    got = global_prefix_sum(
+        df, ["v", "id"], {"n": "cum_n"}, partition_by=["fold"], partitions=8
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.select("*", F.sum("n").over(w).alias("cum_n"))
+    gl = {r["id"]: r["cum_n"] for r in got.collect()}
+    for r in want.collect():
+        assert gl[r["id"]] == r["cum_n"]
+
+
+def test_global_prefix_sum_empty(spark):
+    df = _frame(spark, 50, 1).where("v > 100").select("id", "v", F.lit(1).alias("n"))
+    got = global_prefix_sum(df, ["v", "id"], {"n": "cum_n"})
+    assert got.count() == 0 and "cum_n" in got.columns
+
+
 def test_nearest_in_1d_exact(spark):
     """Nearest candidate with caliper, min-key collapse at equal values,
     lower-side tie break — and boundary carry across range partitions
     (forced with partitions=4 over interleaved values)."""
-    from simpletasks_data_spark.operators.ranking import nearest_in_1d
 
     pts = spark.createDataFrame(
         [(1, 10), (2, 25), (3, 100), (4, 55)], "key long, v long"
@@ -89,3 +131,85 @@ def test_nearest_in_1d_exact(spark):
         ).collect()
     }
     assert got2[3] == 103  # min-key representative at the tied value
+
+
+def _brute_nearest(pts, cands):
+    """Driver-side oracle mirroring nearest_in_1d's tie contract:
+    candidates collapse to min-key per value; equidistant -> lower value."""
+    reps = {}
+    for k, v in cands:
+        if v not in reps or k < reps[v]:
+            reps[v] = k
+    out = {}
+    for k, v in pts:
+        best = None
+        for cv, ck in reps.items():
+            cand = (abs(v - cv), 0 if cv <= v else 1, ck, cv)
+            if best is None or cand < best:
+                best = cand
+        if best is not None:
+            out[k] = (best[2], best[3], best[0])
+    return out
+
+
+def test_nearest_in_1d_all_equal_values(spark):
+    """The propensity lesson: concentrated distributions must NOT
+    degenerate. Every candidate shares one value; result is exact and the
+    plan stays a range exchange (no single-partition stage)."""
+    pts = spark.createDataFrame([(i, 42) for i in range(200)], "key long, v long")
+    cands = spark.createDataFrame(
+        [(1000 + i, 42) for i in range(300)], "key long, v long"
+    )
+    res = nearest_in_1d(pts, cands, partitions=8)
+    rows = res.collect()
+    assert len(rows) == 200
+    assert all(r["match_key"] == 1000 and r["gap"] == 0 for r in rows)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_nearest_in_1d_mega_duplicate_plus_tail(spark):
+    pts_l = [(i, 500) for i in range(150)] + [(200 + i, i * 7) for i in range(50)]
+    cands_l = [(1000 + i, 500) for i in range(100)] + [
+        (2000 + i, i * 13) for i in range(40)
+    ]
+    pts = spark.createDataFrame(pts_l, "key long, v long")
+    cands = spark.createDataFrame(cands_l, "key long, v long")
+    want = _brute_nearest(pts_l, cands_l)
+    got = {
+        r["key"]: (r["match_key"], r["match_v"], r["gap"])
+        for r in nearest_in_1d(pts, cands, partitions=8).collect()
+    }
+    assert got == want
+
+
+def test_nearest_in_1d_empty_candidates(spark):
+    pts = spark.createDataFrame([(1, 10), (2, 20)], "key long, v long")
+    cands = spark.createDataFrame([], "key long, v long")
+    assert nearest_in_1d(pts, cands, partitions=4).count() == 0
+
+
+def test_nearest_in_1d_non_long_dtypes(spark):
+    """ADVICE r5: the carry struct must type from the input schema —
+    int value axis + string keys used to mis-type the coalesce."""
+    pts = spark.createDataFrame(
+        [("p1", 10), ("p2", 95)], "key string, v int"
+    )
+    cands = spark.createDataFrame(
+        [("c1", 12), ("c2", 90)], "key string, v int"
+    )
+    got = {
+        r["key"]: (r["match_key"], r["gap"])
+        for r in nearest_in_1d(pts, cands, partitions=4).collect()
+    }
+    assert got == {"p1": ("c1", 2), "p2": ("c2", 5)}
+
+
+def test_exact_ntile_all_equal_values(spark):
+    """Concentrated distribution through the ntile kernel: ties broken by
+    the unique id keep buckets exact vs the window function."""
+    df = spark.range(100).select("id", F.lit(7).alias("v")).repartition(8)
+    got = exact_ntile(df, 4, ["v", "id"], out_col="b", partitions=8)
+    w = Window.orderBy("v", "id")
+    want = df.withColumn("b", F.ntile(4).over(w).cast("long"))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
