@@ -92,31 +92,33 @@ def exact_ntile(
     return ranked.withColumn(out_col, bucket.cast("long")).drop("_gr")
 
 
-def global_prefix_sum(
+def _global_running(
     df: DataFrame,
     order_by: Sequence,
-    sum_cols: Mapping[str, str],
-    partition_by: Sequence[str] = (),
-    partitions: int | None = None,
+    specs: Sequence[Tuple[str, str, str]],
+    inclusive: bool,
+    partition_by: Sequence[str],
+    partitions: int | None,
 ) -> DataFrame:
-    """Exact INCLUSIVE running sums (``sum(c) OVER (ORDER BY order_by
-    ROWS UNBOUNDED PRECEDING)``) of each column in ``sum_cols``
-    (``{input_col: output_col}``), optionally per ``partition_by`` group
-    — without the partitionless ``WindowExec`` that funnels the whole
-    frame through one task.
+    """Shared kernel for exact distributed running aggregates
+    (``fn(c) OVER (ORDER BY order_by ROWS UNBOUNDED PRECEDING [AND -1])``)
+    where ``specs`` is ``[(in_col, out_col, fn)]`` with fn in
+    {sum, min, max} — every associative running agg without the
+    partitionless ``WindowExec`` that funnels the whole frame through
+    one task.
 
     Same discipline as :func:`global_row_number`: one range exchange on
-    ``(partition_by..., order_by...)``, per-partition running sums under
+    ``(partition_by..., order_by...)``, per-partition running aggs under
     a ``(_pid, partition_by...)`` window, then each partition's base is
-    the sum of EARLIER partitions' group totals — O(partitions ×
+    the fold of EARLIER partitions' group totals — O(partitions ×
     groups) driver metadata, stitched back via a broadcast equi-join
     (never a literal the size of the data). ``partition_by`` must be
     BOUNDED cardinality (folds, segments — not keys): the driver holds
-    one row per (partition, group).
-
-    ``order_by`` must be a strict total order within each group (the
-    range exchange may split ties across partitions otherwise).
+    one row per (partition, group). ``order_by`` must be a strict total
+    order within each group (the range exchange may split ties across
+    partitions otherwise).
     """
+    FNS = {"sum": F.sum, "min": F.min, "max": F.max}
     keys = [*partition_by, *order_by]
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     ordered = (
@@ -127,61 +129,110 @@ def global_prefix_sum(
     )
     gcols = ["_pid", *partition_by]
     totals = ordered.groupBy(*gcols).agg(
-        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
+        *[FNS[fn](c).alias(f"_t_{out}") for c, out, fn in specs]
     )
     rows = totals.collect()
 
-    def _zero(dt):
-        if isinstance(dt, (T.DoubleType, T.FloatType)):
-            return 0.0
-        if isinstance(dt, T.DecimalType):
-            from decimal import Decimal
+    def _fold(fn, a, b):
+        if b is None:
+            return a
+        if a is None:
+            return b
+        if fn == "sum":
+            return a + b
+        return min(a, b) if fn == "min" else max(a, b)
 
-            return Decimal(0)
-        return 0
-
-    zeros = {c: _zero(totals.schema[f"_t_{c}"].dataType) for c in sum_cols}
-    # exclusive prefix of per-partition totals, accumulated per group in
-    # range-partition (= sort) order
+    # fold of earlier partitions' totals, accumulated per group in
+    # range-partition (= sort) order; None = empty prefix (SQL null)
     acc: dict = {}
     base_rows = []
     for r in sorted(rows, key=lambda r: r["_pid"]):
         g = tuple(r[c] for c in partition_by)
-        cur = acc.setdefault(g, dict(zeros))
-        base_rows.append(
-            tuple([r["_pid"], *g, *[cur[c] for c in sum_cols]])
-        )
-        for c in sum_cols:
-            cur[c] = cur[c] + (r[f"_t_{c}"] or 0)
+        cur = acc.setdefault(g, {out: None for _, out, _ in specs})
+        base_rows.append(tuple([r["_pid"], *g, *[cur[out] for _, out, _ in specs]]))
+        for c, out, fn in specs:
+            cur[out] = _fold(fn, cur[out], r[f"_t_{out}"])
     if not base_rows:
-        out = ordered.drop("_pid")
-        for c, name in sum_cols.items():
-            out = out.withColumn(name, F.lit(None).cast(ordered.schema[c].dataType))
-        return out
+        out_df = ordered.drop("_pid")
+        for c, name, _ in specs:
+            out_df = out_df.withColumn(
+                name, F.lit(None).cast(ordered.schema[c].dataType)
+            )
+        return out_df
     base_schema = T.StructType(
         [totals.schema["_pid"]]
         + [totals.schema[c] for c in partition_by]
         + [
-            T.StructField(f"_b_{c}", totals.schema[f"_t_{c}"].dataType)
-            for c in sum_cols
+            T.StructField(f"_b_{out}", totals.schema[f"_t_{out}"].dataType)
+            for _, out, _ in specs
         ]
     )
     bases = df.sparkSession.createDataFrame(base_rows, base_schema)
+    hi = 0 if inclusive else -1
     w = Window.partitionBy(*gcols).orderBy(*order_by).rowsBetween(
-        Window.unboundedPreceding, 0
+        Window.unboundedPreceding, hi
     )
+
+    def _merge(out, fn):
+        r, b = F.col(f"_r_{out}"), F.col(f"_b_{out}")
+        if fn == "sum":
+            # empty frame + empty prefix stays SQL-null like the window
+            return F.when(r.isNull() & b.isNull(), F.lit(None)).otherwise(
+                F.coalesce(r, F.lit(0)) + F.coalesce(b, F.lit(0))
+            )
+        return F.least(r, b) if fn == "min" else F.greatest(r, b)
+
     run = ordered.select(
-        "*", *[F.sum(c).over(w).alias(f"_r_{c}") for c in sum_cols]
+        "*", *[FNS[fn](c).over(w).alias(f"_r_{out}") for c, out, fn in specs]
     )
     joined = run.join(F.broadcast(bases), on=gcols, how="left")
-    out = joined.select(
+    return joined.select(
         *[c for c in df.columns],
-        *[
-            (F.col(f"_r_{c}") + F.coalesce(F.col(f"_b_{c}"), F.lit(0))).alias(name)
-            for c, name in sum_cols.items()
-        ],
+        *[_merge(out, fn).alias(out) for _, out, fn in specs],
     )
-    return out
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence,
+    sum_cols: Mapping[str, str],
+    partition_by: Sequence[str] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sums (``sum(c) OVER (ORDER BY order_by
+    ROWS UNBOUNDED PRECEDING)``) of each column in ``sum_cols``
+    (``{input_col: output_col}``), optionally per ``partition_by``
+    group. See :func:`_global_running` for the distributed shape."""
+    return _global_running(
+        df,
+        order_by,
+        [(c, out, "sum") for c, out in sum_cols.items()],
+        True,
+        partition_by,
+        partitions,
+    )
+
+
+def global_running_min(
+    df: DataFrame,
+    order_by: Sequence,
+    min_cols: Mapping[str, str],
+    inclusive: bool = False,
+    partition_by: Sequence[str] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact running minimum over the total order — by default the
+    EXCLUSIVE form (``min(c) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``, null on the first row), the shape the
+    2-D skyline scan needs. See :func:`_global_running`."""
+    return _global_running(
+        df,
+        order_by,
+        [(c, out, "min") for c, out in min_cols.items()],
+        inclusive,
+        partition_by,
+        partitions,
+    )
 
 
 def nearest_in_1d(

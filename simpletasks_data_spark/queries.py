@@ -6375,22 +6375,26 @@ GROUP BY pct
 def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration curve: the share of total revenue captured by
     the top 1/5/10/25% of customers — the Pareto report every revenue
-    pipeline ships. One agg on custkey; the ranking window runs on the
-    per-customer frame (|customers| rows), and the four thresholds come
-    from a broadcast literal frame so the ranked frame is scanned once."""
+    pipeline ships. One agg on custkey; the rank runs on the distributed
+    exact-rank kernel (operators/ranking.global_row_number — range
+    exchange, never a single-task window over |customers| rows), the
+    frame totals come from a 1-row agg broadcast, and the four
+    thresholds from a broadcast literal frame so the ranked frame is
+    scanned once."""
+    from .operators.ranking import global_row_number
+
     per_cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
-    wrank = Window.orderBy(F.col("rev").desc(), "o_custkey")
-    wall = Window.partitionBy()
-    ranked = per_cust.select(
-        "rev",
-        F.row_number().over(wrank).alias("rnk"),
-        F.count(F.lit(1)).over(wall).alias("n_cust"),
-        F.sum("rev").over(wall).alias("total_rev"),
+    tot = per_cust.agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("rev").alias("total_rev")
     )
+    rnk_df, _ = global_row_number(
+        per_cust, [F.desc("rev"), F.asc("o_custkey")], "rnk"
+    )
+    ranked = rnk_df.select("rev", "rnk").crossJoin(F.broadcast(tot))
     pcts = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(5), F.lit(10), F.lit(25))).alias("pct")
     )
@@ -6704,20 +6708,22 @@ def skew_diagnosis_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and explicit salting (operators/skew.py): key count, hottest-key
     share, and the max/median ratio. Percentiles come from an exact
     ordered rank on the per-key count frame (no engine-specific
-    interpolation); that frame is |keys|-sized, so the global window is
-    acceptable — at billions of keys, sample it first."""
+    interpolation) via the distributed exact-rank kernel
+    (operators/ranking.global_row_number — range exchange, never a
+    single-task window over |keys| rows); the frame-level totals are a
+    1-row agg broadcast."""
+    from .operators.ranking import global_row_number
+
     k = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("c")
     )
-    wall = Window.partitionBy()
-    wrank = Window.orderBy("c", "o_custkey")
-    r = k.select(
-        "c",
-        F.row_number().over(wrank).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("nk"),
-        F.sum("c").over(wall).alias("tot"),
-        F.max("c").over(wall).alias("mx"),
+    tot = k.agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum("c").alias("tot"),
+        F.max("c").alias("mx"),
     )
+    rn_df, _ = global_row_number(k, ["c", "o_custkey"], "rn")
+    r = rn_df.select("c", "rn").crossJoin(F.broadcast(tot))
     at = lambda q: F.max(
         F.when(F.col("rn") == F.ceil(F.col("nk") * q).cast("long"), F.col("c"))
     )
@@ -8241,11 +8247,14 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost, average delivery delay): suppliers no other supplier beats on
     BOTH dimensions — the shortlist a procurement optimizer actually
     chooses from. The naive skyline is an O(n²) dominance self-join;
-    in 2-D it collapses to ONE sorted window: scan by cost ascending
-    and keep rows that strictly improve the running-best delay.
+    in 2-D it collapses to ONE sorted running-min scan: by cost
+    ascending, keep rows that strictly improve the running-best delay.
     Scale shape: one per-supplier agg (shuffle on suppkey), then the
-    window over the supplier-sized frame; for >2 dimensions, block-
-    local frontiers + a frontier-of-frontiers merge keep it
+    scan runs on the distributed running-agg kernel
+    (operators/ranking.global_running_min — range exchange +
+    per-partition windows + O(partitions) broadcast bases), never a
+    single-task window over the supplier frame; for >2 dimensions,
+    block-local frontiers + a frontier-of-frontiers merge keep it
     distributed. Ties: equal-cost suppliers scan in avg_delay order
     (then suppkey), so within a cost tie the BEST delay is seen first —
     a dominated equal-cost-worse-delay row can never outrun its
@@ -8267,11 +8276,14 @@ def pareto_frontier_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("delay"), 4).alias("avg_delay"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
-    w = (
-        Window.orderBy(F.asc("avg_cost"), F.asc("avg_delay"), F.asc("l_suppkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from .operators.ranking import global_running_min
+
+    ranked = global_running_min(
+        s,
+        [F.asc("avg_cost"), F.asc("avg_delay"), F.asc("l_suppkey")],
+        {"avg_delay": "best_delay_so_far"},
+        inclusive=False,
     )
-    ranked = s.withColumn("best_delay_so_far", F.min("avg_delay").over(w))
     return ranked.where(
         F.col("best_delay_so_far").isNull()
         | (F.col("avg_delay") < F.col("best_delay_so_far"))
@@ -11498,9 +11510,11 @@ def conformal_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the remaining 20% — the distribution-free uncertainty wrapper a
     classifier ships with. The quantile index is integer-exact
     ((9(n+1)+9) DIV 10) and the threshold is a raw double both engines
-    compute identically; the only ordered state is the calibration
-    stratum's rank window (at 100 TB: a KLL/t-digest sketch quantile —
-    the guarantee degrades gracefully with quantile error)."""
+    compute identically; the calibration rank runs on the distributed
+    exact-rank kernel (operators/ranking.global_row_number: range
+    exchange + per-partition windows + O(partitions) offsets), never a
+    single-task window — the order statistic stays EXACT at any scale
+    (a KLL sketch would only approximate it)."""
     feats = _logreg_features(spark, sf_dir)
     w = _logreg_gd(feats.where(F.col("o_orderkey") % 5 >= 2), iterations=5, lr=1.0)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
@@ -11515,9 +11529,9 @@ def conformal_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cal"),
         ((9 * (F.count(F.lit(1)) + 1) + 9) / 10).cast("long").alias("k"),
     )
-    ranked = cal.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.asc("s"), F.asc("o_orderkey")))
-    )
+    from .operators.ranking import global_row_number
+
+    ranked, _ = global_row_number(cal, [F.asc("s"), F.asc("o_orderkey")], "rk")
     q = ranked.crossJoin(F.broadcast(nq)).where(F.col("rk") == F.col("k")).select(
         F.col("s").alias("qhat")
     )
@@ -11715,12 +11729,17 @@ def auc_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-sum identity, TIE-AWARE: scores group to their distinct values
     first (tied scores share the average rank ``before + (n+1)/2``), so
     the statistic is the textbook mid-rank U — no sampled
-    thresholds, no trapezoid approximation. The ordered state is the
-    DISTINCT-score frame, one running-sum window over it; at 100 TB
-    bucket scores to a grid first (the histogram AUC) or sketch the two
-    score distributions. Completes the classifier-eval family:
+    thresholds, no trapezoid approximation, and EXACT at any scale: the
+    running rank over the distinct-score frame runs on the distributed
+    prefix-sum kernel (operators/ranking.global_prefix_sum — range
+    exchange + per-partition running sums + O(partitions) broadcast
+    bases), never a single-task window, so continuous scores that keep
+    |distinct| ~ |rows| cost one extra exchange instead of one task.
+    Completes the classifier-eval family:
     accuracy/logloss (logreg), reliability (calibration), coverage
     (conformal), ranking (this)."""
+    from .operators.ranking import global_prefix_sum
+
     feats = _logreg_features(spark, sf_dir)
     w = _logreg_gd(feats, iterations=5, lr=1.0)
     z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
@@ -11729,11 +11748,10 @@ def auc_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
     )
-    w_ord = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
-    r = g.select(
+    r = global_prefix_sum(g, ["p"], {"n": "_cum_n"}).select(
         "pos",
         "n",
-        (F.sum("n").over(w_ord) - F.col("n")).alias("before"),
+        (F.col("_cum_n") - F.col("n")).alias("before"),
         ((F.col("n") + 1) / 2.0).alias("half"),
     )
     s = r.agg(
@@ -13923,10 +13941,12 @@ def kfold_cv_auc_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5 GD chains, weights as codegen literals), every row is scored by
     exactly the model that never saw it (one CASE over fold — a single
     scoring pass, no per-fold rescans), and the tie-aware mid-rank AUC
-    runs per fold under FOLD-PARTITIONED windows. Generalization of
-    auc_urgent_orders from train-set AUC to honest out-of-fold AUC;
-    same distinct-score ordered state per fold (grid-bucket or sketch
-    it beyond that)."""
+    runs per fold on the distributed prefix-sum kernel
+    (operators/ranking.global_prefix_sum with partition_by=fold: one
+    range exchange on (fold, p), per-partition running sums, O(folds ×
+    partitions) broadcast bases) — n/5 rows never cross one window
+    task. Generalization of auc_urgent_orders from train-set AUC to
+    honest out-of-fold AUC."""
     feats = _logreg_features(spark, sf_dir)
     k = 5
     ws = [
@@ -13946,14 +13966,13 @@ def kfold_cv_auc_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
     )
-    w_ord = Window.partitionBy("fold").orderBy("p").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    r = g.select(
+    from .operators.ranking import global_prefix_sum
+
+    r = global_prefix_sum(g, ["p"], {"n": "_cum_n"}, partition_by=["fold"]).select(
         "fold",
         "pos",
         "n",
-        (F.sum("n").over(w_ord) - F.col("n")).alias("before"),
+        (F.col("_cum_n") - F.col("n")).alias("before"),
         ((F.col("n") + 1) / 2.0).alias("half"),
     )
     s = r.groupBy("fold").agg(

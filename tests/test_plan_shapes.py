@@ -246,6 +246,94 @@ def test_plan_lint_no_antipatterns(spark):
     assert not bad, f"anti-patterns crept into plans: {bad}"
 
 
+# Queries whose partitionless windows run over a frame BOUNDED by
+# construction (never row-scaled) — each entry names the bounding frame.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # cumulative CDF over floor(price/1000) buckets: bounded price grid
+    "ks_test_price_by_segment",
+    # cumulative EMD flow over the same bounded price-bucket grid
+    "emd_price_by_segment",
+    # PSI deciles: windows over the 10-bucket grid
+    "feature_drift_psi",
+    # date-spine interpolation: windows over the distinct-day grid
+    "interpolate_daily_revenue",
+    # KM curve: windows over the distinct-event-day grid
+    "survival_km_first_purchase",
+    # sampling temperature: windows over the ~5-language mixture frame
+    "temperature_mixture_langs",
+    # budget selection: cumulative over the 10001-bucket quality
+    # histogram (the boundary-bucket top-off window is _bk-partitioned)
+    "token_budget_selection",
+}
+
+
+def _iter_children(node):
+    if node.nodeName() == "AdaptiveSparkPlan":
+        return [node.initialPlan()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.length())]
+
+
+def _subtree_has(node, names):
+    if node.nodeName() in names:
+        return True
+    return any(_subtree_has(c, names) for c in _iter_children(node))
+
+
+def partitionless_windows(df):
+    """WindowExec nodes with an EMPTY partitionSpec in the initial
+    physical plan — the whole frame crosses one task — excluding windows
+    fed by a rank-limit pushdown (WindowGroupLimit /
+    TakeOrderedAndProject), which bound the rows reaching the window."""
+    out = []
+    bound = ("WindowGroupLimit", "TakeOrderedAndProject")
+
+    def walk(node):
+        if (
+            node.nodeName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _subtree_has(node, bound)
+        ):
+            out.append(node.simpleString(80))
+        for c in _iter_children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_plan_lint_no_partitionless_windows(spark):
+    """r5 verdict item 2: sweep the lazily-plannable catalog for
+    row-scaled partitionless WindowExec — the single-task funnel class
+    that hid five scale-weak queries behind green correctness. Any
+    query not in GLOBAL_WINDOW_ALLOWLIST (bounded-grid windows, each
+    with its bounding frame named) must plan ZERO of them; the five
+    migrated queries (auc/kfold/conformal/revenue_concentration/
+    skew_diagnosis) and the pareto skyline now ride the
+    operators/ranking kernels instead."""
+    import re
+
+    src = open(os.path.join(os.path.dirname(__file__), __file__)).read()
+    # the LAZY list in test_plan_lint_no_antipatterns is the census
+    m = re.search(r"LAZY = \[(.*?)\]\n", src, re.S)
+    lazy = re.findall(r'"([^"]+)"', m.group(1))
+    extra = [
+        "bm25_related_docs", "supplier_triangles", "robust_outliers_mad",
+        "zorder_layout_orders", "dedup_containment", "zipf_token_slope",
+        "survival_km_first_purchase", "rolling_7d_active_users",
+        "pareto_frontier_suppliers", "discretize_price_deciles",
+        "rfm_customer_segments",
+    ]
+    bad = {}
+    for name in sorted(set(lazy + extra)):
+        if name in GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        wins = partitionless_windows(Q.queries()[name](spark, SF))
+        if wins:
+            bad[name] = wins
+    assert not bad, f"row-scaled partitionless windows crept in: {bad}"
+
+
 def test_tpch_completion_broadcasts_and_pruning(spark):
     """q2/q16/q20: the part filter must broadcast into the single lineitem
     scan (no shuffle join against the fact side) and the scan must prune

@@ -213,3 +213,20 @@ def test_exact_ntile_all_equal_values(spark):
     w = Window.orderBy("v", "id")
     want = df.withColumn("b", F.ntile(4).over(w).cast("long"))
     assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_global_running_min_matches_window(spark):
+    from simpletasks_data_spark.operators.ranking import global_running_min
+
+    df = _frame(spark, 300, 9).select(
+        "id", "v", (F.hash(F.col("id") * 3) % 100).alias("d")
+    )
+    for inclusive, hi in ((False, -1), (True, 0)):
+        got = global_running_min(
+            df, ["v", "id"], {"d": "m"}, inclusive=inclusive, partitions=8
+        )
+        w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, hi)
+        want = df.select("*", F.min("d").over(w).alias("m"))
+        gl = {r["id"]: r["m"] for r in got.collect()}
+        for r in want.collect():
+            assert gl[r["id"]] == r["m"], (inclusive, r)
