@@ -670,6 +670,8 @@ def bfs_reach(edges: DataFrame, seeds: DataFrame, radius: int = 3) -> DataFrame:
     set), not the whole graph; all-nodes reach at 100 TB is HyperBall
     territory (constant-size sketch per node instead of exact sets).
     """
+    if radius < 1:
+        raise ValueError(f"bfs_reach needs radius >= 1, got {radius}")
     und = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))

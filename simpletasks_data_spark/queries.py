@@ -72,6 +72,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) scratch path, OVERWRITTEN on
+    every run — table-scale fixture writes must not accumulate one
+    mkdtemp per invocation across repeated bench/parity runs (ADVICE
+    r5: partitioned_parquet_prune leaked a full orders copy per call)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"sds_scratch_{name}_{tag}")
+
+
 # The external correctness driver checks the FIRST 50 queries in catalog
 # order. Standing rotation rule (round-3 verdict item 9): each round the
 # window carries (a) every query whose implementation changed this round
@@ -4877,10 +4890,8 @@ def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTZ mapping — and read it back; a hash match proves full type/value
     fidelity through the format. The write uses snappy + one file per
     shuffle partition, the shape a Hive-compatible consumer expects."""
-    import tempfile
-
     orders = load(spark, sf_dir, "orders")
-    path = tempfile.mkdtemp(prefix="orc_rt_") + "/orders_orc"
+    path = _scratch_dir("orcrt", sf_dir) + "/orders_orc"
     orders.write.mode("overwrite").option("compression", "snappy").orc(path)
     return spark.read.orc(path).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
@@ -12957,28 +12968,37 @@ def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits_oracle_sql(rounds: int = 4) -> str:
-    """Unrolled HITS (max-normalized, 1e-8 grid per half-step) over the
-    distinct customer->supplier edge set — mirrors the Spark loop in
+    """Unrolled HITS (max-normalized, INTEGER 1e-8 micro-unit scores per
+    half-step — per-round sums are exact bigint arithmetic, so the
+    hash-agg order can never drift a ulp) over the distinct
+    customer->supplier edge set — mirrors the Spark loop in
     hits_customer_supplier round for round."""
-    parts = ["h0 AS MATERIALIZED (SELECT DISTINCT c AS id, 1.0 AS h FROM e)"]
+    parts = [
+        "h0 AS MATERIALIZED (SELECT DISTINCT c AS id,"
+        " CAST(100000000 AS BIGINT) AS h FROM e)"
+    ]
     prev_h = "h0"
     for t in range(1, rounds + 1):
         # every CTE MATERIALIZED: each level is referenced twice (score +
         # its own max), so inlined CTEs re-evaluate the whole chain
         # EXPONENTIALLY in the round count (observed 300s at sf0.001)
         parts.append(f"""ar{t} AS MATERIALIZED (
-  SELECT e.s AS id, sum(p.h) AS raw
+  SELECT e.s AS id, CAST(sum(p.h) AS BIGINT) AS raw
   FROM e JOIN {prev_h} p ON p.id = e.c GROUP BY e.s
 ),
 a{t} AS MATERIALIZED (
-  SELECT id, round(raw / (SELECT max(raw) FROM ar{t}), 8) AS a FROM ar{t}
+  SELECT id, CAST(round(CAST(raw AS DOUBLE)
+      / (SELECT CAST(max(raw) AS DOUBLE) FROM ar{t})
+      * CAST(100000000 AS DOUBLE)) AS BIGINT) AS a FROM ar{t}
 ),
 hr{t} AS MATERIALIZED (
-  SELECT e.c AS id, sum(p.a) AS raw
+  SELECT e.c AS id, CAST(sum(p.a) AS BIGINT) AS raw
   FROM e JOIN a{t} p ON p.id = e.s GROUP BY e.c
 ),
 h{t} AS MATERIALIZED (
-  SELECT id, round(raw / (SELECT max(raw) FROM hr{t}), 8) AS h FROM hr{t}
+  SELECT id, CAST(round(CAST(raw AS DOUBLE)
+      / (SELECT CAST(max(raw) AS DOUBLE) FROM hr{t})
+      * CAST(100000000 AS DOUBLE)) AS BIGINT) AS h FROM hr{t}
 )""")
         prev_h = f"h{t}"
     return f"""
@@ -12987,9 +13007,11 @@ WITH e AS MATERIALIZED (
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 ),
 {", ".join(parts)}
-SELECT CAST(id AS BIGINT) AS id, 'hub' AS role, h AS score FROM h{rounds}
+SELECT CAST(id AS BIGINT) AS id, 'hub' AS role,
+       CAST(h AS DOUBLE) / CAST(100000000 AS DOUBLE) AS score FROM h{rounds}
 UNION ALL
-SELECT CAST(id AS BIGINT), 'authority', a FROM a{rounds}
+SELECT CAST(id AS BIGINT), 'authority',
+       CAST(a AS DOUBLE) / CAST(100000000 AS DOUBLE) FROM a{rounds}
 """
 
 
@@ -12998,12 +13020,17 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS (Kleinberg hubs & authorities) over the customer->supplier
     trade graph: customers are hubs (score = sum of their suppliers'
     authority), suppliers authorities (sum of their customers' hub
-    score), max-normalized and snapped to the 1e-8 grid each half-step
-    — the same per-round quantization contract as pagerank, so the
-    unrolled oracle agrees. 4 rounds; each half-step is ONE equi-join +
-    ONE hash agg on the (contracting) score frame plus a 1-row max
-    broadcast — never a global sort. The eigenvector-centrality sibling
-    of pagerank/PPR in the graph family."""
+    score), max-normalized and snapped to INTEGER 1e-8 micro-units each
+    half-step — the ALS/OLS integer-sufficient-statistics discipline
+    (ADVICE r5): per-round sums run in exact bigint arithmetic, so the
+    hash-agg accumulation order can never drift a ulp between engines;
+    the one double op per half-step (raw/max * 1e8, then round) sees
+    identical inputs on both sides. 4 rounds; each half-step is ONE
+    equi-join + ONE hash agg on the (contracting) score frame plus a
+    1-row max broadcast — never a global sort. The
+    eigenvector-centrality sibling of pagerank/PPR in the graph
+    family."""
+    _U = 100000000  # 1e8 micro-units = the 1e-8 score grid
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e = (
@@ -13012,36 +13039,46 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    h = e.select("c").distinct().select(F.col("c").alias("id"), F.lit(1.0).alias("h"))
+    h = e.select("c").distinct().select(
+        F.col("c").alias("id"), F.lit(_U).cast("long").alias("h")
+    )
+
+    def _norm(raw_df, out_col):
+        mx = raw_df.agg(F.max("raw").alias("_mx"))
+        return raw_df.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.round(
+                F.col("raw").cast("double")
+                / F.col("_mx").cast("double")
+                * F.lit(float(_U))
+            )
+            .cast("long")
+            .alias(out_col),
+        ).localCheckpoint(eager=True)
+
     a = None
     for _ in range(4):
         ar = (
             e.join(h.withColumnRenamed("id", "c"), "c")
             .groupBy(F.col("s").alias("id"))
-            .agg(F.sum("h").alias("raw"))
+            .agg(F.sum("h").cast("long").alias("raw"))
         )
-        mx = ar.agg(F.max("raw").alias("_mx"))
-        a = ar.crossJoin(F.broadcast(mx)).select(
-            "id", F.round(F.col("raw") / F.col("_mx"), 8).alias("a")
-        ).localCheckpoint(eager=True)
+        a = _norm(ar, "a")
         hr = (
             e.join(a.withColumnRenamed("id", "s"), "s")
             .groupBy(F.col("c").alias("id"))
-            .agg(F.sum("a").alias("raw"))
+            .agg(F.sum("a").cast("long").alias("raw"))
         )
-        mxh = hr.agg(F.max("raw").alias("_mx"))
-        h = hr.crossJoin(F.broadcast(mxh)).select(
-            "id", F.round(F.col("raw") / F.col("_mx"), 8).alias("h")
-        ).localCheckpoint(eager=True)
+        h = _norm(hr, "h")
     hubs = h.select(
         F.col("id").cast("long").alias("id"),
         F.lit("hub").alias("role"),
-        F.col("h").alias("score"),
+        (F.col("h").cast("double") / F.lit(float(_U))).alias("score"),
     )
     auths = a.select(
         F.col("id").cast("long").alias("id"),
         F.lit("authority").alias("role"),
-        F.col("a").alias("score"),
+        (F.col("a").cast("double") / F.lit(float(_U))).alias("score"),
     )
     return hubs.unionByName(auths)
 
@@ -13219,10 +13256,9 @@ def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     files before any row is read — then a monthly rollup. The oracle
     computes the same report off the unpartitioned table, proving the
     partitioned roundtrip is content-preserving. The fixture write is
-    per-query scratch, not the ingest path."""
-    import tempfile
-
-    out_dir = tempfile.mkdtemp(prefix="sds_part_")
+    per-query scratch (deterministic path, overwritten each run), not
+    the ingest path."""
+    out_dir = _scratch_dir("part", sf_dir)
     orders = load(spark, sf_dir, "orders")
     orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
         "overwrite"
