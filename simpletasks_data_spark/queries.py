@@ -96,98 +96,47 @@ def _scratch_dir(name: str, sf_dir: str) -> str:
 # float to the front in this order; the remainder keep registration
 # order behind them.
 _CHECK_FIRST = [
-    # ==== round-5 window (driver checks the first 50) ====
-    # -- changed this round (regression gate): the r4 red's oracle cast
-    #    fix, the three de-ntiled queries (operators/ranking.exact_ntile),
-    #    the parity-tagged PPR encoding, the k-core budget warning, the
-    #    retrieval_eval label-cast move, and the signed-int64 bit packing --
-    "hypertable_rollup_events",
-    "discretize_price_deciles",
-    "zorder_layout_orders",
-    "rfm_customer_segments",
-    "ppr_seeded_customers",
-    "graph_kcore_suppliers",
-    "retrieval_eval_embeddings",
-    "multimodal_ahash_dedup",
-    "multimodal_audio_fingerprint",
-    # -- never checked: the round-4 stats/governance batch (most novel
-    #    failure surface per the r4 verdict, item 5) --
-    "graph_percolation_supplier",
-    "shapley_logreg_features",
-    "emd_price_by_segment",
-    "sinkhorn_transition_matrix",
-    "ks_test_price_by_segment",
+    # ==== round-6 window (driver checks the first 50) ====
+    # -- changed this round (regression gate): the six bare-window
+    #    queries migrated onto operators/ranking kernels
+    #    (global_prefix_sum / global_row_number / global_running_min),
+    #    the HITS integer micro-unit rewrite (oracle updated), and the
+    #    two scratch-dir fixture rewrites --
     "auc_urgent_orders",
+    "kfold_cv_auc_urgent",
     "conformal_urgent_orders",
-    "sequence_pattern_match",
-    "gini_revenue_by_nation",
-    "price_elasticity_brands",
-    "benford_first_digit_orders",
-    "fixedwidth_import_roundtrip",
-    # -- never checked: the TPC-H tail (reference capability claims
-    #    stay driver-backed — r4 verdict item 6) --
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_or_predicate_revenue",
-    "q21_sole_late_supplier",
-    "q22_idle_customers",
-    # -- never checked: sketches / dedup / ANN / sources / corpus tail
-    #    (backlog shrink, riskiest families first) --
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "dedup_incremental",
-    "multimodal_frame_sample",
-    "knn_bruteforce_blas",
-    "jsonl_import_roundtrip",
-    "dedup_exact_substrings",
-    "domain_cap_sample",
-    "embedding_drift_by_label",
-    "vocab_coverage_by_source",
-    "timeseries_forward_fill_nation",
-    "corpus_export_manifest",
-    "corpus_global_shuffle",
-    "ann_recall_report",
-    "knn_incremental_probe",
-    "dedup_retained_corpus",
-    "decontaminate_benchmark_overlap",
-    "pii_scrub_customers",
-    # ---- position 51+ from here: round-6 candidates (still never
-    #      checked), then the proven-green remainder (all pinned every
-    #      run by the local oracle-parity suite) ----
-    # round-5 additions (all sf0.01-verified locally; riskiest first)
+    "revenue_concentration",
+    "skew_diagnosis_orders",
+    "pareto_frontier_suppliers",
+    "hits_customer_supplier",
+    "partitioned_parquet_prune",
+    "orc_export_roundtrip",
+    # -- never checked: the round-5 ML/graph batch (most novel failure
+    #    surface per the r5 verdict, item 3; riskiest first) --
     "als_factors_retail",
     "als_recommend_topk",
     "fuzzy_dedup_edit_distance",
     "boosted_stumps_urgent",
-    "hits_customer_supplier",
     "sssp_hub_suppliers",
     "exact_median_price_by_priority",
     "propensity_match_urgent",
     "incremental_join_view_refresh",
+    "suffix_ranks_corpus",
+    "multimodal_ahash_hamming1",
+    "permutation_test_urgent_price",
+    "graph_reach_hubs",
     "ols_price_model",
     "ols_trend_by_nation",
     "acf_daily_revenue",
     "xcorr_click_purchase",
-    "graph_reach_hubs",
     "integrity_checksums_by_nation",
     "join_fanout_audit",
     "ohlc_hourly_events",
-    "partitioned_parquet_prune",
     "pivot_priority_by_segment",
     "rollup_revenue_geo",
-    "suffix_ranks_corpus",
-    "kfold_cv_auc_urgent",
     "target_encode_mktsegment",
-    "multimodal_ahash_hamming1",
-    "permutation_test_urgent_price",
     "interpolate_daily_revenue",
-    # earlier never-checked backlog
+    # -- never checked: earlier backlog (oldest families first) --
     "bloom_semi_join_orders",
     "corpus_hash_split",
     "corpus_stratified_sample",
@@ -205,21 +154,22 @@ _CHECK_FIRST = [
     "dedup_clusters_bigstar",
     "boilerplate_ngram_fraction",
     "corpus_health_by_source",
-    "orc_export_roundtrip",
     "bucketed_join_orders_customer",
+    # ---- position 51+ from here: round-7 candidates (still never
+    #      checked; round-6 additions land at the FRONT of this block
+    #      as they are written), then the proven-green remainder (all
+    #      pinned every run by the local oracle-parity suite) ----
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_zscore",
     "dedup_rate_by_source",
     "cdc_chunk_documents",
     "feature_hash_tf",
-    "revenue_concentration",
     "multimodal_wav_roundtrip",
     "embedding_random_projection",
     "attribution_linear_multitouch",
     "dedup_canonical_by_quality",
     "ml_lag_features",
-    "skew_diagnosis_orders",
     "bootstrap_mean_orders",
     "cms_join_size_estimate",
     "kmv_set_operations",
