@@ -157,6 +157,18 @@ BENCH_QUERIES = [
     "incremental_join_view_refresh",
     "permutation_test_urgent_price",
     "multimodal_ahash_hamming1",
+    # round-5 cheap tail (r5 verdict item 6: full new-operator coverage)
+    "als_recommend_topk",
+    "target_encode_mktsegment",
+    "ols_trend_by_nation",
+    "xcorr_click_purchase",
+    "integrity_checksums_by_nation",
+    "join_fanout_audit",
+    "ohlc_hourly_events",
+    "partitioned_parquet_prune",
+    "pivot_priority_by_segment",
+    "rollup_revenue_geo",
+    "interpolate_daily_revenue",
 ]
 
 
