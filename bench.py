@@ -169,6 +169,15 @@ BENCH_QUERIES = [
     "pivot_priority_by_segment",
     "rollup_revenue_geo",
     "interpolate_daily_revenue",
+    # round-6 additions
+    "dbscan_embeddings_grid",
+    "interval_islands_orders",
+    "hilbert_layout_orders",
+    "heavy_hitters_two_pass",
+    "theilsen_trend_revenue",
+    "mutual_info_features",
+    "jsd_drift_by_source",
+    "dp_noisy_counts_nation",
 ]
 
 

@@ -235,6 +235,29 @@ def global_running_min(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_by: Sequence,
+    max_cols: Mapping[str, str],
+    inclusive: bool = False,
+    partition_by: Sequence[str] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact running maximum over the total order — by default the
+    EXCLUSIVE form (``max(c) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``, null on the first row), the shape a
+    gaps-and-islands sweep needs (new island when start > running max
+    of earlier interval ends). See :func:`_global_running`."""
+    return _global_running(
+        df,
+        order_by,
+        [(c, out, "max") for c, out in max_cols.items()],
+        inclusive,
+        partition_by,
+        partitions,
+    )
+
+
 def nearest_in_1d(
     points: DataFrame,
     candidates: DataFrame,

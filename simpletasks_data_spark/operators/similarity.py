@@ -767,3 +767,121 @@ def mmr_select(
         "doc_id",
         (F.col("_score_i") / F.lit(scale)).alias("mmr_score"),
     )
+
+
+def dbscan_grid_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    min_pts: int,
+) -> DataFrame:
+    """Exact DBSCAN over points on an INTEGER 2-D plane (pre-quantized
+    coordinates, e.g. milli-units of a random projection), with grid-cell
+    candidate generation: each point probes its own and the 8 adjacent
+    eps-wide cells, so the neighbor join is an EQUI-join on cell keys —
+    candidate fan-out is bounded by local density, never all-pairs. The
+    distance test is pure integer arithmetic (dx^2 + dy^2 <= eps^2), so
+    core/border decisions are engine-exact with no float-threshold ulp
+    risk.
+
+    Semantics (deterministic DBSCAN variant):
+    - core: >= ``min_pts`` points (incl. itself) within ``eps``;
+    - clusters: connected components of the core-core eps-graph
+      (operators/graph.connected_components — min-label propagation),
+      cluster id = min core id in the component;
+    - border: non-core within eps of >= 1 core, assigned the MIN cluster
+      id among its core neighbors (classic DBSCAN is scan-order-dependent
+      here; the min rule makes it order-free);
+    - noise: everything else, cluster_id = -1.
+
+    Scale shape: one cell-key equi-join (x9 probe fan-out), one count
+    agg, CC on the (much smaller) core-core edge set, one border join.
+    At 100 TB the grid key is also the natural partitioner — neighboring
+    cells co-locate, and AQE handles dense-cell skew.
+
+    Returns ``(id_col, cluster_id: long, role: core|border|noise)``.
+    """
+    from .graph import connected_components
+
+    eps2 = eps * eps
+    pts = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).withColumns(
+        {
+            "_cx": F.floor(F.col("_x") / float(eps)).cast("long"),
+            "_cy": F.floor(F.col("_y") / float(eps)).cast("long"),
+        }
+    ).localCheckpoint(eager=True)
+
+    probes = pts.select(
+        "_id",
+        "_x",
+        "_y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("_cx") + dx).alias("_pcx"),
+                        (F.col("_cy") + dy).alias("_pcy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("_p"),
+    ).select("_id", "_x", "_y", F.col("_p._pcx").alias("_pcx"), F.col("_p._pcy").alias("_pcy"))
+    home = pts.select(
+        F.col("_id").alias("_ib"),
+        F.col("_x").alias("_xb"),
+        F.col("_y").alias("_yb"),
+        F.col("_cx").alias("_pcx"),
+        F.col("_cy").alias("_pcy"),
+    )
+    dx, dy = F.col("_x") - F.col("_xb"), F.col("_y") - F.col("_yb")
+    nb = (
+        probes.join(home, ["_pcx", "_pcy"])
+        .where((F.col("_id") != F.col("_ib")) & (dx * dx + dy * dy <= F.lit(eps2)))
+        .select(F.col("_id").alias("_ia"), "_ib")
+        .localCheckpoint(eager=True)
+    )
+    deg = nb.groupBy("_ia").agg(F.count(F.lit(1)).alias("_n"))
+    core = (
+        pts.join(deg, pts["_id"] == deg["_ia"], "left")
+        .where(F.coalesce(F.col("_n"), F.lit(0)) + 1 >= min_pts)
+        .select("_id")
+        .localCheckpoint(eager=True)
+    )
+    core_edges = (
+        nb.join(core.select(F.col("_id").alias("_ia")), "_ia")
+        .join(core.select(F.col("_id").alias("_ib")), "_ib")
+        .select("_ia", "_ib")
+    )
+    cc = connected_components(core_edges, "_ia", "_ib")
+    # singleton cores (no core neighbor) never enter the edge frame
+    clusters = (
+        core.join(cc, core["_id"] == cc["id"], "left")
+        .select("_id", F.coalesce(F.col("component"), F.col("_id")).alias("_cl"))
+        .localCheckpoint(eager=True)
+    )
+    border = (
+        nb.join(clusters.select(F.col("_id").alias("_ib"), "_cl"), "_ib")
+        .join(clusters.select(F.col("_id").alias("_ia")), "_ia", "left_anti")
+        .groupBy("_ia")
+        .agg(F.min("_cl").alias("_bcl"))
+    )
+    return (
+        pts.join(clusters, "_id", "left")
+        .join(border.select(F.col("_ia").alias("_id"), "_bcl"), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_cl"), F.col("_bcl"), F.lit(-1)).cast("long").alias("cluster_id"),
+            F.when(F.col("_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_bcl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )

@@ -159,6 +159,16 @@ _CHECK_FIRST = [
     #      checked; round-6 additions land at the FRONT of this block
     #      as they are written), then the proven-green remainder (all
     #      pinned every run by the local oracle-parity suite) ----
+    # -- round-6 additions (never checked) --
+    "dbscan_embeddings_grid",
+    "interval_islands_orders",
+    "hilbert_layout_orders",
+    "heavy_hitters_two_pass",
+    "theilsen_trend_revenue",
+    "mutual_info_features",
+    "jsd_drift_by_source",
+    "dp_noisy_counts_nation",
+    # -- older backlog --
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_zscore",
@@ -14267,3 +14277,582 @@ def suffix_ranks_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.substring(normalize_text("text"), 1, 160).alias("s"))
     )
     return suffix_ranks(docs, "doc_id", "s", window=32)
+
+
+# ===========================================================================
+# Round 6: governance (seeded DP noise), robust stats (Theil-Sen), info
+# theory (MI feature ranking, JSD drift), two-pass heavy hitters, gaps-and-
+# islands on the running-max kernel, Hilbert-curve layout, grid DBSCAN.
+# ===========================================================================
+
+
+@register("dp_noisy_counts_nation", f"""
+WITH c AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n_true
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+s AS (
+  SELECT n_name, n_true,
+         ({_SQL_BUCKET.format(k="concat('dp:v1:', n_name)")} % 1000000 + 0.5)
+           / 1000000.0 AS u
+  FROM c
+)
+SELECT n_name, n_true,
+       round(n_true + (-2.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+         AS n_noisy
+FROM s
+""")
+def dp_noisy_counts_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private customer counts per nation via the Laplace
+    mechanism (sensitivity 1, epsilon 0.5 -> scale b = 2): noise is drawn
+    by INVERSE-CDF from a SEEDED portable uniform (60-bit md5 of
+    'dp:v1:' + nation, the corpus_hash_split bucket hash), so the release
+    is reproducible and engine-exact — the property a governed pipeline
+    needs for audits, and the same hash-seeded-randomness discipline as
+    permutation_test_urgent_price. Map-only after one 25-group agg; at
+    100 TB the count agg is the only shuffle. n_true is emitted here as
+    the correctness witness; a real release ships only n_noisy."""
+    cust = load(spark, sf_dir, "customer").select("c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cnt = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    u = (
+        CP.hash_bucket(F.concat(F.lit("dp:v1:"), F.col("n_name")), 1000000).cast("double")
+        + 0.5
+    ) / 1000000.0
+    noise = F.lit(-2.0) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    return cnt.select(
+        "n_name", "n_true", F.round(F.col("n_true") + noise, 4).alias("n_noisy")
+    )
+
+
+@register("theilsen_trend_revenue", """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS dday,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-07-01'
+  GROUP BY 1
+),
+pairs AS (
+  SELECT (b.cents - a.cents) * 1.0 / (b.dday - a.dday) AS slope
+  FROM daily a JOIN daily b ON a.dday < b.dday
+)
+SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(slope, 0.5), 4) AS theilsen_cents_per_day,
+       round((SELECT regr_slope(cents * 1.0, dday * 1.0) FROM daily), 4)
+         AS ols_cents_per_day
+FROM pairs
+""")
+def theilsen_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (H1 1995): the median of
+    all pairwise day-to-day slopes — a 29%-breakdown estimator an OLS
+    line (also reported) can't match when revenue spikes. Revenue is
+    exact integer cents per day BEFORE any pairing, so every slope is an
+    IEEE division of identical integers on both engines. Scale shape:
+    the pairwise frame is a self-join of the DAY grid — bounded by the
+    calendar (<= 181 rows at ANY data size; the deliberate bounded-grid
+    crossJoin, same contract as knn_bruteforce's declared O(q*c)) — and
+    the raw scan collapses to that grid in one agg; the median is a
+    1-row percentile, not a window."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("dday"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("dday")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.dday") < F.col("b.dday")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.dday") - F.col("a.dday"))
+        ).alias("slope")
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 4).alias("theilsen_cents_per_day"),
+    )
+    dstats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.regr_slope(F.col("cents").cast("double"), F.col("dday").cast("double")), 4
+        ).alias("ols_cents_per_day"),
+    )
+    return stats.crossJoin(F.broadcast(dstats)).select(
+        "n_days", "n_pairs", "theilsen_cents_per_day", "ols_cents_per_day"
+    )
+
+
+@register("mutual_info_features", """
+WITH f AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         least(CAST(floor(o_totalprice / 20000) AS BIGINT), 19) AS price_bucket,
+         CAST(month(o_orderdate) AS BIGINT) AS omonth
+  FROM orders
+),
+u AS (
+  SELECT 'price_bucket' AS feature, price_bucket AS x, y FROM f
+  UNION ALL
+  SELECT 'order_month' AS feature, omonth AS x, y FROM f
+),
+nxy AS (SELECT feature, x, y, CAST(count(*) AS BIGINT) AS nxy FROM u GROUP BY 1, 2, 3),
+nx AS (SELECT feature, x, sum(nxy) AS nx FROM nxy GROUP BY 1, 2),
+ny AS (SELECT feature, y, sum(nxy) AS ny FROM nxy GROUP BY 1, 2),
+nn AS (SELECT feature, sum(nxy) AS n FROM nxy GROUP BY 1)
+SELECT feature,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((nxy * 1.0 / n) * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 4)
+         AS mi_nats
+FROM nxy JOIN nx USING (feature, x) JOIN ny USING (feature, y) JOIN nn USING (feature)
+GROUP BY feature
+""")
+def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X; urgent) per candidate feature (price
+    bucket, order month) — the model-free feature-ranking pass that runs
+    BEFORE committing to training columns (chi2_lang_source_independence
+    tests independence; this quantifies it in nats). Every probability
+    comes from exact integer cell counts over BOUNDED grids (<= 20
+    buckets x 2 labels), so the raw scan collapses to a few-row contingency
+    frame in one partial-agg shuffle and everything after is broadcast
+    arithmetic — at 100 TB the grid is the same size."""
+    orders = load(spark, sf_dir, "orders")
+    f = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        F.least(
+            F.floor(F.col("o_totalprice") / 20000).cast("long"), F.lit(19).cast("long")
+        ).alias("price_bucket"),
+        F.month("o_orderdate").cast("long").alias("omonth"),
+    )
+    u = f.select(
+        F.lit("price_bucket").alias("feature"), F.col("price_bucket").alias("x"), "y"
+    ).unionByName(
+        f.select(F.lit("order_month").alias("feature"), F.col("omonth").alias("x"), "y")
+    )
+    nxy = u.groupBy("feature", "x", "y").agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    nx = nxy.groupBy("feature", "x").agg(F.sum("nxy").alias("nx"))
+    ny = nxy.groupBy("feature", "y").agg(F.sum("nxy").alias("ny"))
+    nn = nxy.groupBy("feature").agg(F.sum("nxy").alias("n"))
+    term = (F.col("nxy") * 1.0 / F.col("n")) * F.log(
+        (F.col("nxy") * 1.0 * F.col("n")) / (F.col("nx") * 1.0 * F.col("ny"))
+    )
+    return (
+        nxy.join(F.broadcast(nx), ["feature", "x"])
+        .join(F.broadcast(ny), ["feature", "y"])
+        .join(F.broadcast(nn), "feature")
+        .groupBy("feature")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(F.sum(term), 4).alias("mi_nats"),
+        )
+    )
+
+
+@register("jsd_drift_by_source", f"""
+WITH t AS (SELECT source, unnest({SQL_TOKENS.format(c='text')}) AS token FROM documents),
+cs AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+ts AS (SELECT source, sum(c) AS ts FROM cs GROUP BY 1),
+ct AS (SELECT token, sum(c) AS ct FROM cs GROUP BY 1),
+tt AS (SELECT sum(c) AS tt FROM cs),
+terms AS (
+  SELECT cs.source,
+         cs.c * 1.0 / ts.ts AS p,
+         (ct.ct - cs.c) * 1.0 / (tt.tt - ts.ts) AS q
+  FROM cs JOIN ts USING (source) JOIN ct USING (token) CROSS JOIN tt
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS vocab_src,
+         sum(0.5 * p * ln(2 * p / (p + q))
+             + CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END)
+           AS present,
+         sum(q) AS q_present
+  FROM terms GROUP BY source
+)
+SELECT a.source, CAST(ts.ts AS BIGINT) AS n_tokens, a.vocab_src,
+       round(a.present + 0.5 * ln(2) * (1 - a.q_present), 4) AS jsd_nats
+FROM agg a JOIN ts USING (source)
+""")
+def jsd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's token distribution
+    against the REST of the corpus — the bounded (0..ln 2), symmetric
+    drift gauge for mixture curation (feature_drift_psi's unbounded
+    sibling). The trick that keeps it scale-safe: tokens ABSENT from a
+    source contribute exactly 0.5*ln(2)*Q_absent in closed form, so the
+    join only ever touches (source, token) pairs that EXIST — no
+    source x vocabulary cross frame. One doc-term shuffle + one
+    vocab-key join; marginals broadcast."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.explode(TX.tokens("text")).alias("token")
+    )
+    cs = docs.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ts = cs.groupBy("source").agg(F.sum("c").alias("ts"))
+    ct = cs.groupBy("token").agg(F.sum("c").alias("ct"))
+    tt = cs.agg(F.sum("c").alias("tt"))
+    terms = (
+        cs.join(F.broadcast(ts), "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            (F.col("c") * 1.0 / F.col("ts")).alias("p"),
+            ((F.col("ct") - F.col("c")) * 1.0 / (F.col("tt") - F.col("ts"))).alias("q"),
+        )
+    )
+    p, q = F.col("p"), F.col("q")
+    present_term = 0.5 * p * F.log(2 * p / (p + q)) + F.when(
+        q > 0, 0.5 * q * F.log(2 * q / (p + q))
+    ).otherwise(0.0)
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_src"),
+        F.sum(present_term).alias("present"),
+        F.sum("q").alias("q_present"),
+    )
+    import math
+
+    return agg.join(F.broadcast(ts), "source").select(
+        "source",
+        F.col("ts").cast("long").alias("n_tokens"),
+        "vocab_src",
+        F.round(
+            F.col("present") + F.lit(0.5 * math.log(2.0)) * (1 - F.col("q_present")), 4
+        ).alias("jsd_nats"),
+    )
+
+
+@register("heavy_hitters_two_pass", f"""
+WITH t AS (SELECT doc_id, unnest({SQL_TOKENS.format(c='text')}) AS token FROM documents),
+samp AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_sample
+  FROM t WHERE doc_id % 5 = 0 GROUP BY token
+),
+stot AS (SELECT sum(n_sample) AS m FROM samp),
+cand AS (SELECT token, n_sample FROM samp CROSS JOIN stot WHERE n_sample * 2000 >= m),
+exact AS (
+  SELECT t.token, CAST(count(*) AS BIGINT) AS n_exact
+  FROM t JOIN cand USING (token) GROUP BY t.token
+),
+ranked AS (
+  SELECT token, n_exact, n_sample,
+         row_number() OVER (ORDER BY n_exact DESC, token) AS rnk
+  FROM exact JOIN cand USING (token)
+)
+SELECT token, n_exact, n_sample FROM ranked WHERE rnk <= 20
+""")
+def heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-20 corpus heavy hitters by the classic two-pass scheme:
+    pass 1 counts tokens on a deterministic 20% doc sample and keeps
+    candidates above 0.05% of the sample mass (an integer-only
+    threshold compare, n_sample * 2000 >= m); pass 2 counts ONLY the
+    candidates over the full corpus — the big aggregation runs on a
+    broadcast-semi-join-filtered stream, so its key space is the tiny
+    candidate set, not the vocabulary. The sketch alternative is
+    sketch_cms_heavy_hitters (approximate, one pass); this is the
+    exact-answer path whose memory is bounded by the candidate count.
+    Final top-20 is a TakeOrdered, never a global window."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(TX.tokens("text")).alias("token")
+    )
+    samp = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    )
+    stot = samp.agg(F.sum("n_sample").alias("m"))
+    cand = (
+        samp.crossJoin(F.broadcast(stot))
+        .where(F.col("n_sample") * 2000 >= F.col("m"))
+        .select("token", "n_sample")
+    )
+    exact = (
+        docs.join(F.broadcast(cand.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        exact.join(F.broadcast(cand), "token")
+        .orderBy(F.col("n_exact").desc(), "token")
+        .limit(20)
+        .select("token", "n_exact", "n_sample")
+    )
+
+
+@register("interval_islands_orders", """
+WITH iv AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1995-01-01', o_orderdate) AS s,
+         date_diff('day', DATE '1995-01-01', o_orderdate) + 1 + o_orderkey % 7 AS e
+  FROM orders WHERE o_orderkey % 53 = 0
+),
+m AS (
+  SELECT *, max(e) OVER (ORDER BY s, e, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+fl AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS flag
+  FROM m
+),
+isl AS (SELECT *, sum(flag) OVER (ORDER BY s, e, o_orderkey) AS island_id FROM fl)
+SELECT CAST(island_id AS BIGINT) AS island_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(min(s) AS BIGINT) AS start_day,
+       CAST(max(e) AS BIGINT) AS end_day,
+       CAST(max(e) - min(s) AS BIGINT) AS span_days
+FROM isl GROUP BY island_id
+""")
+def interval_islands_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching activity
+    intervals (a sparse order stratum, each order covering its order
+    day + 1..7 days) into maximal covered ISLANDS of the global
+    timeline — the coverage/uptime primitive. The textbook SQL is two
+    partitionless windows (running max of interval ends, then a running
+    count of island breaks) — exactly the single-task funnel the r5
+    audit hunted down; here both sweeps ride the operators/ranking
+    kernels (global_running_max exclusive for the frontier,
+    global_prefix_sum for the island id), so each is one range exchange
+    + per-partition windows + an O(partitions) driver carry. Two kernel
+    passes total, no stage ever sees the whole frame in one task."""
+    from .operators.ranking import global_prefix_sum, global_running_max
+
+    iv = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 53 == 0)
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("s"),
+            (
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+                + 1
+                + F.col("o_orderkey") % 7
+            ).alias("e"),
+        )
+    )
+    order = ["s", "e", "o_orderkey"]
+    m = global_running_max(iv, order, {"e": "prev_max"}, inclusive=False)
+    fl = m.withColumn(
+        "flag",
+        F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0),
+    )
+    isl = global_prefix_sum(fl, order, {"flag": "island_id"})
+    return isl.groupBy("island_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.min("s").cast("long").alias("start_day"),
+        F.max("e").cast("long").alias("end_day"),
+        (F.max("e") - F.min("s")).cast("long").alias("span_days"),
+    ).select(
+        F.col("island_id").cast("long").alias("island_id"),
+        "n_intervals",
+        "start_day",
+        "end_day",
+        "span_days",
+    )
+
+
+def _hilbert16_sql() -> str:
+    """16-bit x 16-bit Hilbert index as a chain of 16 integer CTE steps
+    (DuckDB twin of the unrolled Column loop in hilbert_layout_orders;
+    top-down variant of the classic xy2d walk)."""
+    ctes = [
+        """base AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS dday
+  FROM orders
+),
+h16 AS (
+  SELECT o_orderkey, o_custkey, dday,
+         o_custkey % 65536 AS x, dday % 65536 AS y, CAST(0 AS BIGINT) AS d
+  FROM base
+)"""
+    ]
+    for i in range(15, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"""h{i} AS (
+  SELECT o_orderkey, o_custkey, dday,
+         CASE WHEN {ry} = 0
+              THEN (CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN {ry} = 0
+              THEN (CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END)
+              ELSE y END AS y,
+         d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM h{i + 1}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """,
+bucketed AS (
+  SELECT *, ntile(32) OVER (ORDER BY d, o_orderkey) AS bucket FROM h0
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(o_custkey) AS BIGINT) AS custkey_min,
+       CAST(max(o_custkey) AS BIGINT) AS custkey_max,
+       CAST(min(dday) AS BIGINT) AS day_min,
+       CAST(max(dday) AS BIGINT) AS day_max
+FROM bucketed GROUP BY bucket"""
+    )
+
+
+def with_hilbert_index_16(df: DataFrame, x, y, out_col: str = "d") -> DataFrame:
+    """Append the 16-bit x 16-bit Hilbert index of integer Columns
+    ``x``, ``y`` as ``out_col`` — the top-down xy2d walk, one projection
+    per bit step (the DataFrame twin of the oracle's CTE chain). Each
+    step REIFIES its (x, y, d) into named columns: composing the walk as
+    one nested Column expression doubles the tree per step and blows the
+    analyzer at 2^16 nodes, while 16 chained projections collapse into a
+    single whole-stage-codegen'd map with linear-size code. No UDF, no
+    shuffle. Exported for tests."""
+    base = [c for c in df.columns if c not in ("_hx", "_hy", out_col)]
+    cur = df.select(
+        *base, x.cast("long").alias("_hx"), y.cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias(out_col),
+    )
+    for i in range(15, -1, -1):
+        s = 1 << i
+        hx, hy = F.col("_hx"), F.col("_hy")
+        rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        nx = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy)).otherwise(hx)
+        ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx)).otherwise(hy)
+        nd = F.col(out_col) + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+        cur = cur.select(*base, nx.alias("_hx"), ny.alias("_hy"), nd.alias(out_col))
+    return cur.drop("_hx", "_hy")
+
+
+@register("hilbert_layout_orders", _hilbert16_sql())
+def hilbert_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout for multi-dimensional data skipping —
+    zorder_layout_orders' stronger sibling: the Hilbert walk never takes
+    the long diagonal jumps a Morton curve does, so consecutive codes
+    are always ADJACENT cells and per-bucket min/max spans on both
+    dimensions are tighter (the curve Databricks liquid clustering and
+    Amazon Redshift sort keys moved to). Same report: range-bucket rows
+    by code via operators/ranking.exact_ntile (range exchange, no
+    single-partition sort), emit each bucket's min/max on both
+    dimensions — the file-statistics a scan prunes against. The code
+    itself is 16 unrolled integer steps, whole-stage-codegen'd map-side
+    arithmetic; the oracle walks the identical steps as chained CTEs."""
+    from .operators.ranking import exact_ntile
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("dday"),
+    )
+    coded = with_hilbert_index_16(
+        base, F.col("o_custkey") % 65536, F.col("dday") % 65536, out_col="d"
+    )
+    bucketed = exact_ntile(coded, 32, ["d", "o_orderkey"], out_col="bucket")
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("o_custkey").cast("long").alias("custkey_min"),
+        F.max("o_custkey").cast("long").alias("custkey_max"),
+        F.min("dday").cast("long").alias("day_min"),
+        F.max("dday").cast("long").alias("day_max"),
+    )
+
+
+@register("dbscan_embeddings_grid", """
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT vec_id,
+         CAST(round((list_sum(v) / 8) * 1000) AS BIGINT) AS qx,
+         CAST(round((list_sum(list_transform(generate_series(1, 64),
+                i -> v[i] * (CASE WHEN i % 2 = 1 THEN 1 ELSE -1 END))) / 8) * 1000)
+              AS BIGINT) AS qy
+  FROM e
+),
+g AS (
+  SELECT vec_id, qx, qy,
+         CAST(floor(qx / 20.0) AS BIGINT) AS cx,
+         CAST(floor(qy / 20.0) AS BIGINT) AS cy
+  FROM p
+),
+nb AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM g a JOIN g b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.vec_id != b.vec_id
+   AND (a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy) <= 400
+),
+deg AS (SELECT ia, count(*) AS n_nb FROM nb GROUP BY ia),
+core AS (
+  SELECT vec_id FROM g LEFT JOIN deg ON vec_id = ia
+  WHERE coalesce(n_nb, 0) + 1 >= 5
+),
+ed AS (
+  SELECT ia AS u, ib AS v FROM nb
+  JOIN core ca ON ca.vec_id = ia JOIN core cb ON cb.vec_id = ib
+),
+edges AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT w.id, e2.v FROM reach w JOIN edges e2 ON e2.u = w.r
+),
+cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+border AS (
+  SELECT n.ia AS vec_id, min(cc.cluster_id) AS cluster_id
+  FROM nb n JOIN cc ON n.ib = cc.id
+  WHERE n.ia NOT IN (SELECT id FROM cc)
+  GROUP BY n.ia
+)
+SELECT g.vec_id,
+       CAST(coalesce(cc.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id,
+       CASE WHEN cc.id IS NOT NULL THEN 'core'
+            WHEN b.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM g LEFT JOIN cc ON g.vec_id = cc.id LEFT JOIN border b ON g.vec_id = b.vec_id
+""")
+def dbscan_embeddings_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering (DBSCAN, eps-graph semantics) of the embedding
+    corpus on a 2-D random projection — the density-based counterpart to
+    kmeans_embeddings: finds arbitrarily-shaped clusters AND labels
+    noise, which k-means cannot. The projection (two fixed unit vectors:
+    uniform and alternating-sign, 1/8-scaled) is quantized to INTEGER
+    milli-units up front, so every distance test downstream is exact
+    integer arithmetic — no float-threshold ulp risk at the eps boundary
+    on either engine. operators/similarity.dbscan_grid_2d does the work:
+    grid-cell equi-join candidates (9-cell probe, never all-pairs), core
+    points by neighbor count, clusters as connected components of the
+    core-core graph (min-label propagation), border points to their min
+    core cluster. The oracle recomputes the components with a recursive
+    transitive-closure CTE. eps = 20 milli, minPts = 5 (picked for
+    mixed core/border/noise structure at every test SF)."""
+    from .operators.similarity import dbscan_grid_2d
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    signs = F.array(*[F.lit(1.0 if i % 2 == 0 else -1.0) for i in range(64)])
+    psum = F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x)
+    qsum = F.aggregate(
+        F.zip_with(F.col("v"), signs, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pts = emb.select(
+        "vec_id",
+        F.round((psum / 8) * 1000, 0).cast("long").alias("qx"),
+        F.round((qsum / 8) * 1000, 0).cast("long").alias("qy"),
+    )
+    return dbscan_grid_2d(pts, "vec_id", "qx", "qy", eps=20, min_pts=5)

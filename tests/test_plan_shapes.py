@@ -236,6 +236,12 @@ def test_plan_lint_no_antipatterns(spark):
         "rollup_revenue_geo", "integrity_checksums_by_nation",
         "join_fanout_audit", "target_encode_mktsegment",
         "interpolate_daily_revenue",
+        # round-6 additions (lazily plannable; kernel/CC-at-build
+        # families — islands/hilbert/dbscan — are exercised by the
+        # parity suite instead; theilsen's bounded day-grid self-join
+        # is its declared design, window-checked via `extra` below)
+        "dp_noisy_counts_nation", "mutual_info_features",
+        "jsd_drift_by_source", "heavy_hitters_two_pass",
     ]
     bad = {}
     for name in LAZY:
@@ -323,6 +329,10 @@ def test_plan_lint_no_partitionless_windows(spark):
         "survival_km_first_purchase", "rolling_7d_active_users",
         "pareto_frontier_suppliers", "discretize_price_deciles",
         "rfm_customer_segments",
+        # round-6: kernel-backed layouts/sweeps + the bounded-grid
+        # theilsen self-join (windows must still be zero)
+        "hilbert_layout_orders", "interval_islands_orders",
+        "theilsen_trend_revenue",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):

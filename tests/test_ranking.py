@@ -230,3 +230,23 @@ def test_global_running_min_matches_window(spark):
         gl = {r["id"]: r["m"] for r in got.collect()}
         for r in want.collect():
             assert gl[r["id"]] == r["m"], (inclusive, r)
+
+
+def test_global_running_max_matches_window(spark):
+    from simpletasks_data_spark.operators.ranking import global_running_max
+
+    df = _frame(spark, 400, 23).withColumn("e", F.col("v") * 3 + F.col("id") % 5)
+    got = global_running_max(df, ["v", "id"], {"e": "pm"}, partitions=8)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("pm", F.max("e").over(w))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_global_running_max_inclusive(spark):
+    from simpletasks_data_spark.operators.ranking import global_running_max
+
+    df = _frame(spark, 150, 9).withColumn("e", F.col("id") % 11)
+    got = global_running_max(df, ["v", "id"], {"e": "pm"}, inclusive=True, partitions=8)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("pm", F.max("e").over(w))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
