@@ -14643,10 +14643,13 @@ def interval_islands_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = ["s", "e", "o_orderkey"]
     m = global_running_max(iv, order, {"e": "prev_max"}, inclusive=False)
+    # materialize between the two sweeps: the prefix-sum kernel's range
+    # sampling + exchange would otherwise re-run the whole running-max
+    # pipeline (sample pass, exchange, checkpoint = 3 traversals)
     fl = m.withColumn(
         "flag",
         F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0),
-    )
+    ).localCheckpoint(eager=True)
     isl = global_prefix_sum(fl, order, {"flag": "island_id"})
     return isl.groupBy("island_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
@@ -14714,27 +14717,35 @@ FROM bucketed GROUP BY bucket"""
 
 def with_hilbert_index_16(df: DataFrame, x, y, out_col: str = "d") -> DataFrame:
     """Append the 16-bit x 16-bit Hilbert index of integer Columns
-    ``x``, ``y`` as ``out_col`` — the top-down xy2d walk, one projection
-    per bit step (the DataFrame twin of the oracle's CTE chain). Each
-    step REIFIES its (x, y, d) into named columns: composing the walk as
-    one nested Column expression doubles the tree per step and blows the
-    analyzer at 2^16 nodes, while 16 chained projections collapse into a
-    single whole-stage-codegen'd map with linear-size code. No UDF, no
-    shuffle. Exported for tests."""
+    ``x``, ``y`` as ``out_col`` — the top-down xy2d walk, REIFIED into
+    chained projections (the DataFrame twin of the oracle's CTE chain).
+    Composing all 16 steps as one nested Column expression multiplies
+    the tree ~5x per step and blows the analyzer at ~5^16 nodes
+    (observed OOM); one projection per step keeps expressions tiny but
+    pays 16 eager Dataset analyses (~9 s of driver time). The shipped
+    shape inlines TWO steps per projection — 8 analyses of ~25-node
+    expressions, the measured sweet spot (~2.5 s build). The remaining
+    wall cost is one-time codegen of the fused map stage; per-row work
+    is ~100 integer branches, so the cost is FIXED, not row-scaled —
+    at cluster data sizes it amortizes to zero. No UDF, no shuffle.
+    Exported for tests."""
     base = [c for c in df.columns if c not in ("_hx", "_hy", out_col)]
     cur = df.select(
         *base, x.cast("long").alias("_hx"), y.cast("long").alias("_hy"),
         F.lit(0).cast("long").alias(out_col),
     )
-    for i in range(15, -1, -1):
-        s = 1 << i
-        hx, hy = F.col("_hx"), F.col("_hy")
-        rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-        ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-        nx = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy)).otherwise(hx)
-        ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx)).otherwise(hy)
-        nd = F.col(out_col) + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
-        cur = cur.select(*base, nx.alias("_hx"), ny.alias("_hy"), nd.alias(out_col))
+    steps = list(range(15, -1, -1))
+    for k in range(0, len(steps), 2):
+        hx, hy, hd = F.col("_hx"), F.col("_hy"), F.col(out_col)
+        for i in steps[k : k + 2]:
+            s = 1 << i
+            rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+            ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+            nx = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy)).otherwise(hx)
+            ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx)).otherwise(hy)
+            hd = hd + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+            hx, hy = nx, ny
+        cur = cur.select(*base, hx.alias("_hx"), hy.alias("_hy"), hd.alias(out_col))
     return cur.drop("_hx", "_hy")
 
 
