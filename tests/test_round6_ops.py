@@ -66,3 +66,121 @@ def test_dbscan_grid_two_blobs_and_noise(spark):
     assert a_clusters == {0}      # min id in blob A
     assert b_clusters == {100}    # min id in blob B
     assert all(out[i][1] == "core" for i, _, _ in blob_a)  # all 9 within eps of each other
+
+
+def test_dbscan_grid_matches_bruteforce_hypothesis(spark):
+    """Property: dbscan_grid_2d == brute-force DBSCAN (min-label
+    variant) on random integer point sets — grid candidate generation
+    must not lose any eps-neighbor across cell boundaries."""
+    from hypothesis import given, settings, strategies as st
+
+    pts_strategy = st.lists(
+        st.tuples(st.integers(min_value=-40, max_value=40),
+                  st.integers(min_value=-40, max_value=40)),
+        min_size=1, max_size=40, unique=True,
+    )
+
+    def brute(points, eps, min_pts):
+        ids = {i: (x, y) for i, (x, y) in enumerate(points)}
+        nb = {
+            i: [j for j in ids if j != i
+                and (ids[i][0] - ids[j][0]) ** 2 + (ids[i][1] - ids[j][1]) ** 2 <= eps * eps]
+            for i in ids
+        }
+        cores = {i for i in ids if len(nb[i]) + 1 >= min_pts}
+        parent = {i: i for i in cores}
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for i in cores:
+            for j in nb[i]:
+                if j in cores:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        # path-compress to the component MIN id (root is min by union rule)
+        cluster = {i: find(i) for i in cores}
+        out = {}
+        for i in ids:
+            if i in cores:
+                out[i] = (cluster[i], "core")
+            else:
+                cl = [cluster[j] for j in nb[i] if j in cores]
+                out[i] = (min(cl), "border") if cl else (-1, "noise")
+        return out
+
+    from pyspark.sql import functions as FF
+
+    @given(pts_strategy)
+    @settings(max_examples=8, deadline=None)
+    def check(points):
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(points)], "id: long, x: long, y: long"
+        )
+        got = {
+            r["id"]: (r["cluster_id"], r["role"])
+            for r in dbscan_grid_2d(df, "id", "x", "y", eps=7, min_pts=3).collect()
+        }
+        assert got == brute(points, 7, 3)
+
+    check()
+
+
+def test_interval_islands_matches_bruteforce_hypothesis(spark):
+    """Property: the two-kernel islands sweep (global_running_max +
+    global_prefix_sum) == a sequential python sweep on random interval
+    sets, including heavy ties and full-overlap degeneracies."""
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators.ranking import (
+        global_prefix_sum,
+        global_running_max,
+    )
+    from pyspark.sql import functions as FF
+
+    ivs = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=1, max_value=8)),
+        min_size=1, max_size=30,
+    )
+
+    def brute(intervals):
+        rows = sorted(
+            (s, s + ln, k) for k, (s, ln) in enumerate(intervals)
+        )
+        islands = []
+        for s, e, _ in rows:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        return sorted((i + 1, st_, en, n) for i, (st_, en, n) in enumerate(islands))
+
+    @given(ivs)
+    @settings(max_examples=8, deadline=None)
+    def check(intervals):
+        df = spark.createDataFrame(
+            [(k, s, s + ln) for k, (s, ln) in enumerate(intervals)],
+            "k: long, s: long, e: long",
+        )
+        order = ["s", "e", "k"]
+        m = global_running_max(df, order, {"e": "pm"}, partitions=4)
+        fl = m.withColumn(
+            "flag", FF.when(FF.col("pm").isNull() | (FF.col("s") > FF.col("pm")), 1).otherwise(0)
+        ).localCheckpoint(eager=True)
+        isl = global_prefix_sum(fl, order, {"flag": "island"}, partitions=4)
+        got = sorted(
+            (r["island"], r["st"], r["en"], r["n"])
+            for r in isl.groupBy("island")
+            .agg(FF.min("s").alias("st"), FF.max("e").alias("en"),
+                 FF.count(FF.lit(1)).alias("n"))
+            .collect()
+        )
+        assert got == brute(intervals)
+
+    check()
