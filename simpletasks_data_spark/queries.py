@@ -136,6 +136,17 @@ _CHECK_FIRST = [
     "rollup_revenue_geo",
     "target_encode_mktsegment",
     "interpolate_daily_revenue",
+    # -- never checked: round-6 additions (newest = riskiest, so they
+    #    ride THIS round's window; the displaced older backlog moves to
+    #    position 51+) --
+    "dbscan_embeddings_grid",
+    "interval_islands_orders",
+    "hilbert_layout_orders",
+    "heavy_hitters_two_pass",
+    "theilsen_trend_revenue",
+    "mutual_info_features",
+    "jsd_drift_by_source",
+    "dp_noisy_counts_nation",
     # -- never checked: earlier backlog (oldest families first) --
     "bloom_semi_join_orders",
     "corpus_hash_split",
@@ -147,6 +158,10 @@ _CHECK_FIRST = [
     "chunk_documents",
     "pack_sequences",
     "embedding_quantize_int8",
+    # ---- position 51+ from here: round-7 candidates (still never
+    #      checked; new-round additions land at the FRONT of this block
+    #      as they are written), then the proven-green remainder (all
+    #      pinned every run by the local oracle-parity suite) ----
     "weighted_sample_quality",
     "balance_mixture_langs",
     "cube_qty_by_flag_status",
@@ -155,20 +170,6 @@ _CHECK_FIRST = [
     "boilerplate_ngram_fraction",
     "corpus_health_by_source",
     "bucketed_join_orders_customer",
-    # ---- position 51+ from here: round-7 candidates (still never
-    #      checked; round-6 additions land at the FRONT of this block
-    #      as they are written), then the proven-green remainder (all
-    #      pinned every run by the local oracle-parity suite) ----
-    # -- round-6 additions (never checked) --
-    "dbscan_embeddings_grid",
-    "interval_islands_orders",
-    "hilbert_layout_orders",
-    "heavy_hitters_two_pass",
-    "theilsen_trend_revenue",
-    "mutual_info_features",
-    "jsd_drift_by_source",
-    "dp_noisy_counts_nation",
-    # -- older backlog --
     "events_funnel_conversion",
     "events_retention_cohorts",
     "events_anomaly_zscore",
