@@ -124,12 +124,18 @@ class ImportJob:
         self.warnings = []
         for source, bound in zip(sources, bounds):
             self.progress("merge_source", source=source.name)
+            # per-source child logger, as the reference scopes its row-loop
+            # logging (importtask.py:206 ``self.logger.getChild(source.name)``)
+            slog = self.logger.getChild(source.name)
             step = merge_source(self.spark, image, source, bound, target_cols)
             # merge_source already checkpointed the merged frame; the image
             # here is a thin projection over it (no re-execution).
             image = step.image
             per_source.append(step.counters)
             self.warnings.append(step.warnings)
+            slog.info("merged: %s", step.counters)
+            for w in step.warnings:
+                slog.warning("%s", w)
         results["sources"] = per_source
 
         results["postprocess"] = self.post_process()
