@@ -178,6 +178,8 @@ BENCH_QUERIES = [
     "mutual_info_features",
     "jsd_drift_by_source",
     "dp_noisy_counts_nation",
+    "graph_hyperball_suppliers",
+    "sketch_sample_quantiles",
 ]
 
 

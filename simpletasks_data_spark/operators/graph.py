@@ -746,3 +746,69 @@ def sssp_bounded(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def hyperball_neighborhood(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    radius: int = 3,
+    b: int = 6,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "HyperBall: a.k.a. HyperLogLog in
+    BigData", 2013): the neighborhood function N(t) = sum over nodes of
+    |ball(v, t)|, estimated by maintaining ONE mergeable HLL register set
+    per node and max-merging each node's registers with its neighbors'
+    each round — the sketch that makes effective-diameter/centrality
+    computable at 100 TB where exact all-pairs BFS
+    (state = nodes x reached) cannot exist. Registers use the portable
+    md5 hash (operators/sketches.hll_prepare), so estimates are
+    engine-exact and the oracle can replay the rounds in SQL.
+
+    Per round exactly one equi-join (neighbor registers) + one max agg
+    on the checkpointed (node, bucket, reg) frame — the bounded-rounds
+    discipline of :func:`sssp_bounded`. State is <= m rows per node.
+
+    Returns one row per t in 0..radius:
+    ``(radius, n_nodes, est_reach)`` where est_reach = sum of per-node
+    HLL ball-size estimates (each rounded to 4 before the sum, matching
+    the SQL twin).
+    """
+    from .sketches import hll_finalize, hll_prepare
+
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .unionAll(edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = und.select(F.col("_a").alias("id")).distinct()
+    regs = (
+        hll_prepare(nodes.withColumn("_val", F.col("id")), "_val", ["id"], b=b)
+        .groupBy("id", "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _tick(t: int, r: DataFrame) -> DataFrame:
+        est = hll_finalize(r.withColumnRenamed("_reg", "_reg"), ["id"], b=b)
+        return est.agg(
+            F.lit(t).cast("long").alias("radius"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.round(F.sum("est_distinct"), 4).alias("est_reach"),
+        )
+
+    out = _tick(0, regs)
+    for t in range(1, radius + 1):
+        neigh = (
+            und.join(regs, und["_b"] == regs["id"])
+            .select(F.col("_a").alias("id"), "_bucket", "_reg")
+        )
+        regs = (
+            regs.unionByName(neigh)
+            .groupBy("id", "_bucket")
+            .agg(F.max("_reg").alias("_reg"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(_tick(t, regs))
+    return out

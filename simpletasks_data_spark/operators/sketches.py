@@ -42,6 +42,7 @@ __all__ = [
     "histogram_quantile",
     "cms_table",
     "cms_estimate",
+    "bottomk_sample_quantiles",
 ]
 
 _TWO60 = float(1 << 60)
@@ -286,4 +287,44 @@ def kmv_set_ops(
         F.round(est_union, 4).alias("est_union"),
         F.round(est_inter, 4).alias("est_intersection"),
         F.round(inter_kept.cast("double") / n, 4).alias("jaccard_est"),
+    )
+
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key: Column,
+    k: int = 512,
+    ps: Sequence[float] = (0.1, 0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Quantile sketch via a BOTTOM-K portable-hash sample (the KMV
+    trick pointed at order statistics): keep the k rows whose md5(key)
+    is smallest — a uniform, deterministic, MERGEABLE sample (union two
+    sketches, re-take bottom-k) — and read each requested quantile as
+    the ceil(p*k)-th order statistic of the sample (rank error
+    O(1/sqrt(k)) whp). The engine-exact alternative to an opaque
+    t-digest: both engines select the IDENTICAL sample, so estimates
+    hash-match bit-for-bit. The bottom-k itself is a TakeOrdered
+    (per-partition top-k + driver merge of k-row heads), never a global
+    sort; the sample-side window runs on <= k rows.
+
+    Returns ``(p, est_value, k_sample)`` — one row per requested p.
+    """
+    spark = df.sparkSession
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    sample = (
+        df.select(F.col(value_col).alias("_v"), h.alias("_h"))
+        .orderBy("_h")
+        .limit(k)
+    )
+    w = Window.orderBy("_v", "_h")
+    ranked = sample.withColumn("_rn", F.row_number().over(w))
+    kk = ranked.agg(F.count(F.lit(1)).alias("_k"))
+    targets = spark.createDataFrame([(float(p),) for p in ps], "p: double")
+    want = targets.crossJoin(F.broadcast(kk)).withColumn(
+        "_r", F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_k")).cast("int"))
+    )
+    return (
+        ranked.join(F.broadcast(want), ranked["_rn"] == want["_r"])
+        .select("p", F.col("_v").alias("est_value"), F.col("_k").cast("long").alias("k_sample"))
     )

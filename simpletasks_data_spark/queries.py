@@ -142,6 +142,8 @@ _CHECK_FIRST = [
     "dbscan_embeddings_grid",
     "interval_islands_orders",
     "hilbert_layout_orders",
+    "graph_hyperball_suppliers",
+    "sketch_sample_quantiles",
     "heavy_hitters_two_pass",
     "theilsen_trend_revenue",
     "mutual_info_features",
@@ -156,12 +158,12 @@ _CHECK_FIRST = [
     "bpe_token_count",
     "tfidf_top_terms",
     "chunk_documents",
-    "pack_sequences",
-    "embedding_quantize_int8",
     # ---- position 51+ from here: round-7 candidates (still never
     #      checked; new-round additions land at the FRONT of this block
     #      as they are written), then the proven-green remainder (all
     #      pinned every run by the local oracle-parity suite) ----
+    "pack_sequences",
+    "embedding_quantize_int8",
     "weighted_sample_quality",
     "balance_mixture_langs",
     "cube_qty_by_flag_status",
@@ -14868,3 +14870,144 @@ def dbscan_embeddings_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((qsum / 8) * 1000, 0).cast("long").alias("qy"),
     )
     return dbscan_grid_2d(pts, "vec_id", "qx", "qy", eps=20, min_pts=5)
+
+
+def _hyperball_oracle_sql(radius: int = 3, denom: int = 10, m: int = 64) -> str:
+    """Unrolled HyperBall rounds over the kcore query's co-supply edge
+    cut (DuckDB twin of operators/graph.hyperball_neighborhood at b=6;
+    register math mirrors the sketch_hll_distinct oracle)."""
+    wbits_p1 = 61 - (m.bit_length() - 1)  # 60 - b + 1
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    parts = []
+    selects = []
+    for t in range(0, radius + 1):
+        if t > 0:
+            parts.append(f"""r{t} AS MATERIALIZED (
+  SELECT id, _bucket, max(_reg) AS _reg FROM (
+    SELECT id, _bucket, _reg FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS id, r._bucket, r._reg
+    FROM und e JOIN r{t - 1} r ON r.id = e.dst
+  ) GROUP BY 1, 2
+)""")
+        parts.append(f"""z{t} AS (
+  SELECT id,
+         sum(pow(2.0, -_reg)) + ({m} - count(*)) AS _z,
+         CAST({m} - count(*) AS DOUBLE) AS _v
+  FROM r{t} GROUP BY id
+),
+est{t} AS (
+  SELECT id,
+         round(CASE WHEN {alpha} * {m} * {m} / _z <= {2.5 * m} AND _v > 0
+                    THEN {float(m)} * ln({float(m)} / _v)
+                    ELSE {alpha} * {m} * {m} / _z END, 4) AS est
+  FROM z{t}
+)""")
+        selects.append(
+            f"SELECT CAST({t} AS BIGINT) AS radius,"
+            f" CAST(count(*) AS BIGINT) AS n_nodes,"
+            f" round(sum(est), 4) AS est_reach FROM est{t}"
+        )
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+sup AS (SELECT u, v, count(*) AS n FROM pairs GROUP BY u, v),
+edges AS (
+  SELECT u, v FROM (
+    SELECT u, v,
+           row_number() OVER (ORDER BY n DESC, u ASC, v ASC) AS rn,
+           count(*) OVER () AS total
+    FROM sup
+  ) WHERE rn <= ceil(total / {denom}.0)
+),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT u AS src, v AS dst FROM edges UNION ALL SELECT v, u FROM edges
+)),
+n0 AS (SELECT DISTINCT src AS id FROM und),
+h0 AS (
+  SELECT id,
+         CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM n0
+),
+r0 AS MATERIALIZED (
+  SELECT id, h % {m} AS _bucket,
+         CASE WHEN (h >> {m.bit_length() - 1}) = 0 THEN {wbits_p1}
+              ELSE {wbits_p1} - length(ltrim(bin(h >> {m.bit_length() - 1}), '0'))
+         END AS _reg
+  FROM h0
+),
+{", ".join(parts)}
+SELECT * FROM ({" UNION ALL ".join(selects)})
+"""
+
+
+@register("graph_hyperball_suppliers", _hyperball_oracle_sql(3, 10, 64))
+def graph_hyperball_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function of the supplier co-supply graph by
+    HyperBall (Boldi & Vigna 2013): N(t) for t = 0..3 estimated from ONE
+    mergeable HLL register set per node, max-merged with neighbors each
+    round — how effective diameter / reach centrality is computed when
+    exact all-pairs BFS state (nodes x reached, graph_reach_hubs'
+    contract for bounded seed cohorts) cannot exist at 100 TB. Registers
+    ride the portable md5 hash, so both engines hold bit-identical
+    sketches and the oracle replays the rounds in SQL. Per round: one
+    register equi-join + one max agg (state <= 64 rows/node); same edge
+    cut as graph_kcore_suppliers."""
+    from .operators.graph import hyperball_neighborhood
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    sup = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    edges = _top_frac_edges(sup, 10)
+    return hyperball_neighborhood(edges, "u", "v", radius=3, b=6)
+
+
+@register("sketch_sample_quantiles", """
+WITH keyed AS (
+  SELECT l_extendedprice AS _v,
+         CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
+              CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) AS _h
+  FROM lineitem
+),
+sample AS (SELECT _v, _h FROM keyed ORDER BY _h LIMIT 512),
+ranked AS (
+  SELECT _v, row_number() OVER (ORDER BY _v, _h) AS _rn,
+         count(*) OVER () AS _k
+  FROM sample
+),
+targets AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
+SELECT t.p, r._v AS est_value, CAST(r._k AS BIGINT) AS k_sample
+FROM targets t JOIN ranked r
+  ON r._rn = greatest(1, CAST(ceil(t.p * r._k) AS INT))
+""")
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of l_extendedprice from a 512-point BOTTOM-K
+    portable-hash sample (operators/sketches.bottomk_sample_quantiles):
+    the KMV trick aimed at order statistics. The sample is uniform
+    (md5 rank), deterministic, and MERGEABLE — union two sketches and
+    re-take bottom-k — so shards sketch independently and combine
+    exactly, where an engine-private percentile_approx could never
+    hash-match an oracle. Rank error O(1/sqrt(k)) whp; the exact-answer
+    siblings are sketch_histogram_quantile (fixed grid) and
+    exact_median_price_by_priority (two-pass). Bottom-k plans as
+    TakeOrdered (per-partition heads, no global sort); the ranking
+    window touches <= 512 rows."""
+    from .operators.sketches import bottomk_sample_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
+    )
+    return bottomk_sample_quantiles(li, "l_extendedprice", key, k=512)

@@ -242,6 +242,7 @@ def test_plan_lint_no_antipatterns(spark):
         # is its declared design, window-checked via `extra` below)
         "dp_noisy_counts_nation", "mutual_info_features",
         "jsd_drift_by_source", "heavy_hitters_two_pass",
+        "sketch_sample_quantiles",
     ]
     bad = {}
     for name in LAZY:

@@ -184,3 +184,61 @@ def test_interval_islands_matches_bruteforce_hypothesis(spark):
         assert got == brute(intervals)
 
     check()
+
+
+def test_hyperball_monotone_and_exact_on_tiny_graph(spark):
+    """On a tiny graph, HyperBall's per-round reach must be monotone
+    non-decreasing, keep n_nodes constant, and (registers being exact
+    via linear counting at these set sizes) match the exact ball sizes
+    from a brute-force BFS within 5%."""
+    from simpletasks_data_spark.operators.graph import hyperball_neighborhood
+
+    # path 1-2-3-4-5 plus a triangle 10-11-12
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    rows = {r["radius"]: r for r in hyperball_neighborhood(df, "u", "v", radius=3).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert len({r["n_nodes"] for r in rows.values()}) == 1 and rows[0]["n_nodes"] == 8
+    reaches = [rows[t]["est_reach"] for t in range(4)]
+    assert all(b >= a for a, b in zip(reaches, reaches[1:]))
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    exact = []
+    for t in range(4):
+        total = 0
+        for n in adj:
+            ball = {n}
+            for _ in range(t):
+                ball |= {w for x in ball for w in adj.get(x, ())}
+            total += len(ball)
+        exact.append(total)
+    for est, ex in zip(reaches, exact):
+        assert abs(est - ex) / ex < 0.05, (est, ex)
+
+
+def test_bottomk_sample_quantiles_mergeable(spark):
+    """Merge property: sketching the union == unioning two per-shard
+    bottom-k samples and re-sketching — the property that lets shards
+    sketch independently."""
+    from pyspark.sql import functions as FF
+
+    from simpletasks_data_spark.operators.sketches import bottomk_sample_quantiles
+
+    full = spark.range(2000).select(
+        F.col("id"), (F.hash(F.col("id") * 7) % 10000).alias("val")
+    )
+    k = 64
+    whole = sorted(
+        tuple(r) for r in bottomk_sample_quantiles(full, "val", F.col("id"), k=k).collect()
+    )
+    h = FF.conv(FF.substring(FF.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    shard_a = full.where(F.col("id") % 2 == 0).select("id", "val", h.alias("_h")).orderBy("_h").limit(k)
+    shard_b = full.where(F.col("id") % 2 == 1).select("id", "val", h.alias("_h")).orderBy("_h").limit(k)
+    merged = shard_a.unionByName(shard_b).select("id", "val")
+    remerged = sorted(
+        tuple(r) for r in bottomk_sample_quantiles(merged, "val", F.col("id"), k=k).collect()
+    )
+    assert whole == remerged
