@@ -600,6 +600,35 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIGNATURE_STORE: Dict[tuple, tuple] = {}
+_CO_SUPPLY_STORE: Dict[tuple, DataFrame] = {}
+
+
+def _co_supply_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-supply support frame ``(u, v, n)`` (u < v, n = shared
+    orders as BIGINT), materialized once per session+sf_dir — six graph
+    queries (triangles, communities, walks, k-core, percolation,
+    HyperBall) consume the same pair expansion; in one session they now
+    share a single build. The expansion itself is the sorted
+    collect_set + positional slice (bounded by C(suppliers/order, 2)),
+    never a lineitem self-join."""
+    key = (id(spark.sparkContext), sf_dir)
+    ent = _CO_SUPPLY_STORE.get(key)
+    if ent is not None:
+        return ent
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
+        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
+    )
+    sup = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    _CO_SUPPLY_STORE[key] = sup
+    return sup
 
 
 def _signature_store(spark: SparkSession, sf_dir: str):
@@ -7788,19 +7817,7 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the expansion stays bounded by C(distinct suppliers per order, 2)."""
     from .operators.graph import triangle_count
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 5)
-        .drop("_n")
-    )
+    edges = _co_supply_store(spark, sf_dir).where(F.col("n") >= 5).select("u", "v")
     cnt = triangle_count(edges)
     w = Window.orderBy(F.desc("n_triangles"), F.asc("id"))
     return (
@@ -8336,20 +8353,9 @@ def communities_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     spells it as the naive self-join)."""
     from .operators.graph import label_propagation
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    # three consumers (K, histogram, threshold filter) — materialize the
-    # support frame once instead of re-running pair expansion per branch
-    sup = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    # session-shared support frame (three consumers here: K, histogram,
+    # threshold filter — plus five sibling graph queries)
+    sup = _co_supply_store(spark, sf_dir)
     # distributed top-K (K = 1% of pairs): the oracle's global rank
     # window would sort EVERY pair on one partition — _top_frac_edges
     # derives the support threshold from the (tiny) support histogram
@@ -9605,19 +9611,7 @@ def _supplier_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_walks_ctes`` exactly."""
     from .operators.graph import random_walks
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 5)
-        .drop("_n")
-    )
+    edges = _co_supply_store(spark, sf_dir).where(F.col("n") >= 5).select("u", "v")
     return random_walks(edges, length=5, seed="walk", max_degree=64)
 
 
@@ -10278,18 +10272,7 @@ def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut."""
     from .operators.graph import k_core
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    sup = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    sup = _co_supply_store(spark, sf_dir)
     edges = _top_frac_edges(sup, 10)
     out = k_core(edges, k=3, max_rounds=8)
     return out.select(F.col("node").cast("long").alias("suppkey"), "peel_round")
@@ -11971,18 +11954,7 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     three report rows union into one frame."""
     from .operators.graph import connected_components
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    ec = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    ec = _co_supply_store(spark, sf_dir).select("u", "v", F.col("n").alias("c"))
     hist = ec.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("m"))
     wcum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
     hcum = hist.select("c", F.sum("m").over(wcum).alias("cum"))
@@ -12684,18 +12656,7 @@ def graph_reach_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k), not a global sort."""
     from .operators.graph import bfs_reach
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    prs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    sup = (
-        prs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    sup = _co_supply_store(spark, sf_dir)
     edges = _top_frac_edges(sup, 10).localCheckpoint(eager=True)
     und = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -13697,14 +13658,7 @@ def sssp_hub_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one min agg per round (operators/graph.sssp_bounded)."""
     from .operators.graph import sssp_bounded
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    prs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    sup = prs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n"))
+    sup = _co_supply_store(spark, sf_dir)
     we = sup.select(
         "u", "v", F.greatest(F.lit(1), F.lit(9) - F.col("n")).cast("long").alias("w")
     ).localCheckpoint(eager=True)
@@ -14958,18 +14912,7 @@ def graph_hyperball_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut as graph_kcore_suppliers."""
     from .operators.graph import hyperball_neighborhood
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
-    )
-    pairs = sets.select(F.posexplode("ss").alias("i", "u"), "ss").select(
-        "u", F.explode(F.slice("ss", F.col("i") + 2, F.size("ss"))).alias("v")
-    )
-    sup = (
-        pairs.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    sup = _co_supply_store(spark, sf_dir)
     edges = _top_frac_edges(sup, 10)
     return hyperball_neighborhood(edges, "u", "v", radius=3, b=6)
 
