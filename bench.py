@@ -180,6 +180,12 @@ BENCH_QUERIES = [
     "dp_noisy_counts_nation",
     "graph_hyperball_suppliers",
     "sketch_sample_quantiles",
+    # round-6 late batch
+    "clustering_coeff_suppliers",
+    "mutual_knn_match_embeddings",
+    "mann_kendall_daily_revenue",
+    "frequent_event_ngrams",
+    "sorted_neighborhood_linkage",
 ]
 
 

@@ -162,6 +162,12 @@ _CHECK_FIRST = [
     #      checked; new-round additions land at the FRONT of this block
     #      as they are written), then the proven-green remainder (all
     #      pinned every run by the local oracle-parity suite) ----
+    # round-6 late batch (newest = riskiest)
+    "clustering_coeff_suppliers",
+    "mutual_knn_match_embeddings",
+    "mann_kendall_daily_revenue",
+    "frequent_event_ngrams",
+    "sorted_neighborhood_linkage",
     "pack_sequences",
     "embedding_quantize_int8",
     "weighted_sample_quality",
@@ -14954,3 +14960,398 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("string"), F.lit(":"), F.col("l_linenumber").cast("string")
     )
     return bottomk_sample_quantiles(li, "l_extendedprice", key, k=512)
+
+
+# ===========================================================================
+# Round-6 late batch: graph local structure, reciprocal ANN matching,
+# non-parametric trend testing, sequential pattern mining, and
+# sorted-neighborhood record-linkage blocking.
+# ===========================================================================
+
+
+@register("clustering_coeff_suppliers", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+edges AS (SELECT u, v FROM pairs GROUP BY u, v HAVING count(*) >= 5),
+und AS (SELECT u AS id FROM edges UNION ALL SELECT v FROM edges),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY id),
+paths AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+),
+tri AS (SELECT p.a, p.b, p.c FROM paths p JOIN edges e ON e.u = p.a AND e.v = p.c),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY id),
+coef AS (
+  SELECT deg.id, deg.d, coalesce(tcnt.t, 0) AS n_triangles,
+         round(CAST(2 * coalesce(tcnt.t, 0) AS DOUBLE)
+             / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE)), 6) AS coef
+  FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+  WHERE deg.d >= 2
+),
+r AS (
+  SELECT id, d, n_triangles, coef,
+         row_number() OVER (ORDER BY coef DESC, d DESC, id ASC) AS rank
+  FROM coef
+)
+SELECT CAST(id AS BIGINT) AS suppkey, d AS degree, n_triangles, coef,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10
+""")
+def clustering_coeff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier over the co-supply
+    graph (support >= 5): c(v) = 2*T(v) / (deg(v)*(deg(v)-1)) — how
+    clique-like each supplier's neighborhood is, the per-node refinement
+    of supplier_triangles' raw counts (fraud-ring scoring wants the
+    NORMALIZED signal: a hub with many triangles but a huge open
+    neighborhood is not a ring). Scale shape: reuses the session
+    co-supply store (one shuffle ever), triangle counts via the
+    id-oriented two-equi-join enumeration (operators/graph.py), degrees
+    from one union+agg over the edge list; the top-10 rank runs on the
+    per-node frame (bounded by the supplier DIMENSION, not fact rows)
+    and compiles to a map-side WindowGroupLimit. Coefficients are
+    rounded to 6 BEFORE ranking so the order key is engine-identical."""
+    from .operators.graph import triangle_count
+
+    edges = _co_supply_store(spark, sf_dir).where(F.col("n") >= 5).select("u", "v")
+    und = edges.select(F.col("u").alias("id")).unionAll(edges.select(F.col("v").alias("id")))
+    deg = und.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    tri = triangle_count(edges)
+    coef = (
+        deg.join(tri, "id", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            "id",
+            "d",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                (F.coalesce(F.col("n_triangles"), F.lit(0)) * 2).cast("double")
+                / (F.col("d").cast("double") * (F.col("d") - 1).cast("double")),
+                6,
+            ).alias("coef"),
+        )
+    )
+    w = Window.orderBy(F.desc("coef"), F.desc("d"), F.asc("id"))
+    return (
+        coef.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select(F.col("id").alias("suppkey"), F.col("d").alias("degree"), "n_triangles", "coef", "rank")
+    )
+
+
+@register("mutual_knn_match_embeddings", f"""
+WITH {SQL_EMB_NORM},
+cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+),
+best AS (SELECT query_id, neighbor_id, sim_r FROM r WHERE rank = 1)
+SELECT a.query_id AS id_a, a.neighbor_id AS id_b, round(a.sim_r, 4) AS cosine
+FROM best a JOIN best b
+  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+WHERE a.query_id < a.neighbor_id
+""")
+def mutual_knn_match_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match pairs: (a, b) is a match iff b is a's
+    nearest neighbor AND a is b's — the high-precision filter entity
+    resolution and cross-lingual alignment use on top of raw kNN (a
+    one-sided nearest neighbor is often a hub; mutuality kills hubness).
+    Candidate generation is the declared-recall sign-bit IVF cell
+    equi-join (same contract as knn_ivf_signbits), k=1 per node via a
+    per-cell WindowGroupLimit, then the mutual filter is one self
+    EQUI-join of the |nodes|-row best-edge frame on the reversed pair —
+    never an all-pairs product."""
+    emb = load(spark, sf_dir, "embeddings")
+    best = SIM.knn_ivf_signbits(emb, emb, k=1, bits=6).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    a, b = best.alias("a"), best.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.query_id")),
+        )
+        .where(F.col("a.query_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.query_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+            F.col("a.cosine").alias("cosine"),
+        )
+    )
+
+
+@register("mann_kendall_daily_revenue", """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1995-01-01', o_orderdate) AS dday,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-01-01'
+  GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON a.dday < b.dday
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cents) g
+),
+m AS (
+  SELECT nn.n_days, s.n_pairs, s.s_stat,
+         round((CAST(nn.n_days AS DOUBLE) * CAST(nn.n_days - 1 AS DOUBLE)
+              * CAST(2 * nn.n_days + 5 AS DOUBLE)
+              - CAST(ties.tie_term AS DOUBLE)) / 18.0, 4) AS var_s,
+         round((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                     WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                     ELSE CAST(0 AS DOUBLE) END)
+             / sqrt((CAST(nn.n_days AS DOUBLE) * CAST(nn.n_days - 1 AS DOUBLE)
+                   * CAST(2 * nn.n_days + 5 AS DOUBLE)
+                   - CAST(ties.tie_term AS DOUBLE)) / 18.0), 4) AS z
+  FROM nn, s, ties
+)
+SELECT n_days, n_pairs, s_stat, var_s, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM m
+""")
+def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test on 1995 daily revenue —
+    the significance test that pairs with theilsen_trend_revenue's
+    slope estimate (same bounded day grid, same exact-integer-cents
+    series): S = sum of pairwise sign comparisons, tie-corrected
+    variance, continuity-corrected z, and the 5%-level verdict. Every
+    moment (S, n, tie term) is an exact BIGINT sum — order-independent
+    under partial aggregation — and z is one identical double
+    expression per engine. Scale shape: the raw scan collapses to the
+    calendar-bounded day grid (<= 365 rows at ANY data size) in one
+    agg; the pairwise frame is the deliberate bounded-grid self-join
+    theilsen already declares; outputs are three 1-row broadcasts."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    daily = (
+        orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("dday"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("dday")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.cents") > F.col("a.cents"), F.lit(1))
+        .when(F.col("b.cents") < F.col("a.cents"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s = a.join(b, F.col("a.dday") < F.col("b.dday")).agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (t * 2 + 5)), F.lit(0))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    m = nn.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    var_raw = (
+        F.col("n_days").cast("double")
+        * (F.col("n_days") - 1).cast("double")
+        * (F.col("n_days") * 2 + 5).cast("double")
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    z_num = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0).cast("double"))
+    )
+    m = m.select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.round(var_raw, 4).alias("var_s"),
+        F.round(z_num / F.sqrt(var_raw), 4).alias("z"),
+    )
+    return m.select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "var_s",
+        "z",
+        F.when(F.col("z") > 1.96, F.lit("increasing"))
+        .when(F.col("z") < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )
+
+
+@register("frequent_event_ngrams", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+  FROM events
+),
+grams AS (
+  SELECT user_id, 2 AS n, concat(p1, '>', event_type) AS pattern
+  FROM seq WHERE p1 IS NOT NULL
+  UNION ALL
+  SELECT user_id, 3 AS n, concat(p2, '>', p1, '>', event_type) AS pattern
+  FROM seq WHERE p2 IS NOT NULL
+),
+sup AS (
+  SELECT n, pattern, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM grams GROUP BY n, pattern
+),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS total_users FROM events),
+r AS (
+  SELECT n, pattern, n_users,
+         row_number() OVER (PARTITION BY n ORDER BY n_users DESC, pattern ASC) AS rank
+  FROM sup
+)
+SELECT CAST(r.n AS BIGINT) AS n, r.pattern, r.n_users,
+       round(CAST(r.n_users AS DOUBLE) / CAST(u.total_users AS DOUBLE), 4) AS support,
+       CAST(r.rank AS BIGINT) AS rank
+FROM r, u WHERE r.rank <= 10
+""")
+def frequent_event_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, PrefixSpan support semantics on
+    contiguous patterns: the top-10 event-type bigrams and trigrams by
+    the NUMBER OF USERS whose clickstream contains them (presence, not
+    occurrence — one hyperactive user can't promote a pattern). The
+    contiguity restriction is what keeps this linear: gapped
+    subsequence enumeration is O(L^3) per user, contiguous n-grams are
+    O(L) via two lag windows over the (user, ts) order sessionization
+    already shuffles on. Support counting is a distinct-user hash agg
+    per pattern; the ranking window runs on the pattern frame (bounded
+    by |event_types|^3, a vocabulary grid, never row-scaled) and
+    compiles to a per-n WindowGroupLimit."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("p1", F.lag("event_type", 1).over(w)).withColumn(
+        "p2", F.lag("event_type", 2).over(w)
+    )
+    bi = seq.where(F.col("p1").isNotNull()).select(
+        "user_id",
+        F.lit(2).alias("n"),
+        F.concat(F.col("p1"), F.lit(">"), F.col("event_type")).alias("pattern"),
+    )
+    tri = seq.where(F.col("p2").isNotNull()).select(
+        "user_id",
+        F.lit(3).alias("n"),
+        F.concat(
+            F.col("p2"), F.lit(">"), F.col("p1"), F.lit(">"), F.col("event_type")
+        ).alias("pattern"),
+    )
+    sup = (
+        bi.unionAll(tri)
+        .groupBy("n", "pattern")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    total = ev.agg(F.countDistinct("user_id").cast("long").alias("total_users"))
+    wr = Window.partitionBy("n").orderBy(F.desc("n_users"), F.asc("pattern"))
+    return (
+        sup.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "pattern",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("total_users").cast("double"), 4
+            ).alias("support"),
+            "rank",
+        )
+    )
+
+
+@register("sorted_neighborhood_linkage", """
+WITH ranked AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_nationkey AS nationkey, a.c_acctbal AS bal_a, b.c_acctbal AS bal_b,
+       round(b.c_acctbal - a.c_acctbal, 2) AS bal_diff
+FROM ranked a JOIN ranked b
+  ON b.rn > a.rn AND b.rn - a.rn <= 3
+WHERE a.c_nationkey = b.c_nationkey
+  AND abs(b.c_acctbal - a.c_acctbal) <= 1.0
+""")
+def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking (Hernandez-Stolfo):
+    sort the full customer file by the blocking key (acctbal, custkey),
+    slide a window of w=3 ranks, and emit candidate pairs that survive
+    the match rule (same nation, balances within $1) — the classic
+    O(n log n) alternative to hash blocking when near-duplicates have
+    NO exact key in common. Distributed shape: the global sort rank
+    comes from operators/ranking.global_row_number (range exchange +
+    per-partition windows — no single-partition sort, the same kernel
+    conformal/revenue-concentration use), and the w-window self-join is
+    an EQUI-join on floor(rank/w) buckets with the probe side exploding
+    its own + previous bucket: rank distance <= w implies the pair
+    shares one of those two buckets, so the candidate set is exact and
+    per-bucket work is O(w^2). The oracle states the same window over a
+    plain SQL row_number."""
+    from .operators.ranking import global_row_number
+
+    w = 3
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    ranked, _n = global_row_number(
+        cust, [F.col("c_acctbal").asc(), F.col("c_custkey").asc()], out_col="rn"
+    )
+    bkt = F.floor((F.col("rn") - 1) / w)
+    a = ranked.select(
+        F.col("rn").alias("rn_a"),
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_acctbal").alias("bal_a"),
+        bkt.alias("bkt"),
+    )
+    b = ranked.select(
+        F.col("rn").alias("rn_b"),
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_acctbal").alias("bal_b"),
+        F.explode(F.array(bkt, bkt - 1)).alias("bkt"),
+    )
+    pairs = a.join(b, "bkt").where(
+        (F.col("rn_b") > F.col("rn_a")) & (F.col("rn_b") - F.col("rn_a") <= w)
+    )
+    return pairs.where(
+        (F.col("nat_a") == F.col("nat_b"))
+        & (F.abs(F.col("bal_b") - F.col("bal_a")) <= 1.0)
+    ).select(
+        "custkey_a",
+        "custkey_b",
+        F.col("nat_a").alias("nationkey"),
+        "bal_a",
+        "bal_b",
+        F.round(F.col("bal_b") - F.col("bal_a"), 2).alias("bal_diff"),
+    )

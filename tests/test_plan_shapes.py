@@ -243,6 +243,10 @@ def test_plan_lint_no_antipatterns(spark):
         "dp_noisy_counts_nation", "mutual_info_features",
         "jsd_drift_by_source", "heavy_hitters_two_pass",
         "sketch_sample_quantiles",
+        # round-6 late batch (lazily plannable; clustering_coeff /
+        # sorted_neighborhood / mann_kendall execute store builds or
+        # kernel collects at build time and ride `extra` below)
+        "mutual_knn_match_embeddings", "frequent_event_ngrams",
     ]
     bad = {}
     for name in LAZY:
@@ -334,6 +338,11 @@ def test_plan_lint_no_partitionless_windows(spark):
         # theilsen self-join (windows must still be zero)
         "hilbert_layout_orders", "interval_islands_orders",
         "theilsen_trend_revenue",
+        # round-6 late batch: co-supply store / ranking kernel at build
+        # time, plus mann_kendall's bounded day-grid self-join (same
+        # declared design as theilsen)
+        "clustering_coeff_suppliers", "sorted_neighborhood_linkage",
+        "mann_kendall_daily_revenue",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):
