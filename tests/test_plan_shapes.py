@@ -244,9 +244,10 @@ def test_plan_lint_no_antipatterns(spark):
         "jsd_drift_by_source", "heavy_hitters_two_pass",
         "sketch_sample_quantiles",
         # round-6 late batch (lazily plannable; clustering_coeff /
-        # sorted_neighborhood / mann_kendall execute store builds or
-        # kernel collects at build time and ride `extra` below)
+        # sorted_neighborhood / mann_kendall / sprt execute store builds
+        # or kernel collects at build time and ride `extra` below)
         "mutual_knn_match_embeddings", "frequent_event_ngrams",
+        "winsorized_mean_by_segment", "bloom_fpr_calibration",
     ]
     bad = {}
     for name in LAZY:
@@ -342,7 +343,7 @@ def test_plan_lint_no_partitionless_windows(spark):
         # time, plus mann_kendall's bounded day-grid self-join (same
         # declared design as theilsen)
         "clustering_coeff_suppliers", "sorted_neighborhood_linkage",
-        "mann_kendall_daily_revenue",
+        "mann_kendall_daily_revenue", "sprt_urgent_rate",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):
