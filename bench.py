@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "sprt_urgent_rate",
     "winsorized_mean_by_segment",
     "bloom_fpr_calibration",
+    "matryoshka_recall_eval",
 ]
 
 

@@ -171,6 +171,7 @@ _CHECK_FIRST = [
     "sprt_urgent_rate",
     "winsorized_mean_by_segment",
     "bloom_fpr_calibration",
+    "matryoshka_recall_eval",
     "pack_sequences",
     "embedding_quantize_int8",
     "weighted_sample_quality",
@@ -15602,4 +15603,100 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(3 * 4096).cast("double") / F.col("n_build_keys").cast("double"), 4
             ).alias("bits_per_key"),
         )
+    )
+
+
+def _mrl_branch_sql(d: int) -> str:
+    return f"""
+t{d} AS (SELECT vec_id, v[1:{d}] AS v FROM e),
+t{d}n AS (SELECT vec_id, v,
+          sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM t{d}),
+t{d}p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM t{d}n q JOIN t{d}n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+t{d}top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim_r DESC, neighbor_id) AS rank
+    FROM t{d}p
+  ) WHERE rank <= 5
+),
+t{d}r AS (
+  SELECT CAST({d} AS BIGINT) AS dim,
+         CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+         CAST(count(DISTINCT f.query_id) AS BIGINT) AS n_queries
+  FROM ftop f LEFT JOIN t{d}top t
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+)"""
+
+
+@register("matryoshka_recall_eval", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+fn AS (SELECT vec_id, v,
+       sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+fp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM fn q JOIN fn c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % 20 = 0
+),
+ftop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim_r DESC, neighbor_id) AS rank
+    FROM fp
+  ) WHERE rank <= 5
+),{_mrl_branch_sql(8)},{_mrl_branch_sql(16)}
+SELECT dim, n_queries, n_hits,
+       round(CAST(n_hits AS DOUBLE) / CAST(5 * n_queries AS DOUBLE), 4)
+         AS recall_at_5
+FROM (SELECT * FROM t8r UNION ALL SELECT * FROM t16r)
+""")
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation: retrieval recall@5 of the
+    8- and 16-dim PREFIXES of the 64-dim embeddings against the
+    full-dimension ground truth — the measurement behind the
+    shortlist-with-truncated-dims / rerank-with-full-dims serving
+    pattern (MRL): if prefix recall is high, the ANN index only needs
+    the prefix and the memory/shuffle footprint drops 4-8x. Ground
+    truth and both prefix runs use the declared O(q*c) brute-force
+    baseline (same contract as knn_bruteforce/ann_recall_report);
+    recall aggregates as an exact integer hit count divided once.
+    Truncation is a map-only F.slice — at 100 TB the prefix frames are
+    narrower scans, never a recompute of the corpus."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    is_query = F.col("vec_id") % 20 == 0
+    full_top = SIM.knn_bruteforce(
+        emb, emb.where(is_query), k=5, broadcast_candidates=True
+    ).select("query_id", "neighbor_id")
+    outs = []
+    for d in (8, 16):
+        td = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        ttop = (
+            SIM.knn_bruteforce(td, td.where(is_query), k=5, broadcast_candidates=True)
+            .select("query_id", "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        outs.append(
+            full_top.join(ttop, ["query_id", "neighbor_id"], "left").agg(
+                F.lit(d).cast("long").alias("dim"),
+                F.count("_hit").cast("long").alias("n_hits"),
+                F.countDistinct("query_id").cast("long").alias("n_queries"),
+            )
+        )
+    u = outs[0].unionByName(outs[1])
+    return u.select(
+        "dim",
+        "n_queries",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / (F.col("n_queries") * 5).cast("double"), 4
+        ).alias("recall_at_5"),
     )

@@ -344,6 +344,10 @@ def test_plan_lint_no_partitionless_windows(spark):
         # declared design as theilsen)
         "clustering_coeff_suppliers", "sorted_neighborhood_linkage",
         "mann_kendall_daily_revenue", "sprt_urgent_rate",
+        # matryoshka rides the declared knn_bruteforce crossJoin baseline
+        # (excluded from the CartesianProduct lint like knn_bruteforce
+        # itself); its top-k windows must still all be partitioned
+        "matryoshka_recall_eval",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):
