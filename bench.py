@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "winsorized_mean_by_segment",
     "bloom_fpr_calibration",
     "matryoshka_recall_eval",
+    "seasonal_index_revenue",
 ]
 
 

@@ -172,6 +172,7 @@ _CHECK_FIRST = [
     "winsorized_mean_by_segment",
     "bloom_fpr_calibration",
     "matryoshka_recall_eval",
+    "seasonal_index_revenue",
     "pack_sequences",
     "embedding_quantize_int8",
     "weighted_sample_quality",
@@ -15699,4 +15700,74 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_hits").cast("double") / (F.col("n_queries") * 5).cast("double"), 4
         ).alias("recall_at_5"),
+    )
+
+
+@register("seasonal_index_revenue", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+per_dow AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM daily GROUP BY dow
+),
+overall AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(cents) AS BIGINT) AS sum_all
+  FROM daily
+)
+SELECT p.dow, p.n_days,
+       round(CAST(p.sum_cents AS DOUBLE) / CAST(p.n_days AS DOUBLE) / 100.0, 4)
+         AS avg_daily_revenue,
+       round((CAST(p.sum_cents AS DOUBLE) / CAST(p.n_days AS DOUBLE))
+           / (CAST(o.sum_all AS DOUBLE) / CAST(o.n_all AS DOUBLE)), 6)
+         AS seasonal_index
+FROM per_dow p, overall o
+""")
+def seasonal_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonal indices of daily revenue —
+    the classical-decomposition prep a forecaster runs before fitting a
+    trend (index > 1 = that weekday runs hot; divide the series by its
+    index to deseasonalize). The series snaps to exact integer cents,
+    both per-dow and overall moments are BIGINT sums (order-independent
+    partial aggregation), and each index is one identical ratio-of-
+    averages double expression per engine — composed as doubles, not
+    integer cross-products, so it cannot overflow at any scale. Shape:
+    one date agg collapses the fact scan to the calendar-bounded day
+    grid, the 7-row dow rollup and 1-row overall are grid aggs, and the
+    index is a broadcast crossJoin. DOW parity: DuckDB dayofweek is
+    0=Sunday..6; Spark's is 1..7 — the Spark side shifts by -1."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("cents"))
+        .select(
+            (F.dayofweek("d") - 1).cast("long").alias("dow"),
+            "cents",
+        )
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    overall = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("cents").cast("long").alias("sum_all"),
+    )
+    j = per_dow.crossJoin(F.broadcast(overall))
+    avg_d = F.col("sum_cents").cast("double") / F.col("n_days").cast("double")
+    avg_all = F.col("sum_all").cast("double") / F.col("n_all").cast("double")
+    return j.select(
+        "dow",
+        "n_days",
+        F.round(avg_d / 100.0, 4).alias("avg_daily_revenue"),
+        F.round(avg_d / avg_all, 6).alias("seasonal_index"),
     )

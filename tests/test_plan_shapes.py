@@ -248,6 +248,7 @@ def test_plan_lint_no_antipatterns(spark):
         # or kernel collects at build time and ride `extra` below)
         "mutual_knn_match_embeddings", "frequent_event_ngrams",
         "winsorized_mean_by_segment", "bloom_fpr_calibration",
+        "seasonal_index_revenue",
     ]
     bad = {}
     for name in LAZY:
