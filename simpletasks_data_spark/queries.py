@@ -15669,19 +15669,22 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (same contract as knn_bruteforce/ann_recall_report);
     recall aggregates as an exact integer hit count divided once.
     Truncation is a map-only F.slice — at 100 TB the prefix frames are
-    narrower scans, never a recompute of the corpus."""
+    narrower scans, never a recompute of the corpus. Broadcast of the
+    candidate side is left on the "auto" row-count gate
+    (knn_bruteforce max_broadcast_rows) — forcing it on a large corpus
+    would OOM the driver (ADVICE r6)."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     is_query = F.col("vec_id") % 20 == 0
-    full_top = SIM.knn_bruteforce(
-        emb, emb.where(is_query), k=5, broadcast_candidates=True
-    ).select("query_id", "neighbor_id")
+    full_top = SIM.knn_bruteforce(emb, emb.where(is_query), k=5).select(
+        "query_id", "neighbor_id"
+    )
     outs = []
     for d in (8, 16):
         td = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
         ttop = (
-            SIM.knn_bruteforce(td, td.where(is_query), k=5, broadcast_candidates=True)
+            SIM.knn_bruteforce(td, td.where(is_query), k=5)
             .select("query_id", "neighbor_id")
             .withColumn("_hit", F.lit(1))
         )

@@ -110,6 +110,13 @@ def test_winsorized_mean_matches_reference(spark):
         assert r["winsorized_mean"] == round(float(wc.sum()) / float(len(g)) / 100.0, 4)
 
 
+def half_up6(x):
+    """6-dp HALF_UP away from zero — matches Spark/DuckDB round();
+    Python's round() is banker's and diverges on exact half boundaries."""
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+
 def test_mutual_knn_pairs_match_numpy(spark):
     """Reciprocal top-1 pairs against a numpy within-cell brute force
     using the same sign-bit cells, rounding, and tie-break."""
@@ -132,7 +139,7 @@ def test_mutual_knn_pairs_match_numpy(spark):
             for jj in idx:
                 if ids[jj] == ids[i]:
                     continue
-                sim = round(float(V[i] @ V[jj]) / (float(nrm[i]) * float(nrm[jj])), 6)
+                sim = half_up6(float(V[i] @ V[jj]) / (float(nrm[i]) * float(nrm[jj])))
                 cands.append((-sim, int(ids[jj])))
             if cands:
                 best[int(ids[i])] = min(cands)[1]
