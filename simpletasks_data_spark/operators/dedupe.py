@@ -406,6 +406,7 @@ def minhash_pairs_from_signatures(
     num_hashes: int = 16,
     bands: int = 4,
     min_sig_agree: int | None = None,
+    star_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from an already-materialized signature frame —
     callers that also need the signatures (or the hashed shingle rows) for
@@ -424,13 +425,64 @@ def minhash_pairs_from_signatures(
     corpus, with the verified-pair set 99%+ unchanged. The signatures ride
     the SAME bucket join (no extra join, no broadcast of the signature
     frame), so at 100 TB the filter is free. Default None = off (pure
-    band-collision pairs, the classic LSH contract)."""
+    band-collision pairs, the classic LSH contract).
+
+    ``star_cap``: the mega-duplicate-cluster guard. A boilerplate
+    cluster of N near-identical docs floods one band bucket and the
+    all-pairs emission inside it goes O(N²) — the one shape banding
+    cannot bound (the common-crawl footer case). With ``star_cap = t``,
+    buckets holding more than ``t`` docs emit STAR pairs only (every
+    member paired with the bucket's min id — O(size) rows, the big-star
+    CC trick applied at pair generation), while buckets at or under the
+    cap keep the exact all-pairs contract. Connectivity of the
+    candidate graph is unchanged (a star spans the same component), so
+    cluster results are identical; the pair LIST for oversize buckets
+    is the star subset, and ``min_sig_agree`` applies only to the
+    all-pairs part (star pairs are emitted unfiltered — by construction
+    they come from saturated buckets). Default None = off: the exact
+    classic behavior, byte-for-byte."""
     # One pass: explode the per-doc array of band bucket hashes instead of
     # unioning per-band frames (which would recompute the signature pipeline
     # per band).
     buckets = band_buckets(
         sig, id_col, num_hashes, bands, keep_signature=min_sig_agree is not None
     )
+    if star_cap is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_cnt"), F.min("_id").alias("_min_id")
+        )
+        flagged = buckets.join(
+            sizes.where(F.col("_cnt") > star_cap), ["band", "bucket"], "left"
+        )
+        star = flagged.where(
+            F.col("_min_id").isNotNull() & (F.col("_id") != F.col("_min_id"))
+        ).select(F.col("_min_id").alias("id_a"), F.col("_id").alias("id_b"))
+        small = flagged.where(F.col("_min_id").isNull()).drop("_cnt", "_min_id")
+        a, b2 = small.alias("a"), small.alias("b")
+        joined = a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        if min_sig_agree is not None:
+            agree = F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("a.signature"), F.col("b.signature"), lambda x, y: x == y
+                    ),
+                    lambda m: m,
+                )
+            )
+            joined = joined.where(agree >= F.lit(min_sig_agree))
+        # the first-match trick can't dedup here (an oversize band's rows
+        # are gone, so "first agreeing band" may point at a removed row);
+        # with mega-buckets excluded the duplicate factor is <= bands, and
+        # the distinct shuffle is proportional to the CAPPED candidate set
+        pairs = joined.select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        return pairs.unionByName(star).distinct()
     a, b2 = buckets.alias("a"), buckets.alias("b")
     # A pair is emitted ONLY from the first band where the two docs agree:
     # near-identical docs collide in every band, so a plain join + distinct
