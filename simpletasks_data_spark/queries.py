@@ -85,6 +85,21 @@ def _scratch_dir(name: str, sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"sds_scratch_{name}_{tag}")
 
 
+def _fresh_scratch_dir(name: str, sf_dir: str) -> str:
+    """``mkdtemp`` drop-in: deterministic per-(query, sf_dir) path, WIPED
+    and recreated empty on every call — ACID txn logs and streaming
+    checkpoints must start clean, but repeated bench/parity runs should
+    reuse ONE directory instead of accumulating tempdirs (r6 verdict
+    item 6)."""
+    import os
+    import shutil
+
+    path = _scratch_dir(name, sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 # The external correctness driver checks the FIRST 50 queries in catalog
 # order. Standing rotation rule (round-3 verdict item 9): each round the
 # window carries (a) every query whose implementation changed this round
@@ -1552,7 +1567,7 @@ def csv_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load(spark, sf_dir, "customer")
     cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
-    out_dir = tempfile.mkdtemp(prefix="sds_csvrt_")
+    out_dir = _fresh_scratch_dir("sds_csvrt", sf_dir)
     # single part: one header line at _src_pos 0, matching header skip = 0
     write_csv(export_frame(cust, [(c, None) for c in cols]), out_dir, header=True, coalesce=1)
 
@@ -2535,7 +2550,7 @@ def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import capped_sessions_stateful, stream_events
 
-    d = tempfile.mkdtemp(prefix="capped_stream_")
+    d = _fresh_scratch_dir("capped_stream", sf_dir)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "0_events.parquet"))
 
     def write_sentinel(i: int) -> None:
@@ -3134,7 +3149,7 @@ def jsonl_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import JsonlSource
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    out_dir = tempfile.mkdtemp(prefix="sds_jsonlrt_")
+    out_dir = _fresh_scratch_dir("sds_jsonlrt", sf_dir)
     docs.coalesce(1).write.mode("overwrite").json(out_dir)
 
     schema = T.StructType(
@@ -3246,7 +3261,7 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.export import write_corpus
 
     docs = load(spark, sf_dir, "documents")
-    out_dir = tempfile.mkdtemp(prefix="sds_corpus_")
+    out_dir = _fresh_scratch_dir("sds_corpus", sf_dir)
     write_corpus(
         docs,
         out_dir,
@@ -4104,7 +4119,7 @@ def _seeded_parquet_target(spark: SparkSession, sf_dir: str):
     import tempfile
 
     cust = load(spark, sf_dir, "customer")
-    path = tempfile.mkdtemp(prefix="merge_target_") + "/customer"
+    path = _fresh_scratch_dir("merge_target", sf_dir) + "/customer"
     target = TargetTable(schema=cust.schema, path=path, primary_keys=("c_custkey",))
     target.overwrite(cust)  # seed snapshot: first swap, from empty
     return target
@@ -4175,7 +4190,7 @@ def acid_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    t = TxnTable(spark, tempfile.mkdtemp(prefix="acid_q_"))
+    t = TxnTable(spark, _fresh_scratch_dir("acid_q", sf_dir))
     t.append(orders.where(F.col("o_orderstatus") == "F"))
     t.append(orders.where(F.col("o_orderstatus") == "O"))
     t.overwrite(orders.where(F.col("o_orderkey") % 7 == 0))
@@ -4226,7 +4241,7 @@ def acid_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.acid import TxnTable
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    t = TxnTable(spark, tempfile.mkdtemp(prefix="acid_c_"))
+    t = TxnTable(spark, _fresh_scratch_dir("acid_c", sf_dir))
     t.append(orders.where(F.col("o_orderstatus") == "F"))
     t.append(orders.where(F.col("o_orderstatus") == "O"))
     t.append(orders.where(F.col("o_orderstatus") == "P"))
@@ -4277,7 +4292,7 @@ def acid_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     mx = 1 << 62
-    t = TxnTable(spark, tempfile.mkdtemp(prefix="acid_p_"))
+    t = TxnTable(spark, _fresh_scratch_dir("acid_p", sf_dir))
     bounds = [(0, 1000), (1000, 2000), (2000, 3000), (3000, mx)]
     for lo, hi in bounds:
         t.append(
@@ -4330,7 +4345,7 @@ def acid_merge_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.acid import TxnTargetTable
 
     cust = load(spark, sf_dir, "customer")
-    path = tempfile.mkdtemp(prefix="acid_merge_") + "/customer"
+    path = _fresh_scratch_dir("acid_merge", sf_dir) + "/customer"
     target = TxnTargetTable(
         spark, schema=cust.schema, path=path, primary_keys=("c_custkey",)
     )
@@ -4717,7 +4732,7 @@ def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = tbl.filter(pc.greater_equal(tbl["ts"], cutoff))
     late = tbl.filter(pc.less(tbl["ts"], cutoff))
 
-    d = tempfile.mkdtemp(prefix="late_stream_")
+    d = _fresh_scratch_dir("late_stream", sf_dir)
     pq.write_table(on_time, os.path.join(d, "a_ontime.parquet"))
 
     ev = stream_events(spark, d, glob="*.parquet")
@@ -4864,11 +4879,11 @@ def streaming_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.acid import TxnTable
     from .streaming import stream_events
 
-    t = TxnTable(spark, tempfile.mkdtemp(prefix="acid_sink_"))
+    t = TxnTable(spark, _fresh_scratch_dir("acid_sink", sf_dir))
     ev = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
     q = (
         ev.writeStream.foreachBatch(t.streaming_sink("acid_sink_q"))
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="acid_sink_ckpt_"))
+        .option("checkpointLocation", _fresh_scratch_dir("acid_sink_ckpt", sf_dir))
         .queryName("acid_sink_" + uuid.uuid4().hex[:6])
         .start()
     )
@@ -5005,7 +5020,7 @@ def bucketed_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 
     sfx = uuid.uuid4().hex[:8]
     n_buckets = 8
-    base = tempfile.mkdtemp(prefix="bkt_")
+    base = _fresh_scratch_dir("bkt", sf_dir)
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     ct, ot = f"bkt_cust_{sfx}", f"bkt_ord_{sfx}"
@@ -5145,7 +5160,7 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("user_id", T.LongType(), False),
         T.StructField("last_value", T.DoubleType(), True),
     ])
-    base = tempfile.mkdtemp(prefix="fbm_")
+    base = _fresh_scratch_dir("fbm", sf_dir)
     target = TargetTable(
         schema=schema, path=os.path.join(base, "tbl"), primary_keys=("user_id",)
     )
@@ -5371,7 +5386,7 @@ def merge_history_two_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="hist2_")
+    base = _fresh_scratch_dir("hist2", sf_dir)
     cust = load(spark, sf_dir, "customer")
     target = TargetTable(schema=cust.schema, path=os.path.join(base, "tbl"),
                          primary_keys=("c_custkey",))
@@ -5841,7 +5856,7 @@ def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     from .streaming import stream_events, streaming_interval_join
 
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    d = tempfile.mkdtemp(prefix="louter_stream_")
+    d = _fresh_scratch_dir("louter_stream", sf_dir)
     pq.write_table(tbl, os.path.join(d, "a_events.parquet"))
 
     ev = stream_events(spark, d, glob="*.parquet")
@@ -8165,7 +8180,7 @@ def acid_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.acid import TxnTargetTable
 
     cust = load(spark, sf_dir, "customer")
-    path = tempfile.mkdtemp(prefix="acid_diff_") + "/customer"
+    path = _fresh_scratch_dir("acid_diff", sf_dir) + "/customer"
     target = TxnTargetTable(
         spark, schema=cust.schema, path=path, primary_keys=("c_custkey",)
     )
@@ -9381,7 +9396,7 @@ def acid_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    path = tempfile.mkdtemp(prefix="acid_dv_") + "/customer"
+    path = _fresh_scratch_dir("acid_dv", sf_dir) + "/customer"
     t = TxnTable(spark, path, schema=cust.schema)
     t.append(cust.repartition(4))
     files0 = set(t._files_at(0))
@@ -9524,7 +9539,7 @@ def acid_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="acid_rw_") + "/orders"
+    path = _fresh_scratch_dir("acid_rw", sf_dir) + "/orders"
     t = TxnTable(spark, path, schema=orders.schema)
     t.append(orders, partition_by=["o_orderpriority"])
     files0 = t._files_at(0)
@@ -9600,7 +9615,7 @@ def jsonl_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    out_dir = tempfile.mkdtemp(prefix="sds_jsonlgz_")
+    out_dir = _fresh_scratch_dir("sds_jsonlgz", sf_dir)
     docs.repartition(4).write.mode("overwrite").option("compression", "gzip").json(out_dir)
     schema = T.StructType(
         [
@@ -11079,7 +11094,7 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import streaming_lsh_dedup
 
     corpus = _corpus(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="slsh_")
+    base = _fresh_scratch_dir("slsh", sf_dir)
     src = os.path.join(base, "src")
     corpus.repartitionByRange(5, "id").write.parquet(src)
     stream = (
@@ -11147,7 +11162,7 @@ def xml_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import XmlSource
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
-    out_dir = tempfile.mkdtemp(prefix="sds_xmlrt_")
+    out_dir = _fresh_scratch_dir("sds_xmlrt", sf_dir)
     # FIXTURE GENERATION, not the ingest path: repartition(4) writes a
     # multi-file XML dump so the re-import below actually exercises the
     # splittable multi-file parallel parse (one part per task). The read
@@ -11720,7 +11735,7 @@ def fixedwidth_import_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources import FixedWidthSource
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    out_dir = tempfile.mkdtemp(prefix="sds_fwrt_")
+    out_dir = _fresh_scratch_dir("sds_fwrt", sf_dir)
     line = F.concat(
         F.rpad(F.col("doc_id").cast("string"), 10, " "),
         F.rpad(F.col("lang"), 8, " "),
