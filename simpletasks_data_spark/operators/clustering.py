@@ -92,6 +92,18 @@ def kmeans_lloyd(
     assignments: (id, vec, cluster_id, d2_r) — the FINAL assignment,
     scored against the second-to-last centroids (the ones that produced
     it). centroids: the final updated k x dims list (1e-6 grid).
+
+    ACCEPTED ULP RISK (r6 verdict item 7): the per-round centroid is a
+    float avg() rounded to 1e-6, so in principle a mean landing within
+    ~1e-12 of a half-boundary could round differently under a different
+    summation order. Unlike the logreg GD case (where resid = ±0.5
+    exactly made boundary landings STRUCTURAL and one was observed
+    live), embedding components are arbitrary continuous doubles with
+    no mechanism that concentrates their means on the decimal grid, so
+    the risk is unstructured and ~1e-12/5e-7 per mean per round. The
+    integer-sufficient-statistics rewrite (quantize per-row, sum exact
+    — see queries._logreg_gd_multi / graph.pagerank) is the upgrade
+    path if a divergence is ever observed.
     """
     base = emb.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
@@ -167,6 +179,14 @@ def pca_power_top1(
     it across the 64 extraction terms (HOF lambdas are not CSE'd).
     Per-round 1e-6 quantization of the normalized vector keeps the
     trajectory engine-exact for the unrolled SQL oracle; v0 = e_1.
+
+    ACCEPTED ULP RISK (r6 verdict item 7): each round's 64 sums are
+    float aggregations whose last ulps depend on accumulation order;
+    the normalize-then-quantize step absorbs that only while no
+    component lands within ~1e-12 of a 5e-7 boundary. As with
+    kmeans_lloyd (same note), centered-embedding products have no
+    structural mechanism that lands on the decimal grid — accepted;
+    upgrade path is the integer-sufficient-statistics pattern.
     """
     arr = as_double(vec_col)
     mean_aggs = [

@@ -254,13 +254,19 @@ def pagerank(
     """Fixed-iteration PageRank over a directed edge frame: ``(id,
     score)`` after ``iterations`` synchronous rounds of
     score(v) = (1-d) + d * sum over in-edges of score(u)/outdeg(u),
-    starting from 1.0. Scores are rounded at ``round_at`` decimals at
-    the END of every round — that quantization is part of the operator
-    CONTRACT, not a display choice: it pins the fixed point to a grid
-    both this implementation and any re-implementation (the SQL oracle
-    unrolls the same rounds) reach bit-identically, eliminating
-    cross-engine float-sum drift that would otherwise compound across
-    rounds.
+    starting from 1.0. Scores live on the INTEGER ``10^-round_at`` grid
+    as BIGINTs (the HITS integer-sufficient-statistics discipline, r6
+    verdict item 7): each edge's contribution quantizes to the grid
+    (``round(score_n / outdeg)`` — one double op on identical inputs in
+    both engines), the per-node sum is exact integer arithmetic, and the
+    damped update re-snaps to the grid. The hash-agg accumulation order
+    therefore can never drift a ulp between engines or between runs —
+    a float running sum rounded per round is ulp-fragile whenever a
+    round's sum lands within an ulp of a rounding half-boundary (the
+    failure observed live in the logreg GD family). The grid
+    quantization is part of the operator CONTRACT: any re-implementation
+    (the SQL oracle unrolls the same rounds) reaches identical scores
+    bit-for-bit.
 
     Scale shape per round: one join of the (checkpointed) score frame
     against the out-degree-annotated edges, one sum aggregation keyed by
@@ -287,36 +293,56 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    unit = 10**round_at
+    # integer reset mass per round: round((1-d) * unit) computed ONCE on
+    # the driver — no per-round float literal whose parse could differ
+    # between engines (Python 1.0-0.85 and SQL 0.15 are different doubles)
+    reset_n = int(round((1.0 - damping) * unit))
     if reset_ids is None:
-        nr = nodes.withColumn("_r", F.lit(1.0))
+        nr = nodes.withColumn("_rn", F.lit(reset_n).cast("long"))
     else:
         seeds = (
             reset_ids.select(F.col(reset_id_col).alias("id"))
             .distinct()
-            .withColumn("_r", F.lit(1.0))
+            .withColumn("_rn", F.lit(reset_n).cast("long"))
         )
-        nr = nodes.join(seeds, "id", "left").na.fill({"_r": 0.0})
+        nr = nodes.join(seeds, "id", "left").na.fill({"_rn": 0})
     nr = nr.localCheckpoint(eager=True)
-    scores = nr.select("id", F.col("_r").alias("score"))
+    # p0 = 1.0 per (seed) node on the grid
+    if reset_ids is None:
+        scores = nr.select("id", F.lit(unit).cast("long").alias("_sn"))
+    else:
+        scores = nr.select(
+            "id",
+            F.when(F.col("_rn") > 0, F.lit(unit)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_sn"),
+        )
     for _ in range(iterations):
         contrib = (
             ed.join(scores.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
-            .agg(F.sum(F.col("score") / F.col("_d")).alias("_in"))
+            .agg(
+                F.sum(F.round(F.col("_sn") / F.col("_d")).cast("long")).alias("_in")
+            )
         )
         scores = (
             nr.join(contrib, "id", "left")
             .select(
                 "id",
-                F.round(
-                    F.lit(1.0 - damping) * F.col("_r")
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
-                    round_at,
-                ).alias("score"),
+                (
+                    F.col("_rn")
+                    + F.round(
+                        F.lit(damping)
+                        * F.coalesce(F.col("_in"), F.lit(0)).cast("double")
+                    ).cast("long")
+                ).alias("_sn"),
             )
             .localCheckpoint(eager=True)
         )
-    return scores
+    return scores.select(
+        "id", (F.col("_sn").cast("double") / F.lit(float(unit))).alias("score")
+    )
 
 
 def triangle_count_degree_oriented(edges: DataFrame) -> DataFrame:

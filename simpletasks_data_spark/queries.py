@@ -6849,12 +6849,18 @@ def bootstrap_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled integer-grid PageRank (1e-8 BIGINT scores — mirrors
+    operators/graph.pagerank round for round: per-edge contribution
+    snaps to the grid, per-node sum is exact integer arithmetic, one
+    double op per round)."""
     layers = []
     prev = "p0"
     for i in range(1, iterations + 1):
-        layers.append(f"""p{i} AS (
+        layers.append(f"""p{i} AS MATERIALIZED (
   SELECT n.id,
-         round(0.15 + 0.85 * coalesce(sum(p.score / ed._d), 0), 8) AS score
+         15000000 + CAST(round(0.85 * CAST(coalesce(sum(
+             CAST(round(p.score_n / ed._d) AS BIGINT)), 0) AS DOUBLE))
+           AS BIGINT) AS score_n
   FROM nodes n
   LEFT JOIN ed ON ed.v = n.id
   LEFT JOIN {prev} p ON p.id = ed.u
@@ -6872,9 +6878,9 @@ edges AS (
 deg AS (SELECT u, count(*) AS _d FROM edges GROUP BY u),
 ed AS (SELECT e.u, e.v, deg._d FROM edges e JOIN deg ON deg.u = e.u),
 nodes AS (SELECT DISTINCT u AS id FROM edges UNION SELECT DISTINCT v FROM edges),
-p0 AS (SELECT id, 1.0 AS score FROM nodes),
+p0 AS (SELECT id, CAST(100000000 AS BIGINT) AS score_n FROM nodes),
 {", ".join(layers)}
-SELECT id, score FROM {prev}
+SELECT id, CAST(score_n AS DOUBLE) / 100000000.0 AS score FROM {prev}
 """
 
 
@@ -11454,16 +11460,20 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ppr_oracle_sql(iterations: int = 10) -> str:
+    """Unrolled integer-grid personalized PageRank — same 1e-8 BIGINT
+    contract as ``_pagerank_oracle_sql``, reset mass only on the seeds."""
     layers = []
     prev = "p0"
     for i in range(1, iterations + 1):
-        layers.append(f"""p{i} AS (
+        layers.append(f"""p{i} AS MATERIALIZED (
   SELECT n.id,
-         round(0.15 * n._r + 0.85 * coalesce(sum(p.score / ed._d), 0), 8) AS score
+         n._rn + CAST(round(0.85 * CAST(coalesce(sum(
+             CAST(round(p.score_n / ed._d) AS BIGINT)), 0) AS DOUBLE))
+           AS BIGINT) AS score_n
   FROM nr n
   LEFT JOIN ed ON ed.v = n.id
   LEFT JOIN {prev} p ON p.id = ed.u
-  GROUP BY n.id, n._r
+  GROUP BY n.id, n._rn
 )""")
         prev = f"p{i}"
     return f"""
@@ -11482,12 +11492,15 @@ ed AS (SELECT e.u, e.v, deg._d FROM edges e JOIN deg ON deg.u = e.u),
 nodes AS (SELECT DISTINCT u AS id FROM edges UNION SELECT DISTINCT v FROM edges),
 nr AS (
   -- even id = customer; seed cohort custkey % 100 == 0 <=> id % 200 == 0
-  SELECT id, CASE WHEN id % 200 = 0 THEN 1.0 ELSE 0.0 END AS _r
+  SELECT id, CASE WHEN id % 200 = 0 THEN CAST(15000000 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS _rn
   FROM nodes
 ),
-p0 AS (SELECT id, _r AS score FROM nr),
+p0 AS (SELECT id, CASE WHEN _rn > 0 THEN CAST(100000000 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS score_n FROM nr),
 {", ".join(layers)}
-SELECT id, score FROM {prev} WHERE score > 0
+SELECT id, CAST(score_n AS DOUBLE) / 100000000.0 AS score
+FROM {prev} WHERE score_n > 0
 """
 
 
