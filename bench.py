@@ -191,6 +191,14 @@ BENCH_QUERIES = [
     "bloom_fpr_calibration",
     "matryoshka_recall_eval",
     "seasonal_index_revenue",
+    # round-7 additions
+    "dedup_minhash_capped",
+    "skipgram_pairs_topk",
+    "markov_event_transitions",
+    "fano_burstiness_events",
+    "anova_price_by_priority",
+    "bh_fdr_urgent_nations",
+    "mad_outliers_by_segment",
 ]
 
 

@@ -111,73 +111,28 @@ def _fresh_scratch_dir(name: str, sf_dir: str) -> str:
 # float to the front in this order; the remainder keep registration
 # order behind them.
 _CHECK_FIRST = [
-    # ==== round-6 window (driver checks the first 50) ====
-    # -- changed this round (regression gate): the six bare-window
-    #    queries migrated onto operators/ranking kernels
-    #    (global_prefix_sum / global_row_number / global_running_min),
-    #    the HITS integer micro-unit rewrite (oracle updated), and the
-    #    two scratch-dir fixture rewrites --
+    # ==== round-7 window (driver checks the first 50) ====
+    # -- changed this round (regression gate): the whole logreg-GD
+    #    family moved to the integer-sufficient-statistic gradient
+    #    (batched multi-chain training + weight cache), PageRank/PPR
+    #    moved to the integer 1e-8 score grid, matryoshka dropped its
+    #    forced broadcast (r6 ADVICE), and every fixture writer now
+    #    uses deterministic scratch dirs (two representatives ride the
+    #    gate; the other fixture queries were re-verified green at
+    #    sf0.01 by scripts/check_correctness.py this round) --
+    "logreg_urgent_orders",
     "auc_urgent_orders",
     "kfold_cv_auc_urgent",
     "conformal_urgent_orders",
-    "revenue_concentration",
-    "skew_diagnosis_orders",
-    "pareto_frontier_suppliers",
-    "hits_customer_supplier",
-    "partitioned_parquet_prune",
-    "orc_export_roundtrip",
-    # -- never checked: the round-5 ML/graph batch (most novel failure
-    #    surface per the r5 verdict, item 3; riskiest first) --
-    "als_factors_retail",
-    "als_recommend_topk",
-    "fuzzy_dedup_edit_distance",
-    "boosted_stumps_urgent",
-    "sssp_hub_suppliers",
-    "exact_median_price_by_priority",
+    "shapley_logreg_features",
+    "calibration_bins_urgent",
     "propensity_match_urgent",
-    "incremental_join_view_refresh",
-    "suffix_ranks_corpus",
-    "multimodal_ahash_hamming1",
-    "permutation_test_urgent_price",
-    "graph_reach_hubs",
-    "ols_price_model",
-    "ols_trend_by_nation",
-    "acf_daily_revenue",
-    "xcorr_click_purchase",
-    "integrity_checksums_by_nation",
-    "join_fanout_audit",
-    "ohlc_hourly_events",
-    "pivot_priority_by_segment",
-    "rollup_revenue_geo",
-    "target_encode_mktsegment",
-    "interpolate_daily_revenue",
-    # -- never checked: round-6 additions (newest = riskiest, so they
-    #    ride THIS round's window; the displaced older backlog moves to
-    #    position 51+) --
-    "dbscan_embeddings_grid",
-    "interval_islands_orders",
-    "hilbert_layout_orders",
-    "graph_hyperball_suppliers",
-    "sketch_sample_quantiles",
-    "heavy_hitters_two_pass",
-    "theilsen_trend_revenue",
-    "mutual_info_features",
-    "jsd_drift_by_source",
-    "dp_noisy_counts_nation",
-    # -- never checked: earlier backlog (oldest families first) --
-    "bloom_semi_join_orders",
-    "corpus_hash_split",
-    "corpus_stratified_sample",
-    "vocab_top_tokens",
-    "ivf_centroids_by_cell",
-    "bpe_token_count",
-    "tfidf_top_terms",
-    "chunk_documents",
-    # ---- position 51+ from here: round-7 candidates (still never
-    #      checked; new-round additions land at the FRONT of this block
-    #      as they are written), then the proven-green remainder (all
-    #      pinned every run by the local oracle-parity suite) ----
-    # round-6 late batch (newest = riskiest)
+    "pagerank_customer_supplier",
+    "ppr_seeded_customers",
+    "matryoshka_recall_eval",
+    "acid_merge_versions",
+    "csv_import_roundtrip",
+    # -- never checked: round-6 late batch (newest = riskiest) --
     "clustering_coeff_suppliers",
     "mutual_knn_match_embeddings",
     "mann_kendall_daily_revenue",
@@ -186,8 +141,8 @@ _CHECK_FIRST = [
     "sprt_urgent_rate",
     "winsorized_mean_by_segment",
     "bloom_fpr_calibration",
-    "matryoshka_recall_eval",
     "seasonal_index_revenue",
+    # -- never checked: older backlog, oldest families first --
     "pack_sequences",
     "embedding_quantize_int8",
     "weighted_sample_quality",
@@ -226,6 +181,19 @@ _CHECK_FIRST = [
     "quantile_normalize_sources",
     "association_rules_brands",
     "bpe_encode_stats",
+    # ---- position 51+ from here: round-8 candidates (still never
+    #      checked; new-round additions land at the FRONT of this block
+    #      as they are written), then the proven-green remainder (all
+    #      pinned every run by the local oracle-parity suite) ----
+    # round-7 additions (newest = riskiest)
+    "dedup_minhash_capped",
+    "skipgram_pairs_topk",
+    "markov_event_transitions",
+    "fano_burstiness_events",
+    "anova_price_by_priority",
+    "bh_fdr_urgent_nations",
+    "mad_outliers_by_segment",
+    # older never-checked backlog
     "quality_bigram_kn_logprob",
     "dedup_minhash_eval",
     "token_pmi_pairs",
@@ -15905,4 +15873,510 @@ def seasonal_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.round(avg_d / 100.0, 4).alias("avg_daily_revenue"),
         F.round(avg_d / avg_all, 6).alias("seasonal_index"),
+    )
+
+
+# ===========================================================================
+# Round-7 additions
+# ===========================================================================
+
+@register("dedup_minhash_capped", f"""
+WITH {_minhash_ctes()},
+bsz AS (
+  SELECT band, bucket, count(*) AS cnt, min(_id) AS mid
+  FROM buckets GROUP BY band, bucket
+),
+ab AS (
+  SELECT b._id, b.band, b.bucket, bsz.cnt, bsz.mid
+  FROM buckets b JOIN bsz USING (band, bucket)
+),
+smallp AS (
+  SELECT a._id AS id_a, b._id AS id_b
+  FROM ab a JOIN ab b
+    ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+  WHERE a.cnt <= 8
+),
+starp AS (
+  SELECT mid AS id_a, _id AS id_b FROM ab WHERE cnt > 8 AND _id != mid
+)
+SELECT DISTINCT id_a, id_b
+FROM (SELECT * FROM smallp UNION ALL SELECT * FROM starp)
+""")
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs under the mega-bucket star cap
+    (operators/dedupe.minhash_pairs_from_signatures star_cap=8): band
+    buckets holding more than 8 docs emit star pairs to the bucket-min
+    doc (O(size)) instead of all-pairs (O(size^2)) — the guard that
+    keeps a boilerplate mega-cluster from going quadratic inside one
+    bucket at 100 TB, with candidate-graph connectivity preserved. The
+    planted-duplicate corpus has buckets up to ~33 docs, so BOTH paths
+    (exact all-pairs below the cap, stars above it) are exercised and
+    the oracle replicates the cap decision bucket for bucket."""
+    _, sig = _signature_store(spark, sf_dir)
+    return DD.minhash_pairs_from_signatures(
+        sig, "id", num_hashes=16, bands=4, star_cap=8
+    )
+
+
+@register("anova_price_by_priority", """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+  FROM orders GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s1) AS st, sum(s2) AS qt,
+         CAST(count(*) AS BIGINT) AS k,
+         list_reduce(
+           list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                ORDER BY o_orderpriority),
+           (acc, x) -> acc + x) AS sum_sq_over_n
+  FROM g
+)
+SELECT nt AS n_rows, k AS n_groups,
+       round((sum_sq_over_n
+              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+             / CAST(k - 1 AS DOUBLE) / 10000.0, 4) AS ms_between,
+       round((CAST(qt AS DOUBLE) - sum_sq_over_n)
+             / CAST(nt - k AS DOUBLE) / 10000.0, 4) AS ms_within,
+       round(((sum_sq_over_n
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+              / CAST(k - 1 AS DOUBLE))
+             / ((CAST(qt AS DOUBLE) - sum_sq_over_n) / CAST(nt - k AS DOUBLE)),
+             6) AS f_stat
+FROM tot
+""")
+def anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for order price across the 5 priority
+    groups, from INTEGER sufficient statistics only: per-group (n, sum,
+    sum-of-squares) on the exact cent grid ride ONE hash agg with exact
+    DECIMAL(38,0)/HUGEINT sums (cents^2 overflows BIGINT beyond ~2.5k
+    rows per group), and the one cross-group float reduction — sum of
+    the 5 s_g^2/n_g terms — is an ORDERED left fold over the
+    group-key-sorted term list (F.aggregate here, list_reduce in the
+    oracle), so no engine's hash-agg order can move a ulp. SS_between =
+    sum(s_g^2/n_g) - S^2/N, SS_within = Q - sum(s_g^2/n_g); mean
+    squares in dollars^2. The 5-group frame is dimension-bounded
+    metadata at any scale."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", cents.alias("c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        )
+    )
+    td = (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n").cast("double")
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s1").alias("st"),
+        F.sum("s2").alias("qt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("o_orderpriority").alias("g"), td.alias("t")))
+        ).alias("arr"),
+    )
+    parts = tot.select(
+        "nt",
+        "k",
+        "qt",
+        "st",
+        F.aggregate(
+            F.col("arr"), F.lit(0.0), lambda acc, s: acc + s["t"]
+        ).alias("sum_sq_over_n"),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("st").cast("double") * F.col("st").cast(
+        "double"
+    ) / F.col("nt").cast("double")
+    ssw = F.col("qt").cast("double") - F.col("sum_sq_over_n")
+    return parts.select(
+        F.col("nt").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round(ssb / (F.col("k") - 1).cast("double") / 10000.0, 4).alias("ms_between"),
+        F.round(ssw / (F.col("nt") - F.col("k")).cast("double") / 10000.0, 4).alias(
+            "ms_within"
+        ),
+        F.round(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("nt") - F.col("k")).cast("double")),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@register("skipgram_pairs_topk", f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, unnest(toks) AS tok
+  FROM tok
+),
+pr AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND (b.i = a.i + 1 OR b.i = a.i + 2)
+)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY tok_a, tok_b
+ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 20
+""")
+def skipgram_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 skip-gram token pairs (directional, window +1/+2) — the
+    word2vec / co-occurrence corpus-prep primitive. Positions come from
+    ONE posexplode; pair candidates from an EQUI-join on (doc, pos + k)
+    with k exploded from a 2-element literal array — fan-out is exactly
+    2x the token count, never tokens^2 per document, so a 100 TB corpus
+    of long documents costs two map-side-combinable shuffles (join +
+    count agg) and a TakeOrdered top-20."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens("text").alias("toks")
+    )
+    pos = toks.select("doc_id", F.posexplode("toks").alias("i", "tok"))
+    probe = pos.select(
+        "doc_id",
+        F.col("tok").alias("tok_a"),
+        F.explode(F.array(F.col("i") + 1, F.col("i") + 2)).alias("j"),
+    )
+    right = pos.select("doc_id", F.col("i").alias("j"), F.col("tok").alias("tok_b"))
+    return (
+        probe.join(right, ["doc_id", "j"])
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+@register("markov_event_transitions", """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n, t.n_from,
+       round(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 6) AS p
+FROM c JOIN t USING (from_type)
+""")
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per
+    user, consecutive event-type pairs under the (ts, event_id) total
+    order — one USER-partitioned lead window (scale-safe: partitions
+    are users, never global) — then exact integer pair counts and ONE
+    division per cell. The |types|^2 output frame is dimension-bounded
+    metadata; the session-model primitive behind next-event prediction
+    and funnel simulation."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = (
+        s.select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6).alias(
+            "p"
+        ),
+    )
+
+
+@register("fano_burstiness_events", """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM h GROUP BY 1
+)
+SELECT event_type, n_hours, s1 AS n_events,
+       round(CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS mean_per_hour,
+       round((CAST(s2 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+             / CAST(n_hours - 1 AS DOUBLE)
+             / (CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE)), 6) AS fano_factor
+FROM g WHERE n_hours > 1
+""")
+def fano_burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of hourly counts) per
+    event type — the dispersion diagnostic that separates Poisson-like
+    traffic (F~1) from bursty/overdispersed streams (F>1). Hourly
+    counts are exact integers from one hash agg; per-type (n, sum,
+    sum-of-squares) are exact BIGINT sufficient statistics, so the
+    variance is order-independent and every double op sees identical
+    inputs in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    h = ev.groupBy("event_type", "hr").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    g = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    ).where(F.col("n_hours") > 1)
+    nh = F.col("n_hours").cast("double")
+    s1d = F.col("s1").cast("double")
+    mean = s1d / nh
+    var = (F.col("s2").cast("double") - s1d * s1d / nh) / (F.col("n_hours") - 1).cast(
+        "double"
+    )
+    return g.select(
+        "event_type",
+        "n_hours",
+        F.col("s1").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("fano_factor"),
+    )
+
+
+@register("mad_outliers_by_segment", """
+WITH v AS (
+  SELECT c.c_mktsegment AS seg,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+r1 AS (
+  SELECT seg, cents,
+         row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY seg) AS n
+  FROM v
+),
+med AS (SELECT seg, n, cents AS med FROM r1 WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT v.seg, abs(v.cents - med.med) AS adev, med.med, med.n
+  FROM v JOIN med USING (seg)
+),
+r2 AS (
+  SELECT seg, med, n, adev,
+         row_number() OVER (PARTITION BY seg ORDER BY adev) AS rn
+  FROM d
+),
+mad AS (SELECT seg, med, n, adev AS mad FROM r2 WHERE rn = (n + 1) // 2),
+o AS (
+  SELECT d.seg,
+         CAST(sum(CASE WHEN d.adev * 10000 > 44478 * mad.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM d JOIN mad USING (seg) GROUP BY d.seg
+)
+SELECT mad.seg AS c_mktsegment, CAST(mad.n AS BIGINT) AS n,
+       CAST(mad.med AS BIGINT) AS median_cents,
+       CAST(mad.mad AS BIGINT) AS mad_cents,
+       o.n_outliers,
+       round(CAST(o.n_outliers AS DOUBLE) / CAST(mad.n AS DOUBLE), 6)
+         AS outlier_rate
+FROM mad JOIN o USING (seg)
+""")
+def mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier report per market segment: lower
+    median and median-absolute-deviation on the exact integer cent
+    grid, outlier = |x - med| > 3 * 1.4826 * MAD evaluated as the
+    EXACT integer comparison adev * 10000 > 44478 * MAD — no float
+    threshold anywhere. Both medians run on the two-pass histogram
+    kernel (operators/profile.exact_group_median): per-group boundary
+    bucket on a value/1e5 grid, exact cent inside one bucket — never a
+    data-sized sort, while the oracle states the specification as the
+    naive rank window. The classic robust alternative to z-scores when
+    the tail itself is what you're hunting."""
+    from .operators.profile import exact_group_median
+
+    v = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .select(F.col("c_mktsegment").alias("seg"), "cents")
+    )
+    med = exact_group_median(v, ["seg"], "cents").select(
+        "seg", "n", F.col("median").alias("med")
+    )
+    d = v.join(F.broadcast(med), "seg").select(
+        "seg", "med", "n", F.abs(F.col("cents") - F.col("med")).alias("adev")
+    )
+    mad = exact_group_median(d.select("seg", "adev"), ["seg"], "adev").select(
+        "seg", F.col("median").alias("mad")
+    )
+    dm = d.join(F.broadcast(mad), "seg")
+    rep = dm.groupBy("seg", "med", "n", "mad").agg(
+        F.sum(
+            F.when(F.col("adev") * 10000 > 44478 * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers")
+    )
+    return rep.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n").cast("long").alias("n"),
+        F.col("med").cast("long").alias("median_cents"),
+        F.col("mad").cast("long").alias("mad_cents"),
+        "n_outliers",
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+        ).alias("outlier_rate"),
+    )
+
+
+def _bh_pvalue_sql(z: str) -> str:
+    """Two-sided normal p-value 2*(1-Phi(|z|)) via the Abramowitz-Stegun
+    7.1.26 erfc polynomial — a CLOSED-FORM expression tree written
+    identically here and in the Spark column (neither engine ships erf),
+    so both sides compute bit-identical doubles from identical inputs.
+    p = (a1*t + a2*t^2 + a3*t^3 + a4*t^4 + a5*t^5) * exp(-x*x) with
+    x = |z|/sqrt(2), t = 1/(1 + 0.3275911*x)."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(0.254829592 * {t} - 0.284496736 * ({t} * {t})"
+        f" + 1.421413741 * ({t} * {t} * {t})"
+        f" - 1.453152027 * ({t} * {t} * {t} * {t})"
+        f" + 1.061405429 * ({t} * {t} * {t} * {t} * {t}))"
+    )
+    return f"({poly} * exp(-({x} * {x})))"
+
+
+@register("bh_fdr_urgent_nations", f"""
+WITH j AS (
+  SELECT n.n_name,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt FROM j),
+z AS (
+  SELECT j.n_name, j.n, j.x,
+         (CAST(j.x AS DOUBLE) / CAST(j.n AS DOUBLE)
+          - CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+         / sqrt(CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE)
+                * (1.0 - CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                / CAST(j.n AS DOUBLE)) AS zval
+  FROM j CROSS JOIN tot
+),
+p AS (
+  SELECT n_name, n, x, zval, {_bh_pvalue_sql('zval')} AS pval FROM z
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pval, n_name) AS rnk,
+         count(*) OVER () AS m
+  FROM p
+),
+k AS (
+  SELECT CAST(coalesce(max(CASE WHEN pval <= 0.1 * rnk / m THEN rnk END), 0)
+              AS BIGINT) AS kstar
+  FROM r
+)
+SELECT r.n_name, r.n, r.x,
+       round(r.zval, 6) AS z,
+       round(r.pval, 8) AS p_value,
+       CAST(r.rnk AS BIGINT) AS p_rank,
+       r.rnk <= k.kstar AS bh_reject_10
+FROM r CROSS JOIN k
+""")
+def bh_fdr_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR(10%) over 25 per-nation two-proportion
+    z-tests (nation urgent-order rate vs the global rate) — the
+    multiple-testing control every segment-level metrics dashboard
+    needs. Counts are exact integers from one hash agg; z and the
+    normal p-value (Abramowitz-Stegun erfc polynomial — neither engine
+    ships erf, so BOTH evaluate the identical closed-form tree) are
+    single deterministic double expressions per nation. The BH step
+    (rank p ascending, k* = max rank with p <= q*rank/m, reject ranks
+    <= k*) runs on the 25-row nation frame — dimension-bounded
+    metadata, windows included."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("x").cast("long").alias("xt")
+    )
+    p0 = F.col("xt").cast("double") / F.col("nt").cast("double")
+    zval = (F.col("x").cast("double") / F.col("n").cast("double") - p0) / F.sqrt(
+        p0 * (1.0 - p0) / F.col("n").cast("double")
+    )
+    z = j.crossJoin(F.broadcast(tot)).select("n_name", "n", "x", zval.alias("zval"))
+    xx = F.abs(F.col("zval")) / F.sqrt(F.lit(2.0))
+    tt = 1.0 / (1.0 + 0.3275911 * xx)
+    poly = (
+        0.254829592 * tt
+        - 0.284496736 * (tt * tt)
+        + 1.421413741 * (tt * tt * tt)
+        - 1.453152027 * (tt * tt * tt * tt)
+        + 1.061405429 * (tt * tt * tt * tt * tt)
+    )
+    p = z.select("n_name", "n", "x", "zval", (poly * F.exp(-(xx * xx))).alias("pval"))
+    # 25-row nation frame: the global windows are dimension-bounded
+    wr = Window.orderBy("pval", "n_name")
+    r = p.select(
+        "*",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    k = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") <= 0.1 * F.col("rnk") / F.col("m"), F.col("rnk")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("kstar")
+    )
+    return r.crossJoin(F.broadcast(k)).select(
+        "n_name",
+        "n",
+        "x",
+        F.round("zval", 6).alias("z"),
+        F.round("pval", 8).alias("p_value"),
+        F.col("rnk").cast("long").alias("p_rank"),
+        (F.col("rnk") <= F.col("kstar")).alias("bh_reject_10"),
     )

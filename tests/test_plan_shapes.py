@@ -249,6 +249,12 @@ def test_plan_lint_no_antipatterns(spark):
         "mutual_knn_match_embeddings", "frequent_event_ngrams",
         "winsorized_mean_by_segment", "bloom_fpr_calibration",
         "seasonal_index_revenue",
+        # round-7 additions (lazily plannable; dedup_minhash_capped and
+        # mad_outliers_by_segment run store/median-kernel builds at plan
+        # time and are exercised by the parity suite instead)
+        "skipgram_pairs_topk", "markov_event_transitions",
+        "fano_burstiness_events", "anova_price_by_priority",
+        "bh_fdr_urgent_nations",
     ]
     bad = {}
     for name in LAZY:
@@ -277,6 +283,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # budget selection: cumulative over the 10001-bucket quality
     # histogram (the boundary-bucket top-off window is _bk-partitioned)
     "token_budget_selection",
+    # BH step: rank/count windows over the 25-row nation frame
+    "bh_fdr_urgent_nations",
 }
 
 
