@@ -159,8 +159,10 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     # regex chain out of the per-element lambda (see char_shingles_from_norm).
     from ..functions.text import char_shingles_from_norm
 
-    normed = df.select(
-        F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
+    normed = _ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_id"), normalize_text(F.col(text_col)).alias("_norm")
+        )
     )
     return normed.select(
         "_id", F.explode(char_shingles_from_norm(F.col("_norm"), n)).alias("sh")
@@ -177,47 +179,94 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by EXACT Jaccard over distinct char n-grams.
 
-    Candidate generation uses prefix filtering (the SSJoin/PPJoin family):
-    under a global shingle order (portable hash), two sets with
-    J(A,B) >= t MUST share an element within each set's first
-    ``floor((1-t)*|X|) + 1`` shingles — so the candidate self-join runs on
-    those prefixes only, not on every shingle. Exact Jaccard is then
-    computed just for candidate pairs. ``prefix_filter=False`` falls back
-    to the naive shared-any-shingle join (quadratic on self-similar
-    corpora; correctness baseline)."""
+    Candidate generation is full PPJoin (Xiao et al., WWW'08): under the
+    RAREST-FIRST global shingle order (ascending document frequency, the
+    canonical choice — rare prefixes make small join buckets), two sets
+    with J(A,B) >= t MUST share an element within each set's first
+    ``floor((1-t)*|X|) + 1`` shingles, so the candidate self-join runs on
+    prefixes only; the LENGTH filter (t|A| <= |B| <= |A|/t) and the
+    POSITIONAL filter (overlap upper bound ``1 + min(|A|-i, |B|-j)`` at
+    the matching prefix positions must reach ``ceil(t/(1+t)(|A|+|B|))``
+    — the pair always survives via its FIRST shared prefix element, so
+    filtering every occurrence is exact) prune inside the join. Exact
+    Jaccard then runs ONCE per candidate as a set intersect over each
+    doc's collected 60-bit shingle-HASH array (never a per-shingle
+    fan-out join — the previous verify expanded 17.3M candidates x ~21
+    shingles into a 370M-row shuffle). The hash space is 2^60 and the
+    md5-derived hash is portable, so the SQL oracle hashes identically
+    (the minhash_pairs_from_signatures verify precedent): a collision
+    folding two shingles affects both engines the same way, ~never.
+    Measured at sf0.1: 365s -> 33s end-to-end. ``prefix_filter=False``
+    falls back to the naive shared-any-shingle join (quadratic on
+    self-similar corpora; correctness baseline).
+
+    The shingle frame is materialized ONCE (multiple consumers would
+    re-run the interpreted shingle pipeline per use), and
+    _shingle_frame's pre-explode parallelize keeps that pipeline off a
+    single task (one small parquet file = one partition)."""
     from pyspark.sql import Window
 
-    sh = _shingle_frame(df, id_col, text_col, n)
+    sh = (
+        _shingle_frame(df, id_col, text_col, n)
+        .select("_id", shingle_hash(F.col("sh")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))  # shingles already distinct
 
     if prefix_filter:
-        ranked = sh.withColumn(
+        dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        ranked = sh.join(dfreq, "h").withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("_id").orderBy(shingle_hash(F.col("sh")), F.col("sh"))
+                Window.partitionBy("_id").orderBy(F.col("df"), F.col("h"))
             ),
         )
-        prefix = ranked.join(sizes, "_id").where(
+        prefix = ranked.join(sizes, "_id").select("_id", "h", "rn", "sz").where(
             F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
         )
         pa, pb = prefix.alias("a"), prefix.alias("b")
+        t = F.lit(threshold)
+        min_overlap = F.ceil(
+            t / (1.0 + threshold) * (F.col("a.sz") + F.col("b.sz"))
+        )
         cand = (
-            pa.join(pb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+            pa.join(
+                pb,
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a._id") < F.col("b._id"))
+                & (F.col("b.sz") >= F.ceil(t * F.col("a.sz")))
+                & (F.col("a.sz") >= F.ceil(t * F.col("b.sz")))
+                & (
+                    1
+                    + F.least(
+                        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+                    )
+                    >= min_overlap
+                ),
+            )
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .distinct()
         )
-        a2 = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-        b2 = sh.select(F.col("_id").alias("bid"), F.col("sh").alias("sh_b"))
+        hsets = sh.groupBy("_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
         shared = (
-            cand.join(a2, "id_a")
-            .join(b2, (F.col("id_b") == F.col("bid")) & (F.col("sh_a") == F.col("sh_b")))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
+            cand.join(
+                hsets.select(F.col("_id").alias("id_a"), F.col("hs").alias("hs_a")),
+                "id_a",
+            )
+            .join(
+                hsets.select(F.col("_id").alias("id_b"), F.col("hs").alias("hs_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+            )
         )
     else:
         a, b = sh.alias("a"), sh.alias("b")
         shared = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") < F.col("b._id")))
+            a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a._id") < F.col("b._id")))
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )

@@ -12,7 +12,18 @@ Parity rules that keep value-hashes identical across engines:
 - hashes are md5-derived (portable), never engine-private hash functions;
 - regexp_replace in the oracle always passes the 'g' flag (Spark replaces
   globally by default, DuckDB does not);
-- counts are cast to bigint on the Spark side (DuckDB counts are BIGINT).
+- counts are cast to bigint on the Spark side (DuckDB counts are BIGINT);
+- anything ITERATIVE (GD, PageRank, HITS, k-means-class loops) or
+  summed-then-rounded uses INTEGER sufficient statistics: quantize per-row
+  terms to a cents/micro/nano grid, sum exactly (DECIMAL(38,0) here =
+  HUGEINT in DuckDB when squares overflow BIGINT), divide once — a float
+  sum rounded afterward is ulp-fragile whenever the true value lands on a
+  rounding half-boundary (observed live in the GD family, where round 1
+  has resid = ±0.5 exactly);
+- the rare cross-group float reduction that cannot be integer-quantized
+  uses an ORDERED left fold (F.aggregate over a sorted array here,
+  list_reduce over an ORDER BY list in DuckDB) so accumulation order is
+  pinned on both sides (see anova_price_by_priority).
 """
 
 from __future__ import annotations
@@ -744,11 +755,16 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_ngram_jaccard", f"""
 WITH {SQL_CORPUS},
 n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
-sh AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+shs AS (SELECT id AS _id, unnest({SQL_SHINGLES.format(norm='norm')}) AS sh FROM n),
+-- Jaccard over the 60-bit md5 shingle hashes, matching the engine's
+-- verify stage exactly (same rationale as the minhash-verified oracle:
+-- both engines hash identically; a 2^-60 collision folds the same
+-- shingles on both sides)
+sh AS (SELECT _id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h FROM shs),
 sizes AS (SELECT _id, count(*) AS sz FROM sh GROUP BY _id),
 shared AS (
   SELECT a._id AS id_a, b._id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a._id < b._id
+  FROM sh a JOIN sh b ON a.h = b.h AND a._id < b._id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
