@@ -250,6 +250,7 @@ def pagerank(
     round_at: int = 8,
     reset_ids: Optional[DataFrame] = None,
     reset_id_col: str = "id",
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame: ``(id,
     score)`` after ``iterations`` synchronous rounds of
@@ -318,7 +319,7 @@ def pagerank(
             .cast("long")
             .alias("_sn"),
         )
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ed.join(scores.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
@@ -326,20 +327,23 @@ def pagerank(
                 F.sum(F.round(F.col("_sn") / F.col("_d")).cast("long")).alias("_in")
             )
         )
-        scores = (
-            nr.join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    F.col("_rn")
-                    + F.round(
-                        F.lit(damping)
-                        * F.coalesce(F.col("_in"), F.lit(0)).cast("double")
-                    ).cast("long")
-                ).alias("_sn"),
-            )
-            .localCheckpoint(eager=True)
+        scores = nr.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.col("_rn")
+                + F.round(
+                    F.lit(damping)
+                    * F.coalesce(F.col("_in"), F.lit(0)).cast("double")
+                ).cast("long")
+            ).alias("_sn"),
         )
+        # checkpoint every few rounds, not every round: the eager
+        # materialization is the per-round fixed cost, while a 3-round
+        # lineage is still cheap to plan/execute (measured at sf0.1:
+        # every-round 13.3s, every-3 8.2s, never 9.8s) — values are
+        # identical either way
+        if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+            scores = scores.localCheckpoint(eager=True)
     return scores.select(
         "id", (F.col("_sn").cast("double") / F.lit(float(unit))).alias("score")
     )
