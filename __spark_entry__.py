@@ -22,7 +22,9 @@ from simpletasks_data_spark import queries as _catalog  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _catalog.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    return _catalog.queries()["pipeline_pretraining_corpus"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "anova_price_by_priority",
     "bh_fdr_urgent_nations",
     "mad_outliers_by_segment",
+    "pipeline_pretraining_corpus",
 ]
 
 

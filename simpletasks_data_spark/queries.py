@@ -197,6 +197,7 @@ _CHECK_FIRST = [
     #      as they are written), then the proven-green remainder (all
     #      pinned every run by the local oracle-parity suite) ----
     # round-7 additions (newest = riskiest)
+    "pipeline_pretraining_corpus",
     "dedup_minhash_capped",
     "skipgram_pairs_topk",
     "markov_event_transitions",
@@ -16395,4 +16396,120 @@ def bh_fdr_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pval", 8).alias("p_value"),
         F.col("rnk").cast("long").alias("p_rank"),
         (F.col("rnk") <= F.col("kstar")).alias("bh_reject_10"),
+    )
+
+
+def _pipeline_corpus_sql() -> str:
+    """Oracle for the end-to-end curation pipeline — composes the
+    proven fragments of its stage queries (text_langid, text_fingerprint,
+    decontaminate_benchmark_overlap, corpus_hash_split) in one CTE chain."""
+    toks = SQL_TOKENS.format(c="text")
+    score_cols = []
+    for lang, lex in TX.LANG_LEXICONS.items():
+        lex_sql = ", ".join(f"'{w}'" for w in lex)
+        score_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ({lex_sql}))) AS DOUBLE) / len(toks) ELSE 0.0 END AS s_{lang}"
+        )
+    langs = list(TX.LANG_LEXICONS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pick = f"CASE WHEN {best} <= 0 THEN 'und' "
+    for l in langs:
+        pick += f"WHEN s_{l} = {best} THEN '{l}' "
+    pick += "END"
+    gram = (
+        "unnest(list_distinct(list_transform("
+        "range(1, greatest(len(toks) - 1, 1)),"
+        " i -> array_to_string(toks[i:i+2], ' ')))) AS gram"
+    )
+    bucket = _SQL_BUCKET.format(k="doc_id")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+bench AS (
+  SELECT DISTINCT gram FROM (
+    SELECT {gram} FROM t WHERE doc_id % 20 = 0
+  )
+),
+q AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+  WHERE doc_id % 20 != 0 AND len(toks) >= 3
+),
+s AS (SELECT doc_id, toks, n_tokens, {', '.join(score_cols)} FROM q),
+l AS (SELECT doc_id, toks, n_tokens, {pick} AS lang FROM s),
+lf AS (SELECT * FROM l WHERE lang != 'und'),
+fp AS (
+  SELECT *, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fpr
+  FROM lf
+),
+dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fpr ORDER BY doc_id) AS rn FROM fp
+  ) WHERE rn = 1
+),
+grams AS (SELECT doc_id, {gram} FROM dd),
+ov AS (
+  SELECT g.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM grams g LEFT JOIN bench b USING (gram) GROUP BY g.doc_id
+),
+keep AS (
+  SELECT dd.doc_id, dd.lang, dd.n_tokens
+  FROM dd LEFT JOIN ov USING (doc_id)
+  WHERE ov.doc_id IS NULL OR CAST(ov.n_hits AS DOUBLE) / ov.n_shingles < 0.5
+),
+sp AS (
+  SELECT lang,
+         CASE WHEN {bucket} % 1000 < 900 THEN 'train'
+              WHEN {bucket} % 1000 < 950 THEN 'val'
+              ELSE 'test' END AS split,
+         n_tokens
+  FROM keep
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM sp GROUP BY lang, split
+"""
+
+
+@register("pipeline_pretraining_corpus", _pipeline_corpus_sql())
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-corpus curation in ONE DataFrame pipeline —
+    the showcase composition a training-data team actually runs, built
+    entirely from this repo's operators:
+
+      quality gate (>= 3 tokens)
+      -> language ID (n-gram lexicon argmax; drop 'und')
+      -> exact dedup (bag-of-words fingerprint, keep min doc id)
+      -> benchmark decontamination (3-gram overlap vs the broadcast
+         benchmark shingle set, drop ratio >= 0.5; benchmark docs
+         themselves are excluded from the corpus)
+      -> deterministic hash split (train/val/test)
+      -> per-(lang, split) doc and token accounting.
+
+    Every stage is map-shaped or one agg/join: tokens/langid/fingerprint
+    are projections, dedup is a fingerprint-partitioned window, the
+    decontamination join broadcasts the benchmark gram set (the corpus
+    side never shuffles on shingles), the split is a portable md5
+    bucket. At 100 TB this is the same plan with bigger scans — no stage
+    holds per-corpus state. The oracle recomputes the whole chain from
+    the proven stage fragments."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", "text", TX.tokens("text").alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    cand = base.where((F.col("doc_id") % 20 != 0) & (F.col("n_tokens") >= 3))
+    lang = cand.withColumn("lang", TX.lang_id("text")).where(F.col("lang") != "und")
+    fp = lang.withColumn("fpr", TX.fingerprint("text"))
+    w = Window.partitionBy("fpr").orderBy("doc_id")
+    dd = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    dec = CP.decontaminate(
+        dd.select("doc_id", "text"), bench, "text", "doc_id", n=3, threshold=0.5
+    )
+    keep = dd.join(
+        dec.where(F.col("contaminated")).select("doc_id"), "doc_id", "anti"
+    )
+    sp = CP.hash_split(keep, "doc_id")
+    return sp.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
     )

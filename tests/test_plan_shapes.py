@@ -254,7 +254,7 @@ def test_plan_lint_no_antipatterns(spark):
         # time and are exercised by the parity suite instead)
         "skipgram_pairs_topk", "markov_event_transitions",
         "fano_burstiness_events", "anova_price_by_priority",
-        "bh_fdr_urgent_nations",
+        "bh_fdr_urgent_nations", "pipeline_pretraining_corpus",
     ]
     bad = {}
     for name in LAZY:
