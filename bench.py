@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "bh_fdr_urgent_nations",
     "mad_outliers_by_segment",
     "pipeline_pretraining_corpus",
+    "ecod_outliers_embeddings",
+    "lift_deciles_urgent",
+    "top_session_paths",
+    "rolling_origin_backtest",
 ]
 
 

@@ -197,6 +197,10 @@ _CHECK_FIRST = [
     #      as they are written), then the proven-green remainder (all
     #      pinned every run by the local oracle-parity suite) ----
     # round-7 additions (newest = riskiest)
+    "ecod_outliers_embeddings",
+    "lift_deciles_urgent",
+    "top_session_paths",
+    "rolling_origin_backtest",
     "pipeline_pretraining_corpus",
     "dedup_minhash_capped",
     "skipgram_pairs_topk",
@@ -16512,4 +16516,264 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.groupBy("lang", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@register("ecod_outliers_embeddings", """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+x AS (
+  SELECT vec_id, d.d AS d, CAST(round(v[d.d] * 1000) AS BIGINT) AS qv
+  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS d) d
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+hist AS (SELECT d, qv, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY d, qv),
+cum AS (
+  SELECT d, qv, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY d ORDER BY qv
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM hist
+),
+terms AS (
+  SELECT x.vec_id,
+         CAST(floor(ln(CAST(tot.n AS DOUBLE)
+                       / CAST(least(cum.c, tot.n - cum.c + cum.cnt) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS tm
+  FROM x JOIN cum ON cum.d = x.d AND cum.qv = x.qv CROSS JOIN tot
+),
+score AS (
+  SELECT vec_id, CAST(sum(tm) AS BIGINT) AS sm FROM terms GROUP BY vec_id
+)
+SELECT vec_id, round(CAST(sm AS DOUBLE) / 1000000.0, 6) AS ecod_score
+FROM score ORDER BY sm DESC, vec_id LIMIT 20
+""")
+def ecod_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD outlier detection (Li et al., TKDE'22 — empirical-CDF tail
+    product, the hyperparameter-free modern baseline) over the first 8
+    embedding dimensions: per dimension the tail probability of each
+    value is min(F(x), 1-F(x)+1/n) from the EXACT empirical CDF, and
+    the outlier score is the sum of -log tail probabilities. Engine
+    shape: values quantize to integer milli-units, the CDF comes from a
+    per-dimension VALUE-GRID histogram with a grid-bounded cumulative
+    window (the exact_group_median discipline — never a row-scaled
+    rank), each -log term quantizes to integer micro-units (floor(ln *
+    1e6 + 0.5) on identical inputs both engines), and the per-row score
+    is an exact BIGINT sum — no float accumulation anywhere. Top-20 is
+    a TakeOrdered."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.round(F.element_at("v", d) * 1000).cast("long").alias("qv"),
+                    )
+                    for d in range(1, 9)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.d").alias("d"), F.col("s.qv").alias("qv"))
+    tot = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hist = x.groupBy("d", "qv").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wg = Window.partitionBy("d").orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("d", "qv", "cnt", F.sum("cnt").over(wg).cast("long").alias("c"))
+    k = F.least(F.col("c"), F.col("n") - F.col("c") + F.col("cnt"))
+    tm = F.floor(
+        F.log(F.col("n").cast("double") / k.cast("double")) * 1000000.0 + 0.5
+    ).cast("long")
+    terms = x.join(cum, ["d", "qv"]).crossJoin(F.broadcast(tot)).select(
+        "vec_id", tm.alias("tm")
+    )
+    score = terms.groupBy("vec_id").agg(F.sum("tm").cast("long").alias("sm"))
+    return (
+        score.orderBy(F.desc("sm"), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            F.round(F.col("sm").cast("double") / 1000000.0, 6).alias("ecod_score"),
+        )
+    )
+
+
+@register("lift_deciles_urgent", f"""
+WITH {_logreg_ctes(5, 1.0)},
+scored AS (
+  SELECT f.o_orderkey, f.y,
+         1.0 / (1.0 + exp(-(w5.w0 + w5.w1 * f.x1 + w5.w2 * f.x2))) AS p
+  FROM f CROSS JOIN w5
+),
+d AS (
+  SELECT y, ntile(10) OVER (ORDER BY p DESC, o_orderkey) AS decile FROM scored
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM d GROUP BY decile
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS pt FROM g),
+c AS (
+  SELECT decile, n, n_pos,
+         CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+  FROM g
+)
+SELECT CAST(c.decile AS BIGINT) AS decile, c.n, c.n_pos,
+       round(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS resp_rate,
+       round((CAST(c.cp AS DOUBLE) / CAST(c.cn AS DOUBLE))
+             / (CAST(tot.pt AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 6) AS cum_lift
+FROM c CROSS JOIN tot
+""")
+def lift_deciles_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains table for the GD logistic model: score deciles (decile
+    1 = highest scores), per-decile response rate, and cumulative lift
+    vs the base rate — the model-triage report every targeting model
+    ships with. Deciles come from the DISTRIBUTED exact-ntile kernel
+    (operators/ranking.exact_ntile — sampled range exchange +
+    per-partition rank + closed-form bucket map, bit-equal to SQL
+    ntile with NO single-task window); counts are exact integers; each
+    rate/lift is one division chain on identical inputs. The cumulative
+    window runs on the 10-row decile frame."""
+    from .operators.ranking import exact_ntile
+
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_gd(feats, iterations=5, lr=1.0, cache_key="full")
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    scored = feats.select(
+        "o_orderkey", "y", (1.0 / (1.0 + F.exp(-z))).alias("p")
+    )
+    d = exact_ntile(scored, 10, [F.desc("p"), F.asc("o_orderkey")], "decile")
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("n_pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("n_pos").cast("long").alias("pt")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("n_pos").over(wc).cast("long").alias("cp"),
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6).alias(
+            "resp_rate"
+        ),
+        F.round(
+            (F.col("cp").cast("double") / F.col("cn").cast("double"))
+            / (F.col("pt").cast("double") / F.col("nt").cast("double")),
+            6,
+        ).alias("cum_lift"),
+    )
+
+
+@register("top_session_paths", """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path LIMIT 20
+""")
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths: each user's first three event types
+    under the (ts, event_id) total order joined into a '>' path — the
+    entry-funnel Sankey feed. One USER-partitioned rank window (scale-
+    safe), an ordered in-group concat (sorted struct array fold — the
+    aggregation itself never depends on shuffle order), exact counts,
+    TakeOrdered top-20."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    p = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+@register("rolling_origin_backtest", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT d, cents,
+         row_number() OVER (ORDER BY d) AS rn,
+         CAST(sum(cents) OVER (ORDER BY d
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7
+  FROM daily
+),
+e AS (
+  SELECT abs(7 * cents - s7) AS err7 FROM r WHERE rn > 7
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(err7) AS DOUBLE) / (7.0 * count(*)) / 100.0, 4) AS mae,
+       round(CAST(max(err7) AS DOUBLE) / 7.0 / 100.0, 4) AS max_abs_err
+FROM e
+""")
+def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (walk-forward) backtest of the naive 7-day-mean
+    revenue forecast: for every day past the warm-up, forecast = mean of
+    the previous 7 observed days, evaluated on the day it was made for —
+    the leakage-free eval protocol for any time-series model; this query
+    scores the baseline every candidate model must beat. Exactness: the
+    error is kept as the INTEGER |7*actual - sum7| (never a float mean
+    per day), so MAE is one exact BIGINT sum divided once. Windows run
+    on the distinct-day grid (bounded by the calendar, never row count)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    wd = Window.orderBy("d")
+    r = daily.select(
+        "cents",
+        F.row_number().over(wd).alias("rn"),
+        F.sum("cents").over(wd.rowsBetween(-7, -1)).cast("long").alias("s7"),
+    )
+    e = r.where(F.col("rn") > 7).select(
+        F.abs(7 * F.col("cents") - F.col("s7")).alias("err7")
+    )
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum("err7").cast("double") / (7.0 * F.count(F.lit(1))) / 100.0, 4
+        ).alias("mae"),
+        F.round(F.max("err7").cast("double") / 7.0 / 100.0, 4).alias("max_abs_err"),
     )

@@ -255,6 +255,8 @@ def test_plan_lint_no_antipatterns(spark):
         "skipgram_pairs_topk", "markov_event_transitions",
         "fano_burstiness_events", "anova_price_by_priority",
         "bh_fdr_urgent_nations", "pipeline_pretraining_corpus",
+        "ecod_outliers_embeddings", "top_session_paths",
+        "rolling_origin_backtest",
     ]
     bad = {}
     for name in LAZY:
@@ -285,6 +287,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "token_budget_selection",
     # BH step: rank/count windows over the 25-row nation frame
     "bh_fdr_urgent_nations",
+    # cumulative gains over the 10-row decile frame
+    "lift_deciles_urgent",
+    # rolling 7-day forecast windows over the distinct-day grid
+    "rolling_origin_backtest",
 }
 
 
@@ -357,6 +363,9 @@ def test_plan_lint_no_partitionless_windows(spark):
         # (excluded from the CartesianProduct lint like knn_bruteforce
         # itself); its top-k windows must still all be partitioned
         "matryoshka_recall_eval",
+        # round-7: exact-ntile kernel at build time; the 10-row decile
+        # cumulative window is allowlisted below
+        "lift_deciles_urgent",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):

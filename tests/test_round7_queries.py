@@ -165,3 +165,84 @@ def test_bh_fdr_matches_numpy(spark):
         z = next(t[3] for t in recs if t[0] == name)
         assert abs(r["z"] - z) < 1e-5
         assert abs(r["p_value"] - pval(z)) < 1e-6
+
+
+def test_ecod_matches_numpy(spark):
+    rows = Q.queries()["ecod_outliers_embeddings"](spark, SF).collect()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy()
+    V = np.stack(emb.embedding.to_numpy()).astype("float64")[:, :8]
+    Qv = np.round(V * 1000).astype("int64")
+    n = len(ids)
+    scores = np.zeros(n, dtype="int64")
+    for d in range(8):
+        col = Qv[:, d]
+        uniq, cnt = np.unique(col, return_counts=True)
+        cum = np.cumsum(cnt)
+        c = dict(zip(uniq, cum))
+        ct = dict(zip(uniq, cnt))
+        for i, v in enumerate(col):
+            k = min(c[v], n - c[v] + ct[v])
+            scores[i] += int(math.floor(math.log(n / k) * 1e6 + 0.5))
+    order = sorted(zip(-scores, ids))[:20]
+    want = [(int(i), round(-s / 1e6, 6)) for s, i in order]
+    got = [(r["vec_id"], r["ecod_score"]) for r in rows]
+    assert got == want
+
+
+def test_lift_deciles_match_numpy(spark):
+    rows = {r["decile"]: r for r in Q.queries()["lift_deciles_urgent"](spark, SF).collect()}
+    import simpletasks_data_spark.queries as QQ
+
+    feats = QQ._logreg_features(spark, SF)
+    w = QQ._logreg_gd(feats, iterations=5, lr=1.0)
+    pdf = feats.toPandas()
+    p = 1.0 / (1.0 + np.exp(-(w[0] + w[1] * pdf.x1 + w[2] * pdf.x2)))
+    df = pd.DataFrame({"k": pdf.o_orderkey, "y": pdf.y, "p": p}).sort_values(
+        ["p", "k"], ascending=[False, True]
+    )
+    n = len(df)
+    q, m = divmod(n, 10)
+    sizes = [q + 1] * m + [q] * (10 - m)
+    tot_pos, pos_so_far, n_so_far, start = df.y.sum(), 0, 0, 0
+    for dec in range(1, 11):
+        part = df.iloc[start : start + sizes[dec - 1]]
+        start += sizes[dec - 1]
+        n_so_far += len(part)
+        pos_so_far += part.y.sum()
+        r = rows[dec]
+        assert r["n"] == len(part)
+        assert r["n_pos"] == int(part.y.sum())
+        lift = (pos_so_far / n_so_far) / (tot_pos / n)
+        assert abs(r["cum_lift"] - lift) < 1e-5
+
+
+def test_top_session_paths_match_pandas(spark):
+    got = [
+        (r["path"], r["n_users"])
+        for r in Q.queries()["top_session_paths"](spark, SF).collect()
+    ]
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    paths = Counter(
+        ">".join(g.event_type.head(3)) for _, g in ev.groupby("user_id")
+    )
+    want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_rolling_origin_matches_pandas(spark):
+    row = Q.queries()["rolling_origin_backtest"](spark, SF).collect()[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["d"] = o.o_orderdate.dt.date
+    o["c"] = (o.o_totalprice * 100).round().astype("int64")
+    daily = o.groupby("d").c.sum().sort_index()
+    cents = daily.to_numpy()
+    errs = []
+    for i in range(7, len(cents)):
+        s7 = int(cents[i - 7 : i].sum())
+        errs.append(abs(7 * int(cents[i]) - s7))
+    assert row["n_days"] == len(errs)
+    assert abs(row["mae"] - sum(errs) / (7 * len(errs)) / 100.0) < 1e-3
+    assert abs(row["max_abs_err"] - max(errs) / 7.0 / 100.0) < 1e-3
