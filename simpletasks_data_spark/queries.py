@@ -183,15 +183,6 @@ _CHECK_FIRST = [
     "cluster_aware_holdout_split",
     "ab_test_conversion_ztest",
     "embedding_outliers_by_cell",
-    "geo_nearest_warehouse",
-    "sentence_split_stats",
-    "streaming_static_enrichment",
-    "streaming_dynamic_gap_sessions",
-    "conversion_by_session_depth",
-    "repeat_purchase_intervals",
-    "quantile_normalize_sources",
-    "association_rules_brands",
-    "bpe_encode_stats",
     # ---- position 51+ from here: round-8 candidates (still never
     #      checked; new-round additions land at the FRONT of this block
     #      as they are written), then the proven-green remainder (all
@@ -210,6 +201,15 @@ _CHECK_FIRST = [
     "bh_fdr_urgent_nations",
     "mad_outliers_by_segment",
     # older never-checked backlog
+    "geo_nearest_warehouse",
+    "sentence_split_stats",
+    "streaming_static_enrichment",
+    "streaming_dynamic_gap_sessions",
+    "conversion_by_session_depth",
+    "repeat_purchase_intervals",
+    "quantile_normalize_sources",
+    "association_rules_brands",
+    "bpe_encode_stats",
     "quality_bigram_kn_logprob",
     "dedup_minhash_eval",
     "token_pmi_pairs",
