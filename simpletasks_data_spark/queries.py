@@ -187,7 +187,25 @@ _CHECK_FIRST = [
     #      checked; new-round additions land at the FRONT of this block
     #      as they are written), then the proven-green remainder (all
     #      pinned every run by the local oracle-parity suite) ----
-    # round-7 additions (newest = riskiest)
+    # round-7b additions (newest = riskiest)
+    "link_prediction_suppliers",
+    "graph_degree_assortativity",
+    "welch_ttest_urgent_price",
+    "cramers_v_priority_segment",
+    "woe_iv_price_bins",
+    "changepoint_daily_revenue",
+    "holt_linear_region_forecast",
+    "l_diversity_customers",
+    "systematic_sample_orders",
+    "bollinger_bands_nation",
+    "isotonic_calibration_urgent",
+    "spearman_price_ordersize",
+    "vocab_coverage_topk",
+    "tokenizer_fertility_by_lang",
+    "rejection_sample_bylength",
+    "adamic_adar_suppliers",
+    "cochran_armitage_priority_trend",
+    # round-7 additions
     "ecod_outliers_embeddings",
     "lift_deciles_urgent",
     "top_session_paths",
@@ -16776,4 +16794,1398 @@ def rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("err7").cast("double") / (7.0 * F.count(F.lit(1))) / 100.0, 4
         ).alias("mae"),
         F.round(F.max("err7").cast("double") / 7.0 / 100.0, 4).alias("max_abs_err"),
+    )
+
+
+# ===========================================================================
+# Round-7b batch: graph link prediction & assortativity, classical test
+# statistics (Welch, Cramér's V), credit-scoring WOE/IV, isotonic
+# calibration, changepoint & Holt trend on the day grid, l-diversity,
+# systematic sampling, Bollinger breakouts.
+# ===========================================================================
+
+
+_SQL_TOP_DECILE_EDGES = """li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+prs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(count(*) AS BIGINT) AS n
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+hist AS (SELECT n, CAST(count(*) AS BIGINT) AS cnt FROM prs GROUP BY n),
+cum AS (
+  SELECT n, CAST(sum(cnt) OVER (ORDER BY n DESC ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS ge
+  FROM hist
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM prs),
+thr AS (
+  SELECT min(n) AS t FROM cum CROSS JOIN tot
+  WHERE ge <= CAST(ceil(0.1 * m) AS BIGINT)
+),
+edges AS (SELECT u, v FROM prs CROSS JOIN thr WHERE prs.n >= thr.t),
+adj AS (SELECT u AS x, v AS y FROM edges UNION ALL SELECT v AS x, u AS y FROM edges),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x)"""
+
+
+def _co_supply_top_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-supply edges in the TOP DECILE of support: threshold t =
+    min{v : #pairs with support >= v <= ceil(0.1 * m)}, computed on the
+    bounded support-VALUE grid (a histogram + one cumulative window over
+    a few hundred distinct counts — never row-scaled). A fixed absolute
+    floor degenerates across scales — at small SFs every supplier pair
+    co-supplies and the graph is complete (no non-edges to predict, a
+    regular graph with zero degree variance); the relative decile keeps
+    ~10% of pairs at ANY scale, so downstream graph statistics stay
+    non-trivial from sf0.001 to 100 TB."""
+    sup = _co_supply_store(spark, sf_dir)
+    hist = sup.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    wn = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("n", F.sum("cnt").over(wn).cast("long").alias("ge"))
+    tot = sup.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    thr = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("ge") <= F.ceil(0.1 * F.col("m")))
+        .agg(F.min("n").alias("t"))
+    )
+    return (
+        sup.crossJoin(F.broadcast(thr))
+        .where(F.col("n") >= F.col("t"))
+        .select("u", "v")
+    )
+
+
+@register("link_prediction_suppliers", f"""
+WITH {_SQL_TOP_DECILE_EDGES},
+cn AS (
+  SELECT a1.y AS a, a2.y AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT cn.a, cn.b, cn.common_neighbors
+  FROM cn LEFT JOIN edges e ON e.u = cn.a AND e.v = cn.b
+  WHERE e.u IS NULL
+)
+SELECT CAST(c.a AS BIGINT) AS supp_a, CAST(c.b AS BIGINT) AS supp_b,
+       c.common_neighbors,
+       round(CAST(c.common_neighbors AS DOUBLE)
+             / CAST(da.d + db.d - c.common_neighbors AS DOUBLE), 4) AS jaccard
+FROM cand c JOIN deg da ON da.x = c.a JOIN deg db ON db.x = c.b
+ORDER BY jaccard DESC, common_neighbors DESC, supp_a, supp_b LIMIT 20
+""")
+def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier co-supply graph: for every
+    NON-adjacent pair with at least one common neighbor, the
+    common-neighbors count and neighborhood Jaccard — the classic
+    who-should-be-connected recommender signal. The edge set is the
+    top support decile (_co_supply_top_decile_edges — a fixed floor
+    degenerates to a complete graph at small scales, leaving nothing
+    to predict). Candidates come from ONE equi-join of the
+    bidirectional adjacency on the shared neighbor (fan-out sum of
+    deg(w)^2, bounded by the decile sparsification), never an
+    all-pairs product; existing edges leave via one anti-join and
+    top-20 is a TakeOrdered. Jaccard is one division of exact BIGINT
+    counts — bit-identical across engines."""
+    edges = _co_supply_top_decile_edges(spark, sf_dir)
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("x", "y")
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a1 = adj.select(F.col("x").alias("w"), F.col("y").alias("a"))
+    a2 = adj.select(F.col("x").alias("w"), F.col("y").alias("b"))
+    cn = (
+        a1.join(a2, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    cand = cn.join(
+        edges, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")), "left_anti"
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").cast("long").alias("supp_a"),
+            F.col("b").cast("long").alias("supp_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.desc("common_neighbors"), "supp_a", "supp_b"
+    ).limit(20)
+
+
+@register("graph_degree_assortativity", f"""
+WITH {_SQL_TOP_DECILE_EDGES},
+ed AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM adj JOIN deg da ON da.x = adj.x JOIN deg db ON db.x = adj.y
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+  FROM ed
+)
+SELECT m2 AS n_edge_ends,
+       round(CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE), 4) AS mean_edge_deg,
+       round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+         AS assortativity
+FROM s
+""")
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-supply graph: Pearson
+    correlation of (deg(u), deg(v)) over both orientations of every
+    edge — do high-degree suppliers co-supply with other hubs
+    (assortative, r > 0) or with the periphery (disassortative)? The
+    edge set is the top support decile (a fixed floor yields a complete
+    = regular graph at small SFs, where the correlation is 0/0). All
+    five sufficient statistics are EXACT integer sums (Spark
+    DECIMAL(38,0) / DuckDB HUGEINT for the squared terms, which
+    overflow BIGINT at scale); the correlation is a single identically
+    composed float expression at the end. Two equi-joins against the
+    degree dimension."""
+    edges = _co_supply_top_decile_edges(spark, sf_dir)
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("x", "y")
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    da = deg.select(F.col("x").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("x").alias("y"), F.col("d").alias("dy"))
+    ed = adj.join(da, "x").join(db, "y").select("dx", "dy")
+    s = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    m_d = F.col("m2").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.select(
+        F.col("m2").alias("n_edge_ends"),
+        F.round(sx_d / m_d, 4).alias("mean_edge_deg"),
+        F.round(
+            (m_d * F.col("sxy").cast("double") - sx_d * sy_d)
+            / F.sqrt(
+                (m_d * F.col("sxx").cast("double") - sx_d * sx_d)
+                * (m_d * F.col("syy").cast("double") - sy_d * sy_d)
+            ),
+            4,
+        ).alias("assortativity"),
+    )
+
+
+@register("welch_ttest_urgent_price", """
+WITH g AS (
+  SELECT (o_orderpriority = '1-URGENT') AS is_urgent,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s1,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS s2
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT
+    max(CASE WHEN is_urgent THEN n END) AS n1,
+    max(CASE WHEN NOT is_urgent THEN n END) AS n2,
+    max(CASE WHEN is_urgent THEN CAST(s1 AS DOUBLE) END) AS a1,
+    max(CASE WHEN NOT is_urgent THEN CAST(s1 AS DOUBLE) END) AS a2,
+    max(CASE WHEN is_urgent THEN CAST(s2 AS DOUBLE) END) AS q1,
+    max(CASE WHEN NOT is_urgent THEN CAST(s2 AS DOUBLE) END) AS q2
+  FROM g
+),
+v AS (
+  SELECT n1, n2,
+         a1 / CAST(n1 AS DOUBLE) AS m1, a2 / CAST(n2 AS DOUBLE) AS m2,
+         (q1 - a1 * a1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) AS v1,
+         (q2 - a2 * a2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) AS v2
+  FROM p
+)
+SELECT n1, n2,
+       round((m1 - m2) / 100.0, 4) AS mean_diff,
+       round((m1 - m2)
+             / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 4) AS t_stat,
+       round((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+             * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+             / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                / CAST(n1 - 1 AS DOUBLE)
+                + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                  / CAST(n2 - 1 AS DOUBLE)), 2) AS welch_df
+FROM v
+""")
+def welch_ttest_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: do urgent orders carry a
+    different mean price than the rest? Per-group sufficient statistics
+    (n, sum, sum-of-squares on the exact cent grid, DECIMAL/HUGEINT)
+    ride ONE hash agg over the table; means, variances, the t statistic
+    and the Welch–Satterthwaite df are identically composed float
+    expressions over the two-row group frame. The A/B significance test
+    for a continuous metric, next to the proportions z-test
+    (ab_test_conversion_ztest) and ANOVA (anova_price_by_priority)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        load(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+            cents.alias("c"),
+        )
+        .groupBy("is_urgent")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        )
+    )
+    p = g.agg(
+        F.max(F.when(F.col("is_urgent"), F.col("n"))).alias("n1"),
+        F.max(F.when(~F.col("is_urgent"), F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("is_urgent"), F.col("s1").cast("double"))).alias("a1"),
+        F.max(F.when(~F.col("is_urgent"), F.col("s1").cast("double"))).alias("a2"),
+        F.max(F.when(F.col("is_urgent"), F.col("s2").cast("double"))).alias("q1"),
+        F.max(F.when(~F.col("is_urgent"), F.col("s2").cast("double"))).alias("q2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    v = p.select(
+        "n1",
+        "n2",
+        (F.col("a1") / n1d).alias("m1"),
+        (F.col("a2") / n2d).alias("m2"),
+        ((F.col("q1") - F.col("a1") * F.col("a1") / n1d)
+         / (F.col("n1") - 1).cast("double")).alias("v1"),
+        ((F.col("q2") - F.col("a2") * F.col("a2") / n2d)
+         / (F.col("n2") - 1).cast("double")).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1").cast("double") + F.col("v2") / F.col("n2").cast(
+        "double"
+    )
+    return v.select(
+        "n1",
+        "n2",
+        F.round((F.col("m1") - F.col("m2")) / 100.0, 4).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (
+                (F.col("v1") / F.col("n1").cast("double"))
+                * (F.col("v1") / F.col("n1").cast("double"))
+                / (F.col("n1") - 1).cast("double")
+                + (F.col("v2") / F.col("n2").cast("double"))
+                * (F.col("v2") / F.col("n2").cast("double"))
+                / (F.col("n2") - 1).cast("double")
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@register("cramers_v_priority_segment", """
+WITH obs AS (
+  SELECT o.o_orderpriority AS pr, c.c_mktsegment AS seg,
+         CAST(count(*) AS BIGINT) AS o
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+m AS (SELECT pr, CAST(sum(o) AS BIGINT) AS rp FROM obs GROUP BY pr),
+s AS (SELECT seg, CAST(sum(o) AS BIGINT) AS cs FROM obs GROUP BY seg),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS total FROM obs),
+grid AS (
+  SELECT m.pr, s.seg, n.total,
+         coalesce(obs.o, 0) AS o,
+         CAST(m.rp AS DOUBLE) * CAST(s.cs AS DOUBLE) / CAST(n.total AS DOUBLE) AS e
+  FROM m CROSS JOIN s CROSS JOIN n
+  LEFT JOIN obs ON obs.pr = m.pr AND obs.seg = s.seg
+),
+agg AS (
+  SELECT list_reduce(
+           list((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                ORDER BY pr, seg),
+           (acc, x) -> acc + x) AS chi2,
+         CAST(count(DISTINCT pr) AS BIGINT) AS r,
+         CAST(count(DISTINCT seg) AS BIGINT) AS c,
+         CAST(any_value(total) AS BIGINT) AS n
+  FROM grid
+)
+SELECT round(chi2, 4) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof, n,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+FROM agg
+""")
+def cramers_v_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the association between order
+    priority and customer market segment — chi-square alone grows with
+    n, V normalizes it to [0, 1] so drift monitors can threshold it.
+    One equi-join orders→customer, one contingency agg; the 25-cell
+    chi-square sum is an ORDERED left fold over the (priority,
+    segment)-sorted term list (the anova discipline — no engine's
+    hash-agg order can move a ulp), and V is one identically composed
+    sqrt at the end. The grid is category-bounded at any scale."""
+    obs = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderpriority").alias("pr"))
+        .join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            "o_custkey",
+        )
+        .groupBy("pr", "seg")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    m = obs.groupBy("pr").agg(F.sum("o").cast("long").alias("rp"))
+    s = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("cs"))
+    n = obs.agg(F.sum("o").cast("long").alias("total"))
+    grid = (
+        m.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["pr", "seg"], "left")
+        .select(
+            "pr",
+            "seg",
+            "total",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (
+                F.col("rp").cast("double")
+                * F.col("cs").cast("double")
+                / F.col("total").cast("double")
+            ).alias("e"),
+        )
+    )
+    term = (
+        (F.col("o").cast("double") - F.col("e"))
+        * (F.col("o").cast("double") - F.col("e"))
+        / F.col("e")
+    )
+    agg = grid.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pr"), F.col("seg"), term.alias("t")))
+        ).alias("arr"),
+        F.count_distinct("pr").cast("long").alias("r"),
+        F.count_distinct("seg").cast("long").alias("c"),
+        F.any_value("total").cast("long").alias("n"),
+    ).select(
+        F.aggregate(F.col("arr"), F.lit(0.0), lambda a, x: a + x["t"]).alias("chi2"),
+        "r",
+        "c",
+        "n",
+    )
+    return agg.select(
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        "n",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register("woe_iv_price_bins", """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS g
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(n - g) AS BIGINT) AS bt,
+         CAST(count(*) AS BIGINT) AS k
+  FROM b
+),
+w AS (
+  SELECT b.bin, b.n, b.g,
+         (CAST(b.g AS DOUBLE) + 0.5)
+           / (CAST(t.gt AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)) AS pg,
+         (CAST(b.n - b.g AS DOUBLE) + 0.5)
+           / (CAST(t.bt AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)) AS pb
+  FROM b CROSS JOIN t
+),
+w2 AS (
+  SELECT bin, n, g, ln(pg / pb) AS woe, (pg - pb) * ln(pg / pb) AS iv_term FROM w
+),
+iv AS (
+  SELECT list_reduce(list(iv_term ORDER BY bin), (acc, x) -> acc + x) AS iv_total
+  FROM w2
+)
+SELECT w2.bin, w2.n, w2.g AS n_urgent,
+       round(CAST(w2.g AS DOUBLE) / CAST(w2.n AS DOUBLE), 4) AS urgent_rate,
+       round(w2.woe, 4) AS woe,
+       round(w2.iv_term, 6) AS iv_term,
+       round(iv.iv_total, 4) AS iv_total
+FROM w2 CROSS JOIN iv
+""")
+def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of binned order
+    price against the urgent flag — the credit-scoring feature-screen
+    (IV < 0.02 = useless, > 0.3 = strong) sitting next to
+    target_encode_mktsegment and mutual_info_features. One hash agg
+    bins the table (fixed $25k grid — bounded bin count, no global
+    sort); WOE uses +0.5 Laplace smoothing so empty-side bins stay
+    finite; the cross-bin IV sum is an ORDERED fold over the bin-sorted
+    terms; totals ride one broadcast 1-row crossJoin."""
+    b = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bin"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("u"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("u").cast("long").alias("g"),
+        )
+    )
+    t = b.agg(
+        F.sum("g").cast("long").alias("gt"),
+        F.sum(F.col("n") - F.col("g")).cast("long").alias("bt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    w = b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n",
+        "g",
+        (
+            (F.col("g").cast("double") + 0.5)
+            / (F.col("gt").cast("double") + 0.5 * F.col("k").cast("double"))
+        ).alias("pg"),
+        (
+            ((F.col("n") - F.col("g")).cast("double") + 0.5)
+            / (F.col("bt").cast("double") + 0.5 * F.col("k").cast("double"))
+        ).alias("pb"),
+    )
+    w2 = w.select(
+        "bin",
+        "n",
+        "g",
+        F.log(F.col("pg") / F.col("pb")).alias("woe"),
+        ((F.col("pg") - F.col("pb")) * F.log(F.col("pg") / F.col("pb"))).alias(
+            "iv_term"
+        ),
+    )
+    iv = w2.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), F.col("iv_term").alias("t")))
+        ).alias("arr")
+    ).select(
+        F.aggregate(F.col("arr"), F.lit(0.0), lambda a, x: a + x["t"]).alias(
+            "iv_total"
+        )
+    )
+    return w2.crossJoin(F.broadcast(iv)).select(
+        "bin",
+        "n",
+        F.col("g").alias("n_urgent"),
+        F.round(F.col("g").cast("double") / F.col("n").cast("double"), 4).alias(
+            "urgent_rate"
+        ),
+        F.round("woe", 4).alias("woe"),
+        F.round("iv_term", 6).alias("iv_term"),
+        F.round("iv_total", 4).alias("iv_total"),
+    )
+
+
+@register("changepoint_daily_revenue", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT d, c,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st
+  FROM daily
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s FROM daily),
+sc AS (
+  SELECT r.d, r.t, tot.n,
+         CAST(r.st AS DOUBLE) / CAST(r.t AS DOUBLE) / 100.0 AS mean_before,
+         CAST(tot.s - r.st AS DOUBLE) / CAST(tot.n - r.t AS DOUBLE) / 100.0
+           AS mean_after,
+         CAST(r.st AS DOUBLE) * CAST(r.st AS DOUBLE) / CAST(r.t AS DOUBLE)
+           + CAST(tot.s - r.st AS DOUBLE) * CAST(tot.s - r.st AS DOUBLE)
+             / CAST(tot.n - r.t AS DOUBLE) AS score
+  FROM r CROSS JOIN tot WHERE r.t < tot.n
+)
+SELECT d AS change_date, t AS left_days, n AS n_days,
+       round(mean_before, 4) AS mean_before, round(mean_after, 4) AS mean_after,
+       round(score / CAST(n AS DOUBLE) / 10000.0, 4) AS gain
+FROM sc ORDER BY score DESC, t ASC LIMIT 1
+""")
+def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift changepoint in daily order revenue (binary
+    segmentation, first split): the day t maximizing the between-
+    segment sum of squares S_t^2/t + (S-S_t)^2/(n-t) — computable for
+    EVERY candidate split from one prefix-sum pass, the CUSUM family's
+    offline counterpart (cusum_drift_events is the online one). Prefix
+    sums are exact BIGINT cents over the distinct-day grid (calendar-
+    bounded, never row-scaled — the allowlisted bare-window class);
+    the argmax is a TakeOrdered over identically composed doubles with
+    a deterministic (score DESC, t ASC) tie-break."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c0"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c0").cast("long").alias("c"))
+    )
+    wd = Window.orderBy("d")
+    r = daily.select(
+        "d",
+        "c",
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.sum("c").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("st"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    sc = (
+        r.crossJoin(F.broadcast(tot))
+        .where(F.col("t") < F.col("n"))
+        .select(
+            "d",
+            "t",
+            "n",
+            (F.col("st").cast("double") / F.col("t").cast("double") / 100.0).alias(
+                "mean_before"
+            ),
+            (
+                (F.col("s") - F.col("st")).cast("double")
+                / (F.col("n") - F.col("t")).cast("double")
+                / 100.0
+            ).alias("mean_after"),
+            (
+                F.col("st").cast("double")
+                * F.col("st").cast("double")
+                / F.col("t").cast("double")
+                + (F.col("s") - F.col("st")).cast("double")
+                * (F.col("s") - F.col("st")).cast("double")
+                / (F.col("n") - F.col("t")).cast("double")
+            ).alias("score"),
+        )
+    )
+    return (
+        sc.orderBy(F.desc("score"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.col("d").alias("change_date"),
+            F.col("t").alias("left_days"),
+            F.col("n").alias("n_days"),
+            F.round("mean_before", 4).alias("mean_before"),
+            F.round("mean_after", 4).alias("mean_after"),
+            F.round(F.col("score") / F.col("n").cast("double") / 10000.0, 4).alias(
+                "gain"
+            ),
+        )
+    )
+
+
+@register("holt_linear_region_forecast", """
+WITH RECURSIVE daily AS (
+  SELECT r.r_name, CAST(o.o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders o
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation na ON na.n_nationkey = cu.c_nationkey
+  JOIN region r ON r.r_regionkey = na.n_regionkey
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT r_name, c,
+         CAST(row_number() OVER (PARTITION BY r_name ORDER BY d) AS BIGINT) AS i
+  FROM daily
+),
+nd AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY r_name),
+rec AS (
+  SELECT r_name, i, CAST(c AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT s.r_name, s.i,
+         0.5 * CAST(s.c AS DOUBLE) + 0.5 * (r.l + r.b) AS l,
+         0.3 * ((0.5 * CAST(s.c AS DOUBLE) + 0.5 * (r.l + r.b)) - r.l)
+           + 0.7 * r.b AS b
+  FROM rec r JOIN idx s ON s.r_name = r.r_name AND s.i = r.i + 1
+)
+SELECT r.r_name, nd.n_days,
+       round(r.l / 100.0, 4) AS level,
+       round(r.b / 100.0, 4) AS trend,
+       round((r.l + 7.0 * r.b) / 100.0, 4) AS forecast_7d
+FROM rec r JOIN nd ON nd.r_name = r.r_name AND r.i = nd.n_days
+""")
+def holt_linear_region_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (alpha=0.5, beta=0.3)
+    over each region's daily revenue, with a 7-day-ahead forecast —
+    the trend-aware sibling of ewma_region_revenue. The recurrence is
+    inherently sequential, but the SERIES is calendar-bounded: daily
+    totals aggregate distributed (exact cents), and the fold runs over
+    each region's day-sorted array via F.aggregate with the first
+    element as the initial state (l=y_0, b=0). The oracle uses a
+    recursive CTE rather than list_reduce: DuckDB 1.0 evaluates
+    struct-literal fields in a lambda SEQUENTIALLY against a mutating
+    accumulator (the 'b' expression sees the freshly assigned 'l'), so
+    a struct fold silently computes a different recurrence; the CTE
+    executes the identical double-op sequence as F.aggregate, so
+    levels match bit-for-bit. At 100 TB the heavy lifting (the join +
+    daily agg) is the distributed part; the fold touches ~10^3 values
+    per region."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c0"),
+    )
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    na = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    rg = load(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    daily = (
+        o.join(cu, "o_custkey")
+        .join(F.broadcast(na), "c_nationkey")
+        .join(F.broadcast(rg), "n_regionkey")
+        .groupBy("r_name", "d")
+        .agg(F.sum("c0").cast("long").alias("c"))
+    )
+    ser = daily.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("d"), F.col("c").cast("double").alias("y"))
+            )
+        ).alias("arr"),
+    )
+    init = F.struct(
+        F.element_at("arr", 1)["y"].alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, x):
+        newl = 0.5 * x["y"] + 0.5 * (acc["l"] + acc["b"])
+        return F.struct(
+            newl.alias("l"),
+            (0.3 * ((0.5 * x["y"] + 0.5 * (acc["l"] + acc["b"])) - acc["l"])
+             + 0.7 * acc["b"]).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        init,
+        step,
+    )
+    return ser.select("r_name", "n_days", st.alias("st")).select(
+        "r_name",
+        "n_days",
+        F.round(F.col("st")["l"] / 100.0, 4).alias("level"),
+        F.round(F.col("st")["b"] / 100.0, 4).alias("trend"),
+        F.round((F.col("st")["l"] + 7.0 * F.col("st")["b"]) / 100.0, 4).alias(
+            "forecast_7d"
+        ),
+    )
+
+
+@register("l_diversity_customers", """
+WITH cls AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         CAST(count(*) AS BIGINT) AS sz,
+         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+  FROM customer GROUP BY 1, 2
+),
+ls AS (SELECT unnest([2, 3, 5]) AS l_req)
+SELECT CAST(l_req AS BIGINT) AS l_req,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN l < l_req THEN 1 ELSE 0 END) AS BIGINT) AS n_low_classes,
+       CAST(sum(CASE WHEN l < l_req THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       round(sum(CASE WHEN l < l_req THEN sz ELSE 0 END) * 1.0 / sum(sz), 4)
+         AS risk_pct
+FROM cls CROSS JOIN ls GROUP BY l_req
+""")
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit on the customer quasi-identifier pair (nation,
+    account-balance kilobucket) with market segment as the sensitive
+    attribute: k-anonymity (k_anonymity_customers) stops homogeneity
+    attacks only if every class also carries >= l distinct sensitive
+    values — a class of 50 rows that are ALL 'BUILDING' re-identifies
+    the attribute without re-identifying the row. One hash agg builds
+    the class frame; the per-threshold report is a broadcast crossJoin
+    against a 3-row literal frame over class-count-bounded metadata."""
+    cls = (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.count_distinct("c_mktsegment").cast("long").alias("l"),
+        )
+    )
+    ls = spark.createDataFrame([(2,), (3,), (5,)], "l_req long")
+    low = F.when(F.col("l") < F.col("l_req"), F.col("sz")).otherwise(F.lit(0))
+    return (
+        cls.crossJoin(F.broadcast(ls))
+        .groupBy("l_req")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("l") < F.col("l_req"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_classes"),
+            F.sum(low).cast("long").alias("rows_at_risk"),
+            F.round(F.sum(low) * 1.0 / F.sum("sz"), 4).alias("risk_pct"),
+        )
+    )
+
+
+@register("systematic_sample_orders", """
+WITH r AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+           AS position
+  FROM orders
+),
+k AS (SELECT greatest(1, CAST(floor(count(*) / 1000.0) AS BIGINT)) AS k FROM orders)
+SELECT r.position, CAST(r.o_orderkey AS BIGINT) AS o_orderkey,
+       r.o_orderdate, r.o_totalprice
+FROM r CROSS JOIN k WHERE (r.position - 1) % k.k = 0
+""")
+def systematic_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sample of orders under the global
+    (date, key) order — the stratified-in-time audit sample that, at a
+    fixed target of ~1000 rows, stays uniform over the timeline however
+    large the table grows. The global rank comes from the distributed
+    ranking kernel (operators/ranking.global_row_number: one range
+    exchange + per-partition windows + an O(partitions) offset map —
+    no single-task window at any scale); k derives from the kernel's
+    exact row count."""
+    from .operators.ranking import global_row_number
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    ranked, n = global_row_number(
+        orders, [F.col("o_orderdate"), F.col("o_orderkey")], out_col="position"
+    )
+    k = max(1, n // 1000)
+    return (
+        ranked.where((F.col("position") - 1) % F.lit(k) == 0)
+        .select(
+            "position",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+    )
+
+
+@register("bollinger_bands_nation", """
+WITH daily AS (
+  SELECT na.n_name, CAST(o.o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders o
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation na ON na.n_nationkey = cu.c_nationkey
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT n_name, d, c,
+         CAST(count(*) OVER win AS BIGINT) AS wn,
+         CAST(sum(c) OVER win AS BIGINT) AS s1,
+         CAST(sum(CAST(c AS HUGEINT) * c) OVER win AS DOUBLE) AS s2
+  FROM daily
+  WINDOW win AS (PARTITION BY n_name ORDER BY d
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+stats AS (
+  SELECT n_name, d, c,
+         CAST(s1 AS DOUBLE) / CAST(wn AS DOUBLE) AS mean_c,
+         sqrt(greatest((s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(wn AS DOUBLE))
+                       / CAST(wn - 1 AS DOUBLE), 0.0)) AS std_c
+  FROM w WHERE wn = 7
+)
+SELECT n_name, d,
+       round(CAST(c AS DOUBLE) / 100.0, 4) AS revenue,
+       round(mean_c / 100.0, 4) AS mean7,
+       round(std_c / 100.0, 4) AS std7
+FROM stats
+WHERE abs(CAST(c AS DOUBLE) - mean_c) > 2.0 * std_c
+""")
+def bollinger_bands_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout days per nation: daily revenue outside
+    mean +/- 2 sigma of its own trailing 7-day window — the rolling
+    volatility-normalized anomaly flag next to events_anomaly_zscore
+    (which uses a global baseline). Rolling moments come from EXACT
+    integer rolling sums (cents and cents^2 — DECIMAL/HUGEINT, since
+    cents^2 overflows BIGINT at scale) over windows PARTITIONED by
+    nation and bounded by the calendar grid; mean/std are identically
+    composed floats, so the strict breakout comparison selects the
+    same day set in both engines."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c0"),
+    )
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    na = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    daily = (
+        o.join(cu, "o_custkey")
+        .join(F.broadcast(na), "c_nationkey")
+        .groupBy("n_name", "d")
+        .agg(F.sum("c0").cast("long").alias("c"))
+    )
+    win = Window.partitionBy("n_name").orderBy("d").rowsBetween(-6, 0)
+    w = daily.select(
+        "n_name",
+        "d",
+        "c",
+        F.count(F.lit(1)).over(win).cast("long").alias("wn"),
+        F.sum("c").over(win).cast("long").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .over(win)
+        .cast("double")
+        .alias("s2"),
+    ).where(F.col("wn") == 7)
+    mean_c = F.col("s1").cast("double") / F.col("wn").cast("double")
+    std_c = F.sqrt(
+        F.greatest(
+            (
+                F.col("s2")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("wn").cast("double")
+            )
+            / (F.col("wn") - 1).cast("double"),
+            F.lit(0.0),
+        )
+    )
+    stats = w.select(
+        "n_name", "d", "c", mean_c.alias("mean_c"), std_c.alias("std_c")
+    )
+    return stats.where(
+        F.abs(F.col("c").cast("double") - F.col("mean_c")) > 2.0 * F.col("std_c")
+    ).select(
+        "n_name",
+        "d",
+        F.round(F.col("c").cast("double") / 100.0, 4).alias("revenue"),
+        F.round(F.col("mean_c") / 100.0, 4).alias("mean7"),
+        F.round(F.col("std_c") / 100.0, 4).alias("std7"),
+    )
+
+
+@register("isotonic_calibration_urgent", """
+WITH b AS (
+  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM orders GROUP BY 1
+),
+pr AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(sum(m.n) AS BIGINT) AS np, CAST(sum(m.pos) AS BIGINT) AS pp
+  FROM b j JOIN b k ON j.bin <= k.bin
+  JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY 1, 2
+),
+mn AS (
+  SELECT i.bin AS bin, pr.j,
+         min(CAST(pr.pp AS DOUBLE) / CAST(pr.np AS DOUBLE)) AS m
+  FROM b i JOIN pr ON pr.j <= i.bin AND pr.k >= i.bin
+  GROUP BY 1, 2
+),
+fit AS (SELECT bin, max(m) AS f FROM mn GROUP BY bin)
+SELECT b.bin, b.n, b.pos,
+       round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 4) AS raw_rate,
+       round(fit.f, 4) AS iso_rate
+FROM b JOIN fit USING (bin)
+""")
+def isotonic_calibration_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) calibration of the urgent
+    rate against binned order price, via the minimax characterization
+    f(i) = max_{j<=i} min_{k>=i} weightedavg(y_j..y_k) — equivalent to
+    pool-adjacent-violators but expressed as pure joins/aggregations
+    over the bin grid instead of a sequential sweep. The table
+    collapses to B ~ 24 price bins in ONE distributed hash agg
+    (localCheckpoint'd so the three tiny self-joins — O(B^2) pairs,
+    O(B^3) triples of METADATA-sized rows — don't rescan the table);
+    pooled averages are single divisions of exact integer range sums,
+    identical across engines, so min/max pick identical values. The
+    calibration-curve sibling of calibration_bins_urgent with a
+    monotonicity guarantee."""
+    b = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("bin"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("u"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("u").cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bj = b.select(F.col("bin").alias("j"))
+    bk = b.select(F.col("bin").alias("k"))
+    bm = b.select(F.col("bin").alias("m"), "n", "pos")
+    pr = (
+        bj.join(bk, F.col("j") <= F.col("k"))
+        .join(bm, (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg(
+            F.sum("n").cast("long").alias("np"),
+            F.sum("pos").cast("long").alias("pp"),
+        )
+    )
+    bi = b.select(F.col("bin").alias("bin"))
+    mn = (
+        bi.join(pr, (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min(F.col("pp").cast("double") / F.col("np").cast("double")).alias("m"))
+    )
+    fit = mn.groupBy("bin").agg(F.max("m").alias("f"))
+    return b.join(fit, "bin").select(
+        "bin",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 4).alias(
+            "raw_rate"
+        ),
+        F.round(F.col("f"), 4).alias("iso_rate"),
+    )
+
+
+@register("spearman_price_ordersize", """
+WITH ordx AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders
+),
+ls AS (
+  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+j AS (SELECT ordx.x, ls.y FROM ordx JOIN ls USING (o_orderkey)),
+gx AS (SELECT x, CAST(count(*) AS BIGINT) AS nx FROM j GROUP BY x),
+rx AS (
+  SELECT x, 2 * (CAST(sum(nx) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) - nx) + nx + 1 AS a
+  FROM gx
+),
+gy AS (SELECT y, CAST(count(*) AS BIGINT) AS ny FROM j GROUP BY y),
+ry AS (
+  SELECT y, 2 * (CAST(sum(ny) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) - ny) + ny + 1 AS b
+  FROM gy
+),
+rr AS (SELECT rx.a, ry.b FROM j JOIN rx USING (x) JOIN ry USING (y)),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(a) AS sa, sum(b) AS sb,
+         sum(CAST(a AS HUGEINT) * a) AS saa,
+         sum(CAST(b AS HUGEINT) * b) AS sbb,
+         sum(CAST(a AS HUGEINT) * b) AS sab
+  FROM rr
+)
+SELECT n AS n_orders,
+       round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+         AS spearman_rho
+FROM s
+""")
+def spearman_price_ordersize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between an order's total price and its
+    line count — the monotone-association screen that survives outliers
+    and nonlinearity where Pearson (ols_price_model) does not.
+    TIE-AWARE and EXACT at any scale: midranks come from cumulative
+    counts over each variable's DISTINCT-VALUE grid (the AUC rank-sum
+    discipline) via the distributed prefix-sum kernel, DOUBLED so every
+    rank is an integer (2*midrank = 2*before + n_v + 1 — Pearson is
+    scale-invariant, and integer ranks make all five sufficient
+    statistics exact DECIMAL/HUGEINT sums). One identically composed
+    float expression at the end; rank maps join back on the value key."""
+    from .operators.ranking import global_prefix_sum
+
+    ordx = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
+    )
+    ls = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    j = ordx.join(ls, "o_orderkey").select("x", "y")
+    gx = j.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("nx"))
+    rx = global_prefix_sum(gx, ["x"], {"nx": "_cx"}).select(
+        "x", (2 * (F.col("_cx") - F.col("nx")) + F.col("nx") + 1).alias("a")
+    )
+    gy = j.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("ny"))
+    ry = global_prefix_sum(gy, ["y"], {"ny": "_cy"}).select(
+        "y", (2 * (F.col("_cy") - F.col("ny")) + F.col("ny") + 1).alias("b")
+    )
+    rr = j.join(rx, "x").join(F.broadcast(ry), "y").select("a", "b")
+    s = rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("a")).alias("saa"),
+        F.sum(F.col("b").cast("decimal(38,0)") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a").cast("decimal(38,0)") * F.col("b")).alias("sab"),
+    )
+    n_d = F.col("n").cast("double")
+    sa_d, sb_d = F.col("sa").cast("double"), F.col("sb").cast("double")
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.round(
+            (n_d * F.col("sab").cast("double") - sa_d * sb_d)
+            / F.sqrt(
+                (n_d * F.col("saa").cast("double") - sa_d * sa_d)
+                * (n_d * F.col("sbb").cast("double") - sb_d * sb_d)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register("vocab_coverage_topk", f"""
+WITH toks AS (
+  SELECT unnest({SQL_TOKENS.format(c='text')}) AS token FROM documents
+),
+vocab AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token
+),
+r AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+  FROM vocab
+),
+tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab),
+ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(sum(CASE WHEN r.rank <= ks.k THEN r.freq ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       CAST(any_value(tot.total) AS BIGINT) AS total_tokens,
+       round(sum(CASE WHEN r.rank <= ks.k THEN r.freq ELSE 0 END) * 1.0
+             / any_value(tot.total), 4) AS coverage
+FROM r CROSS JOIN ks CROSS JOIN tot
+GROUP BY ks.k
+""")
+def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage curve of the frequency-ranked vocabulary: what
+    fraction of all token OCCURRENCES do the top-100 / 1k / 10k types
+    cover? — the first question when sizing a tokenizer vocabulary or
+    estimating OOV rates. The explode + count partial-aggregates before
+    one token-key shuffle; the vocabulary rank comes from the
+    distributed ranking kernel over the distinct-type frame (vocab-
+    sized, not corpus-sized — but STILL kernel-ranked, since web-scale
+    vocabularies run to 10^8 types); per-k coverage is one
+    3x-broadcast-expanded conditional agg."""
+    from .operators.ranking import global_row_number
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked, _ = global_row_number(
+        vocab, [F.desc("freq"), F.asc("token")], out_col="rank"
+    )
+    tot = vocab.agg(F.sum("freq").cast("long").alias("total"))
+    ks = spark.createDataFrame([(100,), (1000,), (10000,)], "k long")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rank") <= F.col("k"), F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.any_value("total").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("rank") <= F.col("k"), F.col("freq")).otherwise(0))
+                * 1.0
+                / F.any_value("total"),
+                4,
+            ).alias("coverage"),
+        )
+    )
+
+
+def _fertility_sql() -> str:
+    bpe = PII.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_ws) AS BIGINT) AS ws_words,
+       round(sum(n_bpe) * 1.0 / sum(n_ws), 4) AS fertility
+FROM t GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", _fertility_sql())
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    language — the classic multilingual-tokenizer health metric: a
+    fertility far above the English baseline means the vocabulary
+    under-serves that language and its documents burn more context
+    window per word. Map-only regexp counts (no shuffle until the
+    category-sized lang agg); same GPT-2-pre-tokenizer pattern as
+    bpe_token_count (functions/pii.BPE_ISH_PATTERN)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        PII.bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_ws"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("n_ws").cast("long").alias("ws_words"),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 4).alias("fertility"),
+    )
+
+
+@register("rejection_sample_bylength", f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         ({_SQL_BUCKET.format(k='doc_id')} % 1000000) / 1000000.0 AS u,
+         least(1.0, n_chars / 2000.0) AS w
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       round(sum(CASE WHEN u < w THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS acceptance_rate,
+       round(sum(CASE WHEN u < w THEN n_chars ELSE 0 END) * 1.0
+             / sum(CASE WHEN u < w THEN 1 ELSE 0 END), 4) AS avg_chars_accepted
+FROM d GROUP BY lang
+""")
+def rejection_sample_bylength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rejection sampling with length-proportional
+    acceptance (w = min(1, n_chars/2000)): the curation primitive that
+    reweights a corpus toward longer documents WITHOUT a shuffle — the
+    accept decision is a pure map from the portable md5 bucket (the
+    corpus_hash_split uniform), so the same document is accepted in
+    every run, on every engine, at any parallelism. Per-language
+    acceptance report; the complement of weighted_sample_quality's
+    A-ES scheme (that one ranks, this one filters map-side)."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    d = docs.select(
+        "lang",
+        "n_chars",
+        ((h % 1000000) / 1000000.0).alias("u"),
+        F.least(F.lit(1.0), F.col("n_chars") / 2000.0).alias("w"),
+    )
+    acc = F.when(F.col("u") < F.col("w"), 1).otherwise(0)
+    accn = F.when(F.col("u") < F.col("w"), F.col("n_chars")).otherwise(0)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(acc).cast("long").alias("n_accepted"),
+        F.round(F.sum(acc) * 1.0 / F.count(F.lit(1)), 4).alias("acceptance_rate"),
+        F.round(F.sum(accn) * 1.0 / F.sum(acc), 4).alias("avg_chars_accepted"),
+    )
+
+
+@register("adamic_adar_suppliers", f"""
+WITH {_SQL_TOP_DECILE_EDGES},
+wadj AS (
+  SELECT adj.x AS w, adj.y AS nbr, deg.d AS dw
+  FROM adj JOIN deg ON deg.x = adj.x
+),
+pairs2 AS (
+  SELECT a1.nbr AS a, a2.nbr AS b, a1.w AS w, a1.dw AS dw
+  FROM wadj a1 JOIN wadj a2 ON a1.w = a2.w AND a1.nbr < a2.nbr
+),
+cand AS (
+  SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         list_reduce(list(1.0 / ln(CAST(p.dw AS DOUBLE)) ORDER BY p.w),
+                     (acc, x) -> acc + x) AS aa
+  FROM pairs2 p
+  LEFT JOIN edges e ON e.u = p.a AND e.v = p.b
+  WHERE e.u IS NULL
+  GROUP BY p.a, p.b
+)
+SELECT CAST(a AS BIGINT) AS supp_a, CAST(b AS BIGINT) AS supp_b,
+       common_neighbors, round(aa, 6) AS adamic_adar
+FROM cand
+ORDER BY aa DESC, common_neighbors DESC, supp_a, supp_b LIMIT 20
+""")
+def adamic_adar_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the supplier co-supply graph:
+    common neighbors weighted by 1/ln(deg(w)), so a shared RARE partner
+    counts more than a shared hub — the standard refinement of the
+    plain common-neighbors score (link_prediction_suppliers). Every
+    common neighbor has deg >= 2 by construction, so ln(deg) > 0. The
+    per-pair float sum is an ORDERED fold over the neighbor-id-sorted
+    term list (F.aggregate / list_reduce — the anova discipline);
+    candidates come from the same bounded adjacency equi-join, top-20
+    via TakeOrdered with identically composed doubles."""
+    edges = _co_supply_top_decile_edges(spark, sf_dir)
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("x", "y")
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wadj = adj.join(deg, "x").select(
+        F.col("x").alias("w"), F.col("y").alias("nbr"), F.col("d").alias("dw")
+    )
+    a1 = wadj.select("w", F.col("nbr").alias("a"), "dw")
+    a2 = wadj.select("w", F.col("nbr").alias("b"))
+    pairs2 = a1.join(a2, "w").where(F.col("a") < F.col("b"))
+    cand = (
+        pairs2.join(
+            edges, (F.col("u") == F.col("a")) & (F.col("v") == F.col("b")), "left_anti"
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("w"),
+                        (1.0 / F.log(F.col("dw").cast("double"))).alias("t"),
+                    )
+                )
+            ).alias("arr"),
+        )
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["t"]).alias(
+                "aa"
+            ),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("aa"), F.desc("common_neighbors"), "a", "b")
+        .limit(20)
+        .select(
+            F.col("a").cast("long").alias("supp_a"),
+            F.col("b").cast("long").alias("supp_b"),
+            "common_neighbors",
+            F.round("aa", 6).alias("adamic_adar"),
+        )
+    )
+
+
+@register("cochran_armitage_priority_trend", """
+WITH g AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(r) AS BIGINT) AS rt,
+         CAST(sum(w * r) AS BIGINT) AS swr, CAST(sum(w * n) AS BIGINT) AS swn,
+         CAST(sum(w * w * n) AS BIGINT) AS swwn,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g
+)
+SELECT nt AS n_rows, k AS n_groups,
+       round(CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE), 4) AS base_rate,
+       round((CAST(swr AS DOUBLE)
+              - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE) * CAST(swn AS DOUBLE))
+             / sqrt(CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)
+                    * (1.0 - CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))
+                    * (CAST(swwn AS DOUBLE)
+                       - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+                         / CAST(nt AS DOUBLE))), 4) AS trend_z
+FROM s
+""")
+def cochran_armitage_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in the fulfilled-order
+    rate across the ordered priority levels (scores w = 1..5 from the
+    priority prefix) — the right test when categories are ordinal, where
+    plain chi-square (chi2_lang_source_independence) throws the ordering
+    away. One hash agg to the 5-group frame; T = sum w_i r_i - p_bar *
+    sum w_i n_i and its null variance are EXACT BIGINT sums composed
+    into one float z at the end."""
+    g = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("f"),
+        )
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("f").cast("long").alias("r"),
+        )
+    )
+    s = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("r").cast("long").alias("rt"),
+        F.sum(F.col("w") * F.col("r")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w") * F.col("n")).cast("long").alias("swwn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = F.col("rt").cast("double") / F.col("nt").cast("double")
+    return s.select(
+        F.col("nt").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round(p, 4).alias("base_rate"),
+        F.round(
+            (F.col("swr").cast("double") - p * F.col("swn").cast("double"))
+            / F.sqrt(
+                p
+                * (1.0 - p)
+                * (
+                    F.col("swwn").cast("double")
+                    - F.col("swn").cast("double")
+                    * F.col("swn").cast("double")
+                    / F.col("nt").cast("double")
+                )
+            ),
+            4,
+        ).alias("trend_z"),
     )

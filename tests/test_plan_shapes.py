@@ -257,6 +257,15 @@ def test_plan_lint_no_antipatterns(spark):
         "bh_fdr_urgent_nations", "pipeline_pretraining_corpus",
         "ecod_outliers_embeddings", "top_session_paths",
         "rolling_origin_backtest",
+        # round-7b batch (lazily plannable; link_prediction /
+        # assortativity build the co-supply store, systematic_sample
+        # runs the ranking kernel, and isotonic checkpoints its bin
+        # frame at build time — those four ride `extra` below)
+        "welch_ttest_urgent_price", "cramers_v_priority_segment",
+        "woe_iv_price_bins", "l_diversity_customers",
+        "bollinger_bands_nation", "holt_linear_region_forecast",
+        "changepoint_daily_revenue", "tokenizer_fertility_by_lang",
+        "rejection_sample_bylength", "cochran_armitage_priority_trend",
     ]
     bad = {}
     for name in LAZY:
@@ -291,6 +300,12 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "lift_deciles_urgent",
     # rolling 7-day forecast windows over the distinct-day grid
     "rolling_origin_backtest",
+    # prefix-sum / row_number windows over the distinct-day grid
+    "changepoint_daily_revenue",
+    # support-decile threshold: one cumulative window over the bounded
+    # co-supply support-VALUE grid (a few hundred distinct counts)
+    "link_prediction_suppliers",
+    "graph_degree_assortativity",
 }
 
 
@@ -366,6 +381,12 @@ def test_plan_lint_no_partitionless_windows(spark):
         # round-7: exact-ntile kernel at build time; the 10-row decile
         # cumulative window is allowlisted below
         "lift_deciles_urgent",
+        # round-7b: co-supply store / ranking kernel / bin-frame
+        # checkpoint at build time (support-grid windows allowlisted)
+        "link_prediction_suppliers", "graph_degree_assortativity",
+        "systematic_sample_orders", "isotonic_calibration_urgent",
+        "spearman_price_ordersize", "vocab_coverage_topk",
+        "adamic_adar_suppliers",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):

@@ -1,0 +1,419 @@
+"""Round-7b batch: independent brute-force references for the new
+catalog queries — pandas/numpy reimplementations that share NO code (and
+no SQL dialect) with either the Spark query or its DuckDB oracle, so a
+conceptual bug common to both sides still gets caught."""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simpletasks_data_spark import queries as Q  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cents(series):
+    # Spark/DuckDB round() is HALF_UP; python round is banker's
+    return (series * 100 + 0.5).apply(math.floor).astype("int64")
+
+
+def _top_decile_edges():
+    """Python replica of _co_supply_top_decile_edges: co-supply pairs
+    from lineitem, kept when support >= min{v : #pairs(n>=v) <=
+    ceil(0.1*m)}."""
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    pairs = {}
+    for _, grp in li.drop_duplicates().groupby("l_orderkey"):
+        ss = sorted(grp.l_suppkey.unique())
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                pairs[(ss[i], ss[j])] = pairs.get((ss[i], ss[j]), 0) + 1
+    m = len(pairs)
+    k = math.ceil(0.1 * m)
+    supports = sorted(set(pairs.values()))
+    t = None
+    for v in supports:
+        if sum(1 for n in pairs.values() if n >= v) <= k:
+            t = v
+            break
+    assert t is not None
+    return {e for e, n in pairs.items() if n >= t}
+
+
+def test_top_decile_edges_nondegenerate():
+    """The decile rule must yield a non-complete graph at every SF —
+    the fixed-floor version degenerated to complete graphs below
+    sf0.1, leaving link prediction with zero candidates."""
+    edges = _top_decile_edges()
+    nodes = {x for e in edges for x in e}
+    assert 0 < len(edges) < len(nodes) * (len(nodes) - 1) // 2
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    edges = _top_decile_edges()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cand = []
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in edges:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn > 0:
+                jac = cn / (len(adj[a]) + len(adj[b]) - cn)
+                cand.append((a, b, cn, jac))
+    cand.sort(key=lambda r: (-round(r[3], 4), -r[2], r[0], r[1]))
+    want = [(a, b, cn) for a, b, cn, _ in cand[:20]]
+    got = Q.queries()["link_prediction_suppliers"](spark, SF).collect()
+    assert [(r["supp_a"], r["supp_b"], r["common_neighbors"]) for r in got] == want
+    for r, (_, _, _, jac) in zip(got, cand[:20]):
+        assert r["jaccard"] == pytest.approx(jac, abs=1e-4)
+
+
+def test_assortativity_matches_numpy(spark):
+    edges = _top_decile_edges()
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    dx, dy = [], []
+    for u, v in edges:
+        dx += [deg[u], deg[v]]
+        dy += [deg[v], deg[u]]
+    r = np.corrcoef(np.array(dx, dtype=float), np.array(dy, dtype=float))[0, 1]
+    row = Q.queries()["graph_degree_assortativity"](spark, SF).collect()[0]
+    assert row["n_edge_ends"] == 2 * len(edges)
+    assert row["mean_edge_deg"] == pytest.approx(np.mean(dx), abs=1e-3)
+    # np.corrcoef divides by (n-1)-normalized std devs — same ratio
+    assert row["assortativity"] == pytest.approx(r, abs=1e-3)
+
+
+def test_welch_ttest_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = _cents(o.o_totalprice).to_numpy(dtype=float)
+    urgent = (o.o_orderpriority == "1-URGENT").to_numpy()
+    x1, x2 = c[urgent], c[~urgent]
+    m1, m2 = x1.mean(), x2.mean()
+    v1, v2 = x1.var(ddof=1), x2.var(ddof=1)
+    se2 = v1 / len(x1) + v2 / len(x2)
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (v1 / len(x1)) ** 2 / (len(x1) - 1) + (v2 / len(x2)) ** 2 / (len(x2) - 1)
+    )
+    row = Q.queries()["welch_ttest_urgent_price"](spark, SF).collect()[0]
+    assert (row["n1"], row["n2"]) == (len(x1), len(x2))
+    assert row["mean_diff"] == pytest.approx((m1 - m2) / 100.0, abs=1e-3)
+    assert row["t_stat"] == pytest.approx(t, abs=1e-3)
+    assert row["welch_df"] == pytest.approx(df, abs=0.05)
+
+
+def test_cramers_v_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_custkey", "o_orderpriority"]]
+    cu = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_mktsegment"]]
+    j = o.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    ct = pd.crosstab(j.o_orderpriority, j.c_mktsegment).to_numpy(dtype=float)
+    n = ct.sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct - e) ** 2 / e).sum()
+    v = math.sqrt(chi2 / (n * (min(ct.shape) - 1)))
+    row = Q.queries()["cramers_v_priority_segment"](spark, SF).collect()[0]
+    assert row["n"] == int(n)
+    assert row["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-3)
+    assert row["cramers_v"] == pytest.approx(v, abs=1e-5)
+
+
+def test_woe_iv_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    bins = np.floor(o.o_totalprice / 25000.0).astype("int64")
+    urgent = (o.o_orderpriority == "1-URGENT").astype(int)
+    df = pd.DataFrame({"bin": bins, "u": urgent})
+    g = df.groupby("bin").agg(n=("u", "size"), g=("u", "sum"))
+    gt, bt, k = g.g.sum(), (g.n - g.g).sum(), len(g)
+    pg = (g.g + 0.5) / (gt + 0.5 * k)
+    pb = ((g.n - g.g) + 0.5) / (bt + 0.5 * k)
+    woe = np.log(pg / pb)
+    iv = ((pg - pb) * woe).sum()
+    got = {r["bin"]: r for r in Q.queries()["woe_iv_price_bins"](spark, SF).collect()}
+    assert set(got) == set(g.index)
+    for b in g.index:
+        assert got[b]["n"] == g.n[b] and got[b]["n_urgent"] == g.g[b]
+        assert got[b]["woe"] == pytest.approx(woe[b], abs=1e-3)
+        assert got[b]["iv_total"] == pytest.approx(iv, abs=1e-3)
+
+
+def test_changepoint_matches_bruteforce(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    daily = (
+        pd.DataFrame({"d": o.o_orderdate.dt.date, "c": _cents(o.o_totalprice)})
+        .groupby("d").c.sum().sort_index()
+    )
+    y = daily.to_numpy(dtype=float)
+    n, s = len(y), y.sum()
+    best = None
+    for t in range(1, n):
+        st = y[:t].sum()
+        score = st * st / t + (s - st) * (s - st) / (n - t)
+        if best is None or score > best[0]:
+            best = (score, t)
+    row = Q.queries()["changepoint_daily_revenue"](spark, SF).collect()[0]
+    assert row["left_days"] == best[1] and row["n_days"] == n
+    assert str(row["change_date"]) == str(daily.index[best[1] - 1])
+    t = best[1]
+    assert row["mean_before"] == pytest.approx(y[:t].mean() / 100.0, abs=1e-3)
+    assert row["mean_after"] == pytest.approx(y[t:].mean() / 100.0, abs=1e-3)
+
+
+def test_holt_matches_python_fold(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_custkey", "o_orderdate", "o_totalprice"]]
+    cu = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    na = pd.read_parquet(f"{SF}/nation.parquet")[["n_nationkey", "n_regionkey"]]
+    rg = pd.read_parquet(f"{SF}/region.parquet")[["r_regionkey", "r_name"]]
+    j = (
+        o.merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    j["d"] = j.o_orderdate.dt.date
+    j["c"] = _cents(j.o_totalprice)
+    got = {r["r_name"]: r for r in
+           Q.queries()["holt_linear_region_forecast"](spark, SF).collect()}
+    for r_name, grp in j.groupby("r_name"):
+        ys = grp.groupby("d").c.sum().sort_index().to_numpy(dtype=float)
+        l, b = ys[0], 0.0
+        for yv in ys[1:]:
+            nl = 0.5 * yv + 0.5 * (l + b)
+            b = 0.3 * (nl - l) + 0.7 * b
+            l = nl
+        row = got[r_name]
+        assert row["n_days"] == len(ys)
+        assert row["level"] == pytest.approx(l / 100.0, abs=1e-3)
+        assert row["trend"] == pytest.approx(b / 100.0, abs=1e-3)
+        assert row["forecast_7d"] == pytest.approx((l + 7 * b) / 100.0, abs=1e-3)
+
+
+def test_l_diversity_matches_pandas(spark):
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    cu["bucket"] = np.floor(cu.c_acctbal / 1000.0).astype("int64")
+    cls = cu.groupby(["c_nationkey", "bucket"]).agg(
+        sz=("c_mktsegment", "size"), l=("c_mktsegment", "nunique")
+    )
+    got = {r["l_req"]: r for r in
+           Q.queries()["l_diversity_customers"](spark, SF).collect()}
+    for lr in (2, 3, 5):
+        low = cls[cls.l < lr]
+        assert got[lr]["n_classes"] == len(cls)
+        assert got[lr]["n_low_classes"] == len(low)
+        assert got[lr]["rows_at_risk"] == low.sz.sum()
+        assert got[lr]["risk_pct"] == pytest.approx(
+            low.sz.sum() / cls.sz.sum(), abs=1e-4
+        )
+
+
+def test_systematic_sample_matches_pandas(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet").sort_values(
+        ["o_orderdate", "o_orderkey"]
+    ).reset_index(drop=True)
+    k = max(1, len(o) // 1000)
+    want = o.iloc[::k].o_orderkey.tolist()
+    got = Q.queries()["systematic_sample_orders"](spark, SF).collect()
+    assert sorted(r["o_orderkey"] for r in got) == sorted(want)
+    positions = sorted(r["position"] for r in got)
+    assert positions == list(range(1, len(o) + 1, k))
+
+
+def test_bollinger_matches_pandas(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_custkey", "o_orderdate", "o_totalprice"]]
+    cu = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    na = pd.read_parquet(f"{SF}/nation.parquet")[["n_nationkey", "n_name"]]
+    j = o.merge(cu, left_on="o_custkey", right_on="c_custkey").merge(
+        na, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["d"] = j.o_orderdate.dt.date
+    j["c"] = _cents(j.o_totalprice)
+    want = set()
+    for n_name, grp in j.groupby("n_name"):
+        s = grp.groupby("d").c.sum().sort_index().astype(float)
+        mean7 = s.rolling(7).mean()
+        std7 = s.rolling(7).std(ddof=1)
+        br = s[(abs(s - mean7) > 2.0 * std7)]
+        want |= {(n_name, str(d)) for d in br.index}
+    got = {
+        (r["n_name"], str(r["d"]))
+        for r in Q.queries()["bollinger_bands_nation"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def _pava(y, w):
+    """Weighted pool-adjacent-violators on (value, weight) arrays."""
+    vals, wts = list(map(float, y)), list(map(float, w))
+    blocks = [[v, wt] for v, wt in zip(vals, wts)]
+    out = []
+    for blk in blocks:
+        out.append(blk)
+        while len(out) > 1 and out[-2][0] > out[-1][0] - 1e-15:
+            v2, w2 = out.pop()
+            v1, w1 = out.pop()
+            out.append([(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2])
+    fitted = []
+    for v, wt in out:
+        # expand back to the bins in the block (weights are bin counts,
+        # possibly pooled) — reconstruct by consuming original weights
+        fitted.append((v, wt))
+    # expand: walk original weights through pooled blocks
+    res, bi, remaining = [], 0, fitted[0][1]
+    cur = fitted[0][0]
+    for wt in wts:
+        while remaining < wt - 1e-9:
+            bi += 1
+            cur, remaining = fitted[bi][0], fitted[bi][1]
+        res.append(cur)
+        remaining -= wt
+        if remaining <= 1e-9 and bi + 1 < len(fitted):
+            bi += 1
+            cur, remaining = fitted[bi][0], fitted[bi][1]
+    return res
+
+
+def test_isotonic_matches_pava(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    bins = np.floor(o.o_totalprice / 25000.0).astype("int64")
+    urgent = (o.o_orderpriority == "1-URGENT").astype(int)
+    g = pd.DataFrame({"bin": bins, "u": urgent}).groupby("bin").agg(
+        n=("u", "size"), pos=("u", "sum")
+    ).sort_index()
+    rates = (g.pos / g.n).to_numpy()
+    fit = _pava(rates, g.n.to_numpy())
+    got = sorted(
+        Q.queries()["isotonic_calibration_urgent"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in got] == list(g.index)
+    iso = [r["iso_rate"] for r in got]
+    # monotone nondecreasing (up to output rounding)
+    assert all(b >= a - 1e-9 for a, b in zip(iso, iso[1:]))
+    for r, f in zip(got, fit):
+        assert r["iso_rate"] == pytest.approx(f, abs=1e-3)
+
+
+def test_spearman_matches_scipy_style(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_totalprice"]]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey"]]
+    y = li.groupby("l_orderkey").size().rename("y")
+    j = o.set_index("o_orderkey").join(y, how="inner")
+    x = _cents(j.o_totalprice).to_numpy()
+    yv = j.y.to_numpy()
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(yv).rank(method="average").to_numpy()
+    rho = np.corrcoef(rx, ry)[0, 1]
+    row = Q.queries()["spearman_price_ordersize"](spark, SF).collect()[0]
+    assert row["n_orders"] == len(j)
+    assert row["spearman_rho"] == pytest.approx(rho, abs=1e-5)
+
+
+def test_vocab_coverage_matches_pandas(spark):
+    import re
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = []
+    for t in docs.text:
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        toks.extend(w for w in norm.split(" ") if w)
+    vc = pd.Series(toks).value_counts()
+    # rank ties broken by token asc — value_counts sorts by count desc
+    # only, so re-sort explicitly
+    vc = vc.reset_index()
+    vc.columns = ["token", "freq"]
+    vc = vc.sort_values(["freq", "token"], ascending=[False, True]).reset_index(drop=True)
+    total = vc.freq.sum()
+    got = {r["k"]: r for r in Q.queries()["vocab_coverage_topk"](spark, SF).collect()}
+    for k in (100, 1000, 10000):
+        covered = vc.freq.iloc[:k].sum()
+        assert got[k]["total_tokens"] == total
+        assert got[k]["covered_tokens"] == covered
+        assert got[k]["coverage"] == pytest.approx(covered / total, abs=1e-4)
+
+
+def test_cochran_armitage_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    w = o.o_orderpriority.str[0].astype(int).to_numpy()
+    f = (o.o_orderstatus == "F").astype(int).to_numpy()
+    N, R = len(w), f.sum()
+    p = R / N
+    T = (w * f).sum() - p * w.sum()
+    var = p * (1 - p) * ((w * w).sum() - w.sum() ** 2 / N)
+    z = T / math.sqrt(var)
+    row = Q.queries()["cochran_armitage_priority_trend"](spark, SF).collect()[0]
+    assert row["n_rows"] == N and row["n_groups"] == 5
+    assert row["base_rate"] == pytest.approx(p, abs=1e-4)
+    assert row["trend_z"] == pytest.approx(z, abs=1e-3)
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    edges = _top_decile_edges()
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cand = []
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in edges:
+                continue
+            cns = sorted(adj[a] & adj[b])
+            if cns:
+                aa = 0.0
+                for wn in cns:
+                    aa += 1.0 / math.log(len(adj[wn]))
+                cand.append((a, b, len(cns), aa))
+    cand.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    got = Q.queries()["adamic_adar_suppliers"](spark, SF).collect()
+    assert [(r["supp_a"], r["supp_b"], r["common_neighbors"]) for r in got] == [
+        (a, b, cn) for a, b, cn, _ in cand[:20]
+    ]
+    for r, (_, _, _, aa) in zip(got, cand[:20]):
+        assert r["adamic_adar"] == pytest.approx(aa, abs=1e-5)
+
+
+def test_rejection_sample_deterministic_and_lengthbiased(spark):
+    rows1 = sorted(
+        (r["lang"], r["n_accepted"])
+        for r in Q.queries()["rejection_sample_bylength"](spark, SF).collect()
+    )
+    rows2 = sorted(
+        (r["lang"], r["n_accepted"])
+        for r in Q.queries()["rejection_sample_bylength"](spark, SF).collect()
+    )
+    assert rows1 == rows2  # same accept set on every run
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = {r["lang"]: r for r in
+           Q.queries()["rejection_sample_bylength"](spark, SF).collect()}
+    for lang, grp in docs.groupby("lang"):
+        row = got[lang]
+        assert row["n_docs"] == len(grp)
+        # accepted docs must be longer on average than the pool
+        if row["n_accepted"] and row["n_accepted"] < row["n_docs"]:
+            assert row["avg_chars_accepted"] > grp.n_chars.mean() * 0.95
+
+
+def test_tokenizer_fertility_sane(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    got = {r["lang"]: r for r in
+           Q.queries()["tokenizer_fertility_by_lang"](spark, SF).collect()}
+    assert set(got) == set(docs.lang.unique())
+    for lang, r in got.items():
+        assert r["n_docs"] == (docs.lang == lang).sum()
+        # BPE-ish pretokens split punctuation off words: at least one
+        # token per whitespace word, rarely more than 3x
+        assert 1.0 <= r["fertility"] < 3.0
