@@ -250,3 +250,44 @@ def test_global_running_max_inclusive(spark):
     w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
     want = df.withColumn("pm", F.max("e").over(w))
     assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_global_prefix_sum_all_equal_primary_keys(spark):
+    """Adversarial shape (r6 verdict item 8): the primary order column is
+    one giant tie, so the range exchange has a single key value and every
+    row's position is decided by the tiebreaker alone. The kernel must
+    still match the single-task window exactly."""
+    df = _frame(spark, 300, 4).select(
+        "id", F.lit(7).alias("v"), (F.col("id") % 9).alias("n")
+    )
+    got = global_prefix_sum(df, ["v", "id"], {"n": "cum_n"}, partitions=8)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select("*", F.sum("n").over(w).alias("cum_n"))
+    gl = {r["id"]: r["cum_n"] for r in got.collect()}
+    for r in want.collect():
+        assert gl[r["id"]] == r["cum_n"]
+
+
+def test_global_row_number_single_mega_group_partitioned(spark):
+    """Adversarial shape: partitioned prefix sums where ONE partition_by
+    group holds ~95% of the rows (the skewed-fold case that motivated
+    kfold's union-ranking). The mega group must rank exactly like the
+    window, not just the balanced groups."""
+    df = _frame(spark, 400, 2).select(
+        "id",
+        "v",
+        F.when(F.col("id") % 20 == 0, F.lit(1)).otherwise(F.lit(0)).alias("fold"),
+        F.lit(1).alias("n"),
+    )
+    got = global_prefix_sum(
+        df, ["v", "id"], {"n": "cum_n"}, partition_by=["fold"], partitions=8
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.select("*", F.sum("n").over(w).alias("cum_n"))
+    gl = {r["id"]: r["cum_n"] for r in got.collect()}
+    for r in want.collect():
+        assert gl[r["id"]] == r["cum_n"]
