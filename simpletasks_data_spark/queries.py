@@ -205,6 +205,10 @@ _CHECK_FIRST = [
     "rejection_sample_bylength",
     "adamic_adar_suppliers",
     "cochran_armitage_priority_trend",
+    "pr_curve_metrics_urgent",
+    "demographic_parity_urgent",
+    "ljung_box_daily_revenue",
+    "acid_schema_evolution",
     # round-7 additions
     "ecod_outliers_embeddings",
     "lift_deciles_urgent",
@@ -18189,3 +18193,403 @@ def cochran_armitage_priority_trend(spark: SparkSession, sf_dir: str) -> DataFra
             4,
         ).alias("trend_z"),
     )
+
+
+@register("pr_curve_metrics_urgent", f"""
+WITH f AS MATERIALIZED (
+  {_LOGREG_FEATURES_SQL}
+),
+{_logreg_rounds(5, 1.0)},
+scored AS (
+  SELECT f.y, 1.0 / (1.0 + exp(-(w5.w0 + w5.w1 * f.x1 + w5.w2 * f.x2))) AS p
+  FROM f CROSS JOIN w5
+),
+g AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM scored GROUP BY p
+),
+c AS (
+  SELECT p, n, pos,
+         CAST(sum(n) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS ctot,
+         CAST(sum(pos) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS tp
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS pp, CAST(sum(n - pos) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS n_scores
+  FROM g
+),
+terms AS (
+  SELECT CAST(round(CAST(c.pos AS DOUBLE) * CAST(c.tp AS DOUBLE)
+                    / CAST(c.ctot AS DOUBLE) * 1000000000.0) AS BIGINT) AS tnano,
+         2.0 * CAST(c.tp AS DOUBLE) / CAST(c.ctot + tot.pp AS DOUBLE) AS f1
+  FROM c CROSS JOIN tot
+),
+s AS (SELECT sum(tnano) AS ap_nano, max(f1) AS best_f1 FROM terms)
+SELECT tot.n_scores, tot.pp AS n_pos, tot.nn AS n_neg,
+       round(CAST(s.ap_nano AS DOUBLE) / 1000000000.0 / CAST(tot.pp AS DOUBLE), 6)
+         AS pr_auc,
+       round(s.best_f1, 6) AS best_f1,
+       round(CAST(tot.pp AS DOUBLE) / CAST(tot.pp + tot.nn AS DOUBLE), 4)
+         AS base_rate
+FROM s CROSS JOIN tot
+""")
+def pr_curve_metrics_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall metrics for the GD logistic model: exact
+    step-wise average precision (PR-AUC) and the best reachable F1 over
+    every threshold — the eval that matters when positives are rare and
+    ROC AUC (auc_urgent_orders) flatters. TIE-AWARE like the AUC query:
+    scores collapse to their distinct values, cumulative TP/predicted
+    counts ride the distributed prefix-sum kernel ordered by score
+    DESC, and the cross-score AP sum uses the INTEGER discipline —
+    each distinct score's term pos_k * TP_k / pred_k quantizes to
+    nano-units (one identical IEEE op per engine), sums exactly, and
+    divides by P once. best F1 = max of 2*TP/(pred + P), identically
+    composed doubles."""
+    from .operators.ranking import global_prefix_sum
+
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_gd(feats, iterations=5, lr=1.0, cache_key="full")
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    scored = feats.select("y", (1.0 / (1.0 + F.exp(-z))).alias("p"))
+    g = scored.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    c = global_prefix_sum(g, [F.desc("p")], {"n": "ctot", "pos": "tp"})
+    tot = g.agg(
+        F.sum("pos").cast("long").alias("pp"),
+        F.sum(F.col("n") - F.col("pos")).cast("long").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.col("pos").cast("double")
+            * F.col("tp").cast("double")
+            / F.col("ctot").cast("double")
+            * 1000000000.0
+        )
+        .cast("long")
+        .alias("tnano"),
+        (2.0 * F.col("tp").cast("double") / (F.col("ctot") + F.col("pp")).cast("double")).alias(
+            "f1"
+        ),
+    )
+    s = terms.agg(
+        F.sum(F.col("tnano").cast("decimal(38,0)")).alias("ap_nano"),
+        F.max("f1").alias("best_f1"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "n_scores",
+        F.col("pp").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            F.col("ap_nano").cast("double") / 1000000000.0 / F.col("pp").cast("double"),
+            6,
+        ).alias("pr_auc"),
+        F.round("best_f1", 6).alias("best_f1"),
+        F.round(
+            F.col("pp").cast("double") / (F.col("pp") + F.col("nn")).cast("double"), 4
+        ).alias("base_rate"),
+    )
+
+
+@register("demographic_parity_urgent", f"""
+WITH f AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+         o_totalprice / 100000.0 AS x1,
+         date_diff('day', DATE '1992-01-01', o_orderdate) / 1000.0 AS x2
+  FROM orders
+),
+{_logreg_rounds(5, 1.0)},
+thr AS (
+  SELECT CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS t
+  FROM f
+),
+scored AS (
+  SELECT f.o_custkey,
+         CASE WHEN 1.0 / (1.0 + exp(-(w5.w0 + w5.w1 * f.x1 + w5.w2 * f.x2)))
+                   >= thr.t THEN 1 ELSE 0 END AS pred
+  FROM f CROSS JOIN w5 CROSS JOIN thr
+),
+seg AS (
+  SELECT cu.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(s.pred) AS BIGINT) AS n_pred_urgent
+  FROM scored s JOIN customer cu ON cu.c_custkey = s.o_custkey
+  GROUP BY 1
+),
+ov AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS nt,
+         CAST(sum(n_pred_urgent) AS BIGINT) AS pt
+  FROM seg
+)
+SELECT seg.c_mktsegment, seg.n_orders, seg.n_pred_urgent,
+       round(CAST(seg.n_pred_urgent AS DOUBLE) / CAST(seg.n_orders AS DOUBLE), 4)
+         AS positive_rate,
+       round((CAST(seg.n_pred_urgent AS DOUBLE) / CAST(seg.n_orders AS DOUBLE))
+             / (CAST(ov.pt AS DOUBLE) / CAST(ov.nt AS DOUBLE)), 4)
+         AS disparity_ratio
+FROM seg CROSS JOIN ov
+""")
+def demographic_parity_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic-parity audit of the GD logistic model: the positive-
+    prediction rate per customer market segment at the budget-matched
+    threshold (cut = base rate, so the flagged volume tracks the true
+    prevalence at any SF — a fixed 0.5 cut flags nothing when the
+    classes are imbalanced) and its ratio to the overall rate (the
+    80%-rule screen) — the model-governance
+    report that ships next to every trained classifier. The scored
+    frame reuses the cached GD weights (same trajectory as
+    logreg_urgent_orders); group attribution is one equi-join to the
+    customer dimension; rates are single divisions of exact BIGINT
+    counts, and the threshold comparison is on identically composed
+    doubles, so the flagged set matches across engines."""
+    feats = _logreg_features(spark, sf_dir)
+    w = _logreg_gd(feats, iterations=5, lr=1.0, cache_key="full")
+    ok = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    thr = feats.agg(
+        (
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("t")
+    )
+    scored = (
+        feats.join(ok, "o_orderkey")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "o_custkey",
+            F.when(1.0 / (1.0 + F.exp(-z)) >= F.col("t"), 1)
+            .otherwise(0)
+            .alias("pred"),
+        )
+    )
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = (
+        scored.join(cu, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("pred").cast("long").alias("n_pred_urgent"),
+        )
+    )
+    ov = seg.agg(
+        F.sum("n_orders").cast("long").alias("nt"),
+        F.sum("n_pred_urgent").cast("long").alias("pt"),
+    )
+    rate = F.col("n_pred_urgent").cast("double") / F.col("n_orders").cast("double")
+    return seg.crossJoin(F.broadcast(ov)).select(
+        "c_mktsegment",
+        "n_orders",
+        "n_pred_urgent",
+        F.round(rate, 4).alias("positive_rate"),
+        F.round(
+            rate / (F.col("pt").cast("double") / F.col("nt").cast("double")), 4
+        ).alias("disparity_ratio"),
+    )
+
+
+@register("ljung_box_daily_revenue", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(floor(o_totalprice)) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t FROM daily
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         sum(CAST(y AS HUGEINT) * y) AS q
+  FROM daily
+),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+pairs AS (
+  SELECT l.lag, a.y AS ya, b.y AS yb
+  FROM r a CROSS JOIN lags l
+  JOIN r b ON b.t = a.t + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(ya) AS BIGINT) AS ga, CAST(sum(yb) AS BIGINT) AS gb,
+         sum(CAST(ya AS HUGEINT) * yb) AS gk
+  FROM pairs GROUP BY lag
+),
+rho AS (
+  SELECT CAST(m.lag AS BIGINT) AS lag, tot.n,
+         (CAST(m.gk AS DOUBLE)
+          - CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)
+            * CAST(m.ga + m.gb AS DOUBLE)
+          + CAST(tot.n - m.lag AS DOUBLE)
+            * (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+            * (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+         / (CAST(tot.q AS DOUBLE)
+            - 2.0 * (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+              * CAST(tot.s AS DOUBLE)
+            + CAST(tot.n AS DOUBLE)
+              * (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))
+              * (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS rho
+  FROM m CROSS JOIN tot
+),
+qs AS (
+  SELECT list_reduce(
+           list(rho * rho / CAST(n - lag AS DOUBLE) ORDER BY lag),
+           (acc, x) -> acc + x) AS tsum,
+         CAST(any_value(n) AS BIGINT) AS n
+  FROM rho
+)
+SELECT rho.lag, round(rho.rho, 6) AS rho,
+       qs.n AS n_days,
+       round(CAST(qs.n AS DOUBLE) * CAST(qs.n + 2 AS DOUBLE) * qs.tsum, 4)
+         AS q_stat
+FROM rho CROSS JOIN qs
+""")
+def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: autocorrelations at
+    lags 1-7 (observation-index lags on the day grid, so calendar gaps
+    don't break the recurrence) and the pooled Q statistic — the
+    is-this-white-noise gate run on forecast RESIDUALS in practice;
+    here the raw series, whose weekly cycle Q flags loudly. Moments are
+    exact integer sums (whole-dollar grid, HUGEINT/DECIMAL squares);
+    each rho and the final Q compose identically as doubles, and the
+    7-term sum of rho^2/(n-k) is an ORDERED fold by lag. The day index
+    rides the calendar-bounded grid window (allowlisted class); lag
+    pairs are rank-offset equi-joins of the tiny day frame."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.floor("o_totalprice")).cast("long").alias("y"))
+    )
+    wd = Window.orderBy("d")
+    r = daily.select("y", F.row_number().over(wd).cast("long").alias("t"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("q"),
+    )
+    lags = spark.createDataFrame([(i,) for i in range(1, 8)], "lag long")
+    a = r.crossJoin(F.broadcast(lags))
+    pairs = a.join(
+        r.select(F.col("t").alias("t2"), F.col("y").alias("yb")),
+        F.col("t") + F.col("lag") == F.col("t2"),
+    ).select("lag", F.col("y").alias("ya"), "yb")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ya").cast("long").alias("ga"),
+        F.sum("yb").cast("long").alias("gb"),
+        F.sum(F.col("ya").cast("decimal(38,0)") * F.col("yb")).alias("gk"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    rho_expr = (
+        F.col("gk").cast("double")
+        - mu * (F.col("ga") + F.col("gb")).cast("double")
+        + (F.col("n") - F.col("lag")).cast("double") * mu * mu
+    ) / (
+        F.col("q").cast("double")
+        - 2.0 * mu * F.col("s").cast("double")
+        + F.col("n").cast("double") * mu * mu
+    )
+    rho = m.crossJoin(F.broadcast(tot)).select(
+        F.col("lag").cast("long").alias("lag"), "n", rho_expr.alias("rho")
+    )
+    qs = rho.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("lag"),
+                    (F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag")).cast("double")).alias("term"),
+                )
+            )
+        ).alias("arr"),
+        F.any_value("n").cast("long").alias("n"),
+    ).select(
+        F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + x["term"]).alias(
+            "tsum"
+        ),
+        "n",
+    )
+    return rho.crossJoin(F.broadcast(qs.withColumnRenamed("n", "n_days"))).select(
+        "lag",
+        F.round("rho", 6).alias("rho"),
+        "n_days",
+        F.round(
+            F.col("n_days").cast("double")
+            * (F.col("n_days") + 2).cast("double")
+            * F.col("tsum"),
+            4,
+        ).alias("q_stat"),
+    )
+
+
+@register("acid_schema_evolution", """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+),
+evolved AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, 'GOLD' AS loyalty_tier
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT CAST(0 AS INT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_cols, CAST(0 AS BIGINT) AS n_with_tier
+FROM base
+UNION ALL
+SELECT CAST(1 AS INT), (SELECT count(*) FROM base) + count(*),
+       CAST(4 AS BIGINT), CAST(count(*) AS BIGINT)
+FROM evolved
+ORDER BY version
+""")
+def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the transaction log: version 0
+    commits the 3-column customer snapshot, version 1 appends rows
+    carrying a NEW loyalty_tier column — the log records the widened
+    schema with the commit (plans/acid.TxnTable._check_evolution:
+    additive-only, old parquet files surface the new column as NULL at
+    read, no rewrite). Time travel then reads BOTH versions: v0 shows
+    the original 3 columns, v1 shows 4 with exactly the appended rows
+    non-null — the Delta/Iceberg evolution contract, metadata-only at
+    any table size."""
+    from .plans.acid import TxnTable
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _fresh_scratch_dir("acid_schevo", sf_dir) + "/customer"
+    txn = TxnTable(spark, schema=cust.schema, path=path)
+    txn.append(cust)  # version 0
+    evolved = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey", "c_mktsegment", "c_acctbal",
+            F.lit("GOLD").alias("loyalty_tier"),
+        )
+    )
+    txn.append(evolved)  # version 1, schema widened additively
+    rows = []
+    for v in (0, 1):
+        snap = txn.read(version=v)
+        ncols = len(snap.columns)
+        agg = snap.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (
+                F.count_if(F.col("loyalty_tier").isNotNull())
+                if "loyalty_tier" in snap.columns
+                else F.lit(0)
+            )
+            .cast("long")
+            .alias("n_with_tier"),
+        ).select(
+            F.lit(v).cast("int").alias("version"),
+            "n_rows",
+            F.lit(ncols).cast("long").alias("n_cols"),
+            "n_with_tier",
+        )
+        rows.append(agg)
+    return rows[0].unionByName(rows[1])

@@ -266,6 +266,7 @@ def test_plan_lint_no_antipatterns(spark):
         "bollinger_bands_nation", "holt_linear_region_forecast",
         "changepoint_daily_revenue", "tokenizer_fertility_by_lang",
         "rejection_sample_bylength", "cochran_armitage_priority_trend",
+        "ljung_box_daily_revenue",
     ]
     bad = {}
     for name in LAZY:
@@ -306,6 +307,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # co-supply support-VALUE grid (a few hundred distinct counts)
     "link_prediction_suppliers",
     "graph_degree_assortativity",
+    "adamic_adar_suppliers",
+    # day-index + lag windows over the distinct-day grid
+    "ljung_box_daily_revenue",
 }
 
 
@@ -387,6 +391,8 @@ def test_plan_lint_no_partitionless_windows(spark):
         "systematic_sample_orders", "isotonic_calibration_urgent",
         "spearman_price_ordersize", "vocab_coverage_topk",
         "adamic_adar_suppliers",
+        # GD weight training / prefix-sum kernel at build time
+        "pr_curve_metrics_urgent", "demographic_parity_urgent",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):

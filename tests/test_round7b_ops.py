@@ -417,3 +417,86 @@ def test_tokenizer_fertility_sane(spark):
         # BPE-ish pretokens split punctuation off words: at least one
         # token per whitespace word, rarely more than 3x
         assert 1.0 <= r["fertility"] < 3.0
+
+
+def test_ljung_box_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    daily = (
+        pd.DataFrame({"d": o.o_orderdate.dt.date,
+                      "y": np.floor(o.o_totalprice).astype("int64")})
+        .groupby("d").y.sum().sort_index()
+    )
+    y = daily.to_numpy(dtype=float)
+    n = len(y)
+    mu = y.mean()
+    dev = y - mu
+    g0 = (dev * dev).sum()
+    rhos = {}
+    for k in range(1, 8):
+        rhos[k] = (dev[:-k] * dev[k:]).sum() / g0
+    q = n * (n + 2) * sum(rhos[k] ** 2 / (n - k) for k in range(1, 8))
+    got = {r["lag"]: r for r in
+           Q.queries()["ljung_box_daily_revenue"](spark, SF).collect()}
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        assert got[k]["n_days"] == n
+        assert got[k]["rho"] == pytest.approx(rhos[k], abs=1e-4)
+        assert got[k]["q_stat"] == pytest.approx(q, rel=1e-3)
+
+
+def test_pr_curve_matches_bruteforce(spark):
+    """Brute-force AP / best-F1 over the SAME scored frame (the GD
+    weights themselves are pinned by the logreg tests + oracle; this
+    checks the PR math independently of the kernel/quantized-sum
+    plumbing)."""
+    from simpletasks_data_spark.queries import _logreg_features, _logreg_gd
+    import pyspark.sql.functions as F
+
+    feats = _logreg_features(spark, SF)
+    w = _logreg_gd(feats, iterations=5, lr=1.0, cache_key="full")
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    pdf = feats.select("y", (1.0 / (1.0 + F.exp(-z))).alias("p")).toPandas()
+    g = pdf.groupby("p").agg(n=("y", "size"), pos=("y", "sum")).sort_index(
+        ascending=False
+    )
+    P = pdf.y.sum()
+    tp = g.pos.cumsum()
+    ctot = g.n.cumsum()
+    ap = float((g.pos.to_numpy() * (tp / ctot).to_numpy()).sum() / P)
+    f1 = float((2 * tp / (ctot + P)).max())
+    row = Q.queries()["pr_curve_metrics_urgent"](spark, SF).collect()[0]
+    assert row["n_pos"] == P and row["n_scores"] == len(g)
+    assert row["pr_auc"] == pytest.approx(ap, abs=1e-4)
+    assert row["best_f1"] == pytest.approx(f1, abs=1e-5)
+
+
+def test_demographic_parity_consistency(spark):
+    rows = Q.queries()["demographic_parity_urgent"](spark, SF).collect()
+    assert len(rows) == 5  # five market segments
+    nt = sum(r["n_orders"] for r in rows)
+    pt = sum(r["n_pred_urgent"] for r in rows)
+    overall = pt / nt
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    assert nt == len(o)
+    for r in rows:
+        assert 0 <= r["n_pred_urgent"] <= r["n_orders"]
+        assert r["positive_rate"] == pytest.approx(
+            r["n_pred_urgent"] / r["n_orders"], abs=1e-4
+        )
+        assert r["disparity_ratio"] == pytest.approx(
+            (r["n_pred_urgent"] / r["n_orders"]) / overall, abs=1e-3
+        )
+
+
+def test_acid_schema_evolution_snapshots(spark):
+    """Drive the log directly: v0 must not expose the evolved column,
+    v1 must surface it with NULLs exactly on the pre-evolution rows."""
+    rows = {r["version"]: r for r in
+            Q.queries()["acid_schema_evolution"](spark, SF).collect()}
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    n = len(cust)
+    n_gold = (cust.c_custkey % 10 == 0).sum()
+    assert rows[0]["n_rows"] == n and rows[0]["n_cols"] == 3
+    assert rows[0]["n_with_tier"] == 0
+    assert rows[1]["n_rows"] == n + n_gold and rows[1]["n_cols"] == 4
+    assert rows[1]["n_with_tier"] == n_gold
