@@ -209,6 +209,7 @@ _CHECK_FIRST = [
     "demographic_parity_urgent",
     "ljung_box_daily_revenue",
     "acid_schema_evolution",
+    "dedup_minhash_scurve",
     # round-7 additions
     "ecod_outliers_embeddings",
     "lift_deciles_urgent",
@@ -18593,3 +18594,69 @@ def acid_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append(agg)
     return rows[0].unionByName(rows[1])
+
+
+def _minhash_scurve_sql() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+ag AS (
+  SELECT CAST({matches} AS BIGINT) AS agree
+  FROM cand c JOIN sig a ON a._id = c.id_a JOIN sig b ON b._id = c.id_b
+)
+SELECT agree, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(agree AS DOUBLE) / 16.0, 4) AS est_jaccard,
+       round(1.0 - (1.0 - (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0))
+                 * (1.0 - (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0))
+                 * (1.0 - (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0))
+                 * (1.0 - (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)
+                          * (CAST(agree AS DOUBLE) / 16.0)), 6)
+         AS p_detect_theory
+FROM ag GROUP BY agree
+"""
+
+
+@register("dedup_minhash_scurve", _minhash_scurve_sql())
+def dedup_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration report: for every band-collision
+    candidate pair, the signature-agreement count (agree/16 is the
+    unbiased Jaccard estimate — each matching minhash position is a
+    Bernoulli(J) trial) histogrammed against the THEORETICAL detection
+    probability 1-(1-s^r)^b of the (b=4, r=4) banding at that
+    similarity. The tuning artifact behind every threshold choice in
+    the dedup family: it shows where the deployed banding's detection
+    cliff sits relative to the candidate mass actually observed.
+    Agreement is an integer zip_with fold over the shared signature
+    store (no recompute); the histogram is agreement-level-bounded
+    (<= 17 rows) at any corpus size."""
+    _, sig = _signature_store(spark, sf_dir)
+    cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("xa"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("xb"))
+    agree = F.aggregate(
+        F.zip_with("xa", "xb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    ag = cand.join(sa, "id_a").join(sb, "id_b").select(agree.alias("agree"))
+    s = F.col("agree").cast("double") / 16.0
+    s4 = s * s * s * s
+    theory = 1.0 - (1.0 - s4) * (1.0 - s4) * (1.0 - s4) * (1.0 - s4)
+    return ag.groupBy("agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.any_value(s), 4).alias("est_jaccard"),
+        F.round(F.any_value(theory), 6).alias("p_detect_theory"),
+    )

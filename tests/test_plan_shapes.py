@@ -393,6 +393,8 @@ def test_plan_lint_no_partitionless_windows(spark):
         "adamic_adar_suppliers",
         # GD weight training / prefix-sum kernel at build time
         "pr_curve_metrics_urgent", "demographic_parity_urgent",
+        # signature store at build time
+        "dedup_minhash_scurve",
     ]
     bad = {}
     for name in sorted(set(lazy + extra)):

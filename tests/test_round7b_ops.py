@@ -500,3 +500,21 @@ def test_acid_schema_evolution_snapshots(spark):
     assert rows[0]["n_with_tier"] == 0
     assert rows[1]["n_rows"] == n + n_gold and rows[1]["n_cols"] == 4
     assert rows[1]["n_with_tier"] == n_gold
+
+
+def test_minhash_scurve_consistency(spark):
+    rows = Q.queries()["dedup_minhash_scurve"](spark, SF).collect()
+    n_cand = Q.queries()["dedup_minhash"](spark, SF).count()
+    assert sum(r["n_pairs"] for r in rows) == n_cand
+    for r in rows:
+        assert 0 <= r["agree"] <= 16
+        s = r["agree"] / 16.0
+        assert r["est_jaccard"] == pytest.approx(s, abs=1e-4)
+        assert r["p_detect_theory"] == pytest.approx(
+            1.0 - (1.0 - s ** 4) ** 4, abs=1e-5
+        )
+    # every band collision implies >= 4 agreeing positions is NOT
+    # guaranteed (different bands can collide via md5 of the 4-tuple),
+    # but the bulk must sit at agree >= 4
+    bulk = sum(r["n_pairs"] for r in rows if r["agree"] >= 4)
+    assert bulk >= 0.9 * n_cand
