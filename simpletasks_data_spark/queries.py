@@ -210,6 +210,7 @@ _CHECK_FIRST = [
     "ljung_box_daily_revenue",
     "acid_schema_evolution",
     "dedup_minhash_scurve",
+    "multimodal_shot_changes",
     # round-7 additions
     "ecod_outliers_embeddings",
     "lift_deciles_urgent",
@@ -18660,3 +18661,83 @@ def dedup_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.any_value(s), 4).alias("est_jaccard"),
         F.round(F.any_value(theory), 6).alias("p_detect_theory"),
     )
+
+
+@register("multimodal_shot_changes", """
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) || hex(CAST(text AS BLOB)) AS hx
+  FROM documents
+),
+s AS (SELECT media_id, hx, strlen(hx) // 2 AS n FROM m WHERE strlen(hx) > 0),
+c AS (SELECT media_id, hx, n,
+             1 + (greatest(n - 32, 0) + 23) // 24 AS n_frames
+      FROM s),
+u AS (SELECT media_id, hx, n, unnest(generate_series(0, n_frames - 1)) AS fi FROM c),
+w AS (SELECT media_id, fi, substr(hx, CAST(fi * 48 + 1 AS INT), 64) AS wh FROM u),
+f AS (
+  SELECT media_id, fi,
+         CAST(list_sum(list_transform(range(strlen(wh) // 2),
+              p -> CAST(concat('0x', substr(wh, CAST(2 * p + 1 AS INT), 2)) AS BIGINT)))
+              AS BIGINT) AS cs
+  FROM w
+),
+d AS (
+  SELECT media_id, fi, cs,
+         lag(cs) OVER (PARTITION BY media_id ORDER BY fi) AS prev
+  FROM f
+),
+chg AS (
+  SELECT media_id,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND abs(cs - prev) > 2000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_shot_changes,
+         min(CASE WHEN prev IS NOT NULL AND abs(cs - prev) > 2000
+                  THEN fi END) AS first_change
+  FROM d GROUP BY media_id
+)
+SELECT media_id, n_frames, n_shot_changes,
+       CAST(first_change AS BIGINT) AS first_change_idx
+FROM chg WHERE n_shot_changes > 0
+""")
+def multimodal_shot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-change detection over the fake video payloads: adjacent
+    frame-checksum jumps above a threshold mark cuts — the
+    keyframe-extraction primitive a video-curation pipeline runs before
+    captioning or near-dup hashing. REAL Spark plumbing end to end:
+    frames come from the Arrow-batched mapInPandas sampler
+    (operators/multimodal.sample_frames over pruned (id, payload)),
+    the difference signal is a lag window PARTITIONED by media id
+    (frame counts are payload-bounded, never corpus-scaled), and the
+    oracle re-derives every frame checksum from the deterministic
+    payload hex. Media with zero cuts drop out (report = flagged set)."""
+    from .operators.multimodal import attach_fake_payloads, sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    media = attach_fake_payloads(docs, "doc_id", "text")
+    frames = sample_frames(media).select("media_id", "frame_idx", "checksum")
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = frames.select(
+        "media_id",
+        "frame_idx",
+        "checksum",
+        F.lag("checksum").over(w).alias("prev"),
+    )
+    is_chg = F.when(
+        F.col("prev").isNotNull()
+        & (F.abs(F.col("checksum") - F.col("prev")) > 2000),
+        1,
+    ).otherwise(0)
+    chg = d.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(is_chg).cast("long").alias("n_shot_changes"),
+        F.min(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.abs(F.col("checksum") - F.col("prev")) > 2000),
+                F.col("frame_idx"),
+            )
+        )
+        .cast("long")
+        .alias("first_change_idx"),
+    )
+    return chg.where(F.col("n_shot_changes") > 0)

@@ -518,3 +518,29 @@ def test_minhash_scurve_consistency(spark):
     # but the bulk must sit at agree >= 4
     bulk = sum(r["n_pairs"] for r in rows if r["agree"] >= 4)
     assert bulk >= 0.9 * n_cand
+
+
+def test_shot_changes_matches_frame_recompute(spark):
+    """Recompute cuts in pandas from the SAME mapInPandas frame sampler
+    output — pins the window/threshold logic independently of the
+    hex-deriving oracle."""
+    from simpletasks_data_spark.queries import load
+    from simpletasks_data_spark.operators.multimodal import (
+        attach_fake_payloads, sample_frames,
+    )
+
+    docs = load(spark, SF, "documents")
+    frames = sample_frames(attach_fake_payloads(docs, "doc_id", "text")).select(
+        "media_id", "frame_idx", "checksum"
+    ).toPandas()
+    want = {}
+    for mid, grp in frames.sort_values("frame_idx").groupby("media_id"):
+        cs = grp.checksum.to_numpy()
+        cuts = np.where(np.abs(np.diff(cs)) > 2000)[0]
+        if len(cuts):
+            want[mid] = (len(cs), len(cuts), int(cuts[0]) + 1)
+    got = {
+        r["media_id"]: (r["n_frames"], r["n_shot_changes"], r["first_change_idx"])
+        for r in Q.queries()["multimodal_shot_changes"](spark, SF).collect()
+    }
+    assert got == want
