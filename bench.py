@@ -204,6 +204,18 @@ BENCH_QUERIES = [
     "lift_deciles_urgent",
     "top_session_paths",
     "rolling_origin_backtest",
+    # round-7b additions (the heavier representatives; the rest ride
+    # the full-catalog census in bench_catalog.json)
+    "link_prediction_suppliers",
+    "adamic_adar_suppliers",
+    "spearman_price_ordersize",
+    "pr_curve_metrics_urgent",
+    "vocab_coverage_topk",
+    "isotonic_calibration_urgent",
+    "dedup_minhash_scurve",
+    "multimodal_shot_changes",
+    "tokenizer_fertility_by_lang",
+    "holt_linear_region_forecast",
 ]
 
 
