@@ -179,26 +179,47 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by EXACT Jaccard over distinct char n-grams.
 
-    Candidate generation is full PPJoin (Xiao et al., WWW'08): under the
+    Candidate generation is full PPJoin (Xiao et al., WWW'08) with the
+    MERGE-STEP aggregate filter and the k-prefix extension: under the
     RAREST-FIRST global shingle order (ascending document frequency, the
     canonical choice — rare prefixes make small join buckets), two sets
-    with J(A,B) >= t MUST share an element within each set's first
-    ``floor((1-t)*|X|) + 1`` shingles, so the candidate self-join runs on
-    prefixes only; the LENGTH filter (t|A| <= |B| <= |A|/t) and the
-    POSITIONAL filter (overlap upper bound ``1 + min(|A|-i, |B|-j)`` at
-    the matching prefix positions must reach ``ceil(t/(1+t)(|A|+|B|))``
-    — the pair always survives via its FIRST shared prefix element, so
-    filtering every occurrence is exact) prune inside the join. Exact
-    Jaccard then runs ONCE per candidate as a set intersect over each
-    doc's collected 60-bit shingle-HASH array (never a per-shingle
-    fan-out join — the previous verify expanded 17.3M candidates x ~21
-    shingles into a 370M-row shuffle). The hash space is 2^60 and the
-    md5-derived hash is portable, so the SQL oracle hashes identically
-    (the minhash_pairs_from_signatures verify precedent): a collision
+    with ``|A ∩ B| >= o`` MUST share their ``k`` smallest common elements
+    within each set's first ``|X| - o + k`` shingles (the j-th smallest
+    shared element sits at position ``<= |X| - o + j``). With
+    ``o >= ceil(t|X|)`` for any admissible partner, a per-doc prefix of
+    ``floor((1-t)|X|) + k`` (k=2) is enough, so the candidate self-join
+    runs on prefixes only, with the LENGTH filter
+    (t|A| <= |B| <= |A|/t) inside the join. The join's matches are then
+    AGGREGATED per pair — ``cnt`` = number of shared both-in-prefix
+    elements, ``max(rn)`` on each side — and two exact filters replace
+    the old per-row positional check:
+
+    - ``cnt >= min(2, minoverlap)`` (k-prefix: a qualifying pair shares
+      >= 2 prefix elements unless its required overlap is 1, which only
+      single-shingle docs can hit);
+    - ``cnt + min(|A| - max_rn_A, |B| - max_rn_B) >= minoverlap``
+      (merge-step positional bound: rn is monotone in the global order
+      within each doc, so every shared element NOT matched by the
+      prefix join is globally larger than the largest matched one and
+      sits after ``max_rn`` on both sides — the bound is an exact upper
+      bound on ``|A ∩ B|``).
+
+    On template-heavy synthetic corpora the aggregate filters cut the
+    candidate set ~40x (sf0.1: 6.6M raw prefix pair-groups -> 165k
+    verified, vs 4.6M candidates under the old per-row positional
+    filter), which keeps the verify stage's array shuffle
+    O(survivors), not O(bucket pairs). Exact Jaccard then
+    runs ONCE per survivor as a set intersect over each doc's collected
+    60-bit shingle-HASH array (never a per-shingle fan-out join — an
+    early version expanded 17.3M candidates x ~21 shingles into a
+    370M-row shuffle). The hash space is 2^60 and the md5-derived hash
+    is portable, so the SQL oracle hashes identically (the
+    minhash_pairs_from_signatures verify precedent): a collision
     folding two shingles affects both engines the same way, ~never.
-    Measured at sf0.1: 365s -> 33s end-to-end. ``prefix_filter=False``
-    falls back to the naive shared-any-shingle join (quadratic on
-    self-similar corpora; correctness baseline).
+    Measured at sf0.1: 365s (naive) -> 33s (per-row PPJoin) -> ~13s
+    (aggregate filters). ``prefix_filter=False`` falls back to the
+    naive shared-any-shingle join (quadratic on self-similar corpora;
+    correctness baseline).
 
     The shingle frame is materialized ONCE (multiple consumers would
     re-run the interpreted shingle pipeline per use), and
@@ -221,13 +242,14 @@ def ngram_jaccard_pairs(
                 Window.partitionBy("_id").orderBy(F.col("df"), F.col("h"))
             ),
         )
+        K = 2  # k-prefix extension: one extra prefix element buys cnt>=2
         prefix = ranked.join(sizes, "_id").select("_id", "h", "rn", "sz").where(
-            F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
+            F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + K
         )
         pa, pb = prefix.alias("a"), prefix.alias("b")
         t = F.lit(threshold)
         min_overlap = F.ceil(
-            t / (1.0 + threshold) * (F.col("a.sz") + F.col("b.sz"))
+            t / (1.0 + threshold) * (F.col("psz_a") + F.col("psz_b"))
         )
         cand = (
             pa.join(
@@ -235,17 +257,30 @@ def ngram_jaccard_pairs(
                 (F.col("a.h") == F.col("b.h"))
                 & (F.col("a._id") < F.col("b._id"))
                 & (F.col("b.sz") >= F.ceil(t * F.col("a.sz")))
-                & (F.col("a.sz") >= F.ceil(t * F.col("b.sz")))
+                & (F.col("a.sz") >= F.ceil(t * F.col("b.sz"))),
+            )
+            .groupBy(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a.sz").alias("psz_a"),
+                F.col("b.sz").alias("psz_b"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.max("a.rn").alias("mra"),
+                F.max("b.rn").alias("mrb"),
+            )
+            .where(
+                (F.col("cnt") >= F.least(F.lit(K), min_overlap))
                 & (
-                    1
+                    F.col("cnt")
                     + F.least(
-                        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+                        F.col("psz_a") - F.col("mra"), F.col("psz_b") - F.col("mrb")
                     )
                     >= min_overlap
-                ),
+                )
             )
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .distinct()
+            .select("id_a", "id_b")
         )
         hsets = sh.groupBy("_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
         shared = (

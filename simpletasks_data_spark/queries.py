@@ -143,6 +143,12 @@ _CHECK_FIRST = [
     "matryoshka_recall_eval",
     "acid_merge_versions",
     "csv_import_roundtrip",
+    # -- changed late in round 7: ngram_jaccard_pairs moved from the
+    #    per-row positional filter to the PPJoin merge-step aggregate
+    #    filters (k=2 prefix, cnt>=2, max-rn positional bound);
+    #    dedup_minhash_eval embeds it as ground truth --
+    "dedup_ngram_jaccard",
+    "dedup_minhash_eval",
     # -- never checked: round-6 late batch (newest = riskiest) --
     "clustering_coeff_suppliers",
     "mutual_knn_match_embeddings",
@@ -235,7 +241,6 @@ _CHECK_FIRST = [
     "association_rules_brands",
     "bpe_encode_stats",
     "quality_bigram_kn_logprob",
-    "dedup_minhash_eval",
     "token_pmi_pairs",
     "jsonl_gzip_roundtrip",
     "events_seasonal_anomaly",

@@ -544,3 +544,61 @@ def test_shot_changes_matches_frame_recompute(spark):
         for r in Q.queries()["multimodal_shot_changes"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_ngram_jaccard_ppjoin_matches_bruteforce(spark):
+    """The PPJoin aggregate filters (k-prefix cnt>=2 + merge-step
+    positional bound) must be EXACT: compare against a brute-force
+    all-pairs Jaccard over the same 5-gram hash sets, on a fixture built
+    to stress the filters — a shared template (every doc shares many
+    shingles), near-threshold pairs on both sides of t=0.6, and docs
+    shorter than one shingle window."""
+    from simpletasks_data_spark.operators.dedupe import ngram_jaccard_pairs
+
+    template = "the quick brown fox jumps over the lazy dog while "
+    rows = [
+        (1, template + "alpha beta gamma delta"),
+        (2, template + "alpha beta gamma delts"),   # near-dup of 1
+        (3, template + "epsilon zeta eta theta!"),  # template-only overlap
+        (4, template + "alpha beta gamma delta"),   # exact dup of 1
+        (5, "completely unrelated text with no template at all here"),
+        (6, template * 3),                          # much longer: length filter
+        (7, "tiny"),                                # < n chars -> 0/1 shingles
+        (8, "tiny"),                                # identical tiny doc
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "id", "text", n=5, threshold=0.6).collect()
+    }
+
+    # brute force over the same normalized 5-gram sets
+    import pyspark.sql.functions as F
+    from simpletasks_data_spark.functions.text import normalize_text, char_shingles_from_norm
+    sets = {
+        r["id"]: set(r["sh"])
+        for r in df.select(
+            "id",
+            char_shingles_from_norm(normalize_text(F.col("text")), 5).alias("sh"),
+        ).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 4) >= 0.6:
+                want[(a, b)] = round(j, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # sanity on the fixture itself: it must exercise the edge shapes —
+    # exact dup, near-threshold pass (3,6 at .6479) AND near-threshold
+    # reject (3,4 at .5111), single-shingle docs (o=1, below the k=2
+    # floor), and a fully unrelated doc
+    assert (1, 4) in want and (1, 2) in want and (7, 8) in want
+    assert (3, 6) in want and (3, 4) not in want
+    assert not any(5 in pair for pair in want)
