@@ -204,6 +204,10 @@ BENCH_QUERIES = [
     "lift_deciles_urgent",
     "top_session_paths",
     "rolling_origin_backtest",
+    # exact-Jaccard PPJoin: the heaviest catalog entry (census) — now a
+    # headliner so the merge-step filter win stays tracked per round
+    "dedup_ngram_jaccard",
+    "dedup_minhash_eval",
     # round-7b additions (the heavier representatives; the rest ride
     # the full-catalog census in bench_catalog.json)
     "link_prediction_suppliers",
