@@ -602,3 +602,57 @@ def test_ngram_jaccard_ppjoin_matches_bruteforce(spark):
     assert (1, 4) in want and (1, 2) in want and (7, 8) in want
     assert (3, 6) in want and (3, 4) not in want
     assert not any(5 in pair for pair in want)
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.6, 0.8])
+def test_ngram_jaccard_ppjoin_randomized(spark, threshold):
+    """Seeded randomized sweep on a 3-letter alphabet (maximal shingle
+    collisions, heavy df ties in the rarest-first order) — the aggregate
+    filters must stay exact across thresholds, including prefix-length
+    rounding at t=0.5 (floor((1-t)sz) exact-integer boundary)."""
+    import random
+
+    from simpletasks_data_spark.operators.dedupe import ngram_jaccard_pairs
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(40):
+        base = "".join(rng.choice("ab ") for _ in range(rng.randint(3, 30)))
+        rows.append((i, base))
+        if rng.random() < 0.4:  # planted near-dup: flip one char
+            chars = list(base)
+            chars[rng.randrange(len(chars))] = rng.choice("ab ")
+            rows.append((100 + i, "".join(chars)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+
+    import pyspark.sql.functions as F
+    from simpletasks_data_spark.functions.text import (
+        char_shingles_from_norm,
+        normalize_text,
+    )
+
+    sets = {
+        r["id"]: set(r["sh"])
+        for r in df.select(
+            "id",
+            char_shingles_from_norm(normalize_text(F.col("text")), 3).alias("sh"),
+        ).collect()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = round(len(sa & sb) / len(sa | sb), 4)
+            if j >= threshold:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    assert want, "fixture must plant at least one qualifying pair"
