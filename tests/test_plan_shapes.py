@@ -178,103 +178,70 @@ def test_acid_snapshot_read_is_plain_pruned_scan(spark):
     assert "ReadSchema: struct<o_orderkey:bigint>" in plan
 
 
-def test_plan_lint_no_antipatterns(spark):
-    """Automated anti-pattern sweep over the lazily-plannable catalog
-    queries: no CartesianProduct, no row-at-a-time Python UDF
-    (BatchEvalPython) anywhere — pandas UDFs (ArrowEvalPython) are the
-    sanctioned Python boundary. Queries that execute work at build time
-    (merge/acid/streaming/iterative-CC families) are exercised by the
-    parity suite instead; `knn_bruteforce`'s crossJoin is its declared
-    O(q*c) correctness-baseline design."""
-    LAZY = [
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "top_parts_per_brand", "q7_volume_shipping",
-        "q8_market_share", "q9_product_profit", "q10_returned_items",
-        "q13_order_distribution", "q14_promo_revenue", "q17_small_quantity_revenue",
-        "q18_large_volume_customers", "q19_or_predicate_revenue", "q22_idle_customers",
-        "text_stats", "text_langid", "text_quality", "text_repetition",
-        "text_fingerprint", "dedup_exact", "dedup_passages", "dedup_ngram_jaccard",
-        "events_sessionize", "events_hourly_rollup", "events_json_extract",
-        "events_funnel_conversion", "events_retention_cohorts",
-        "asof_join_last_purchase", "range_join_purchase_clicks",
-        "overlap_join_order_windows", "hypertable_rollup_events",
-        "sketch_kmv_distinct", "sketch_hll_distinct", "sketch_histogram_quantile",
-        "sketch_cms_heavy_hitters", "bloom_semi_join_orders",
-        "corpus_hash_split", "corpus_stratified_sample", "weighted_sample_quality",
-        "balance_mixture_langs", "temperature_mixture_langs", "vocab_top_tokens",
-        "pii_scrub_customers", "bpe_token_count", "chunk_documents",
-        "pack_sequences", "embedding_quantize_int8", "knn_ivf_signbits",
-        "cube_qty_by_flag_status", "rollup_returnflag_status",
-        "pivot_revenue_by_status", "url_host_stats", "rolling_revenue_features",
-        "events_anomaly_zscore", "scd2_user_state",
-        # round-3 second-half additions (lazily plannable)
-        "q2_min_cost_supplier", "q12_ship_delay_priority", "q16_supplier_cnt",
-        "q20_concentrated_suppliers", "events_transition_matrix",
-        "feature_drift_psi", "feature_hash_tf", "revenue_concentration",
-        "inverted_index_terms", "embedding_random_projection",
-        "attribution_linear_multitouch", "entity_match_customers",
-        "cdc_chunk_documents", "multimodal_wav_roundtrip",
-        # round-4 additions (lazily plannable)
-        "dedup_exact_substrings", "domain_cap_sample",
-        "embedding_drift_by_label", "vocab_coverage_by_source",
-        "timeseries_forward_fill_nation", "dsir_importance_weights",
-        "token_budget_selection", "hybrid_rrf_retrieval",
-        "retrieval_eval_embeddings", "hard_negatives_embeddings",
-        "multimodal_ahash_dedup", "multimodal_audio_fingerprint",
-        "k_anonymity_customers", "ewma_region_revenue",
-        "walk_cooccurrence_pmi", "cusum_drift_events",
-        "benford_first_digit_orders", "sequence_pattern_match",
-        "auc_urgent_orders", "ks_test_price_by_segment",
-        "price_elasticity_brands", "gini_revenue_by_nation",
-        "emd_price_by_segment", "sinkhorn_transition_matrix",
-        # round-5 additions (lazily plannable; checkpoint/GD-at-build
-        # families — als/propensity/boosted/kfold/suffix/graph/streams —
-        # are exercised by the parity suite instead)
-        "fuzzy_dedup_edit_distance", "ols_price_model", "ols_trend_by_nation",
-        "acf_daily_revenue", "xcorr_click_purchase", "ohlc_hourly_events",
-        "exact_median_price_by_priority", "pivot_priority_by_segment",
-        "rollup_revenue_geo", "integrity_checksums_by_nation",
-        "join_fanout_audit", "target_encode_mktsegment",
-        "interpolate_daily_revenue",
-        # round-6 additions (lazily plannable; kernel/CC-at-build
-        # families — islands/hilbert/dbscan — are exercised by the
-        # parity suite instead; theilsen's bounded day-grid self-join
-        # is its declared design, window-checked via `extra` below)
-        "dp_noisy_counts_nation", "mutual_info_features",
-        "jsd_drift_by_source", "heavy_hitters_two_pass",
-        "sketch_sample_quantiles",
-        # round-6 late batch (lazily plannable; clustering_coeff /
-        # sorted_neighborhood / mann_kendall / sprt execute store builds
-        # or kernel collects at build time and ride `extra` below)
-        "mutual_knn_match_embeddings", "frequent_event_ngrams",
-        "winsorized_mean_by_segment", "bloom_fpr_calibration",
-        "seasonal_index_revenue",
-        # round-7 additions (lazily plannable; dedup_minhash_capped and
-        # mad_outliers_by_segment run store/median-kernel builds at plan
-        # time and are exercised by the parity suite instead)
-        "skipgram_pairs_topk", "markov_event_transitions",
-        "fano_burstiness_events", "anova_price_by_priority",
-        "bh_fdr_urgent_nations", "pipeline_pretraining_corpus",
-        "ecod_outliers_embeddings", "top_session_paths",
-        "rolling_origin_backtest",
-        # round-7b batch (lazily plannable; link_prediction /
-        # assortativity build the co-supply store, systematic_sample
-        # runs the ranking kernel, and isotonic checkpoints its bin
-        # frame at build time — those four ride `extra` below)
-        "welch_ttest_urgent_price", "cramers_v_priority_segment",
-        "woe_iv_price_bins", "l_diversity_customers",
-        "bollinger_bands_nation", "holt_linear_region_forecast",
-        "changepoint_daily_revenue", "tokenizer_fertility_by_lang",
-        "rejection_sample_bylength", "cochran_armitage_priority_trend",
-        "ljung_box_daily_revenue",
+# ---------------------------------------------------------------------------
+# Full-catalog lint census (dynamic — no inclusion list to rot)
+# ---------------------------------------------------------------------------
+# Every queries() entry is swept EXCEPT the fixture-writing families,
+# whose correctness is pinned end-to-end by their own suites
+# (test_importjob_e2e / test_acid / streaming tests / the roundtrip
+# oracle rows) and whose result frames are small locals or metadata:
+_EXEMPT_PREFIXES = ("merge_", "streaming_", "acid_")
+_EXEMPT_SUFFIXES = ("_roundtrip",)
+
+# Declared exact-ground-truth crossJoin baselines: O(q*c) by contract,
+# with scalable siblings (IVF / quantized / banded) and sampled query
+# sides. Exempt from the CartesianProduct lint ONLY (still checked for
+# BatchEvalPython and partitionless windows).
+CROSSJOIN_BASELINES = {
+    "knn_bruteforce",
+    "knn_bruteforce_blas",
+    "ann_recall_report",
+    "matryoshka_recall_eval",
+}
+
+
+def _census() -> list:
+    return [
+        n
+        for n in sorted(Q.queries())
+        if not n.startswith(_EXEMPT_PREFIXES) and not n.endswith(_EXEMPT_SUFFIXES)
     ]
+
+
+# name -> (formatted plan string, [partitionless windows]) — built once,
+# shared by both sweep tests (building a query can materialize session
+# stores / train models, so the pass is the expensive part).
+_SWEEP_CACHE: dict = {}
+
+
+def _sweep(spark) -> dict:
+    if not _SWEEP_CACHE:
+        q = Q.queries()
+        for name in _census():
+            df = q[name](spark, SF)
+            _SWEEP_CACHE[name] = (_plan(df), partitionless_windows(df))
+    return _SWEEP_CACHE
+
+
+def test_plan_lint_no_antipatterns(spark):
+    """Automated anti-pattern sweep over the WHOLE catalog (minus the
+    fixture-writing exempt families): no CartesianProduct (except the
+    declared crossJoin baselines), no row-at-a-time Python UDF
+    (BatchEvalPython) anywhere — pandas UDFs (ArrowEvalPython /
+    MapInPandas) are the sanctioned Python boundary."""
     bad = {}
-    for name in LAZY:
-        plan = _plan(Q.queries()[name](spark, SF))
-        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+    for name, (plan, _) in _sweep(spark).items():
+        hits = [
+            p
+            for p in ("CartesianProduct", "BatchEvalPython")
+            if p in plan
+            and not (p == "CartesianProduct" and name in CROSSJOIN_BASELINES)
+        ]
         if hits:
             bad[name] = hits
     assert not bad, f"anti-patterns crept into plans: {bad}"
+
+
 
 
 # Queries whose partitionless windows run over a frame BOUNDED by
@@ -310,6 +277,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "adamic_adar_suppliers",
     # day-index + lag windows over the distinct-day grid
     "ljung_box_daily_revenue",
+    # GBDT histogram split search: cumulative windows over the bounded
+    # price-bucket / order-year threshold grids (one agg per feature
+    # first — the windows never see row-scaled data)
+    "boosted_stumps_urgent",
 }
 
 
@@ -356,51 +327,13 @@ def test_plan_lint_no_partitionless_windows(spark):
     with its bounding frame named) must plan ZERO of them; the five
     migrated queries (auc/kfold/conformal/revenue_concentration/
     skew_diagnosis) and the pareto skyline now ride the
-    operators/ranking kernels instead."""
-    import re
-
-    src = open(os.path.join(os.path.dirname(__file__), __file__)).read()
-    # the LAZY list in test_plan_lint_no_antipatterns is the census
-    m = re.search(r"LAZY = \[(.*?)\]\n", src, re.S)
-    lazy = re.findall(r'"([^"]+)"', m.group(1))
-    extra = [
-        "bm25_related_docs", "supplier_triangles", "robust_outliers_mad",
-        "zorder_layout_orders", "dedup_containment", "zipf_token_slope",
-        "survival_km_first_purchase", "rolling_7d_active_users",
-        "pareto_frontier_suppliers", "discretize_price_deciles",
-        "rfm_customer_segments",
-        # round-6: kernel-backed layouts/sweeps + the bounded-grid
-        # theilsen self-join (windows must still be zero)
-        "hilbert_layout_orders", "interval_islands_orders",
-        "theilsen_trend_revenue",
-        # round-6 late batch: co-supply store / ranking kernel at build
-        # time, plus mann_kendall's bounded day-grid self-join (same
-        # declared design as theilsen)
-        "clustering_coeff_suppliers", "sorted_neighborhood_linkage",
-        "mann_kendall_daily_revenue", "sprt_urgent_rate",
-        # matryoshka rides the declared knn_bruteforce crossJoin baseline
-        # (excluded from the CartesianProduct lint like knn_bruteforce
-        # itself); its top-k windows must still all be partitioned
-        "matryoshka_recall_eval",
-        # round-7: exact-ntile kernel at build time; the 10-row decile
-        # cumulative window is allowlisted below
-        "lift_deciles_urgent",
-        # round-7b: co-supply store / ranking kernel / bin-frame
-        # checkpoint at build time (support-grid windows allowlisted)
-        "link_prediction_suppliers", "graph_degree_assortativity",
-        "systematic_sample_orders", "isotonic_calibration_urgent",
-        "spearman_price_ordersize", "vocab_coverage_topk",
-        "adamic_adar_suppliers",
-        # GD weight training / prefix-sum kernel at build time
-        "pr_curve_metrics_urgent", "demographic_parity_urgent",
-        # signature store at build time
-        "dedup_minhash_scurve",
-    ]
+    operators/ranking kernels instead. Since round 7 the census is the
+    WHOLE catalog (minus the fixture-writing exempt families), computed
+    dynamically — a new query is linted the moment it registers."""
     bad = {}
-    for name in sorted(set(lazy + extra)):
+    for name, (_, wins) in _sweep(spark).items():
         if name in GLOBAL_WINDOW_ALLOWLIST:
             continue
-        wins = partitionless_windows(Q.queries()[name](spark, SF))
         if wins:
             bad[name] = wins
     assert not bad, f"row-scaled partitionless windows crept in: {bad}"
