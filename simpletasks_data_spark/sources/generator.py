@@ -33,7 +33,21 @@ class GeneratorSource(Source):
         materialized = list(self.rows)
         n = self.num_columns
         if n is None:
-            n = max((len(r) for r in materialized), default=1)
+            # Floor the width at the mapping's highest positional column so
+            # an EMPTY source still builds a plannable frame (the reference
+            # reads an empty file as zero rows and never indexes a column;
+            # here the schema exists before any row does).
+            from ..mapping import Column as _PosColumn
+
+            mapped = [
+                spec.column_number
+                for _, spec in self.mapping.get_columns()
+                if isinstance(spec, _PosColumn)
+            ]
+            n = max(
+                max((len(r) for r in materialized), default=1),
+                max(mapped, default=0) + 1,
+            )
         fields = [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n)]
         fields.append(T.StructField(SRC_POS, T.LongType(), False))
         schema = T.StructType(fields)

@@ -467,3 +467,101 @@ def test_history_per_source_spec(spark):
     res3 = job3.run()
     assert res3["history_created"] == 0
     assert res3["updated"] == 0
+
+
+def test_merge_fold_matches_python_reference_hypothesis(spark):
+    """Randomized merge property test: the distributed join+fold+policy
+    pipeline must agree with a row-at-a-time Python loop implementing the
+    reference's semantics (the reference IS a row loop — this reference
+    shares no code with either the Spark merge or the E2E goldens) on:
+    final table contents, created/updated row counters, missing-key
+    ignores, per-column policies (normal / should_update=False /
+    only_if_null), within-source duplicate last-wins, and the
+    cancel-back-to-stored rule. Randomization covers the shapes the
+    goldens fix one instance of: dup chains, no-op updates, creates and
+    updates interleaved, sparse target NULLs."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("a", T.StringType(), True),
+        T.StructField("b", T.StringType(), True),
+        T.StructField("c", T.LongType(), True),
+    ])
+
+    class M(Mapping):
+        def __init__(self):
+            super().__init__()
+            self.id = self.auto()
+            self.a = self.auto()
+            self.b = self.auto(should_update=False)
+            self.c = self.auto(should_update_only_if_null=True)
+
+        def get_header_line_number(self):
+            return -1
+
+    letters = st.sampled_from(["x", "y", "z"])
+    tgt_strat = st.dictionaries(
+        st.integers(1, 8),
+        st.tuples(letters, letters, st.one_of(st.none(), st.integers(0, 9))),
+        max_size=6,
+    )
+    row_strat = st.tuples(
+        st.sampled_from([""] + [str(i) for i in range(1, 13)]),
+        letters,
+        letters,
+        st.sampled_from([str(i) for i in range(10)]),
+    )
+    src_strat = st.lists(row_strat, max_size=12)
+
+    def reference(tgt, rows):
+        """Row-at-a-time replay of the reference engine: each row applies
+        its policies against the PENDING-OR-STORED state (so duplicate
+        keys fold sequentially — a normal column is last-wins, an
+        only-if-null column is first-non-null-wins, a should_update=False
+        column keeps its create-time value), and a final value equal to
+        the stored original cancels the update."""
+        orig = {k: {"a": v[0], "b": v[1], "c": v[2]} for k, v in tgt.items()}
+        state = {k: dict(v) for k, v in orig.items()}
+        created_keys, missing = set(), 0
+        for key_s, a, b, c_s in rows:
+            if key_s == "":
+                missing += 1
+                continue
+            k, c = int(key_s), int(c_s)
+            if k in state:
+                cur = state[k]
+                cur["a"] = a                      # normal: last wins
+                # b: should_update=False — never updated past create
+                if cur["c"] is None:              # only_if_null: first fill
+                    cur["c"] = c
+            else:
+                state[k] = {"a": a, "b": b, "c": c}
+                created_keys.add(k)
+        updated = sum(1 for k in orig if state[k] != orig[k])
+        return state, len(created_keys), updated, missing
+
+    @given(tgt_strat, src_strat)
+    @settings(max_examples=10, deadline=None)
+    def check(tgt, rows):
+        target_df = spark.createDataFrame(
+            [(k, v[0], v[1], v[2]) for k, v in tgt.items()], schema
+        )
+        target = TargetTable(schema=schema, df=target_df, primary_keys=("id",))
+        job = ImportJob(
+            spark,
+            target,
+            sources=[GeneratorSource([list(r) for r in rows], M(), name="s")],
+            dryrun=True,
+        )
+        res = job.run()
+        want_tbl, created, updated, missing = reference(tgt, rows)
+        got = {
+            r.id: {"a": r.a, "b": r.b, "c": r.c} for r in job.result_df.collect()
+        }
+        assert got == want_tbl
+        assert res["created"] == created
+        assert res["updated"] == updated
+        assert res["sources"][0]["ignored_missing_id"] == missing
+
+    check()
