@@ -137,3 +137,74 @@ def test_interval_overlap_join_exact_and_single_copy(spark):
     # a2×b2 disjoint; a3×b3 disjoint (ends day 2 < starts day 3)
     assert pairs == [("a1", "b1"), ("a2", "b1")]
     assert out.count() == len(set(pairs))
+
+
+def test_asof_matches_pandas_merge_asof_hypothesis(spark):
+    """Randomized semantics check against pandas.merge_asof (an
+    independent implementation of backward-inclusive as-of with
+    tolerance): same matched value for every left row, across random
+    key/timestamp shapes — keys with no right rows, left rows before
+    any right row, exact ties, sparse and dense timelines. Right
+    (key, ts) pairs are unique by construction (equal-timestamp
+    matches are tie-ambiguous in any asof engine)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    base = dt.datetime(2024, 1, 1)
+
+    left_strat = st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 50)), min_size=1, max_size=12
+    )
+    right_strat = st.sets(
+        st.tuples(st.integers(1, 2), st.integers(0, 50)), max_size=12
+    )
+    tol_strat = st.sampled_from([None, 5, 20])
+
+    @given(left_strat, right_strat, tol_strat)
+    @settings(max_examples=10, deadline=None)
+    def check(lrows, rrows, tol):
+        left_pd = pd.DataFrame(
+            {
+                "idx": range(len(lrows)),
+                "k": [k for k, _ in lrows],
+                "ts": [base + dt.timedelta(minutes=m) for _, m in lrows],
+            }
+        )
+        right_pd = pd.DataFrame(
+            {
+                "k": pd.array([k for k, _ in sorted(rrows)], dtype="int64"),
+                "rts": pd.to_datetime(
+                    [base + dt.timedelta(minutes=m) for _, m in sorted(rrows)]
+                ),
+                # value is a function of (k, ts): no tie ambiguity
+                "v": pd.array(
+                    [float(k * 1000 + m) for k, m in sorted(rrows)], dtype="float64"
+                ),
+            }
+        )
+        want_df = pd.merge_asof(
+            left_pd.sort_values("ts", kind="stable"),
+            right_pd.sort_values("rts", kind="stable"),
+            left_on="ts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=None if tol is None else pd.Timedelta(minutes=tol),
+        )
+        want = dict(zip(want_df["idx"], [None if pd.isna(v) else v for v in want_df["v"]]))
+
+        left = spark.createDataFrame(left_pd, "idx long, k long, ts timestamp")
+        right = (
+            spark.createDataFrame(right_pd, "k long, rts timestamp, v double")
+            if len(right_pd)
+            else spark.createDataFrame([], "k long, rts timestamp, v double")
+        )
+        out = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts", values=["v"],
+            tolerance=None if tol is None else F.expr(f"INTERVAL {tol} MINUTES"),
+        )
+        got = {r["idx"]: r["v"] for r in out.collect()}
+        assert got == want
+
+    check()
