@@ -291,3 +291,40 @@ def test_global_row_number_single_mega_group_partitioned(spark):
     gl = {r["id"]: r["cum_n"] for r in got.collect()}
     for r in want.collect():
         assert gl[r["id"]] == r["cum_n"]
+
+
+def test_exact_ntile_matches_sql_definition_hypothesis(spark):
+    """Randomized check of exact_ntile against the SQL ntile definition
+    computed directly in Python (first N%n buckets get one extra row
+    under the (value, id) tie-broken total order) — heavy ties, single
+    rows, more buckets than rows."""
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators.ranking import exact_ntile
+
+    rows_strat = st.lists(st.integers(0, 5), min_size=1, max_size=40)
+    n_strat = st.sampled_from([1, 2, 3, 7])
+
+    @given(rows_strat, n_strat)
+    @settings(max_examples=10, deadline=None)
+    def check(vals, n):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        )
+        out = exact_ntile(df, n, order_by=[F.col("v"), F.col("id")])
+        got = {r["id"]: r["bucket"] for r in out.collect()}
+
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        N = len(vals)
+        q, m = divmod(N, n)
+        want = {}
+        for pos, i in enumerate(order, start=1):
+            if q == 0:
+                want[i] = pos
+            elif pos <= m * (q + 1):
+                want[i] = (pos + q) // (q + 1)
+            else:
+                want[i] = m + ((pos - m * (q + 1)) + q - 1) // q
+        assert got == want
+
+    check()

@@ -208,3 +208,67 @@ def test_asof_matches_pandas_merge_asof_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_range_join_matches_bruteforce_hypothesis(spark):
+    """Randomized containment check for BOTH range-join physical paths —
+    keyed (hash join + post-filter) and unkeyed bucketed-grid (interval
+    exploded into overlapped cells) — against a brute-force double loop.
+    Shapes: degenerate [t, t] intervals, overlapping intervals, points on
+    interval bounds (inclusive), intervals spanning many grid cells."""
+    from hypothesis import given, settings, strategies as st
+
+    base = dt.datetime(2024, 1, 1)
+
+    pts_strat = st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 120)), min_size=1, max_size=10
+    )
+    ivs_strat = st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 120), st.integers(0, 120)),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(pts_strat, ivs_strat)
+    @settings(max_examples=8, deadline=None)
+    def check(prows, irows):
+        irows = [(k, min(a, b), max(a, b)) for k, a, b in irows]
+        points = spark.createDataFrame(
+            [(i, k, base + dt.timedelta(minutes=m)) for i, (k, m) in enumerate(prows)],
+            "pid long, k long, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [
+                (j, k, base + dt.timedelta(minutes=a), base + dt.timedelta(minutes=b))
+                for j, (k, a, b) in enumerate(irows)
+            ],
+            "iid long, k long, start timestamp, end timestamp",
+        )
+        want_keyed = {
+            (i, j)
+            for i, (pk, m) in enumerate(prows)
+            for j, (ik, a, b) in enumerate(irows)
+            if pk == ik and a <= m <= b
+        }
+        want_unkeyed = {
+            (i, j)
+            for i, (_, m) in enumerate(prows)
+            for j, (_, a, b) in enumerate(irows)
+            if a <= m <= b
+        }
+
+        # keyed path: hash join + post-filter
+        keyed_on = range_join(
+            points, intervals, "ts", "start", "end", on=["k"], bucket=None
+        )
+        got_on = {(r["pid"], r["iid"]) for r in keyed_on.collect()}
+        assert got_on == want_keyed
+        # unkeyed bucketed-grid path (small grid => intervals span cells)
+        bucketed = range_join(
+            points, intervals.drop("k"), "ts", "start", "end",
+            on=[], bucket="15 minutes",
+        )
+        got_b = {(r["pid"], r["iid"]) for r in bucketed.collect()}
+        assert got_b == want_unkeyed
+
+    check()
