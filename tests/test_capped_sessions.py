@@ -49,3 +49,67 @@ def test_stream_equals_batch_sf0001(spark):
     batch = {key(r): (r["n_events"], r["total_value"]) for r in Q.queries()["capped_sessions"](spark, sf).collect()}
     stream = {key(r): (r["n_events"], r["total_value"]) for r in Q.queries()["streaming_capped_sessions"](spark, sf).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_capped_sessions_matches_python_loop_hypothesis(spark):
+    """Randomized capped-session semantics vs a per-user Python loop:
+    strict->gap splits between consecutive events, cap chunking via
+    floor((ts - run_start)/cap) WITHIN a gap-run, per-chunk min/max/count/
+    sum. Shapes: duplicate timestamps (event_id tie-break), events exactly
+    on gap and cap boundaries, single-event users."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    ev_strat = st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 600)), min_size=1, max_size=25
+    )
+
+    @given(ev_strat)
+    @settings(max_examples=10, deadline=None)
+    def check(rows):
+        data = [
+            (u, _t(m), i, 0.5 * ((i % 4) + 1)) for i, (u, m) in enumerate(rows)
+        ]
+        out = capped_sessions_batch(
+            spark.createDataFrame(
+                data, "user_id long, ts timestamp, event_id long, value double"
+            )
+        ).collect()
+        got = {
+            (r["user_id"], r["session_start"]): (
+                r["session_end"], r["n_events"], r["total_value"]
+            )
+            for r in out
+        }
+
+        want = {}
+        by_user = {}
+        for u, ts, i, v in data:
+            by_user.setdefault(u, []).append((ts, i, v))
+        GAP, CAP = 30 * 60, 120 * 60
+        for u, evs in by_user.items():
+            evs.sort()
+            runs, cur = [], [evs[0]]
+            for prev, nxt in zip(evs, evs[1:]):
+                if (nxt[0] - prev[0]).total_seconds() > GAP:
+                    runs.append(cur)
+                    cur = []
+                cur.append(nxt)
+            runs.append(cur)
+            for run in runs:
+                start = run[0][0]
+                chunks = {}
+                for ts, i, v in run:
+                    c = math.floor((ts - start).total_seconds() / CAP)
+                    chunks.setdefault(c, []).append((ts, v))
+                for evs_c in chunks.values():
+                    tss = [t for t, _ in evs_c]
+                    want[(u, min(tss))] = (
+                        max(tss),
+                        len(evs_c),
+                        round(sum(v for _, v in evs_c), 4),
+                    )
+        assert got == want
+
+    check()
