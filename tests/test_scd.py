@@ -62,3 +62,65 @@ def test_scd2_equal_ts_tiebreak_and_null_attr(spark):
         ("b", 1, False),
         ("b", 4, True),
     ]
+
+
+def test_scd2_matches_python_loop_hypothesis(spark):
+    """Randomized SCD2 construction vs a per-key Python loop: null-safe
+    change detection (None is a value), equal-timestamp tiebreak, version
+    intervals [ts, next_ts) with NULL valid_to + is_current on the last.
+    Shapes: keys with one row, long no-change runs, None attrs, ts
+    collisions resolved by the tiebreak id."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    base = dt.datetime(2024, 1, 1)
+    rows_strat = st.lists(
+        st.tuples(
+            st.integers(1, 2),                       # key
+            st.integers(0, 20),                      # ts minute (collisions likely)
+            st.sampled_from(["a", "b", None]),       # attr1
+            st.integers(0, 1),                       # attr2
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @given(rows_strat)
+    @settings(max_examples=10, deadline=None)
+    def check(rows):
+        data = [
+            (k, base + dt.timedelta(minutes=m), i, s, n)
+            for i, (k, m, s, n) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "k long, ts timestamp, eid long, s string, n long"
+        )
+        out = scd2_from_changelog(df, "k", ["s", "n"], "ts", tiebreak="eid")
+        canon = lambda t: [repr(x) for x in t]  # noqa: E731 — None-safe sort
+        got = sorted(
+            (
+                (r["k"], r["valid_from"], r["s"], r["n"], r["valid_to"], r["is_current"])
+                for r in out.collect()
+            ),
+            key=canon,
+        )
+
+        want = []
+        by_key = {}
+        for k, ts, i, s, n in data:
+            by_key.setdefault(k, []).append((ts, i, s, n))
+        for k, evs in by_key.items():
+            evs.sort(key=lambda e: (e[0], e[1]))
+            versions = []
+            prev = object()
+            for ts, i, s, n in evs:
+                if (s, n) != prev:
+                    versions.append((ts, s, n))
+                    prev = (s, n)
+            for j, (ts, s, n) in enumerate(versions):
+                nxt = versions[j + 1][0] if j + 1 < len(versions) else None
+                want.append((k, ts, s, n, nxt, nxt is None))
+        assert got == sorted(want, key=canon)
+
+    check()
