@@ -328,3 +328,54 @@ def test_exact_ntile_matches_sql_definition_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_global_running_kernels_match_numpy_hypothesis(spark):
+    """Randomized check of the three distributed ranking kernels against
+    numpy cumulative ops under the (value, id) tie-broken total order,
+    with and without partition_by — random group sizes, all-equal order
+    keys, negative values."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators.ranking import (
+        global_prefix_sum,
+        global_running_max,
+        global_running_min,
+    )
+
+    rows_strat = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-5, 5), st.integers(-100, 100)),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(rows_strat, st.booleans())
+    @settings(max_examples=8, deadline=None)
+    def check(rows, partitioned):
+        data = [(i, g, v, x) for i, (g, v, x) in enumerate(rows)]
+        df = spark.createDataFrame(data, "id long, g long, v long, x long")
+        pb = ["g"] if partitioned else []
+        order = [F.col("v"), F.col("id")]
+
+        def ref_groups():
+            groups = {}
+            for i, g, v, x in data:
+                groups.setdefault(g if partitioned else 0, []).append((v, i, x))
+            for evs in groups.values():
+                evs.sort()
+            return groups
+
+        ps = {r["id"]: r["cx"] for r in global_prefix_sum(df, order, {"x": "cx"}, partition_by=pb).collect()}
+        rmin = {r["id"]: r["mx"] for r in global_running_min(df, order, {"x": "mx"}, partition_by=pb).collect()}
+        rmax = {r["id"]: r["Mx"] for r in global_running_max(df, order, {"x": "Mx"}, partition_by=pb).collect()}
+        for evs in ref_groups().values():
+            run = 0
+            for pos, (v, i, x) in enumerate(evs):
+                run += x
+                assert ps[i] == run
+                prev = [e[2] for e in evs[:pos]]
+                assert rmin[i] == (min(prev) if prev else None)
+                assert rmax[i] == (max(prev) if prev else None)
+
+    check()

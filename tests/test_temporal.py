@@ -272,3 +272,51 @@ def test_range_join_matches_bruteforce_hypothesis(spark):
         assert got_b == want_unkeyed
 
     check()
+
+
+def test_interval_overlap_join_matches_bruteforce_hypothesis(spark):
+    """Randomized interval-interval overlap vs a brute-force double loop
+    (inclusive bounds, exactly-once emission however many grid cells a
+    pair shares). Degenerate [t, t] intervals, touching endpoints, pairs
+    spanning many 15-minute cells."""
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators.temporal import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    iv = st.tuples(st.integers(1, 2), st.integers(0, 120), st.integers(0, 120))
+    side = st.lists(iv, min_size=1, max_size=8)
+
+    @given(side, side)
+    @settings(max_examples=8, deadline=None)
+    def check(arows, brows):
+        arows = [(k, min(s, e), max(s, e)) for k, s, e in arows]
+        brows = [(k, min(s, e), max(s, e)) for k, s, e in brows]
+        a = spark.createDataFrame(
+            [
+                (i, k, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+                for i, (k, s, e) in enumerate(arows)
+            ],
+            "aid long, k long, a_s timestamp, a_e timestamp",
+        )
+        b = spark.createDataFrame(
+            [
+                (j, k, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=e))
+                for j, (k, s, e) in enumerate(brows)
+            ],
+            "bid long, k long, b_s timestamp, b_e timestamp",
+        )
+        out = interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", on=["k"], bucket="15 minutes"
+        )
+        rows = [(r["aid"], r["bid"]) for r in out.collect()]
+        got = sorted(rows)
+        want = sorted(
+            (i, j)
+            for i, (ak, as_, ae) in enumerate(arows)
+            for j, (bk, bs, be) in enumerate(brows)
+            if ak == bk and as_ <= be and bs <= ae
+        )
+        assert got == want  # sorted lists: also proves exactly-once emission
+
+    check()
