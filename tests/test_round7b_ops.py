@@ -656,3 +656,52 @@ def test_ngram_jaccard_ppjoin_randomized(spark, threshold):
                 want[(a, b)] = j
     assert set(got) == set(want)
     assert want, "fixture must plant at least one qualifying pair"
+
+
+def test_minhash_signatures_match_python_md5(spark):
+    """MinHash signatures vs a pure Python reimplementation of the whole
+    chain — normalize, 5-char shingles, md5 60-bit hash, frozen universal
+    family min over (a*x+b) mod P — on docs with repeated shingles,
+    mixed case/punctuation, and sub-shingle lengths."""
+    import hashlib
+
+    from simpletasks_data_spark.operators.dedupe import (
+        MERSENNE_P,
+        MINHASH_COEFFS,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "The QUICK brown fox... the quick brown fox!"),
+        (2, "aaaaaaaaaaaaaaaaaaaaaa"),
+        (3, "hi"),
+        (4, "Mixed 123 digits & symbols #### 123 mixed"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: list(r["signature"])
+        for r in minhash_signatures(df, "id", "text", n=5, num_hashes=8).collect()
+    }
+
+    import re
+
+    def norm(t):
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+
+    def shingles(t, n=5):
+        t = norm(t)
+        if len(t) <= n:
+            return {t}
+        return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for i, t in rows:
+        hs = [h60(s) % MERSENNE_P for s in shingles(t)]
+        want[i] = [
+            min((a * x + b) % MERSENNE_P for x in hs)
+            for a, b in MINHASH_COEFFS[:8]
+        ]
+    assert got == want

@@ -101,3 +101,48 @@ def test_cms_never_underestimates_and_merges(spark):
     )
     whole = cms_table(df, "token", d=4, w=16)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_kmv_estimate_matches_python_md5_hypothesis(spark):
+    """Randomized EXACT-value check of the KMV estimator against a pure
+    Python reimplementation of the same md5-derived uniform (first 60
+    hex-digit bits / 2^60): same kept count and same rounded estimate,
+    below and above k."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.operators.sketches import kmv_distinct
+
+    rows_strat = st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 500)), min_size=1, max_size=60
+    )
+    k_strat = st.sampled_from([4, 8])
+
+    @given(rows_strat, k_strat)
+    @settings(max_examples=8, deadline=None)
+    def check(rows, k):
+        df = spark.createDataFrame(rows, "g long, v long")
+        got = {
+            r["g"]: (r["n_kept"], r["est_distinct"])
+            for r in kmv_distinct(df, "v", ["g"], k=k).collect()
+        }
+
+        def u01(v):
+            return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) / float(1 << 60)
+
+        want = {}
+        by_g = {}
+        for g, v in rows:
+            by_g.setdefault(g, set()).add(v)
+        for g, vals in by_g.items():
+            us = sorted(u01(v) for v in vals)[:k]
+            n_kept = len(us)
+            est = float(n_kept) if n_kept < k else (k - 1) / us[-1]
+            want[g] = (n_kept, round(est, 4))
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g][0] == want[g][0]
+            assert abs(got[g][1] - want[g][1]) < 1e-9, (g, got[g], want[g])
+
+    check()
