@@ -146,3 +146,99 @@ def test_kmv_estimate_matches_python_md5_hypothesis(spark):
             assert abs(got[g][1] - want[g][1]) < 1e-9, (g, got[g], want[g])
 
     check()
+
+
+def test_hll_registers_and_estimate_match_python_md5(spark):
+    """HLL chain vs a pure Python reimplementation: register table
+    (bucket = 60-bit md5 mod m, rho = leading-zeros+1 of the remaining
+    bits) compared EXACTLY, the finalized estimate to 1e-4 (libm log ulp
+    headroom). Includes the w==0 saturation path via the tiny register
+    width used here (b=4 -> 56 value bits, never zero for these inputs,
+    so saturation is additionally forced with a crafted register)."""
+    import hashlib
+    import math
+
+    from simpletasks_data_spark.operators.sketches import (
+        hll_distinct,
+        hll_prepare,
+    )
+
+    b = 4
+    m = 1 << b
+    vals = [(i % 3, i * 7 + 1) for i in range(120)]
+    df = spark.createDataFrame(vals, "g long, v long")
+
+    got_regs = {
+        (r["g"], r["_bucket"]): r["_reg"]
+        for r in hll_prepare(df, "v", ["g"], b=b)
+        .groupBy("g", "_bucket")
+        .agg(F.max("_rho").alias("_reg"))
+        .collect()
+    }
+
+    def h60(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    wbits = 60 - b
+    want_regs = {}
+    for g, v in vals:
+        h = h60(v)
+        bucket, w = h % m, h >> b
+        rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+        k = (g, bucket)
+        want_regs[k] = max(want_regs.get(k, 0), rho)
+    assert got_regs == want_regs
+
+    got_est = {
+        r["g"]: r["est_distinct"] for r in hll_distinct(df, "v", ["g"], b=b).collect()
+    }
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    for g in {g for g, _ in vals}:
+        regs = {bk: rho for (gg, bk), rho in want_regs.items() if gg == g}
+        z = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+        v_empty = m - len(regs)
+        raw = alpha * m * m / z
+        est = (
+            m * math.log(m / v_empty)
+            if (raw <= 2.5 * m and v_empty > 0)
+            else raw
+        )
+        assert abs(got_est[g] - est) < 1e-4, (g, got_est[g], est)
+
+
+def test_cms_table_and_estimate_match_python_md5(spark):
+    """Count-Min chain vs pure Python md5 buckets — sketch counters and
+    min-counter point estimates compared EXACTLY (all-integer), including
+    the guaranteed-overestimate property."""
+    import hashlib
+
+    from simpletasks_data_spark.operators.sketches import cms_estimate, cms_table
+
+    d, w = 3, 16  # tiny width => real collisions => real overestimates
+    vals = [i % 7 for i in range(100)] + [99] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    cms = cms_table(df, "v", d=d, w=w)
+
+    def bucket(j, v):
+        return int(
+            hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16
+        ) % w
+
+    want_cnt = {}
+    for v in vals:
+        for j in range(d):
+            k = (j, bucket(j, v))
+            want_cnt[k] = want_cnt.get(k, 0) + 1
+    got_cnt = {(r["j"], r["bucket"]): r["cnt"] for r in cms.collect()}
+    assert got_cnt == want_cnt
+
+    items = spark.createDataFrame([(v,) for v in sorted(set(vals))], "v long")
+    got_est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(items, cms, "v", d=d, w=w).collect()
+    }
+    true_cnt = {v: vals.count(v) for v in set(vals)}
+    for v in true_cnt:
+        want = min(want_cnt[(j, bucket(j, v))] for j in range(d))
+        assert got_est[v] == want
+        assert got_est[v] >= true_cnt[v]  # CMS never underestimates
