@@ -705,3 +705,45 @@ def test_minhash_signatures_match_python_md5(spark):
             for a, b in MINHASH_COEFFS[:8]
         ]
     assert got == want
+
+
+def test_simhash_matches_python_md5(spark):
+    """SimHash vs a pure Python reimplementation: 32-bit token hash from
+    the first 8 md5 hex digits, per-bit +/-1 sums over the token
+    MULTISET (repeats weigh), sign -> bit. Repeated tokens, mixed case,
+    single-token docs."""
+    import hashlib
+
+    from simpletasks_data_spark.operators.dedupe import simhash
+
+    rows = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "THE CAT sat ON the MAT the cat"),   # normalizes to doc 1
+        (3, "completely different words here"),
+        (4, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["simhash"] for r in simhash(df, "id", "text").collect()}
+
+    import re
+
+    def toks(t):
+        return [
+            w
+            for w in re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip().split(" ")
+            if w
+        ]
+
+    def h32(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+    want = {}
+    for i, t in rows:
+        sums = [0] * 32
+        for w in toks(t):
+            h = h32(w)
+            for b in range(32):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        want[i] = sum((1 << b) for b in range(32) if sums[b] > 0)
+    assert got == want
+    assert got[1] == got[2]  # case/punct normalize to the same signature
