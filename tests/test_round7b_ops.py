@@ -747,3 +747,45 @@ def test_simhash_matches_python_md5(spark):
         want[i] = sum((1 << b) for b in range(32) if sums[b] > 0)
     assert got == want
     assert got[1] == got[2]  # case/punct normalize to the same signature
+
+
+def test_bpe_train_matches_python_loop(spark):
+    """BPE merge training vs a classic Python greedy loop (Sennrich
+    BPE): weighted adjacent-pair counts over the word-frequency table,
+    argmax by (count desc, pair lexicographic), left-to-right
+    non-overlapping merge application. The fixture forces the edge
+    shapes: overlapping runs ('aaaa' — leftmost-wins), a tie broken
+    lexicographically, multi-char symbols re-merging in later rounds,
+    single-char words with no pairs."""
+    from simpletasks_data_spark.operators.bpe import bpe_train
+
+    words = {"aaaa": 3, "abab": 2, "ba": 2, "cd": 4, "cde": 1, "x": 9}
+    df = spark.createDataFrame(list(words.items()), "word string, wcount long")
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["freq"])
+        for r in bpe_train(df, merges=6).orderBy("step").collect()
+    ]
+
+    seqs = {w: list(w) for w in words}
+    want = []
+    for step in range(1, 7):
+        counts = {}
+        for w, cnt in words.items():
+            s = seqs[w]
+            for x, y in zip(s, s[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + cnt
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        want.append((step, pair[0], pair[1], counts[pair]))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want
