@@ -57,3 +57,48 @@ def test_passjoin_rejects_bad_key_len(spark):
     df = spark.createDataFrame([(1, "x")], "id long, t string")
     with pytest.raises(ValueError):
         passjoin_pairs(df, "id", "t", key_len=25, max_distance=2)
+
+
+def test_passjoin_matches_python_dp_hypothesis(spark):
+    """Randomized exactness vs a full Python DP Levenshtein over the
+    same padded fixed-length keys: every pair within the threshold is
+    found (pigeonhole recall) with the exact distance, nothing outside
+    it. Small alphabet so substitutions/indels land in every segment."""
+    from hypothesis import given, settings, strategies as st
+
+    texts = st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=10), min_size=2, max_size=12
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    @given(texts, st.sampled_from([1, 2]))
+    @settings(max_examples=8, deadline=None)
+    def check(ts, d):
+        key_len = 8  # multiple of d+1 for both d in {1, 2}? 8 % 3 != 0
+        key_len = 6 if d == 2 else 8
+        df = spark.createDataFrame(list(enumerate(ts)), "id long, t string")
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in passjoin_pairs(
+                df, "id", "t", key_len=key_len, max_distance=d
+            ).collect()
+        }
+        keys = [t[:key_len].ljust(key_len, "#") for t in ts]
+        want = {
+            (i, j): lev(keys[i], keys[j])
+            for i in range(len(ts))
+            for j in range(i + 1, len(ts))
+            if lev(keys[i], keys[j]) <= d
+        }
+        assert got == want
+
+    check()
