@@ -52,3 +52,56 @@ def test_token_ngrams_short_input_guard(spark):
     ).first()
     assert out["tg"] == []
     assert out["n_bg"] == 1
+
+
+def test_repetition_signals_match_python_hypothesis(spark):
+    """Randomized Gopher repetition signals vs a Python loop over the
+    same normalized token stream: dup-token fraction, top-bigram
+    fraction, dup-trigram fraction — heavy repeats, all-unique docs,
+    docs too short for the n-gram (NULL)."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyspark.sql.functions as F
+
+    from simpletasks_data_spark.functions import text as TX
+
+    docs = st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+
+    def half_up4(x):
+        import math
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    @given(docs)
+    @settings(max_examples=8, deadline=None)
+    def check(tok_lists):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(tok_lists)]
+        df = (
+            spark.createDataFrame(rows, "id long, text string")
+            .withColumn("toks", TX.tokens(F.col("text")))
+            .withColumn("bg", TX.token_ngrams(F.col("toks"), 2))
+            .withColumn("tg", TX.token_ngrams(F.col("toks"), 3))
+        )
+        sig = TX.repetition_signals("toks", "bg", "tg")
+        out = df.select("id", *[c.alias(n) for n, c in sig.items()]).collect()
+        got = {
+            r["id"]: (r["dup_token_frac"], r["top_bigram_frac"], r["dup_trigram_frac"])
+            for r in out
+        }
+        for i, toks in enumerate(tok_lists):
+            n = len(toks)
+            bg = [" ".join(toks[j:j + 2]) for j in range(max(0, n - 1))]
+            tg = [" ".join(toks[j:j + 3]) for j in range(max(0, n - 2))]
+            dup_tok = half_up4((n - len(set(toks))) / n) if n else None
+            top_bg = (
+                half_up4(max(bg.count(x) for x in set(bg)) / len(bg)) if bg else None
+            )
+            dup_tg = (
+                half_up4((len(tg) - len(set(tg))) / len(tg)) if tg else None
+            )
+            assert got[i] == (dup_tok, top_bg, dup_tg), (i, toks, got[i])
+
+    check()
