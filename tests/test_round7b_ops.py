@@ -789,3 +789,44 @@ def test_bpe_train_matches_python_loop(spark):
                     i += 1
             seqs[w] = out
     assert got == want
+
+
+def test_weighted_sample_without_replacement_matches_python_md5(spark):
+    """Efraimidis-Spirakis draw vs a pure Python reimplementation of the
+    identical md5-derived uniform and ln(u)/w key on the sf0.001
+    documents: same selected SET, same ranks, keys to 1e-7 (libm log ulp
+    headroom under the 1e-8 rounding)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
+    docs = docs[docs.n_chars > 0]
+
+    def es_key(doc_id, w):
+        h = int(
+            hashlib.md5(f"{doc_id}-es".encode()).hexdigest()[:15], 16
+        )
+        u = h / 1152921504606846976.0
+        return math.log(u) / w
+
+    keyed = sorted(
+        (
+            (-round(es_key(r.doc_id, r.n_chars), 8), r.doc_id)
+            for r in docs.itertuples()
+        )
+    )[:50]
+    want = {
+        doc_id: (rnk, -negkey)
+        for rnk, (negkey, doc_id) in enumerate(keyed, start=1)
+    }
+
+    got = {
+        r["doc_id"]: (r["rnk"], r["es_key"])
+        for r in Q.queries()["weighted_sample_without_replacement"](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 1e-7, (d, got[d], want[d])
