@@ -27,10 +27,18 @@ def main() -> None:
     q = catalog.queries()
     timings: dict[str, float] = {}
     for i, name in enumerate(sorted(q)):
-        t0 = time.perf_counter()
+        # Streaming queries swing 2-4x between single runs (micro-batch
+        # scheduling + Python-worker spawn): min-of-2 (r7 verdict item 5)
+        # so census entries don't trigger false regression hunts.
+        runs = 2 if name.startswith("streaming_") else 1
         try:
-            q[name](spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                q[name](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # record, keep censusing
             timings[name] = -1.0
             print(json.dumps({"query": name, "error": str(exc)[:200]}), flush=True)

@@ -58,7 +58,7 @@ def bloom_semi_join(
             small.select(_pos(F.col(small_key), i, m_bits).alias("_p")).distinct()
         )
         filtered = filtered.join(
-            F.broadcast(positions),
+            F.broadcast(positions),  # b: param
             _pos(F.col(large_key), i, m_bits) == F.col("_p"),
             "semi",
         )

@@ -151,7 +151,7 @@ def kmeans_report(
     )
     cent_rows = [(cid, [x + 0.0 for x in cen]) for cid, cen in enumerate(cents)]
     cent_df = rep.sparkSession.createDataFrame(cent_rows, "cluster_id long, centroid array<double>")
-    return rep.join(F.broadcast(cent_df), "cluster_id").select(
+    return rep.join(F.broadcast(cent_df), "cluster_id").select(  # b: topk
         "cluster_id", "n_members", "inertia", "centroid"
     )
 

@@ -151,7 +151,7 @@ def decontaminate(
         .select(id_col, F.explode(ngram_shingles(F.col("_toks"), n)).alias("gram"))
     )
     joined = doc_grams.join(
-        F.broadcast(bench_shingles.withColumn("_hit", F.lit(1))), on="gram", how="left"
+        F.broadcast(bench_shingles.withColumn("_hit", F.lit(1))), on="gram", how="left"  # b: bench
     )
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles"),
@@ -210,7 +210,7 @@ def balance_mixture(
     )
     quota = (
         counts.join(tgt, group_col)
-        .crossJoin(F.broadcast(scale))
+        .crossJoin(F.broadcast(scale))  # b: 1row
         .select(
             group_col,
             F.floor(F.col("_scale") * F.col("_tfrac")).cast("long").alias("_quota"),
@@ -221,7 +221,7 @@ def balance_mixture(
     )
     ranked = docs.withColumn("_rank", F.row_number().over(w).cast("long"))
     return (
-        ranked.join(F.broadcast(quota), group_col)
+        ranked.join(F.broadcast(quota), group_col)  # b: grid
         .where(F.col("_rank") <= F.col("_quota"))
         .drop("_rank", "_quota")
     )
@@ -260,7 +260,7 @@ def temperature_mixture(
     # The 1e-6 inside the floor absorbs cross-engine ULP differences in
     # pow/division (quotas are integers ~group sizes, so the epsilon can
     # never move a quota past the next integer on its own).
-    quota = tgt.crossJoin(F.broadcast(scale)).select(
+    quota = tgt.crossJoin(F.broadcast(scale)).select(  # b: 1row
         group_col,
         F.floor(F.col("_scale") * F.col("_tfrac") + F.lit(1e-6))
         .cast("long")
@@ -271,7 +271,7 @@ def temperature_mixture(
     )
     ranked = docs.withColumn("_rank", F.row_number().over(w).cast("long"))
     return (
-        ranked.join(F.broadcast(quota), group_col)
+        ranked.join(F.broadcast(quota), group_col)  # b: grid
         .where(F.col("_rank") <= F.col("_quota"))
         .drop("_rank", "_quota")
     )
@@ -309,8 +309,8 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(n_docs))
+        tf.join((dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))  # b: 1row
         .withColumn(
             "tfidf",
             F.round(
@@ -442,14 +442,14 @@ def bm25_related_docs(
     # the THIN query side before the candidate join so a stopword-grade
     # token never reaches the tf-side fan-out at all.
     kept_tokens = (
-        dfreq.crossJoin(F.broadcast(stats.select("_n")))
+        dfreq.crossJoin(F.broadcast(stats.select("_n")))  # b: 1row
         .where(F.col("df") * 1000 <= max_df_permille * F.col("_n"))
         .select("token")
     )
     qterms = (
         tf.where((F.col(id_col) % query_mod) == 0)
         .select(F.col(id_col).alias("query_id"), "token")
-        .join(F.broadcast(kept_tokens), "token")
+        .join((kept_tokens), "token")
     )
     idf = F.log((F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_part = (F.col("tf") * (k1 + 1.0)) / (
@@ -459,8 +459,8 @@ def bm25_related_docs(
         tf.join(qterms, "token")
         .where(F.col("query_id") != F.col(id_col))
         .join(dl, id_col)
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
+        .join((dfreq), "token")
+        .crossJoin(F.broadcast(stats))  # b: 1row
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
     )
@@ -530,7 +530,7 @@ def kn_bigram_doc_logprob(
     model = (
         cnt.join(h, "head")
         .join(tl, "tail")
-        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nb))  # b: 1row
         .select("gram", "c12", "c1", "nright", "nleft", "nbi")
     )
     p = (
@@ -613,7 +613,7 @@ def dsir_logratio_weights(
         F.sum("cnt_tgt").alias("tot_tgt"),
         F.count(F.lit(1)).alias("vocab"),
     )
-    scored = model.crossJoin(F.broadcast(sums)).withColumn(
+    scored = model.crossJoin(F.broadcast(sums)).withColumn(  # b: 1row
         "lr",
         F.log2(
             (F.col("cnt_tgt") + 1).cast("double") / (F.col("tot_tgt") + F.col("vocab"))
@@ -623,7 +623,7 @@ def dsir_logratio_weights(
         ),
     )
     return (
-        tok.join(F.broadcast(scored.select("t", "lr")), "t")
+        tok.join((scored.select("t", "lr")), "t")
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -666,7 +666,7 @@ def budget_select_by_quality(
     buckets = d.groupBy("_bk").agg(F.sum(tokens_col).cast("long").alias("_btok"))
     w = Window.orderBy(F.desc("_bk")).rowsBetween(Window.unboundedPreceding, 0)
     cum = buckets.withColumn("_cum", F.sum("_btok").over(w)).crossJoin(
-        F.broadcast(budget)
+        F.broadcast(budget)  # b: 1row
     )
     # boundary = highest bucket whose cumulative sum exceeds the budget
     # (null when everything fits; then every doc is kept)
@@ -686,7 +686,7 @@ def budget_select_by_quality(
         Window.unboundedPreceding, 0
     )
     return (
-        d.crossJoin(F.broadcast(thresholds))
+        d.crossJoin(F.broadcast(thresholds))  # b: grid
         .withColumn(
             "_run",
             F.when(F.col("_bk") == F.col("_bnd_bk"), F.sum(tokens_col).over(wb)),
@@ -747,7 +747,7 @@ def jaccard_related_docs(
     )
     qsz = sz.select(F.col(id_col).alias("query_id"), F.col("_sz").alias("_qsz"))
     jac = (
-        inter.join(F.broadcast(qsz.where((F.col("query_id") % query_mod) == 0)), "query_id")
+        inter.join((qsz.where((F.col("query_id") % query_mod) == 0)), "query_id")
         .join(sz, id_col)
         .withColumn(
             "jaccard",

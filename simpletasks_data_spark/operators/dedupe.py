@@ -176,6 +176,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.6,
     prefix_filter: bool = True,
+    hash_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by EXACT Jaccard over distinct char n-grams.
 
@@ -224,15 +225,29 @@ def ngram_jaccard_pairs(
     The shingle frame is materialized ONCE (multiple consumers would
     re-run the interpreted shingle pipeline per use), and
     _shingle_frame's pre-explode parallelize keeps that pipeline off a
-    single task (one small parquet file = one partition)."""
+    single task (one small parquet file = one partition).
+
+    ``hash_sets`` (r7 verdict item 6): an optional pre-materialized
+    (``_id``, ``shs`` array<long>) frame of each doc's DISTINCT shingle
+    hashes in the same 60-bit md5 space (the ``_hset_store`` shape).
+    When given, the per-doc stream, sizes, and sorted verify arrays all
+    derive MAP-ONLY from it — no text re-normalization, no second
+    shingle checkpoint, no collect shuffle; ``df``/``text_col`` are not
+    scanned at all. A pipeline that already keeps the MinHash hash-set
+    table persisted gets the exact-Jaccard pass almost for free."""
     from pyspark.sql import Window
 
-    sh = (
-        _shingle_frame(df, id_col, text_col, n)
-        .select("_id", shingle_hash(F.col("sh")).alias("h"))
-        .localCheckpoint(eager=True)
-    )
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))  # shingles already distinct
+    if hash_sets is not None:
+        hs0 = hash_sets.select("_id", "shs")
+        sh = hs0.select("_id", F.explode("shs").alias("h"))
+        sizes = hs0.select("_id", F.size("shs").alias("sz"))
+    else:
+        sh = (
+            _shingle_frame(df, id_col, text_col, n)
+            .select("_id", shingle_hash(F.col("sh")).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))  # shingles already distinct
 
     if prefix_filter:
         dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
@@ -282,7 +297,10 @@ def ngram_jaccard_pairs(
             )
             .select("id_a", "id_b")
         )
-        hsets = sh.groupBy("_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        if hash_sets is not None:
+            hsets = hs0.select("_id", F.sort_array("shs").alias("hs"))
+        else:
+            hsets = sh.groupBy("_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
         shared = (
             cand.join(
                 hsets.select(F.col("_id").alias("id_a"), F.col("hs").alias("hs_a")),

@@ -83,7 +83,7 @@ def expect(
         keys = dim.select(F.col(dim_key).alias(fk)).distinct().withColumn(
             marker, F.lit(True)
         )
-        work = work.join(F.broadcast(keys), on=fk, how="left")
+        work = work.join(F.broadcast(keys), on=fk, how="left")  # b: dim
         ref_flags[name] = F.col(fk).isNull() | F.coalesce(F.col(marker), F.lit(False))
 
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]

@@ -666,9 +666,9 @@ def walk_cooccurrence(
     occ = pos.groupBy(F.col("_node")).agg(F.count(F.lit(1)).cast("long").alias("_occ"))
     n = occ.agg(F.sum("_occ").cast("long").alias("_npos"))
     return (
-        co.join(F.broadcast(occ.select(F.col("_node").alias("u"), F.col("_occ").alias("_ou"))), "u")
-        .join(F.broadcast(occ.select(F.col("_node").alias("v"), F.col("_occ").alias("_ov"))), "v")
-        .crossJoin(F.broadcast(n))
+        co.join((occ.select(F.col("_node").alias("u"), F.col("_occ").alias("_ou"))), "u")
+        .join((occ.select(F.col("_node").alias("v"), F.col("_occ").alias("_ov"))), "v")
+        .crossJoin(F.broadcast(n))  # b: 1row
         .select(
             "u",
             "v",

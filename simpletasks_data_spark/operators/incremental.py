@@ -71,8 +71,8 @@ def incremental_rollup_refresh(
     touched = delta.select(bucket_col).distinct()
     if materialize:
         touched = touched.localCheckpoint(eager=True)
-    untouched = stored.join(F.broadcast(touched), bucket_col, "left_anti")
-    affected = stored.join(F.broadcast(touched), bucket_col, "left_semi")
+    untouched = stored.join(F.broadcast(touched), bucket_col, "left_anti")  # b: delta
+    affected = stored.join(F.broadcast(touched), bucket_col, "left_semi")  # b: delta
     merged = (
         affected.unionByName(delta)
         .groupBy(*keys)

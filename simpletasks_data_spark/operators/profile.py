@@ -105,7 +105,7 @@ def k_anonymity_report(
     )
     kf = df.sparkSession.createDataFrame([(int(k),) for k in ks], "k long")
     return (
-        sizes.crossJoin(F.broadcast(kf))
+        sizes.crossJoin(F.broadcast(kf))  # b: param
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_classes"),
@@ -172,7 +172,7 @@ def exact_group_median(
             F.col("_n").cast("long").alias("n"),
         )
     )
-    inb = df.join(F.broadcast(bound), g).where(
+    inb = df.join(F.broadcast(bound), g).where(  # b: grid
         (v - (v % bucket_width)) == F.col("_bb")
     )
     h2 = inb.groupBy(*g, v.alias("_v"), F.col("_k2"), F.col("n")).agg(

@@ -185,7 +185,7 @@ def _global_running(
     run = ordered.select(
         "*", *[FNS[fn](c).over(w).alias(f"_r_{out}") for c, out, fn in specs]
     )
-    joined = run.join(F.broadcast(bases), on=gcols, how="left")
+    joined = run.join(F.broadcast(bases), on=gcols, how="left")  # b: param
     return joined.select(
         *[c for c in df.columns],
         *[_merge(out, fn).alias(out) for _, out, fn in specs],

@@ -76,7 +76,7 @@ def knn_bruteforce(
     if broadcast_candidates == "auto":
         broadcast_candidates = emb.count() <= max_broadcast_rows
     if broadcast_candidates:
-        c = F.broadcast(c)
+        c = F.broadcast(c)  # b: gated
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
         F.lit(0.0),
@@ -219,6 +219,8 @@ def knn_quantized_rescore(
     vec_col: str = "embedding",
     k: int = 5,
     shortlist: int = 15,
+    broadcast_candidates: bool | str = "auto",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Two-stage ANN: int8-quantized candidate scoring, exact rescore.
 
@@ -257,15 +259,18 @@ def knn_quantized_rescore(
         .withColumn("c_scale", F.lit(127.0) / mxc)
         .withColumn("c_codes", F.transform("c_vec", lambda x: F.round(x * F.col("c_scale"))))
     )
+    if broadcast_candidates == "auto":
+        broadcast_candidates = emb.count() <= max_broadcast_rows
+    codes = c.select("neighbor_id", "c_scale", "c_norm", "c_codes")
+    if broadcast_candidates:
+        codes = F.broadcast(codes)  # b: gated
     int_dot = F.aggregate(
         F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     scored = (
-        q.select("query_id", "q_codes").crossJoin(
-            F.broadcast(c.select("neighbor_id", "c_scale", "c_norm", "c_codes"))
-        )
+        q.select("query_id", "q_codes").crossJoin(codes)
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("ascore", F.round(int_dot / (F.col("c_scale") * F.col("c_norm")), 6))
     )
@@ -288,7 +293,7 @@ def knn_quantized_rescore(
             F.col("query_id") == F.col("_qid"),
         )
         .join(
-            F.broadcast(c.select("neighbor_id", "c_vec", "c_norm").withColumnRenamed("neighbor_id", "_nid")),
+            (c.select("neighbor_id", "c_vec", "c_norm").withColumnRenamed("neighbor_id", "_nid")),
             F.col("neighbor_id") == F.col("_nid"),
         )
         .withColumn("sim_r", F.round(exact_dot / (F.col("q_norm") * F.col("c_norm")), 6))
@@ -435,7 +440,7 @@ def centroid_drift_by_group(
     glob = emb.agg(
         *[F.round(F.avg(F.element_at(arr, d + 1)), 6).alias(f"g{d}") for d in range(dims)]
     )
-    joined = per_group.crossJoin(F.broadcast(glob))
+    joined = per_group.crossJoin(F.broadcast(glob))  # b: 1row
     c = F.array(*[F.col(f"m{d}") for d in range(dims)])
     g = F.array(*[F.col(f"g{d}") for d in range(dims)])
     dot = F.aggregate(F.zip_with(c, g, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
@@ -497,7 +502,7 @@ def hard_negatives(
     if broadcast_candidates == "auto":
         broadcast_candidates = emb.count() <= max_broadcast_rows
     if broadcast_candidates:
-        c = F.broadcast(c)
+        c = F.broadcast(c)  # b: gated
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
         F.lit(0.0),
@@ -579,7 +584,7 @@ def retrieval_eval(
         )
     )
     if broadcast_candidates:
-        c = F.broadcast(c)
+        c = F.broadcast(c)  # b: optin
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
         F.lit(0.0),
@@ -678,7 +683,7 @@ def mmr_select(
     q = _norm_frame(queries, id_col, vec_col, "q").withColumnRenamed("q_id", "query_id")
     c = _norm_frame(emb, id_col, vec_col, "c").withColumnRenamed("c_id", "doc_id")
     if broadcast_candidates:
-        c = F.broadcast(c)
+        c = F.broadcast(c)  # b: optin
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
         F.lit(0.0),

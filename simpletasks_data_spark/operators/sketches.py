@@ -223,7 +223,7 @@ def cms_estimate(
         ).alias("j", "bucket"),
     )
     return (
-        pos.join(F.broadcast(cms), ["j", "bucket"], "left")
+        pos.join(F.broadcast(cms), ["j", "bucket"], "left")  # b: param
         .groupBy(value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est"))
     )
@@ -321,10 +321,10 @@ def bottomk_sample_quantiles(
     ranked = sample.withColumn("_rn", F.row_number().over(w))
     kk = ranked.agg(F.count(F.lit(1)).alias("_k"))
     targets = spark.createDataFrame([(float(p),) for p in ps], "p: double")
-    want = targets.crossJoin(F.broadcast(kk)).withColumn(
+    want = targets.crossJoin(F.broadcast(kk)).withColumn(  # b: 1row
         "_r", F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("_k")).cast("int"))
     )
     return (
-        ranked.join(F.broadcast(want), ranked["_rn"] == want["_r"])
+        ranked.join(F.broadcast(want), ranked["_rn"] == want["_r"])  # b: topk
         .select("p", F.col("_v").alias("est_value"), F.col("_k").cast("long").alias("k_sample"))
     )

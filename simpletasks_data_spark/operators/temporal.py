@@ -228,7 +228,7 @@ def calendar_forward_fill(
     )
     keys = obs.select(F.col(key_col)).distinct()
     calendar = (
-        keys.crossJoin(F.broadcast(bounds))
+        keys.crossJoin(F.broadcast(bounds))  # b: 1row
         .select(
             key_col,
             F.explode(F.sequence(F.col("_dmin"), F.col("_dmax"))).alias(day_col),

@@ -506,7 +506,7 @@ class TxnTable:
             "_p", F.col("_metadata.row_index")
         )
         kept = tagged.join(
-            F.broadcast(dv_df),
+            F.broadcast(dv_df),  # b: param
             (F.col("_f") == F.col("_dv_file")) & (F.col("_p") == F.col("_dv_pos")),
             "left_anti",
         )

@@ -122,78 +122,32 @@ def _fresh_scratch_dir(name: str, sf_dir: str) -> str:
 # float to the front in this order; the remainder keep registration
 # order behind them.
 _CHECK_FIRST = [
-    # ==== round-7 window (driver checks the first 50) ====
-    # -- changed this round (regression gate): the whole logreg-GD
-    #    family moved to the integer-sufficient-statistic gradient
-    #    (batched multi-chain training + weight cache), PageRank/PPR
-    #    moved to the integer 1e-8 score grid, matryoshka dropped its
-    #    forced broadcast (r6 ADVICE), and every fixture writer now
-    #    uses deterministic scratch dirs (two representatives ride the
-    #    gate; the other fixture queries were re-verified green at
-    #    sf0.01 by scripts/check_correctness.py this round) --
+    # ==== round-8 window (driver checks the first 50) ====
+    # -- changed this round (regression gate): the bounded-broadcast
+    #    sweep (r7 verdict item 1) deleted 51 forced F.broadcast hints on
+    #    row-/SF-scaled frames — the four flagged queries ride the gate
+    #    plus one TPC-H representative; the logreg weight cache re-keyed
+    #    off id(features) onto the feature-store key (item 4); the int8
+    #    rescore stage-1 broadcast gained the knn_bruteforce auto row
+    #    gate. Every other hint-stripped query is pinned by the local
+    #    324-query parity sweep + the new bounded-broadcast lint. --
+    "corpus_health_by_source",
+    "dedup_rate_by_source",
+    "events_retention_cohorts",
+    "cluster_aware_holdout_split",
     "logreg_urgent_orders",
-    "auc_urgent_orders",
-    "kfold_cv_auc_urgent",
-    "conformal_urgent_orders",
-    "shapley_logreg_features",
-    "calibration_bins_urgent",
-    "propensity_match_urgent",
-    "pagerank_customer_supplier",
-    "ppr_seeded_customers",
-    "matryoshka_recall_eval",
-    "acid_merge_versions",
-    "csv_import_roundtrip",
-    # -- changed late in round 7: ngram_jaccard_pairs moved from the
-    #    per-row positional filter to the PPJoin merge-step aggregate
-    #    filters (k=2 prefix, cnt>=2, max-rn positional bound);
-    #    dedup_minhash_eval embeds it as ground truth --
+    "knn_quantized_rescore",
+    # -- changed this round: the exact-Jaccard PPJoin + the MinHash eval
+    #    now feed from the materialized _hset_store / signature store
+    #    (r7 verdict item 6) instead of rebuilding their shingle frames --
     "dedup_ngram_jaccard",
     "dedup_minhash_eval",
-    # -- never checked: round-6 late batch (newest = riskiest) --
-    "clustering_coeff_suppliers",
-    "mutual_knn_match_embeddings",
-    "mann_kendall_daily_revenue",
-    "frequent_event_ngrams",
-    "sorted_neighborhood_linkage",
-    "sprt_urgent_rate",
-    "winsorized_mean_by_segment",
-    "bloom_fpr_calibration",
-    "seasonal_index_revenue",
-    # -- never checked: older backlog, oldest families first --
-    "pack_sequences",
-    "embedding_quantize_int8",
-    "weighted_sample_quality",
-    "balance_mixture_langs",
-    "cube_qty_by_flag_status",
-    "rolling_revenue_features",
-    "dedup_clusters_bigstar",
-    "boilerplate_ngram_fraction",
-    "corpus_health_by_source",
-    "bucketed_join_orders_customer",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "dedup_rate_by_source",
-    "cdc_chunk_documents",
-    "feature_hash_tf",
-    "multimodal_wav_roundtrip",
-    "embedding_random_projection",
-    "attribution_linear_multitouch",
-    "dedup_canonical_by_quality",
-    "ml_lag_features",
-    "bootstrap_mean_orders",
-    "cms_join_size_estimate",
-    "kmv_set_operations",
-    "weighted_sample_without_replacement",
-    "basket_brand_pairs",
-    "cluster_aware_holdout_split",
-    "ab_test_conversion_ztest",
-    "embedding_outliers_by_cell",
-    # ---- position 51+ from here: round-8 candidates (still never
-    #      checked; new-round additions land at the FRONT of this block
-    #      as they are written), then the proven-green remainder (all
-    #      pinned every run by the local oracle-parity suite) ----
-    # round-7b additions (newest = riskiest)
+    # -- never checked AND hint-stripped this round (first-timers that
+    #    double as regression rows) --
+    "token_pmi_pairs",
+    "referential_integrity_report",
+    "vocab_coverage_topk",
+    # -- never checked: round-7b statistical/graph batch --
     "link_prediction_suppliers",
     "graph_degree_assortativity",
     "welch_ttest_urgent_price",
@@ -206,7 +160,6 @@ _CHECK_FIRST = [
     "bollinger_bands_nation",
     "isotonic_calibration_urgent",
     "spearman_price_ordersize",
-    "vocab_coverage_topk",
     "tokenizer_fertility_by_lang",
     "rejection_sample_bylength",
     "adamic_adar_suppliers",
@@ -217,38 +170,41 @@ _CHECK_FIRST = [
     "acid_schema_evolution",
     "dedup_minhash_scurve",
     "multimodal_shot_changes",
-    # round-7 additions
+    # -- never checked: round-7 additions (flagship first) --
+    "pipeline_pretraining_corpus",
     "ecod_outliers_embeddings",
     "lift_deciles_urgent",
     "top_session_paths",
     "rolling_origin_backtest",
-    "pipeline_pretraining_corpus",
     "dedup_minhash_capped",
     "skipgram_pairs_topk",
     "markov_event_transitions",
     "fano_burstiness_events",
     "anova_price_by_priority",
     "bh_fdr_urgent_nations",
-    "mad_outliers_by_segment",
-    # older never-checked backlog
-    "geo_nearest_warehouse",
-    "sentence_split_stats",
+    # -- never checked: older backlog (streaming + iterative risk) --
+    "ab_test_conversion_ztest",
+    "embedding_outliers_by_cell",
     "streaming_static_enrichment",
     "streaming_dynamic_gap_sessions",
+    "bpe_encode_stats",
+    "kmeans_cluster_topics",
+    # ---- position 51+ from here: the 12-query round-9 remainder (all
+    #      pinned every run by the local oracle-parity suite), then the
+    #      proven-green catalog in registration order ----
+    "mad_outliers_by_segment",
+    "geo_nearest_warehouse",
+    "sentence_split_stats",
     "conversion_by_session_depth",
     "repeat_purchase_intervals",
     "quantile_normalize_sources",
     "association_rules_brands",
-    "bpe_encode_stats",
     "quality_bigram_kn_logprob",
-    "token_pmi_pairs",
     "jsonl_gzip_roundtrip",
     "events_seasonal_anomaly",
     "funnel_time_to_convert",
-    "referential_integrity_report",
     "chi2_lang_source_independence",
     "cohort_ltv_curve",
-    "kmeans_cluster_topics",
 ]
 
 
@@ -326,7 +282,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join((cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate")
@@ -365,9 +321,9 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join((supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)  # b: dim
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)  # b: dim
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
@@ -412,7 +368,7 @@ def top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join((part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
     )
@@ -809,7 +765,13 @@ JOIN sizes sb ON sb._id = id_b
 WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6
 """)
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6)
+    # Feed the PPJoin from the store's materialized hash-set table (r7
+    # verdict item 6): the shingle stream, sizes, and verify arrays all
+    # derive map-only from _hset_store — the corpus text is not re-read.
+    hsets, _ = _hset_store(spark, sf_dir)
+    return DD.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6, hash_sets=hsets
+    )
 
 
 # Estimate-then-verify pruning threshold for the verified MinHash family:
@@ -1850,12 +1812,12 @@ def _verify_candidates(
         .unionByName(cand.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    sets = hsets.join(F.broadcast(ids), "_id", "semi")
+    sets = hsets.join((ids), "_id", "semi")
     a = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
     paired = (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        cand.join((a), "id_a")
+        .join((b), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -1954,7 +1916,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_id").alias("_rep"), F.count(F.lit(1)).alias("_n")
     )
     reps = groups.select(F.col("_rep").alias("id"))
-    rep_sig = sig.join(F.broadcast(reps), "id", "semi")
+    rep_sig = sig.join((reps), "id", "semi")
     cand = DD.minhash_pairs_from_signatures(
         rep_sig, "id", num_hashes=16, bands=4, min_sig_agree=MIN_SIG_AGREE
     )
@@ -3411,15 +3373,15 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
     )
-    nat = F.broadcast(load(spark, sf_dir, "nation").where(
+    nat = F.broadcast(load(spark, sf_dir, "nation").where(  # b: dim
         F.col("n_name").isin("NATION_1", "NATION_2")
     ))
-    supp = F.broadcast(
+    supp = (
         load(spark, sf_dir, "supplier")
         .join(nat, F.col("s_nationkey") == nat.n_nationkey)
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    cust = F.broadcast(
+    cust = (
         load(spark, sf_dir, "customer")
         .join(nat, F.col("c_nationkey") == nat.n_nationkey)
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
@@ -3473,18 +3435,18 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate").between("1995-01-01", "1996-12-31")
     )
-    part = F.broadcast(
+    part = (
         load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
     )
     nat = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    cust_asia = F.broadcast(
+    cust_asia = (
         load(spark, sf_dir, "customer")
         .join(nat, F.col("c_nationkey") == nat.n_nationkey)
         .join(region, nat.n_regionkey == F.col("r_regionkey"))
         .select("c_custkey")
     )
-    supp_nat = F.broadcast(
+    supp_nat = (
         load(spark, sf_dir, "supplier")
         .join(nat, F.col("s_nationkey") == nat.n_nationkey)
         .select("s_suppkey", F.col("n_name").alias("nat"))
@@ -3531,7 +3493,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     cust = load(spark, sf_dir, "customer")
-    nat = F.broadcast(load(spark, sf_dir, "nation"))
+    nat = F.broadcast(load(spark, sf_dir, "nation"))  # b: dim
     rev_by_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
@@ -3596,7 +3558,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
-    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = (load(spark, sf_dir, "part").select("p_partkey", "p_type"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -3667,7 +3629,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunct union (brand IN + size <= 35) is factored out and pushed into
     the broadcast part scan; the residual OR evaluates after the join, and
     a derived l_quantity range (1..30) pushes to the lineitem scan."""
-    part = F.broadcast(
+    part = (
         load(spark, sf_dir, "part")
         .where(
             (F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
@@ -3720,7 +3682,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("c_acctbal").alias("_avg_bal")
     )
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
+        cust.crossJoin(F.broadcast(avg_bal))  # b: 1row
         .where(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").cast("int").alias("cntry"))
@@ -3846,9 +3808,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
-    sup = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    sup = (load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
-        rev.join(F.broadcast(mx))
+        rev.join(F.broadcast(mx))  # b: 1row
         .where(F.col("total_revenue") == F.col("_mx"))
         .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -4441,14 +4403,15 @@ def dedup_retained_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end fuzzy-dedup CUT: the doc ids that survive — every
     near-dup cluster contributes exactly its canonical doc, everything
     unclustered passes through. This is the frame a training pipeline
-    feeds to tokenization; the anti-join against the (tiny) removal list
-    is map-side at any corpus size."""
+    feeds to tokenization. The removal list scales with the dup rate
+    (30-50% of a crawl corpus), so it is NOT hint-broadcast: the cut is a
+    plain key anti-join and AQE broadcasts it only while actually small."""
     corpus = _corpus(spark, sf_dir)
     clusters = queries()["dedup_clusters"](spark, sf_dir)
     removed = clusters.where(~F.col("is_canonical")).select(
         F.col("doc_id").alias("id")
     )
-    return corpus.join(F.broadcast(removed), "id", "left_anti").select("id")
+    return corpus.join((removed), "id", "left_anti").select("id")
 
 
 @register("quality_unigram_logprob", f"""
@@ -4479,8 +4442,8 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("tot"))
     scored = (
-        tok.join(F.broadcast(vocab), "t")
-        .crossJoin(F.broadcast(total))
+        tok.join((vocab), "t")
+        .crossJoin(F.broadcast(total))  # b: 1row
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
@@ -4568,12 +4531,12 @@ def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs = docs.agg(F.count(F.lit(1)).alias("n"))
     dfq = grams.distinct().groupBy("g").agg(F.count(F.lit(1)).alias("dfc"))
     freq = (
-        dfq.crossJoin(F.broadcast(ndocs))
+        dfq.crossJoin(F.broadcast(ndocs))  # b: 1row
         .where(F.col("dfc") >= F.greatest(F.lit(2), F.ceil(F.lit(0.01) * F.col("n"))))
         .select("g")
     )
     per = (
-        grams.join(F.broadcast(freq.withColumn("_hit", F.lit(1))), "g", "left")
+        grams.join(F.broadcast(freq.withColumn("_hit", F.lit(1))), "g", "left")  # b: flr
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
@@ -4627,7 +4590,7 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)  # one text scan feeds the dup agg AND the report
     dup = d.groupBy("ck").agg(F.count(F.lit(1)).alias("ckn"))
     return (
-        d.join(F.broadcast(dup), "ck")
+        d.join((dup), "ck")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -5134,7 +5097,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join((firsts), "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -5237,10 +5200,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join((part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join((supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)  # b: dim
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(F.round(F.sum(profit), 4).alias("profit"))
     )
@@ -5299,7 +5262,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        sole.join((supp), sole.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
@@ -5534,7 +5497,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         corpus.select("id", layer.alias("layer"))
-        .join(F.broadcast(removed), "id", "left")
+        .join((removed), "id", "left")
         .groupBy("layer")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -5588,7 +5551,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey")
+        (pf), F.col("l_partkey") == F.col("p_partkey")
     )
     cost = li.groupBy("p_partkey", "p_brand", "l_suppkey").agg(
         F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
@@ -5599,10 +5562,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = cost.withColumn("_mn", F.min("unit_cost").over(w)).where(
         F.col("unit_cost") == F.col("_mn")
     )
-    sup = F.broadcast(
+    sup = (
         load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     )
-    nat = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    nat = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))  # b: dim
     return (
         best.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
@@ -5628,7 +5591,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation filter broadcasts into the lineitem scan; the scalar-subquery
     threshold is a 1-row agg broadcast-crossed onto the (checkpointed)
     per-part agg, so lineitem is scanned exactly once."""
-    sup = F.broadcast(
+    sup = (
         load(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey") < 5)
         .select("s_suppkey")
@@ -5647,7 +5610,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = val.agg(F.round(F.sum("part_value") * 0.001, 4).alias("_thr"))
     return (
-        val.join(F.broadcast(thr))
+        val.join(F.broadcast(thr))  # b: 1row
         .where(F.col("part_value") > F.col("_thr"))
         .select("partkey", "part_value")
     )
@@ -5723,9 +5686,9 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .join((pf), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad),
+            (bad),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -5766,7 +5729,7 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey")
+        (pf), F.col("l_partkey") == F.col("p_partkey")
     )
     in_98 = (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
     shipped = li.groupBy("l_suppkey", "l_partkey").agg(
@@ -5784,7 +5747,7 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return sup.join(
-        F.broadcast(cand), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        (cand), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     )
 
 
@@ -6349,7 +6312,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(ngram_shingles(F.col("toks"), 3)).alias("gram"))
     )
     overlap = (
-        dgrams.join(F.broadcast(bgrams), "gram", "left")
+        dgrams.join(F.broadcast(bgrams), "gram", "left")  # b: bench
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sh"),
@@ -6441,12 +6404,12 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk_df, _ = global_row_number(
         per_cust, [F.desc("rev"), F.asc("o_custkey")], "rnk"
     )
-    ranked = rnk_df.select("rev", "rnk").crossJoin(F.broadcast(tot))
+    ranked = rnk_df.select("rev", "rnk").crossJoin(F.broadcast(tot))  # b: 1row
     pcts = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(5), F.lit(10), F.lit(25))).alias("pct")
     )
     return (
-        ranked.join(F.broadcast(pcts))
+        ranked.join(F.broadcast(pcts))  # b: param
         .where(
             F.col("rnk")
             <= F.greatest(
@@ -6770,7 +6733,7 @@ def skew_diagnosis_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("mx"),
     )
     rn_df, _ = global_row_number(k, ["c", "o_custkey"], "rn")
-    r = rn_df.select("c", "rn").crossJoin(F.broadcast(tot))
+    r = rn_df.select("c", "rn").crossJoin(F.broadcast(tot))  # b: 1row
     at = lambda q: F.max(
         F.when(F.col("rn") == F.ceil(F.col("nk") * q).cast("long"), F.col("c"))
     )
@@ -6973,7 +6936,7 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("join_size_exact"))
     )
     return (
-        exact.join(F.broadcast(est))
+        exact.join(F.broadcast(est))  # b: 1row
         .select(
             "join_size_exact",
             "join_size_est",
@@ -7055,7 +7018,7 @@ def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("exact_union"),
         F.sum(F.col("_c") * F.col("_p")).cast("long").alias("exact_intersection"),
     )
-    return sk.join(F.broadcast(exact))
+    return sk.join(F.broadcast(exact))  # b: 1row
 
 
 @register("weighted_sample_without_replacement", """
@@ -7123,7 +7086,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes at most C(brands,2), not C(7,2) line pairs); the brand
     dimension broadcasts into the scan."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    part = (load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     ob = (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select("l_orderkey", "p_brand")
@@ -7163,7 +7126,7 @@ def cluster_aware_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     clusters = queries()["dedup_clusters"](spark, sf_dir)
     keyed = corpus.select("id").join(
-        F.broadcast(clusters.select(F.col("doc_id").alias("id"), "cluster_id")),
+        (clusters.select(F.col("doc_id").alias("id"), "cluster_id")),
         "id",
         "left",
     ).select("id", F.coalesce("cluster_id", "id").alias("group_key"))
@@ -7410,7 +7373,7 @@ def geo_nearest_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") % 180) - 90 + 0.5).alias("lat"),
         (((F.col("c_custkey") * 7) % 360) - 180 + 0.5).alias("lon"),
     )
-    wh = F.broadcast(
+    wh = F.broadcast(  # b: param
         load(spark, sf_dir, "customer").sparkSession.createDataFrame(
             _WAREHOUSES, "wid int, wlat double, wlon double"
         )
@@ -7917,13 +7880,13 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = orders.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", 0.5).alias("med")
     )
-    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(  # b: grid
         "adev", F.abs(F.col("o_totalprice") - F.col("med"))
     )
     mad = dev.groupBy("o_orderpriority").agg(F.percentile("adev", 0.5).alias("mad"))
     is_out = F.when(F.col("adev") > 5.1891 * F.col("mad"), 1).otherwise(0)
     return (
-        dev.join(F.broadcast(mad), "o_orderpriority")
+        dev.join(F.broadcast(mad), "o_orderpriority")  # b: grid
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -8257,7 +8220,7 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day"
     ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("day"))
     return (
-        contrib.crossJoin(F.broadcast(bounds))
+        contrib.crossJoin(F.broadcast(bounds))  # b: 1row
         .where((F.col("day") >= F.col("dmin")) & (F.col("day") <= F.col("dmax")))
         .groupBy("day")
         .agg(F.count_distinct("user_id").cast("long").alias("active_7d"))
@@ -8577,7 +8540,7 @@ def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = docs.withColumn("pr", F.percent_rank().over(w))
     idx = (F.round(F.col("pr") * 100) + 1).cast("int")
     return (
-        r.crossJoin(F.broadcast(pooled))
+        r.crossJoin(F.broadcast(pooled))  # b: 1row
         .select(
             "doc_id",
             "source",
@@ -8630,7 +8593,7 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order count are broadcast back; the rank window runs on the
     rule frame (support-floored, tiny)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    part = (load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     ob = (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select("l_orderkey", "p_brand")
@@ -8647,9 +8610,9 @@ def association_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("sup"))
         .where(F.col("sup") >= 20)
     )
-    ia = F.broadcast(item.select(F.col("p_brand").alias("brand_a"), F.col("s").alias("sa")))
-    ib = F.broadcast(item.select(F.col("p_brand").alias("brand_b"), F.col("s").alias("sb")))
-    base = pair.join(ia, "brand_a").join(ib, "brand_b").crossJoin(F.broadcast(n))
+    ia = F.broadcast(item.select(F.col("p_brand").alias("brand_a"), F.col("s").alias("sa")))  # b: grid
+    ib = F.broadcast(item.select(F.col("p_brand").alias("brand_b"), F.col("s").alias("sb")))  # b: grid
+    base = pair.join(ia, "brand_a").join(ib, "brand_b").crossJoin(F.broadcast(n))  # b: 1row
     fwd = base.select(
         F.col("brand_a").alias("antecedent"),
         F.col("brand_b").alias("consequent"),
@@ -8930,10 +8893,17 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a sample — the same methodology a 100 TB pipeline uses (dial
     # the modulus, not the algorithm)
     corpus = _corpus(spark, sf_dir).where(F.col("id") % 4 == 0)
-    truth = DD.ngram_jaccard_pairs(corpus, "id", "text", n=5, threshold=0.6).select(
-        "id_a", "id_b"
-    )
-    sig = DD.minhash_signatures(corpus, "id", "text", n=5, num_hashes=16)
+    # Both legs ride the materialized stores (r7 verdict item 6): the
+    # subsample is a FILTER on the per-doc hash-set / signature tables
+    # (per-doc computations commute with the row filter), so neither leg
+    # re-normalizes text or re-hashes shingles.
+    hsets_all, _ = _hset_store(spark, sf_dir)
+    truth = DD.ngram_jaccard_pairs(
+        corpus, "id", "text", n=5, threshold=0.6,
+        hash_sets=hsets_all.where(F.col("_id") % 4 == 0),
+    ).select("id_a", "id_b")
+    _, sig_all = _signature_store(spark, sf_dir)
+    sig = sig_all.where(F.col("id") % 4 == 0)
     cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4).select(
         "id_a", "id_b"
     )
@@ -9007,9 +8977,9 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ry = pc.groupBy("y").agg(F.sum("c12").cast("long").alias("cy"))
     pmi = (
         pc.where(F.col("c12") >= 5)
-        .join(F.broadcast(lx), "x")
-        .join(F.broadcast(ry), "y")
-        .crossJoin(F.broadcast(n))
+        .join((lx), "x")
+        .join((ry), "y")
+        .crossJoin(F.broadcast(n))  # b: 1row
         .withColumn(
             "pmi",
             F.round(
@@ -9168,7 +9138,7 @@ def _logreg_gd_multi(
     and the per-round 1e-6 quantization pins it for the unrolled
     oracles. Weights live on the driver as codegen literals (the
     kmeans/PCA execution pattern). ``cache_key`` memoizes the trained
-    weights per (feature-frame identity, key, iterations, lr) for the
+    weights per (feature-store key, key, iterations, lr) for the
     session — production trains once and scores many, and four catalog
     queries consume the IDENTICAL full-frame model; training is
     deterministic so the cache can never change a result."""
@@ -9176,10 +9146,18 @@ def _logreg_gd_multi(
 
     ck = None
     if cache_key is not None:
-        ck = (id(features), cache_key, iterations, lr)
-        hit = _LOGREG_GD_CACHE.get(ck)
-        if hit is not None:
-            return [list(w) for w in hit]
+        # Key on the feature STORE's own (sparkContext id, sf_dir) entry —
+        # never id(features): a frame identity key silently re-opens a
+        # stale-hit-after-GC hole the moment a caller passes a derived
+        # frame. Frames not pinned in the store are simply not cached.
+        frame_key = next(
+            (k for k, v in _LOGREG_FEATURE_STORE.items() if v is features), None
+        )
+        if frame_key is not None:
+            ck = (frame_key, cache_key, iterations, lr)
+            hit = _LOGREG_GD_CACHE.get(ck)
+            if hit is not None:
+                return [list(w) for w in hit]
     def _q(c):
         # per-row nano-unit quantization; exact DECIMAL(38,0) sum makes
         # the gradient independent of partitioning / summation order
@@ -9332,7 +9310,7 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = docs.select("lang").distinct()
     n = docs.agg(F.count(F.lit(1)).alias("ndocs"))
     pri = (
-        docs.crossJoin(F.broadcast(n))
+        docs.crossJoin(F.broadcast(n))  # b: 1row
         .groupBy("lang")
         .agg(F.round(F.log(F.count(F.lit(1)) * 1.0 / F.any_value("ndocs")), 8).alias("lprior"))
     )
@@ -9342,26 +9320,26 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
     v = cnt.agg(F.count_distinct("token").cast("long").alias("vocab"))
     model = (
-        cnt.join(F.broadcast(ctot), "lang")
-        .crossJoin(F.broadcast(v))
+        cnt.join(F.broadcast(ctot), "lang")  # b: grid
+        .crossJoin(F.broadcast(v))  # b: 1row
         .select(
             "lang",
             "token",
             F.round(F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("vocab"))), 8).alias("lp"),
         )
     )
-    dflt = ctot.crossJoin(F.broadcast(v)).select(
+    dflt = ctot.crossJoin(F.broadcast(v)).select(  # b: 1row
         "lang", F.round(F.log(1.0 / (F.col("tot") + F.col("vocab"))), 8).alias("lp0")
     )
-    crossed = tok.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))
+    crossed = tok.crossJoin(F.broadcast(langs.select(F.col("lang").alias("cand"))))  # b: grid
     scored = (
         crossed.join(
-            F.broadcast(model.select(F.col("lang").alias("cand"), "token", "lp")),
+            (model.select(F.col("lang").alias("cand"), "token", "lp")),
             ["cand", "token"],
             "left",
         )
-        .join(F.broadcast(dflt.select(F.col("lang").alias("cand"), "lp0")), "cand")
-        .join(F.broadcast(pri.select(F.col("lang").alias("cand"), "lprior")), "cand")
+        .join(F.broadcast(dflt.select(F.col("lang").alias("cand"), "lp0")), "cand")  # b: grid
+        .join(F.broadcast(pri.select(F.col("lang").alias("cand"), "lprior")), "cand")  # b: grid
         .groupBy("doc_id", "true_lang", "cand")
         .agg(
             F.round(
@@ -9490,7 +9468,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = orders.agg(F.max("o_orderdate").alias("maxd"))
     per_cust = (
-        orders.crossJoin(F.broadcast(mx))
+        orders.crossJoin(F.broadcast(mx))  # b: 1row
         .groupBy("o_custkey")
         .agg(
             F.datediff(F.any_value("maxd"), F.max("o_orderdate")).alias("recency_days"),
@@ -9797,7 +9775,7 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.stddev_samp("n"), F.lit(0.0)).alias("sd"),
     )
     score = (F.col("n") - F.col("mu")) / (F.col("sd") + 1.0)
-    scored = hourly.join(F.broadcast(baseline), ["dow", "hod"]).select(
+    scored = hourly.join(F.broadcast(baseline), ["dow", "hod"]).select(  # b: grid
         F.col("hr").alias("hour"),
         F.col("n").alias("n_events"),
         F.round("mu", 4).alias("baseline_mean"),
@@ -9912,7 +9890,7 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = load(spark, sf_dir, child).select(F.col(ckey))
         p = load(spark, sf_dir, parent).select(F.col(pkey))
         orphans = c.join(
-            F.broadcast(p), c[ckey] == p[pkey], "left_anti"
+            (p), c[ckey] == p[pkey], "left_anti"
         )
         return (
             c.agg(F.count(F.lit(1)).cast("long").alias("n_children"))
@@ -9977,7 +9955,7 @@ def chi2_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     n = obs.agg(F.sum("o").cast("long").alias("total"))
     grid = (
         m.crossJoin(sdf)
-        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n))  # b: 1row
         .join(obs, ["lang", "source"], "left")
         .select(
             "lang", "source", "rl", "cs", "total",
@@ -10047,7 +10025,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        spend.join(F.broadcast(sizes), "cohort")
+        spend.join(F.broadcast(sizes), "cohort")  # b: grid
         .select(
             F.col("cohort").cast("date").alias("cohort"),
             "age_weeks",
@@ -10383,11 +10361,11 @@ def _top_frac_edges(sup: DataFrame, denom: int) -> DataFrame:
         "cum_before", F.col("cum") - F.col("c")
     )
     thr = (
-        hist.crossJoin(F.broadcast(kq))
+        hist.crossJoin(F.broadcast(kq))  # b: 1row
         .where((F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum")))
         .select(F.col("n").alias("s_star"), (F.col("k") - F.col("cum_before")).alias("quota"))
     )
-    sup2 = sup.crossJoin(F.broadcast(thr))
+    sup2 = sup.crossJoin(F.broadcast(thr))  # b: 1row
     keep_above = sup2.where(F.col("n") > F.col("s_star"))
     w_ties = Window.partitionBy("s_star").orderBy(F.asc("u"), F.asc("v"))
     ties = (
@@ -10453,7 +10431,7 @@ def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", F.lit(1).alias("_v")
     )
     per = (
-        tok.join(F.broadcast(vocab), "token", "left")
+        tok.join(F.broadcast(vocab), "token", "left")  # b: topk
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -10517,7 +10495,7 @@ def timeseries_forward_fill_nation(spark: SparkSession, sf_dir: str) -> DataFram
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     obs = (
         orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))  # b: dim
         .groupBy(F.col("n_name").alias("nation"), F.col("o_day").alias("day"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -11320,9 +11298,9 @@ def ewma_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     m = (
-        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        o.join((cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)  # b: dim
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)  # b: dim
         .groupBy(
             F.col("r_name").alias("region"),
             F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
@@ -11400,7 +11378,7 @@ def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n").alias("mu"),
         F.coalesce(F.stddev_samp("n"), F.lit(0.0)).alias("sd"),
     )
-    dev = hourly.join(F.broadcast(stats), "event_type").withColumn(
+    dev = hourly.join(F.broadcast(stats), "event_type").withColumn(  # b: grid
         "d", F.col("n") - F.col("mu") - 0.5 * F.col("sd")
     )
     w = (
@@ -11462,7 +11440,7 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(obs, "digit", "left")
         .na.fill({"n_obs": 0})
         .withColumn("p_benford", F.log10(1.0 + 1.0 / F.col("digit")))
-        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n))  # b: 1row
     )
     return j.select(
         "digit",
@@ -11641,12 +11619,12 @@ def conformal_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import global_row_number
 
     ranked, _ = global_row_number(cal, [F.asc("s"), F.asc("o_orderkey")], "rk")
-    q = ranked.crossJoin(F.broadcast(nq)).where(F.col("rk") == F.col("k")).select(
+    q = ranked.crossJoin(F.broadcast(nq)).where(F.col("rk") == F.col("k")).select(  # b: 1row
         F.col("s").alias("qhat")
     )
     test = (
         scored.where(F.col("o_orderkey") % 5 == 1)
-        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(q))  # b: 1row
         .select(
             "y",
             F.when(F.col("p") <= F.col("qhat"), 1).otherwise(0).alias("in0"),
@@ -11715,7 +11693,7 @@ def ks_test_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join((c), o.o_custkey == c.c_custkey)
         .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select(
             F.col("c_mktsegment").alias("seg"),
@@ -11732,7 +11710,7 @@ def ks_test_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, 0)
     cum = b.select(
         "bk", F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2")
-    ).crossJoin(F.broadcast(tot))
+    ).crossJoin(F.broadcast(tot))  # b: 1row
     mx = cum.agg(
         F.max(F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))).alias("ks"),
         F.first("t1").alias("t1"),
@@ -11981,7 +11959,7 @@ def price_elasticity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     x = (
         li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join((part), li.l_partkey == part.p_partkey)
         .select(
             "p_brand",
             F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lp"),
@@ -12029,8 +12007,8 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     pc = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        o.join((c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # b: dim
         .groupBy(F.col("n_name").alias("nation"), "o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
     )
@@ -12113,8 +12091,8 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ne = ec.agg(F.count(F.lit(1)).cast("long").alias("n"))
     qs = spark.createDataFrame([(50,), (90,), (99,)], "q long")
     thr = (
-        hcum.crossJoin(F.broadcast(ne))
-        .crossJoin(F.broadcast(qs))
+        hcum.crossJoin(F.broadcast(ne))  # b: 1row
+        .crossJoin(F.broadcast(qs))  # b: param
         .where(F.col("cum") * 100 >= F.col("q") * F.col("n"))
         .groupBy("q")
         .agg(F.min("c").alias("t"))
@@ -12122,7 +12100,7 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reports = []
     for q in (50, 90, 99):
-        tq = F.broadcast(thr.where(F.col("q") == q).select("t"))
+        tq = F.broadcast(thr.where(F.col("q") == q).select("t"))  # b: 1row
         e = ec.crossJoin(tq).where(F.col("c") >= F.col("t"))
         cc = connected_components(e, "u", "v")
         sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cnt"))
@@ -12132,9 +12110,9 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cnt").cast("long").alias("n_nodes"),
                 F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("giant_size"),
             )
-            .crossJoin(F.broadcast(tq.select(F.col("t").alias("threshold"))))
+            .crossJoin(F.broadcast(tq.select(F.col("t").alias("threshold"))))  # b: 1row
             .crossJoin(
-                F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+                F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))  # b: 1row
             )
         )
         reports.append(
@@ -12278,7 +12256,7 @@ def emd_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join((c), o.o_custkey == c.c_custkey)
         .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select(
             F.col("c_mktsegment").alias("seg"),
@@ -12299,7 +12277,7 @@ def emd_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n1").over(w).alias("c1"),
         F.sum("n2").over(w).alias("c2"),
         F.lead("bk").over(wl).alias("nxt"),
-    ).crossJoin(F.broadcast(tot))
+    ).crossJoin(F.broadcast(tot))  # b: 1row
     return cum.groupBy("t1", "t2").agg(
         F.round(
             F.sum(
@@ -12635,7 +12613,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = spark.range(1).select(
         F.explode(F.array(F.lit(1), F.lit(7), F.lit(28))).alias("lag")
     )
-    a = daily.crossJoin(F.broadcast(lags))
+    a = daily.crossJoin(F.broadcast(lags))  # b: param
     pairs = a.join(
         daily.select(F.col("d").alias("d2"), F.col("r").alias("rb")),
         F.date_add(a["d"], F.col("lag")) == F.col("d2"),
@@ -13125,7 +13103,7 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _norm(raw_df, out_col):
         mx = raw_df.agg(F.max("raw").alias("_mx"))
-        return raw_df.crossJoin(F.broadcast(mx)).select(
+        return raw_df.crossJoin(F.broadcast(mx)).select(  # b: 1row
             "id",
             F.round(
                 F.col("raw").cast("double")
@@ -13235,7 +13213,7 @@ def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     scored = (
-        users.crossJoin(F.broadcast(items))
+        users.crossJoin(F.broadcast(items))  # b: eval
         .join(seen, ["c", "s"], "left_anti")
         .select(
             "c",
@@ -13416,8 +13394,8 @@ def rollup_revenue_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     j = (
         o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # b: dim
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)  # b: dim
     )
     out = j.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -13530,7 +13508,7 @@ def boosted_stumps_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p", F.sum("n").over(wgrid).alias("nl"), F.sum("sy").over(wgrid).alias("sl")
     )
     s1 = (
-        c1.crossJoin(F.broadcast(tot))
+        c1.crossJoin(F.broadcast(tot))  # b: 1row
         .where((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
         .select(
             F.col("p").alias("t"), "nl", "sl", "n", "sy",
@@ -13555,7 +13533,7 @@ def boosted_stumps_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     g2 = (
-        f.crossJoin(F.broadcast(b1.select("t", "mul", "mur", "f0")))
+        f.crossJoin(F.broadcast(b1.select("t", "mul", "mur", "f0")))  # b: 1row
         .groupBy("d")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -13683,7 +13661,7 @@ def xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lag")
     )
     pairs = (
-        c.crossJoin(F.broadcast(lags))
+        c.crossJoin(F.broadcast(lags))  # b: param
         .join(p, F.col("h2") == F.col("h") + F.col("lag"))
         .select("lag", "cv", "pv")
     )
@@ -14156,7 +14134,7 @@ def multimodal_ahash_hamming1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     flips = spark.range(16).select(F.col("id").cast("int").alias("i"))
     probes = (
-        h.crossJoin(F.broadcast(flips))
+        h.crossJoin(F.broadcast(flips))  # b: param
         .select(
             "media_id",
             "ahash",
@@ -14249,7 +14227,7 @@ def permutation_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame
     g = F.when(F.col("perm") == 0, F.col("t")).otherwise(
         F.when(hashed % 5 == 0, 1).otherwise(0)
     )
-    assign = f.crossJoin(F.broadcast(perms)).select("perm", "y", g.alias("g"))
+    assign = f.crossJoin(F.broadcast(perms)).select("perm", "y", g.alias("g"))  # b: param
     m = assign.groupBy("perm").agg(
         F.sum(F.when(F.col("g") == 1, F.col("y")).otherwise(0)).cast("long").alias("s1"),
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
@@ -14265,7 +14243,7 @@ def permutation_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame
     ).localCheckpoint(eager=True)
     obs = d.where(F.col("perm") == 0).select(F.col("diff").alias("obs"))
     return (
-        d.crossJoin(F.broadcast(obs))
+        d.crossJoin(F.broadcast(obs))  # b: 1row
         .agg(
             F.sum(F.when(F.col("perm") > 0, 1).otherwise(0)).cast("long").alias("n_perms"),
             F.round(F.max(F.when(F.col("perm") == 0, F.col("diff"))), 6).alias("observed_diff"),
@@ -14434,7 +14412,7 @@ def dp_noisy_counts_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_nationkey")
     nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cnt = (
-        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)  # b: dim
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     )
@@ -14508,7 +14486,7 @@ def theilsen_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_slope(F.col("cents").cast("double"), F.col("dday").cast("double")), 4
         ).alias("ols_cents_per_day"),
     )
-    return stats.crossJoin(F.broadcast(dstats)).select(
+    return stats.crossJoin(F.broadcast(dstats)).select(  # b: 1row
         "n_days", "n_pairs", "theilsen_cents_per_day", "ols_cents_per_day"
     )
 
@@ -14567,9 +14545,9 @@ def mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxy") * 1.0 * F.col("n")) / (F.col("nx") * 1.0 * F.col("ny"))
     )
     return (
-        nxy.join(F.broadcast(nx), ["feature", "x"])
-        .join(F.broadcast(ny), ["feature", "y"])
-        .join(F.broadcast(nn), "feature")
+        nxy.join(F.broadcast(nx), ["feature", "x"])  # b: grid
+        .join(F.broadcast(ny), ["feature", "y"])  # b: grid
+        .join(F.broadcast(nn), "feature")  # b: grid
         .groupBy("feature")
         .agg(
             F.max("n").cast("long").alias("n"),
@@ -14621,9 +14599,9 @@ def jsd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = cs.groupBy("token").agg(F.sum("c").alias("ct"))
     tt = cs.agg(F.sum("c").alias("tt"))
     terms = (
-        cs.join(F.broadcast(ts), "source")
+        cs.join(F.broadcast(ts), "source")  # b: grid
         .join(ct, "token")
-        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tt))  # b: 1row
         .select(
             "source",
             (F.col("c") * 1.0 / F.col("ts")).alias("p"),
@@ -14641,7 +14619,7 @@ def jsd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import math
 
-    return agg.join(F.broadcast(ts), "source").select(
+    return agg.join(F.broadcast(ts), "source").select(  # b: grid
         "source",
         F.col("ts").cast("long").alias("n_tokens"),
         "vocab_src",
@@ -14691,17 +14669,17 @@ def heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stot = samp.agg(F.sum("n_sample").alias("m"))
     cand = (
-        samp.crossJoin(F.broadcast(stot))
+        samp.crossJoin(F.broadcast(stot))  # b: 1row
         .where(F.col("n_sample") * 2000 >= F.col("m"))
         .select("token", "n_sample")
     )
     exact = (
-        docs.join(F.broadcast(cand.select("token")), "token", "left_semi")
+        docs.join(F.broadcast(cand.select("token")), "token", "left_semi")  # b: flr
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
     )
     return (
-        exact.join(F.broadcast(cand), "token")
+        exact.join(F.broadcast(cand), "token")  # b: flr
         .orderBy(F.col("n_exact").desc(), "token")
         .limit(20)
         .select("token", "n_exact", "n_sample")
@@ -15332,7 +15310,7 @@ def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tie_term")
         )
     )
-    m = nn.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    m = nn.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))  # b: 1row
     var_raw = (
         F.col("n_days").cast("double")
         * (F.col("n_days") - 1).cast("double")
@@ -15432,7 +15410,7 @@ def frequent_event_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sup.withColumn("rank", F.row_number().over(wr).cast("long"))
         .where(F.col("rank") <= 10)
-        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(total))  # b: 1row
         .select(
             F.col("n").cast("long").alias("n"),
             "pattern",
@@ -15586,7 +15564,7 @@ def sprt_urgent_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("t", "k", "llr")).alias("_s")
     )
     n = trials.agg(F.count(F.lit(1)).cast("long").alias("n_trials"))
-    dec = n.crossJoin(F.broadcast(crossed))
+    dec = n.crossJoin(F.broadcast(crossed))  # b: 1row
     return dec.select(
         "n_trials",
         F.col("_s.t").cast("long").alias("t_decision"),
@@ -15649,7 +15627,7 @@ def winsorized_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("price", 0.95) * 100, 0).cast("long").alias("hi_cents"),
     )
     cents = F.round(F.col("price") * 100, 0).cast("long")
-    w = seg.join(F.broadcast(q), "segment").select(
+    w = seg.join(F.broadcast(q), "segment").select(  # b: grid
         "segment",
         cents.alias("cents"),
         F.least(F.greatest(cents, F.col("lo_cents")), F.col("hi_cents")).alias("wcents"),
@@ -15733,14 +15711,14 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(K):
         positions = keys.select(_pos(F.col("c_custkey"), i, M).alias("_p")).distinct()
         fp = fp.join(
-            F.broadcast(positions), _pos(F.col("o_custkey"), i, M) == F.col("_p"), "semi"
+            F.broadcast(positions), _pos(F.col("o_custkey"), i, M) == F.col("_p"), "semi"  # b: param
         )
     nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n_build_keys"))
     nn = neg.agg(F.count(F.lit(1)).cast("long").alias("n_negatives"))
     nf = fp.agg(F.count(F.lit(1)).cast("long").alias("n_false_positives"))
     return (
-        nk.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(nf))
+        nk.crossJoin(F.broadcast(nn))  # b: 1row
+        .crossJoin(F.broadcast(nf))  # b: 1row
         .select(
             "n_build_keys",
             "n_negatives",
@@ -15915,7 +15893,7 @@ def seasonal_index_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_all"),
         F.sum("cents").cast("long").alias("sum_all"),
     )
-    j = per_dow.crossJoin(F.broadcast(overall))
+    j = per_dow.crossJoin(F.broadcast(overall))  # b: 1row
     avg_d = F.col("sum_cents").cast("double") / F.col("n_days").cast("double")
     avg_all = F.col("sum_all").cast("double") / F.col("n_all").cast("double")
     return j.select(
@@ -16146,7 +16124,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     t = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
-    return c.join(F.broadcast(t), "from_type").select(
+    return c.join(F.broadcast(t), "from_type").select(  # b: grid
         "from_type",
         "to_type",
         "n",
@@ -16274,13 +16252,13 @@ def mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_group_median(v, ["seg"], "cents").select(
         "seg", "n", F.col("median").alias("med")
     )
-    d = v.join(F.broadcast(med), "seg").select(
+    d = v.join(F.broadcast(med), "seg").select(  # b: grid
         "seg", "med", "n", F.abs(F.col("cents") - F.col("med")).alias("adev")
     )
     mad = exact_group_median(d.select("seg", "adev"), ["seg"], "adev").select(
         "seg", F.col("median").alias("mad")
     )
-    dm = d.join(F.broadcast(mad), "seg")
+    dm = d.join(F.broadcast(mad), "seg")  # b: grid
     rep = dm.groupBy("seg", "med", "n", "mad").agg(
         F.sum(
             F.when(F.col("adev") * 10000 > 44478 * F.col("mad"), 1).otherwise(0)
@@ -16375,7 +16353,7 @@ def bh_fdr_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (
         o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # b: dim
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -16391,7 +16369,7 @@ def bh_fdr_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     zval = (F.col("x").cast("double") / F.col("n").cast("double") - p0) / F.sqrt(
         p0 * (1.0 - p0) / F.col("n").cast("double")
     )
-    z = j.crossJoin(F.broadcast(tot)).select("n_name", "n", "x", zval.alias("zval"))
+    z = j.crossJoin(F.broadcast(tot)).select("n_name", "n", "x", zval.alias("zval"))  # b: 1row
     xx = F.abs(F.col("zval")) / F.sqrt(F.lit(2.0))
     tt = 1.0 / (1.0 + 0.3275911 * xx)
     poly = (
@@ -16421,7 +16399,7 @@ def bh_fdr_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kstar")
     )
-    return r.crossJoin(F.broadcast(k)).select(
+    return r.crossJoin(F.broadcast(k)).select(  # b: 1row
         "n_name",
         "n",
         "x",
@@ -16617,7 +16595,7 @@ def ecod_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tm = F.floor(
         F.log(F.col("n").cast("double") / k.cast("double")) * 1000000.0 + 0.5
     ).cast("long")
-    terms = x.join(cum, ["d", "qv"]).crossJoin(F.broadcast(tot)).select(
+    terms = x.join(cum, ["d", "qv"]).crossJoin(F.broadcast(tot)).select(  # b: 1row
         "vec_id", tm.alias("tm")
     )
     score = terms.groupBy("vec_id").agg(F.sum("tm").cast("long").alias("sm"))
@@ -16693,7 +16671,7 @@ def lift_deciles_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wc).cast("long").alias("cn"),
         F.sum("n_pos").over(wc).cast("long").alias("cp"),
     )
-    return c.crossJoin(F.broadcast(tot)).select(
+    return c.crossJoin(F.broadcast(tot)).select(  # b: 1row
         F.col("decile").cast("long").alias("decile"),
         "n",
         "n_pos",
@@ -16831,8 +16809,13 @@ cum AS (
 ),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM prs),
 thr AS (
-  SELECT min(n) AS t FROM cum CROSS JOIN tot
-  WHERE ge <= CAST(ceil(0.1 * m) AS BIGINT)
+  -- fall back to the max support value when even the top value alone
+  -- covers more than ceil(0.1*m) pairs (r7 ADVICE): the edge set then
+  -- keeps exactly the top-support pairs instead of silently emptying
+  SELECT coalesce(
+           min(CASE WHEN ge <= CAST(ceil(0.1 * m) AS BIGINT) THEN n END),
+           max(n)) AS t
+  FROM cum CROSS JOIN tot
 ),
 edges AS (SELECT u, v FROM prs CROSS JOIN thr WHERE prs.n >= thr.t),
 adj AS (SELECT u AS x, v AS y FROM edges UNION ALL SELECT v AS x, u AS y FROM edges),
@@ -16848,19 +16831,24 @@ def _co_supply_top_decile_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-supplies and the graph is complete (no non-edges to predict, a
     regular graph with zero degree variance); the relative decile keeps
     ~10% of pairs at ANY scale, so downstream graph statistics stay
-    non-trivial from sf0.001 to 100 TB."""
+    non-trivial from sf0.001 to 100 TB. If the TOP support value alone
+    already covers more than ceil(0.1*m) pairs, no histogram row
+    satisfies the cumulative bound — the threshold falls back to max(n)
+    (the top-support pairs) instead of silently emptying the edge set
+    (r7 ADVICE)."""
     sup = _co_supply_store(spark, sf_dir)
     hist = sup.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
     wn = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select("n", F.sum("cnt").over(wn).cast("long").alias("ge"))
     tot = sup.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    thr = (
-        cum.crossJoin(F.broadcast(tot))
-        .where(F.col("ge") <= F.ceil(0.1 * F.col("m")))
-        .agg(F.min("n").alias("t"))
+    thr = cum.crossJoin(F.broadcast(tot)).agg(  # b: 1row
+        F.coalesce(
+            F.min(F.when(F.col("ge") <= F.ceil(0.1 * F.col("m")), F.col("n"))),
+            F.max("n"),
+        ).alias("t")
     )
     return (
-        sup.crossJoin(F.broadcast(thr))
+        sup.crossJoin(F.broadcast(thr))  # b: 1row
         .where(F.col("n") >= F.col("t"))
         .select("u", "v")
     )
@@ -17039,6 +17027,7 @@ SELECT n1, n2,
                 + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
                   / CAST(n2 - 1 AS DOUBLE)), 2) AS welch_df
 FROM v
+WHERE n1 > 1 AND n2 > 1
 """)
 def welch_ttest_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test: do urgent orders carry a
@@ -17085,6 +17074,11 @@ def welch_ttest_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     se2 = F.col("v1") / F.col("n1").cast("double") + F.col("v2") / F.col("n2").cast(
         "double"
     )
+    # Degenerate-input guard (r7 ADVICE): with a missing or singleton
+    # priority group the statistics are meaningless (n-1 = 0 divisors,
+    # NULL propagation) — emit ZERO rows rather than one all-NULL row.
+    # NULL > 1 is NULL, so the filter also drops the absent-group case.
+    v = v.where((F.col("n1") > 1) & (F.col("n2") > 1))
     return v.select(
         "n1",
         "n2",
@@ -17164,8 +17158,8 @@ def cramers_v_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = obs.groupBy("seg").agg(F.sum("o").cast("long").alias("cs"))
     n = obs.agg(F.sum("o").cast("long").alias("total"))
     grid = (
-        m.crossJoin(F.broadcast(s))
-        .crossJoin(F.broadcast(n))
+        m.crossJoin(F.broadcast(s))  # b: 1row
+        .crossJoin(F.broadcast(n))  # b: 1row
         .join(obs, ["pr", "seg"], "left")
         .select(
             "pr",
@@ -17275,7 +17269,7 @@ def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - F.col("g")).cast("long").alias("bt"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
-    w = b.crossJoin(F.broadcast(t)).select(
+    w = b.crossJoin(F.broadcast(t)).select(  # b: 1row
         "bin",
         "n",
         "g",
@@ -17306,7 +17300,7 @@ def woe_iv_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iv_total"
         )
     )
-    return w2.crossJoin(F.broadcast(iv)).select(
+    return w2.crossJoin(F.broadcast(iv)).select(  # b: 1row
         "bin",
         "n",
         F.col("g").alias("n_urgent"),
@@ -17379,7 +17373,7 @@ def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("c").cast("long").alias("s")
     )
     sc = (
-        r.crossJoin(F.broadcast(tot))
+        r.crossJoin(F.broadcast(tot))  # b: 1row
         .where(F.col("t") < F.col("n"))
         .select(
             "d",
@@ -17483,8 +17477,8 @@ def holt_linear_region_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = (
         o.join(cu, "o_custkey")
-        .join(F.broadcast(na), "c_nationkey")
-        .join(F.broadcast(rg), "n_regionkey")
+        .join(F.broadcast(na), "c_nationkey")  # b: dim
+        .join(F.broadcast(rg), "n_regionkey")  # b: dim
         .groupBy("r_name", "d")
         .agg(F.sum("c0").cast("long").alias("c"))
     )
@@ -17565,7 +17559,7 @@ def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ls = spark.createDataFrame([(2,), (3,), (5,)], "l_req long")
     low = F.when(F.col("l") < F.col("l_req"), F.col("sz")).otherwise(F.lit(0))
     return (
-        cls.crossJoin(F.broadcast(ls))
+        cls.crossJoin(F.broadcast(ls))  # b: param
         .groupBy("l_req")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_classes"),
@@ -17675,7 +17669,7 @@ def bollinger_bands_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = (
         o.join(cu, "o_custkey")
-        .join(F.broadcast(na), "c_nationkey")
+        .join(F.broadcast(na), "c_nationkey")  # b: dim
         .groupBy("n_name", "d")
         .agg(F.sum("c0").cast("long").alias("c"))
     )
@@ -17871,7 +17865,7 @@ def spearman_price_ordersize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ry = global_prefix_sum(gy, ["y"], {"ny": "_cy"}).select(
         "y", (2 * (F.col("_cy") - F.col("ny")) + F.col("ny") + 1).alias("b")
     )
-    rr = j.join(rx, "x").join(F.broadcast(ry), "y").select("a", "b")
+    rr = j.join(rx, "x").join((ry), "y").select("a", "b")
     s = rr.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
@@ -17942,8 +17936,8 @@ def vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(F.sum("freq").cast("long").alias("total"))
     ks = spark.createDataFrame([(100,), (1000,), (10000,)], "k long")
     return (
-        ranked.crossJoin(F.broadcast(ks))
-        .crossJoin(F.broadcast(tot))
+        ranked.crossJoin(F.broadcast(ks))  # b: param
+        .crossJoin(F.broadcast(tot))  # b: 1row
         .groupBy("k")
         .agg(
             F.sum(F.when(F.col("rank") <= F.col("k"), F.col("freq")).otherwise(0))
@@ -18272,7 +18266,7 @@ def pr_curve_metrics_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - F.col("pos")).cast("long").alias("nn"),
         F.count(F.lit(1)).cast("long").alias("n_scores"),
     )
-    terms = c.crossJoin(F.broadcast(tot)).select(
+    terms = c.crossJoin(F.broadcast(tot)).select(  # b: 1row
         F.round(
             F.col("pos").cast("double")
             * F.col("tp").cast("double")
@@ -18289,7 +18283,7 @@ def pr_curve_metrics_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tnano").cast("decimal(38,0)")).alias("ap_nano"),
         F.max("f1").alias("best_f1"),
     )
-    return s.crossJoin(F.broadcast(tot)).select(
+    return s.crossJoin(F.broadcast(tot)).select(  # b: 1row
         "n_scores",
         F.col("pp").alias("n_pos"),
         F.col("nn").alias("n_neg"),
@@ -18368,7 +18362,7 @@ def demographic_parity_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         feats.join(ok, "o_orderkey")
-        .crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(thr))  # b: 1row
         .select(
             "o_custkey",
             F.when(1.0 / (1.0 + F.exp(-z)) >= F.col("t"), 1)
@@ -18392,7 +18386,7 @@ def demographic_parity_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pred_urgent").cast("long").alias("pt"),
     )
     rate = F.col("n_pred_urgent").cast("double") / F.col("n_orders").cast("double")
-    return seg.crossJoin(F.broadcast(ov)).select(
+    return seg.crossJoin(F.broadcast(ov)).select(  # b: 1row
         "c_mktsegment",
         "n_orders",
         "n_pred_urgent",
@@ -18482,7 +18476,7 @@ def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("y").cast("decimal(38,0)") * F.col("y"))).alias("q"),
     )
     lags = spark.createDataFrame([(i,) for i in range(1, 8)], "lag long")
-    a = r.crossJoin(F.broadcast(lags))
+    a = r.crossJoin(F.broadcast(lags))  # b: param
     pairs = a.join(
         r.select(F.col("t").alias("t2"), F.col("y").alias("yb")),
         F.col("t") + F.col("lag") == F.col("t2"),
@@ -18503,7 +18497,7 @@ def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2.0 * mu * F.col("s").cast("double")
         + F.col("n").cast("double") * mu * mu
     )
-    rho = m.crossJoin(F.broadcast(tot)).select(
+    rho = m.crossJoin(F.broadcast(tot)).select(  # b: 1row
         F.col("lag").cast("long").alias("lag"), "n", rho_expr.alias("rho")
     )
     qs = rho.agg(
@@ -18522,7 +18516,7 @@ def ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n",
     )
-    return rho.crossJoin(F.broadcast(qs.withColumnRenamed("n", "n_days"))).select(
+    return rho.crossJoin(F.broadcast(qs.withColumnRenamed("n", "n_days"))).select(  # b: 1row
         "lag",
         F.round("rho", 6).alias("rho"),
         "n_days",

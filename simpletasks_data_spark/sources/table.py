@@ -73,7 +73,7 @@ class TableSource(Source):
                 F.struct(*[F.col(c) for c in rdf.columns]).alias(rel_name),
             )
             if rel.broadcast:
-                packed = F.broadcast(packed)
+                packed = F.broadcast(packed)  # b: optin
             df = df.join(packed, df[rel.local_key] == packed[jk], "left").drop(jk)
         return df
 

@@ -1,0 +1,69 @@
+"""Round-8 regression tests: the logreg weight-cache re-key (r7 verdict
+item 4) and the bounded-broadcast sweep's behavior-preserving guarantees."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simpletasks_data_spark import queries as Q  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_logreg_cache_ignores_unpinned_frames(spark):
+    """Two content-equal but identity-distinct frames with the SAME
+    cache_key must not cross-hit: only the _LOGREG_FEATURE_STORE-pinned
+    frame participates in the weight cache at all."""
+    feats = Q._logreg_features(spark, SF)
+    # a derived frame with identical content but different identity
+    derived = feats.where(F.lit(True))
+    assert derived is not feats
+
+    before = dict(Q._LOGREG_GD_CACHE)
+    try:
+        Q._LOGREG_GD_CACHE.clear()
+        w_pinned = Q._logreg_gd_multi(
+            feats, [(None, (1, 1))], iterations=1, cache_key="r8-cache-test"
+        )
+        assert len(Q._LOGREG_GD_CACHE) == 1, "pinned frame must cache"
+        (ck,) = Q._LOGREG_GD_CACHE
+        # the key leads with the feature store's (sc_id, sf_dir) key,
+        # never a raw id(frame)
+        assert ck[0] == (id(spark.sparkContext), SF)
+
+        # poison the cached value; an (incorrect) cross-hit would return it
+        Q._LOGREG_GD_CACHE[ck] = [[9.9, 9.9, 9.9]]
+        w_derived = Q._logreg_gd_multi(
+            derived, [(None, (1, 1))], iterations=1, cache_key="r8-cache-test"
+        )
+        assert w_derived != [[9.9, 9.9, 9.9]], "derived frame cross-hit the cache"
+        assert w_derived == w_pinned  # identical content -> identical training
+        # and the derived frame must not have been cached under any key
+        assert len(Q._LOGREG_GD_CACHE) == 1
+    finally:
+        Q._LOGREG_GD_CACHE.clear()
+        Q._LOGREG_GD_CACHE.update(before)
+
+
+def test_logreg_cache_hits_pinned_frame(spark):
+    """The pinned frame still memoizes: second call returns the cached
+    weights without re-training (observable via the poisoned value)."""
+    feats = Q._logreg_features(spark, SF)
+    before = dict(Q._LOGREG_GD_CACHE)
+    try:
+        Q._LOGREG_GD_CACHE.clear()
+        Q._logreg_gd_multi(
+            feats, [(None, (1, 1))], iterations=1, cache_key="r8-hit-test"
+        )
+        (ck,) = Q._LOGREG_GD_CACHE
+        Q._LOGREG_GD_CACHE[ck] = [[1.5, 2.5, 3.5]]
+        again = Q._logreg_gd_multi(
+            feats, [(None, (1, 1))], iterations=1, cache_key="r8-hit-test"
+        )
+        assert again == [[1.5, 2.5, 3.5]], "pinned frame must hit the cache"
+    finally:
+        Q._LOGREG_GD_CACHE.clear()
+        Q._LOGREG_GD_CACHE.update(before)
