@@ -663,6 +663,28 @@ def _signature_store(spark: SparkSession, sf_dir: str):
 
 
 _HSET_STORE: Dict[tuple, tuple] = {}
+_HSTREAM_STORE: Dict[tuple, DataFrame] = {}
+
+
+def _hstream_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third store layer (r7 verdict item 6): the DISTINCT (``_id``,
+    ``h``) shingle-hash stream, deduplicated from the signature store's
+    positional rows, core-spread, and checkpointed once per (session,
+    sf_dir). This is the exact frame the PPJoin used to rebuild from
+    text on every call (normalize + explode + substr + md5 + distinct);
+    consumers now start from the materialized stream. Production keeps
+    this table persisted next to the signature index — it IS the
+    inverted-index posting source."""
+    key = (id(spark.sparkContext), sf_dir)
+    ent = _HSTREAM_STORE.get(key)
+    if ent is not None:
+        return ent
+    hrows, _ = _signature_store(spark, sf_dir)
+    hstream = DD._ensure_parallelism(
+        hrows.select("_id", F.col("_h").alias("h")).distinct()
+    ).localCheckpoint(eager=True)
+    _HSTREAM_STORE[key] = hstream
+    return hstream
 
 
 def _hset_store(spark: SparkSession, sf_dir: str):
@@ -765,12 +787,12 @@ JOIN sizes sb ON sb._id = id_b
 WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6
 """)
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Feed the PPJoin from the store's materialized hash-set table (r7
-    # verdict item 6): the shingle stream, sizes, and verify arrays all
-    # derive map-only from _hset_store — the corpus text is not re-read.
-    hsets, _ = _hset_store(spark, sf_dir)
+    # Feed the PPJoin from the store's materialized distinct hash stream
+    # (r7 verdict item 6): no text re-normalization or shingle re-hash
+    # per call — the corpus text is not re-read at all.
     return DD.ngram_jaccard_pairs(
-        _corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6, hash_sets=hsets
+        _corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6,
+        hashed_shingles=_hstream_store(spark, sf_dir),
     )
 
 
@@ -8894,13 +8916,12 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the modulus, not the algorithm)
     corpus = _corpus(spark, sf_dir).where(F.col("id") % 4 == 0)
     # Both legs ride the materialized stores (r7 verdict item 6): the
-    # subsample is a FILTER on the per-doc hash-set / signature tables
-    # (per-doc computations commute with the row filter), so neither leg
-    # re-normalizes text or re-hashes shingles.
-    hsets_all, _ = _hset_store(spark, sf_dir)
+    # subsample is a FILTER on the per-doc hash-stream / signature
+    # tables (per-doc computations commute with the row filter), so
+    # neither leg re-normalizes text or re-hashes shingles.
     truth = DD.ngram_jaccard_pairs(
         corpus, "id", "text", n=5, threshold=0.6,
-        hash_sets=hsets_all.where(F.col("_id") % 4 == 0),
+        hashed_shingles=_hstream_store(spark, sf_dir).where(F.col("_id") % 4 == 0),
     ).select("id_a", "id_b")
     _, sig_all = _signature_store(spark, sf_dir)
     sig = sig_all.where(F.col("id") % 4 == 0)
