@@ -220,6 +220,16 @@ BENCH_QUERIES = [
     "multimodal_shot_changes",
     "tokenizer_fertility_by_lang",
     "holt_linear_region_forecast",
+    # round-8: census >2s entries pulled in (r7 verdict item 7) — the
+    # round-8 window's heavy tail plus the two named iterative queries
+    "cluster_aware_holdout_split",
+    "dedup_rate_by_source",
+    "pagerank_customer_supplier",
+    "kmeans_cluster_topics",
+    "streaming_dynamic_gap_sessions",
+    "pca_top_component",
+    "dedup_canonical_by_quality",
+    "dedup_retained_corpus",
 ]
 
 

@@ -218,6 +218,8 @@ def merge_source(
         warn_names.append(bc.name)
         pre_metrics.append(F.count_if(cond).alias("w_" + bc.name))
     obs_pre = Observation()
+    pre_raw = pre  # pre-observe frame: the _metrics fallback aggregates
+    # this one so the failed Observation is never re-fired by a 2nd action
     pre = pre.observe(obs_pre, *pre_metrics)
 
     # ---- policy-aware per-key fold: ONE hash agg, no window sort ----------
@@ -385,8 +387,27 @@ def merge_source(
     # would be a reliable checkpoint or an exchange reuse.
     out = out.localCheckpoint(eager=True)
 
-    pre_m = obs_pre.get
-    post_m = obs_post.get
+    def _metrics(obs, frame, exprs):
+        """Observation.get, tolerating plans where the optimizer's
+        empty-relation propagation collapsed the join and discarded a
+        CollectMetrics child (e.g. UPDATE-only source against a
+        statically-empty target: the gate folds to WHERE false, the
+        whole subtree is pruned, and the observation never fires even
+        though the pre-stream counters are nonzero). Fallback: run the
+        SAME metric expressions as a real aggregation over the lazy
+        frame — one extra tiny job, only in the pruned degenerate case.
+        Found by the randomized policy-matrix test's shrink."""
+        try:
+            return obs.get
+        except Exception:
+            return frame.agg(*exprs).first().asDict()
+
+    pre_m = _metrics(obs_pre, pre_raw, pre_metrics)
+    post_m = _metrics(
+        obs_post,
+        out,
+        [F.count_if(nf_pred).alias("not_found"), F.count_if(invalid).alias("rejected")],
+    )
     rejected = int(post_m["rejected"])
     not_found = int(post_m["not_found"])
 

@@ -565,3 +565,227 @@ def test_merge_fold_matches_python_reference_hypothesis(spark):
         assert res["sources"][0]["ignored_missing_id"] == missing
 
     check()
+
+
+def test_merge_policy_matrix_matches_python_reference(spark):
+    """Generalized randomized policy-matrix test (r7 verdict item 8):
+    per-column policies (normal / should_update=False / only_if_null),
+    custom comparators, and per-source ImportModes are all RANDOMIZED,
+    over TWO sequential sources (cross-source pending visibility), and
+    checked against a row-at-a-time Python loop transcribing the
+    reference engine's semantics (importtask.py:225-297: pending-or-
+    stored old value, comparator no-op skip, cancel back to the stored
+    attribute, per-mode gating and counters).
+
+    Two distinct bad-input channels, both randomized:
+    - column c uses the auto str2intnullable parser, which SWALLOWS a
+      non-int string to a legitimate None VALUE (formatting.py:231-243)
+      — it flows through comparators/cancel like any value (an earlier
+      draft of this test treated it as an error and the mismatch
+      surfaced exactly this semantic);
+    - column d uses a PyParser whose int() RAISES, exercising the true
+      per-column error path (keep-old + warn, importtask.py:261-284).
+
+    Comparator columns are compared MODULO the comparator: when a run of
+    comparator-equal but raw-different values folds (e.g. "B" then "b"
+    under case-insensitive), the reference keeps the FIRST representative
+    (its no-op skip fires row-at-a-time) while the per-source fold keeps
+    the LAST; both land in the same equivalence class, and every counter
+    (created/updated/read/ignored_*) is representative-independent, so
+    the class, not the representative, is the contract.
+
+    MERGE_FUZZ_EXAMPLES overrides the example count (the verdict gate ran
+    at 200; the default keeps the suite fast)."""
+    import os
+
+    from hypothesis import given, settings, strategies as st
+
+    from simpletasks_data_spark.mapping import PyParser
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("a", T.StringType(), True),
+        T.StructField("b", T.StringType(), True),
+        T.StructField("c", T.LongType(), True),
+        T.StructField("d", T.LongType(), True),
+    ])
+    COLS = ("a", "b", "c", "d")
+    POL = ["normal", "noupd", "ifnull"]
+
+    def spark_ci(n, o):
+        from pyspark.sql import functions as F
+        return F.lower(n).eqNullSafe(F.lower(o))
+
+    def py_ci(n, o):
+        ln = n.lower() if isinstance(n, str) else n
+        lo = o.lower() if isinstance(o, str) else o
+        return ln == lo
+
+    def py_eq(n, o):
+        return n == o
+
+    def make_mapping(pols, ci_a):
+        class M(Mapping):
+            def __init__(self):
+                super().__init__()
+                self.id = self.auto()
+                for col in COLS:
+                    kw = {}
+                    if pols[col] == "noupd":
+                        kw["should_update"] = False
+                    elif pols[col] == "ifnull":
+                        kw["should_update_only_if_null"] = True
+                    if col == "a" and ci_a:
+                        kw["comparator"] = spark_ci
+                    if col == "d":
+                        kw["parser"] = PyParser(lambda s: int(s), "long")
+                    setattr(self, col, self.auto(**kw))
+
+            def get_header_line_number(self):
+                return -1
+
+        return M()
+
+    def swallow_int(raw):
+        try:
+            return int(raw)
+        except ValueError:
+            return None  # str2intnullable: bad int -> legitimate None
+
+    def reference(tgt, sources):
+        """Row-at-a-time transcription of the reference loop. tgt maps
+        key -> {a, b, c, d}; sources are (mode, pols, ci_a, rows)."""
+        orig = {k: dict(v) for k, v in tgt.items()}
+        state = {k: dict(v) for k, v in tgt.items()}
+        created = set()
+        per_src = []
+        any_ci_a = False
+        for mode, pols, ci_a, rows in sources:
+            any_ci_a = any_ci_a or ci_a
+            read = missing = not_created = not_updated = 0
+            comps = {"a": py_ci if ci_a else py_eq, "b": py_eq, "c": py_eq, "d": py_eq}
+            for key_s, a_s, b_s, c_s, d_s in rows:
+                if key_s == "":
+                    missing += 1
+                    continue
+                k = int(key_s)
+                creating = k not in state
+                if creating:
+                    if not (mode & ImportMode.CREATE):
+                        not_created += 1
+                        continue
+                    item = {c: None for c in COLS}
+                    stored = {c: None for c in COLS}
+                else:
+                    if not (mode & ImportMode.UPDATE):
+                        not_updated += 1
+                        continue
+                    item = state[k]
+                    stored = orig.get(k, {c: None for c in COLS})
+                for name, raw in zip(COLS, (a_s, b_s, c_s, d_s)):
+                    if not creating and pols[name] == "noupd":
+                        continue
+                    old = item[name]
+                    if not creating and pols[name] == "ifnull" and old is not None:
+                        continue
+                    if name == "c":
+                        new = swallow_int(raw)
+                    elif name == "d":
+                        try:
+                            new = int(raw)
+                        except ValueError:
+                            continue  # true parse ERROR: keep old, warn only
+                    else:
+                        new = raw
+                    if not comps[name](new, old):
+                        if comps[name](new, stored[name]):
+                            item[name] = stored[name]  # duplicate cancel
+                        else:
+                            item[name] = new
+                read += 1
+                if creating:
+                    state[k] = item
+                    created.add(k)
+            per_src.append({
+                "read": read, "ignored_missing_id": missing,
+                "ignored_not_created": not_created,
+                "ignored_not_updated": not_updated,
+            })
+        comps_final = {"a": py_ci if any_ci_a else py_eq, "b": py_eq, "c": py_eq, "d": py_eq}
+        updated = sum(
+            1 for k in orig
+            if any(not comps_final[c](state[k][c], orig[k][c]) for c in COLS)
+        )
+        return state, created, updated, per_src, any_ci_a
+
+    letters_a = st.sampled_from(["a", "A", "b", "B"])
+    letters_b = st.sampled_from(["x", "y", "z"])
+    int_vals = st.sampled_from([str(i) for i in range(10)] + ["x"])
+    tgt_strat = st.dictionaries(
+        st.integers(1, 6),
+        st.fixed_dictionaries({
+            "a": st.one_of(st.none(), letters_a),
+            "b": st.one_of(st.none(), letters_b),
+            "c": st.one_of(st.none(), st.integers(0, 9)),
+            "d": st.one_of(st.none(), st.integers(0, 9)),
+        }),
+        max_size=5,
+    )
+    row_strat = st.tuples(
+        st.sampled_from([""] + [str(i) for i in range(1, 10)]),
+        letters_a, letters_b, int_vals, int_vals,
+    )
+    pol_strat = st.fixed_dictionaries({c: st.sampled_from(POL) for c in COLS})
+    src_strat = st.tuples(
+        st.sampled_from([ImportMode.CREATE, ImportMode.UPDATE, ImportMode.CREATE_AND_UPDATE]),
+        pol_strat,
+        st.booleans(),                  # ci comparator on a
+        st.lists(row_strat, max_size=8),
+    )
+
+    @given(tgt_strat, src_strat, src_strat)
+    @settings(
+        max_examples=int(os.environ.get("MERGE_FUZZ_EXAMPLES", "25")),
+        deadline=None,
+    )
+    def check(tgt, src1, src2):
+        target_df = spark.createDataFrame(
+            [(k, v["a"], v["b"], v["c"], v["d"]) for k, v in tgt.items()], schema
+        )
+        target = TargetTable(schema=schema, df=target_df, primary_keys=("id",))
+        job = ImportJob(
+            spark,
+            target,
+            sources=[
+                GeneratorSource([list(r) for r in s[3]], make_mapping(s[1], s[2]),
+                                mode=s[0], name=f"s{i}")
+                for i, s in enumerate((src1, src2))
+            ],
+            dryrun=True,
+        )
+        res = job.run()
+        srcs = [(s[0], s[1], s[2], s[3]) for s in (src1, src2)]
+        want, created, updated, per_src, any_ci_a = reference(tgt, srcs)
+
+        got = {
+            r.id: {"a": r.a, "b": r.b, "c": r.c, "d": r.d}
+            for r in job.result_df.collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            for col in ("b", "c", "d"):
+                assert got[k][col] == want[k][col], (k, col, got[k], want[k])
+            if any_ci_a:
+                ga, wa = got[k]["a"], want[k]["a"]
+                assert (ga is None) == (wa is None) and (
+                    ga is None or ga.lower() == wa.lower()
+                ), (k, got[k], want[k])
+            else:
+                assert got[k]["a"] == want[k]["a"], (k, got[k], want[k])
+        assert res["created"] == len(created)
+        assert res["updated"] == updated
+        for i in range(2):
+            for key, val in per_src[i].items():
+                assert res["sources"][i][key] == val, (i, key, res["sources"][i], per_src[i])
+
+    check()
