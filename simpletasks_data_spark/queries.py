@@ -192,6 +192,13 @@ _CHECK_FIRST = [
     # ---- position 51+ from here: the 12-query round-9 remainder (all
     #      pinned every run by the local oracle-parity suite), then the
     #      proven-green catalog in registration order ----
+    # round-8 additions (newest = riskiest; split-hygiene / dedup-QA batch)
+    "split_leakage_ngram_overlap",
+    "unigram_kl_train_heldout",
+    "low_entropy_docs",
+    "dedup_cluster_size_histogram",
+    "crossdup_layer_matrix",
+    "packing_efficiency_report",
     "mad_outliers_by_segment",
     "geo_nearest_warehouse",
     "sentence_split_stats",
@@ -18761,3 +18768,308 @@ def multimodal_shot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_change_idx"),
     )
     return chg.where(F.col("n_shot_changes") > 0)
+
+
+# ===========================================================================
+# Round-8 additions: split-hygiene and dedup-diagnostics reports — the QA
+# queries a pretraining pipeline runs AFTER dedup/split to prove the cut
+# is clean (leakage, distribution shift, cluster skew, cross-layer copying,
+# packing waste). All compose existing stores/kernels; nothing all-pairs.
+# ===========================================================================
+
+@register("split_leakage_ngram_overlap", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+sp AS (
+  SELECT doc_id, toks,
+         ({_SQL_BUCKET.format(k='doc_id')} % 100) < 90 AS is_train
+  FROM t
+),
+g AS (
+  SELECT is_train,
+         unnest(CASE WHEN len(toks) >= 8
+                THEN list_transform(generate_series(1, len(toks) - 7),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                          || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]
+                          || ' ' || toks[i+6] || ' ' || toks[i+7])
+                ELSE [] END) AS g
+  FROM sp
+),
+tg AS (SELECT DISTINCT g FROM g WHERE is_train),
+hg AS (SELECT DISTINCT g FROM g WHERE NOT is_train),
+hd AS (SELECT CAST(count(*) AS BIGINT) AS n_heldout_docs FROM sp WHERE NOT is_train)
+SELECT hd.n_heldout_docs,
+       CAST(count(hg.g) AS BIGINT) AS n_heldout_grams,
+       CAST(count(tg.g) AS BIGINT) AS n_leaked,
+       round(CAST(count(tg.g) AS DOUBLE) / count(hg.g), 6) AS leakage_rate
+FROM hg LEFT JOIN tg USING (g) CROSS JOIN hd
+GROUP BY hd.n_heldout_docs
+""")
+def split_leakage_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/heldout LEAKAGE audit: the fraction of the heldout split's
+    distinct 8-gram token shingles that also occur anywhere in train —
+    the post-split QA number a decontamination pass must drive toward
+    the corpus's natural boilerplate floor. Scale shape: one explode ->
+    two per-split distinct aggs -> one gram equi-join -> 1-row report;
+    the gram vocabulary is never collected or hint-broadcast (it scales
+    with the corpus)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        (CP.hash_bucket(F.col("doc_id"), 100) < 90).alias("is_train"),
+        TX.tokens("text").alias("toks"),
+    )
+    grams = toks.select(
+        "is_train", F.explode(TX.token_ngrams("toks", 8)).alias("g")
+    ).localCheckpoint(eager=False)  # feeds BOTH split-distinct branches
+    tg = grams.where(F.col("is_train")).select("g").distinct()
+    hg = grams.where(~F.col("is_train")).select("g").distinct()
+    hd = toks.where(~F.col("is_train")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_heldout_docs")
+    )
+    return (
+        hg.join(tg.withColumn("_hit", F.lit(1)), "g", "left")
+        .crossJoin(F.broadcast(hd))  # b: 1row
+        .groupBy("n_heldout_docs")
+        .agg(
+            F.count("g").cast("long").alias("n_heldout_grams"),
+            F.count("_hit").cast("long").alias("n_leaked"),
+            F.round(F.count("_hit") / F.count("g"), 6).alias("leakage_rate"),
+        )
+    )
+
+
+@register("unigram_kl_train_heldout", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+sp AS (
+  SELECT doc_id, toks,
+         ({_SQL_BUCKET.format(k='doc_id')} % 100) < 90 AS is_train
+  FROM t
+),
+tok AS (SELECT is_train, unnest(toks) AS token FROM sp),
+c AS (
+  SELECT token,
+         CAST(count(*) FILTER (WHERE is_train) AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE NOT is_train) AS BIGINT) AS c2
+  FROM tok GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(count(*) AS BIGINT) AS v
+  FROM c
+),
+term AS (
+  SELECT CAST(floor(
+           (CAST(c1 + 1 AS DOUBLE) / (n1 + v))
+           * ln((CAST(c1 + 1 AS DOUBLE) / (n1 + v))
+                / (CAST(c2 + 1 AS DOUBLE) / (n2 + v))) * 1e9 + 0.5
+         ) AS BIGINT) AS q
+  FROM c CROSS JOIN tot
+)
+SELECT tot.n1 AS n_train_tokens, tot.n2 AS n_heldout_tokens, tot.v AS vocab,
+       round(CAST(sum(term.q) AS BIGINT) / 1e9, 6) AS kl_nats
+FROM term CROSS JOIN tot
+GROUP BY tot.n1, tot.n2, tot.v
+""")
+def unigram_kl_train_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit for the SAME 90/10 hash split: KL(train
+    || heldout) over add-1-smoothed unigram distributions on the joint
+    vocabulary. A sound random split reads near zero; a skewed or
+    leaky split (or a dedup pass that gutted one side) shows up here
+    before any training run does. One token-count shuffle; the 1-row
+    totals broadcast back; per-term contributions quantize to integer
+    nanos so the cross-vocabulary sum is order-independent and
+    engine-exact."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        (CP.hash_bucket(F.col("doc_id"), 100) < 90).alias("is_train"),
+        F.explode(TX.tokens("text")).alias("token"),
+    )
+    c = tok.groupBy("token").agg(
+        F.count_if(F.col("is_train")).cast("long").alias("c1"),
+        F.count_if(~F.col("is_train")).cast("long").alias("c2"),
+    ).localCheckpoint(eager=False)  # feeds totals AND the term sum
+    tot = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("v"))
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + F.col("v"))
+    nano = F.floor(p * F.log(p / q) * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+    return (
+        c.crossJoin(F.broadcast(tot))  # b: 1row
+        .groupBy("n1", "n2", "v")
+        .agg(F.round(F.sum(nano).cast("double") / F.lit(1e9), 6).alias("kl_nats"))
+        .select(
+            F.col("n1").alias("n_train_tokens"),
+            F.col("n2").alias("n_heldout_tokens"),
+            F.col("v").alias("vocab"),
+            "kl_nats",
+        )
+    )
+
+
+@register("low_entropy_docs", f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS.format(c='text')} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+d AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CAST(floor(cnt * ln(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+              AS BIGINT) AS s
+  FROM c GROUP BY doc_id
+),
+h AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+                     - CAST(s AS DOUBLE) / 1e9 / n_tokens) * 1e6 + 0.5)
+              AS BIGINT) AS hq
+  FROM d WHERE n_tokens >= 10
+)
+SELECT doc_id, n_tokens, n_distinct, round(hq / 1e6, 6) AS entropy
+FROM h ORDER BY hq, doc_id LIMIT 20
+""")
+def low_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most repetitive documents by token Shannon entropy
+    H = ln(n) - (sum c*ln c)/n — the classic degenerate-text quality
+    gate (keyword-stuffed, template, or looping docs sink to the
+    bottom). One (doc, token) count shuffle + one per-doc agg; the
+    per-term c*ln(c) contributions and the final entropy quantize to
+    integers so the unordered float sums and the top-20 cut are
+    engine-exact; TakeOrdered handles the global top-k (never a
+    single-partition window)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    c = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    nano = F.floor(
+        F.col("cnt") * F.log(F.col("cnt").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    d = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(nano).cast("long").alias("s"),
+    )
+    hq = F.floor(
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("s").cast("double") / F.lit(1e9) / F.col("n_tokens")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        d.where(F.col("n_tokens") >= 10)
+        .select("doc_id", "n_tokens", "n_distinct", hq.alias("hq"))
+        .orderBy("hq", "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            F.round(F.col("hq") / F.lit(1e6), 6).alias("entropy"),
+        )
+    )
+
+
+@register("dedup_cluster_size_histogram", f"""
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM ({_DEDUP_CLUSTERS_SQL.strip()}) cl
+WHERE is_canonical
+GROUP BY cluster_size
+""")
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the skew dashboard for the
+    dedup pipeline (a fat tail here is what the LSH star_cap guard and
+    the big-star contraction exist for; template farms and mirror
+    sites show up as oversized clusters). One agg over the canonical
+    rows of the composed cluster frame; the corpus never reshuffles."""
+    clusters = queries()["dedup_clusters"](spark, sf_dir)
+    return (
+        clusters.where(F.col("is_canonical"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+    )
+
+
+@register("crossdup_layer_matrix", f"""
+WITH pairs AS ({{NGRAM_SQL}})
+SELECT CASE WHEN id_a >= 200000 THEN 'near_layer'
+            WHEN id_a >= 100000 THEN 'exact_layer' ELSE 'base' END AS layer_a,
+       CASE WHEN id_b >= 200000 THEN 'near_layer'
+            WHEN id_b >= 100000 THEN 'exact_layer' ELSE 'base' END AS layer_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 4) AS avg_jaccard
+FROM pairs
+GROUP BY 1, 2
+""".replace("{NGRAM_SQL}", _ORACLES["dedup_ngram_jaccard"].strip()))
+def crossdup_layer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies from WHOM: the verified exact-Jaccard near-dup pairs
+    bucketed into a layer x layer matrix (base / exact-copy layer /
+    near-copy layer stand in for crawl sources). Production dedup
+    reviews exactly this matrix to find mirror relationships between
+    sources before deciding canonical priority. Composes the PPJoin's
+    verified pairs (signature-store-fed); the matrix agg is bounded by
+    layers squared."""
+    layer = lambda c: (
+        F.when(F.col(c) >= 200000, F.lit("near_layer"))
+        .when(F.col(c) >= 100000, F.lit("exact_layer"))
+        .otherwise(F.lit("base"))
+    )
+    pairs = queries()["dedup_ngram_jaccard"](spark, sf_dir)
+    return (
+        pairs.select(layer("id_a").alias("layer_a"), layer("id_b").alias("layer_b"), "jaccard")
+        .groupBy("layer_a", "layer_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+    )
+
+
+@register("packing_efficiency_report", f"""
+WITH t AS (
+  SELECT doc_id,
+         {_SQL_BUCKET.format(k='doc_id')} % 8 AS shard,
+         len({SQL_TOKENS.format(c='text')}) AS n_tokens
+  FROM documents
+),
+f AS (SELECT * FROM t WHERE n_tokens > 0)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_packs,
+       round(CAST(sum(n_tokens) AS DOUBLE)
+             / (((sum(n_tokens) + 255) // 256) * 256), 6) AS fill_rate
+FROM f GROUP BY shard
+""")
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA for the concat-and-chunk sequence packer: per shard,
+    how many 256-token packs the stream needs and the realized fill
+    rate (concat-and-chunk wastes at most one partial pack per shard,
+    so fill approaches 1 as shards fill — THE number to watch when
+    choosing shard count vs budget). Same shard/token derivation as
+    pack_sequences; one per-shard agg, 8 rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(
+        CP.hash_bucket(F.col("doc_id"), 8).alias("shard"),
+        F.size(TX.tokens("text")).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    total = F.sum("n_tokens").cast("long")
+    n_packs = F.floor((total + 255) / 256).cast("long")
+    return t.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        total.alias("total_tokens"),
+        n_packs.alias("n_packs"),
+        F.round(total.cast("double") / (n_packs * 256), 6).alias("fill_rate"),
+    )
