@@ -76,7 +76,7 @@ def bpe_train(
             .groupBy(F.col("pr.x").alias("x"), F.col("pr.y").alias("y"))
             .agg(F.sum("w").cast("long").alias("cnt"))
         )
-        top = p.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()
+        top = p.orderBy(F.desc("cnt"), F.asc("x"), F.asc("y")).limit(1).collect()  # c: 1row
         if not top:
             break
         x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])

@@ -108,7 +108,7 @@ def kmeans_lloyd(
     base = emb.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     ).localCheckpoint(eager=True)
-    init_rows = base.orderBy("id").limit(k).select("vec").collect()
+    init_rows = base.orderBy("id").limit(k).select("vec").collect()  # c: topk
     cents = [[_round_half_up(x, 6) for x in r["vec"]] for r in init_rows]
     assigned = None
     for _ in range(iterations):
@@ -119,7 +119,7 @@ def kmeans_lloyd(
         ]
         rows = {
             r["cluster_id"]: [r[f"m{d}"] for d in range(dims)]
-            for r in assigned.groupBy("cluster_id").agg(*aggs).collect()
+            for r in assigned.groupBy("cluster_id").agg(*aggs).collect()  # c: topk
         }
         cents = [rows.get(cid, cen) for cid, cen in enumerate(cents)]
     return assigned, cents
@@ -192,7 +192,7 @@ def pca_power_top1(
     mean_aggs = [
         F.round(F.avg(F.element_at(arr, d + 1)), 6).alias(f"m{d}") for d in range(dims)
     ]
-    mrow = emb.agg(*mean_aggs).collect()[0]
+    mrow = emb.agg(*mean_aggs).collect()[0]  # c: 1row
     mu = [mrow[f"m{d}"] for d in range(dims)]
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
     base = emb.select(
@@ -213,7 +213,7 @@ def pca_power_top1(
             F.sum(dot * F.element_at(F.col("cx"), d + 1)).alias(f"w{d}")
             for d in range(dims)
         ]
-        row = base.agg(*aggs).collect()[0]
+        row = base.agg(*aggs).collect()[0]  # c: 1row
         n_rows = row["_n"]
         w = [row[f"w{d}"] for d in range(dims)]
         norm = sum(x * x for x in w) ** 0.5
@@ -223,5 +223,5 @@ def pca_power_top1(
         F.sum(F.element_at(F.col("cx"), d + 1) * F.element_at(F.col("cx"), d + 1))
         for d in range(dims)
     ]
-    total_var = sum(base.agg(*[a.alias(f"v{d}") for d, a in enumerate(var_aggs)]).collect()[0]) / n_rows
+    total_var = sum(base.agg(*[a.alias(f"v{d}") for d, a in enumerate(var_aggs)]).collect()[0]) / n_rows  # c: 1row
     return v, eig, eig / total_var

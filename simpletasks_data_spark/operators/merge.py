@@ -400,7 +400,7 @@ def merge_source(
         try:
             return obs.get
         except Exception:
-            return frame.agg(*exprs).first().asDict()
+            return frame.agg(*exprs).first().asDict()  # c: 1row
 
     pre_m = _metrics(obs_pre, pre_raw, pre_metrics)
     post_m = _metrics(

@@ -46,7 +46,7 @@ def global_row_number(
     )
     counts = {
         r["_pid"]: r["n"]
-        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()  # c: parts
     }
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -131,7 +131,7 @@ def _global_running(
     totals = ordered.groupBy(*gcols).agg(
         *[FNS[fn](c).alias(f"_t_{out}") for c, out, fn in specs]
     )
-    rows = totals.collect()
+    rows = totals.collect()  # c: parts
 
     def _fold(fn, a, b):
         if b is None:
@@ -321,7 +321,7 @@ def nearest_in_1d(
             F.min(F.when(F.col("_typ") == 0, F.struct("_v", "_k"))).alias("lo"),
             F.max(F.when(F.col("_typ") == 0, F.struct("_v", "_k"))).alias("hi"),
         )
-        .collect()
+        .collect()  # c: parts
     )
     edges = {r["_pid"]: (r["lo"], r["hi"]) for r in meta if r["lo"] is not None}
     pids = sorted(r["_pid"] for r in meta)

@@ -334,7 +334,7 @@ def knn_bruteforce_blas(
     spark = emb.sparkSession
     cand = emb.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v")
-    ).toPandas()
+    ).toPandas()  # c: gated
     if len(cand) > max_candidate_rows:
         raise ValueError(
             f"candidate side has {len(cand)} rows > max_candidate_rows="

@@ -547,7 +547,7 @@ class TxnTable:
                 F.col("_metadata.file_name").alias("_f"),
                 F.col("_metadata.row_index").alias("_p"),
             )
-            .collect()
+            .collect()  # c: gated
         )
         if len(matches) > max_positions:
             raise ValueError(
@@ -612,7 +612,7 @@ class TxnTable:
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
-        row = df.agg(*aggs).collect()[0]
+        row = df.agg(*aggs).collect()[0]  # c: 1row
         top = (1 << bits) - 1
         k = len(cols)
         z = F.lit(0).cast("long")

@@ -177,7 +177,7 @@ class ImportJob:
                 & ~F.col(CREATING)
                 & hist_changed
             ).alias("history_created"),
-        ).collect()[0]
+        ).collect()[0]  # c: 1row
 
         # Rejected items: creating rows vanish, updated rows revert
         # (importtask.py:319-321 — their pending updates are not applied).

@@ -4994,7 +4994,7 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window anywhere (a bare Window.orderBy would funnel the whole corpus
     # through one task). The per-partition counts are O(partitions) driver
     # metadata, the zipWithIndex pattern's one legitimate collect.
-    counts = {r["_pid"]: r["n"] for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {r["_pid"]: r["n"] for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}  # c: parts
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -8687,7 +8687,7 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
         .localCheckpoint(eager=False)
     )
-    merges = bpe_train(words, merges=5).collect()
+    merges = bpe_train(words, merges=5).collect()  # c: topk
     sym = symbolize(F.col("word"))
     for m in sorted(merges, key=lambda r: r["step"]):
         find = f"{SEP}{m['lhs']}{SEP}{SEP}{m['rhs']}{SEP}"
@@ -9206,7 +9206,7 @@ def _logreg_gd_multi(
                 F.sum(_q(r * F.col("x2"))).alias(f"s2_{ci}"),
                 F.count(r).alias(f"n_{ci}"),
             ]
-        row = features.agg(*aggs).collect()[0]
+        row = features.agg(*aggs).collect()[0]  # c: 1row
         for ci, (_cond, mask) in enumerate(chains):
             active = (1, mask[0], mask[1])
             n = row[f"n_{ci}"]

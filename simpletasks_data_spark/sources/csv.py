@@ -64,7 +64,7 @@ class CsvSource(Source):
         n = self.num_columns
         if n is None:
             # One cheap header sniff to size the positional schema.
-            first = spark.read.text(self.path).limit(1).collect()
+            first = spark.read.text(self.path).limit(1).collect()  # c: 1row
             n = (first[0].value.count(self.delimiter) + 1) if first else 1
         return T.StructType([T.StructField(f"_c{i}", T.StringType(), True) for i in range(n)])
 

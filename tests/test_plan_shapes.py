@@ -551,3 +551,58 @@ def test_broadcast_hints_are_declared_bounded():
         "F.broadcast hints without a declared bounded shape (see "
         "BROADCAST_TAG_VOCAB):\n" + "\n".join(bad)
     )
+
+
+# --- bounded-collect lint (round 8, companion to the broadcast lint) --------
+# A .collect()/.toPandas()/.first() in package code pulls rows onto the
+# driver: bounded-size pulls (1-row aggs, k centroids, per-partition
+# boundary metadata, runtime-gated exports) are legitimate kernels; an
+# unbounded pull is a driver OOM and a non-distributed operator. Every
+# site declares its bound with an inline `# c: <class>` tag.
+COLLECT_TAG_VOCAB = {
+    "1row": "single-row aggregate / limit(1) metadata sniff",
+    "topk": "<= k rows by construction (k centroids, k merge steps)",
+    "parts": "bounded by the partition/bucket count (a config constant), "
+             "times an empty-or-low-cardinality window partitionBy",
+    "gated": "row count checked against an explicit cap at runtime",
+}
+
+
+def test_driver_collects_are_declared_bounded():
+    """Every driver-side row pull in the package must carry an inline
+    `# c: <class>` tag naming the size bound. A new untagged collect
+    fails here — the mechanical pin for the collect-loop anti-pattern."""
+    import ast
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(Q.__file__).parent
+    bad = []
+    for path in sorted(pkg.rglob("*.py")):
+        src = path.read_text()
+        lines = src.splitlines()
+        for node in ast.walk(ast.parse(src)):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("collect", "toPandas", "first", "head")
+                and not node.args
+                and not node.keywords
+            ):
+                line = lines[node.func.value.end_lineno - 1]
+                m = re.search(r"#\s*c:\s*(\w+)", line)
+                if not m:
+                    # the tag may sit on the call line rather than the
+                    # receiver's last line (chained multi-line calls)
+                    m = re.search(r"#\s*c:\s*(\w+)", lines[node.end_lineno - 1])
+                if not m:
+                    bad.append(f"{path.name}:{node.func.value.end_lineno} untagged collect")
+                elif m.group(1) not in COLLECT_TAG_VOCAB:
+                    bad.append(
+                        f"{path.name}:{node.func.value.end_lineno} unknown bound "
+                        f"class {m.group(1)!r}"
+                    )
+    assert not bad, (
+        "driver collects without a declared bound (see COLLECT_TAG_VOCAB):\n"
+        + "\n".join(bad)
+    )
