@@ -230,6 +230,11 @@ BENCH_QUERIES = [
     "pca_top_component",
     "dedup_canonical_by_quality",
     "dedup_retained_corpus",
+    # round-8 split-hygiene batch: the two >2s census entries (each is
+    # one bounded agg over the already-audited cluster / PPJoin
+    # pipelines — the census cost is the shared store build)
+    "crossdup_layer_matrix",
+    "dedup_cluster_size_histogram",
 ]
 
 
