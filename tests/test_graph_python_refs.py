@@ -168,6 +168,89 @@ def _py_kcore(pairs, k):
     return out
 
 
+def _py_triangles(pairs):
+    """Brute-force per-node triangle counts on a simple graph (pairs
+    hold u < v, the triangle_count input contract)."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b not in adj[a]:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for n in (a, b, c):
+                        counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    from simpletasks_data_spark.operators.graph import (
+        triangle_count,
+        triangle_count_degree_oriented,
+    )
+
+    rng = random.Random(85)
+    for trial in range(5):
+        pairs = sorted(
+            {tuple(sorted(p)) for p in _random_pairs(rng, rng.randrange(8, 25), rng.randrange(20, 120))}
+        )
+        e = spark.createDataFrame(pairs, "u long, v long")
+        want = _py_triangles(pairs)
+        got = {r["id"]: r["n_triangles"] for r in triangle_count(e).collect()}
+        assert got == want, trial
+        got_deg = {
+            r["id"]: r["n_triangles"]
+            for r in triangle_count_degree_oriented(e).collect()
+        }
+        assert got_deg == want, trial
+
+
+def _py_bfs_reach(pairs, seeds, radius):
+    und = {}
+    for a, b in pairs:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    out = {}
+    for s in seeds:
+        visited = {s}
+        frontier = {s}
+        for r in range(1, radius + 1):
+            nxt = set()
+            for n in frontier:
+                nxt |= und.get(n, set())
+            nxt -= visited
+            visited |= nxt
+            if nxt:
+                out[(s, r)] = len(nxt)
+            frontier = nxt
+    return out
+
+
+def test_bfs_reach_matches_python_bfs_random(spark):
+    from simpletasks_data_spark.operators.graph import bfs_reach
+
+    rng = random.Random(86)
+    for trial in range(4):
+        n = rng.randrange(8, 30)
+        pairs = _random_pairs(rng, n, rng.randrange(10, 70), allow_dups=False)
+        nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+        seeds = rng.sample(sorted(nodes), k=min(3, len(nodes)))
+        radius = rng.randrange(1, 5)
+        e = spark.createDataFrame(pairs, "u long, v long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+        got = {
+            (r["seed"], r["radius"]): r["n_new"]
+            for r in bfs_reach(e, sdf, radius=radius).collect()
+        }
+        want = _py_bfs_reach(pairs, seeds, radius)
+        assert got == want, (trial, seeds, radius)
+
+
 def test_k_core_matches_python_peel_random(spark):
     rng = random.Random(84)
     for trial in range(5):
