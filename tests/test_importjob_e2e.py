@@ -594,6 +594,12 @@ def test_merge_policy_matrix_matches_python_reference(spark):
     (created/updated/read/ignored_*) is representative-independent, so
     the class, not the representative, is the contract.
 
+    Also randomized: per-column keep_history flags (the history-flag
+    set/discard rules of set_updated_value_for / cancel_updated_value_for,
+    importtask.py:152-179) checked through the history_created counter,
+    and the per-source not_found counter (dataNotRead is discarded on any
+    imported key match BEFORE mode gating, importtask.py:245).
+
     MERGE_FUZZ_EXAMPLES overrides the example count (the verdict gate ran
     at 200; the default keeps the suite fast)."""
     import os
@@ -624,13 +630,13 @@ def test_merge_policy_matrix_matches_python_reference(spark):
     def py_eq(n, o):
         return n == o
 
-    def make_mapping(pols, ci_a):
+    def make_mapping(pols, ci_a, khs):
         class M(Mapping):
             def __init__(self):
                 super().__init__()
                 self.id = self.auto()
                 for col in COLS:
-                    kw = {}
+                    kw = {"keep_history": khs[col]}
                     if pols[col] == "noupd":
                         kw["should_update"] = False
                     elif pols[col] == "ifnull":
@@ -654,21 +660,27 @@ def test_merge_policy_matrix_matches_python_reference(spark):
 
     def reference(tgt, sources):
         """Row-at-a-time transcription of the reference loop. tgt maps
-        key -> {a, b, c, d}; sources are (mode, pols, ci_a, rows)."""
+        key -> {a, b, c, d}; sources are (mode, pols, ci_a, khs, rows)."""
         orig = {k: dict(v) for k, v in tgt.items()}
         state = {k: dict(v) for k, v in tgt.items()}
+        flags = {}    # key -> set of history-flagged column names
+        pending = {}  # key -> set of columns with a live pending update
         created = set()
         per_src = []
         any_ci_a = False
-        for mode, pols, ci_a, rows in sources:
+        for mode, pols, ci_a, khs, rows in sources:
             any_ci_a = any_ci_a or ci_a
             read = missing = not_created = not_updated = 0
+            start_keys = set(state)  # dataNotRead snapshot (per source)
+            matched = set()
             comps = {"a": py_ci if ci_a else py_eq, "b": py_eq, "c": py_eq, "d": py_eq}
             for key_s, a_s, b_s, c_s, d_s in rows:
                 if key_s == "":
                     missing += 1
                     continue
                 k = int(key_s)
+                if k in start_keys:
+                    matched.add(k)  # discard happens BEFORE mode gating
                 creating = k not in state
                 if creating:
                     if not (mode & ImportMode.CREATE):
@@ -700,8 +712,13 @@ def test_merge_policy_matrix_matches_python_reference(spark):
                     if not comps[name](new, old):
                         if comps[name](new, stored[name]):
                             item[name] = stored[name]  # duplicate cancel
+                            flags.setdefault(k, set()).discard(name)
+                            pending.setdefault(k, set()).discard(name)
                         else:
                             item[name] = new
+                            pending.setdefault(k, set()).add(name)
+                            if not creating and khs[name]:
+                                flags.setdefault(k, set()).add(name)
                 read += 1
                 if creating:
                     state[k] = item
@@ -710,13 +727,22 @@ def test_merge_policy_matrix_matches_python_reference(spark):
                 "read": read, "ignored_missing_id": missing,
                 "ignored_not_created": not_created,
                 "ignored_not_updated": not_updated,
+                "not_found": len(start_keys) - len(matched),
             })
-        comps_final = {"a": py_ci if any_ci_a else py_eq, "b": py_eq, "c": py_eq, "d": py_eq}
-        updated = sum(
+        # Counters transcribe the reference's pending-dict semantics
+        # faithfully: an item is updated while its pending dict is
+        # nonempty (set adds, cancel removes — importtask.py:313-341);
+        # history fires for a stored item with a flagged pending column.
+        # Both are representative-independent, so no modulo-comparator
+        # handling is needed here (a comparator-equal-to-stored value can
+        # never sit in pending: the write path skips it and the cancel
+        # path removes it, under the WRITING source's comparator).
+        updated = sum(1 for k in orig if pending.get(k))
+        history_created = sum(
             1 for k in orig
-            if any(not comps_final[c](state[k][c], orig[k][c]) for c in COLS)
+            if any(c in pending.get(k, ()) for c in flags.get(k, ()))
         )
-        return state, created, updated, per_src, any_ci_a
+        return state, created, updated, history_created, per_src, any_ci_a
 
     letters_a = st.sampled_from(["a", "A", "b", "B"])
     letters_b = st.sampled_from(["x", "y", "z"])
@@ -736,10 +762,12 @@ def test_merge_policy_matrix_matches_python_reference(spark):
         letters_a, letters_b, int_vals, int_vals,
     )
     pol_strat = st.fixed_dictionaries({c: st.sampled_from(POL) for c in COLS})
+    kh_strat = st.fixed_dictionaries({c: st.booleans() for c in COLS})
     src_strat = st.tuples(
         st.sampled_from([ImportMode.CREATE, ImportMode.UPDATE, ImportMode.CREATE_AND_UPDATE]),
         pol_strat,
         st.booleans(),                  # ci comparator on a
+        kh_strat,                       # keep_history per column
         st.lists(row_strat, max_size=8),
     )
 
@@ -757,15 +785,16 @@ def test_merge_policy_matrix_matches_python_reference(spark):
             spark,
             target,
             sources=[
-                GeneratorSource([list(r) for r in s[3]], make_mapping(s[1], s[2]),
+                GeneratorSource([list(r) for r in s[4]], make_mapping(s[1], s[2], s[3]),
                                 mode=s[0], name=f"s{i}")
                 for i, s in enumerate((src1, src2))
             ],
+            keep_history=True,
             dryrun=True,
         )
         res = job.run()
-        srcs = [(s[0], s[1], s[2], s[3]) for s in (src1, src2)]
-        want, created, updated, per_src, any_ci_a = reference(tgt, srcs)
+        srcs = [(s[0], s[1], s[2], s[3], s[4]) for s in (src1, src2)]
+        want, created, updated, history_created, per_src, any_ci_a = reference(tgt, srcs)
 
         got = {
             r.id: {"a": r.a, "b": r.b, "c": r.c, "d": r.d}
@@ -784,6 +813,7 @@ def test_merge_policy_matrix_matches_python_reference(spark):
                 assert got[k]["a"] == want[k]["a"], (k, got[k], want[k])
         assert res["created"] == len(created)
         assert res["updated"] == updated
+        assert res["history_created"] == history_created
         for i in range(2):
             for key, val in per_src[i].items():
                 assert res["sources"][i][key] == val, (i, key, res["sources"][i], per_src[i])
