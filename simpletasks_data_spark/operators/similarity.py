@@ -185,6 +185,80 @@ def embedding_dedupe_pairs(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    corpus_id: str = "vec_id",
+    bench_id: str = "bench_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Semantic decontamination: corpus vectors whose embedding lands
+    within ``threshold`` cosine of ANY benchmark vector — the
+    embedding-space twin of the n-gram `decontaminate` gate (paraphrased
+    or re-formatted eval leakage that shares no 3-grams still collides
+    in embedding space). Returns one row per flagged corpus vector:
+    (corpus_id, best_bench_id, max_cosine, n_bench_matches) with the
+    best match = highest cosine, ties to the smallest benchmark id.
+
+    Candidate generation is the multi-band sign-bit scheme of
+    `embedding_dedupe_pairs` (a pair qualifies when its cell matches in
+    ANY band), made ASYMMETRIC: only corpus x benchmark cells join, so
+    the per-cell work is O(|corpus| * |bench| / 2^bits) per band and the
+    benchmark side — tiny relative to the corpus — is AQE-broadcastable
+    without a hint. The final per-corpus-id window is partitioned by the
+    flagged-row key (bounded by the contamination rate, not the corpus).
+    """
+    dot = F.aggregate(
+        F.zip_with(F.col("c_vec"), F.col("b_vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def cells(frame, alias):
+        return _norm_frame(frame, corpus_id if alias == "c" else bench_id, vec_col, alias).withColumn(
+            "band_cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            bucket_signbits(F.col(f"{alias}_vec"), bits, offset=b * bits).alias("cell"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ),
+        )
+
+    pairs = (
+        cells(corpus, "c")
+        .join(cells(bench, "b"), "band_cell")
+        .withColumn("cosine", F.round(dot / (F.col("c_norm") * F.col("b_norm")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("c_id").alias(corpus_id), F.col("b_id").alias(bench_id), "cosine")
+        .distinct()
+    )
+    w = Window.partitionBy(corpus_id)
+    ranked = pairs.select(
+        corpus_id,
+        bench_id,
+        "cosine",
+        F.row_number()
+        .over(w.orderBy(F.col("cosine").desc(), F.col(bench_id).asc()))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("_nm"),
+    )
+    return ranked.where(F.col("_rn") == 1).select(
+        corpus_id,
+        F.col(bench_id).alias(f"best_{bench_id}"),
+        F.col("cosine").alias("max_cosine"),
+        F.col("_nm").cast("long").alias("n_bench_matches"),
+    )
+
+
 def ivf_centroids(
     embeds: DataFrame,
     vec_col: str = "embedding",

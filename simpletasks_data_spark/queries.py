@@ -193,6 +193,7 @@ _CHECK_FIRST = [
     #      pinned every run by the local oracle-parity suite), then the
     #      proven-green catalog in registration order ----
     # round-8 additions (newest = riskiest; split-hygiene / dedup-QA batch)
+    "decontaminate_semantic_embeddings",
     "split_leakage_ngram_overlap",
     "unigram_kl_train_heldout",
     "low_entropy_docs",
@@ -19073,3 +19074,52 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_packs.alias("n_packs"),
         F.round(total.cast("double") / (n_packs * 256), 6).alias("fill_rate"),
     )
+
+
+@register("decontaminate_semantic_embeddings", f"""
+WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c0),
+bn AS (SELECT vec_id + 500000 AS bench_id, v, nrm FROM cn WHERE vec_id % 23 = 0),
+cb AS (
+  SELECT vec_id, v, nrm, 0 AS band, {_ivf_bucket_sql('v', 8, 0)} AS cell FROM cn
+  UNION ALL
+  SELECT vec_id, v, nrm, 1 AS band, {_ivf_bucket_sql('v', 8, 8)} AS cell FROM cn
+),
+bb AS (
+  SELECT bench_id, v, nrm, 0 AS band, {_ivf_bucket_sql('v', 8, 0)} AS cell FROM bn
+  UNION ALL
+  SELECT bench_id, v, nrm, 1 AS band, {_ivf_bucket_sql('v', 8, 8)} AS cell FROM bn
+),
+p AS (
+  SELECT DISTINCT c.vec_id, b.bench_id,
+         round(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 4) AS cosine
+  FROM cb c JOIN bb b ON c.band = b.band AND c.cell = b.cell
+  WHERE round(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 4) >= 0.9
+),
+r AS (
+  SELECT vec_id, bench_id, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn,
+         count(*) OVER (PARTITION BY vec_id) AS nm
+  FROM p
+)
+SELECT vec_id, bench_id AS best_bench_id, cosine AS max_cosine,
+       CAST(nm AS BIGINT) AS n_bench_matches
+FROM r WHERE rn = 1
+""")
+def decontaminate_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space twin of the
+    3-gram `decontaminate_benchmark_overlap` gate: paraphrased or
+    re-formatted eval leakage shares no n-grams but still lands within
+    cosine 0.9 of the benchmark embedding. The benchmark here is a
+    deterministic held-out slice (every 23rd vector, re-keyed +500000),
+    so every flagged corpus vector has a known planted match at cosine
+    1.0 plus any natural near-dups. Candidate generation is the
+    asymmetric multi-band sign-bit join (operators/similarity.py::
+    semantic_contamination): corpus cells only ever meet benchmark
+    cells, so per-cell work is |corpus| x |bench| / 2^bits per band and
+    the small benchmark side is AQE-broadcastable without a hint."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.where(F.col("vec_id") % 23 == 0).select(
+        (F.col("vec_id") + 500000).alias("bench_id"), "embedding"
+    )
+    return SIM.semantic_contamination(emb, bench, threshold=0.9, bits=8, bands=2)

@@ -67,3 +67,45 @@ def test_logreg_cache_hits_pinned_frame(spark):
     finally:
         Q._LOGREG_GD_CACHE.clear()
         Q._LOGREG_GD_CACHE.update(before)
+
+
+def test_semantic_contamination_argmax_ties_and_counts(spark):
+    """Planted geometry: corpus c1 matches bench b1 (identical, cos 1.0)
+    and bench b2 (identical again — tie broken to the smaller bench id);
+    c2 matches only b3 at cos ~0.9992 (rounded 4dp); c3 is orthogonal to
+    every bench vector and must not appear."""
+    from simpletasks_data_spark.operators.similarity import semantic_contamination
+
+    dims = 16
+    def vec(*pairs):
+        v = [0.0] * dims
+        for i, x in pairs:
+            v[i] = float(x)
+        return v
+
+    corpus = spark.createDataFrame(
+        [
+            (1, vec((0, 1.0), (1, 1.0))),
+            (2, vec((2, 1.0), (3, 1.0))),
+            (3, vec((0, -1.0), (1, -1.0))),  # negative cells, no bench match
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [
+            (11, vec((0, 1.0), (1, 1.0))),
+            (12, vec((0, 1.0), (1, 1.0))),
+            (13, vec((2, 1.0), (3, 1.0), (4, 0.04))),
+        ],
+        "bench_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["best_bench_id"], r["max_cosine"], r["n_bench_matches"])
+        for r in semantic_contamination(
+            corpus, bench, threshold=0.9, bits=8, bands=2
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (11, 1.0, 2)          # tie at cos 1.0 -> smaller bench id
+    assert got[2][0] == 13 and got[2][2] == 1
+    assert 0.999 <= got[2][1] < 1.0
