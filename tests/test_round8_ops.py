@@ -109,3 +109,73 @@ def test_semantic_contamination_argmax_ties_and_counts(spark):
     assert got[1] == (11, 1.0, 2)          # tie at cos 1.0 -> smaller bench id
     assert got[2][0] == 13 and got[2][2] == 1
     assert 0.999 <= got[2][1] < 1.0
+
+
+def test_semantic_contamination_matches_python_reference_random(spark):
+    """Randomized independent reference: transcribe the sign-bit band
+    cells, the sequential-fold cosine, and the HALF_UP 4dp rounding in
+    pure Python over random vectors (with planted near-dups so matches
+    exist), and check the flagged set, argmax tie-break, and match
+    counts exactly."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from simpletasks_data_spark.operators.similarity import semantic_contamination
+
+    DIMS, BITS, BANDS, THR = 16, 8, 2, 0.9
+
+    def cell(v, offset):
+        return sum(1 << j for j in range(BITS) if v[offset + j] > 0)
+
+    def cos4(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        c = acc / (na ** 0.5 * nb ** 0.5)
+        return float(
+            Decimal(repr(c)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    def reference(corpus, bench):
+        out = {}
+        for cid, cv in corpus:
+            hits = []
+            for bid, bv in bench:
+                if any(cell(cv, b * BITS) == cell(bv, b * BITS) for b in range(BANDS)):
+                    c = cos4(cv, bv)
+                    if c >= THR:
+                        hits.append((bid, c))
+            if hits:
+                best = max(hits, key=lambda h: (h[1], -h[0]))
+                out[cid] = (best[0], best[1], len(hits))
+        return out
+
+    rng = random.Random(88)
+    for trial in range(4):
+        corpus = [
+            (i, [rng.uniform(-1, 1) for _ in range(DIMS)]) for i in range(30)
+        ]
+        bench = []
+        for j in range(12):
+            if j < 6:  # planted near-dup of a corpus vector
+                src = corpus[rng.randrange(len(corpus))][1]
+                v = [x + rng.uniform(-0.02, 0.02) for x in src]
+            else:
+                v = [rng.uniform(-1, 1) for _ in range(DIMS)]
+            bench.append((100 + j, v))
+        cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+        bdf = spark.createDataFrame(bench, "bench_id long, embedding array<double>")
+        got = {
+            r["vec_id"]: (r["best_bench_id"], r["max_cosine"], r["n_bench_matches"])
+            for r in semantic_contamination(
+                cdf, bdf, threshold=THR, bits=BITS, bands=BANDS
+            ).collect()
+        }
+        want = reference(corpus, bench)
+        assert got == want, (trial, {k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or set(got)})
