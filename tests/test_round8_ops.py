@@ -179,3 +179,68 @@ def test_semantic_contamination_matches_python_reference_random(spark):
         }
         want = reference(corpus, bench)
         assert got == want, (trial, {k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or set(got)})
+
+
+def test_kmeans_lloyd_matches_python_reference_random(spark):
+    """Randomized transcription of the kmeans_lloyd determinism contract
+    (operators/clustering.py module docstring): init = k smallest-id
+    vectors on the 1e-6 grid, assignment by 1e-4-rounded squared L2 with
+    centroid-id tie-break, update = round(avg, 6), empty cluster keeps
+    its centroid. Inputs are dyadic rationals (k/16) so every cross-row
+    sum is EXACT in double — the test is then bit-deterministic and
+    independent of Spark's partial-aggregation order."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from simpletasks_data_spark.operators.clustering import kmeans_lloyd
+
+    DIMS = 8
+
+    def rhu(x, digits):
+        q = Decimal(1).scaleb(-digits)
+        return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+    def d2(v, c):
+        acc = 0.0
+        for x, y in zip(v, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def py_kmeans(rows, k, iterations):
+        by_id = sorted(rows)
+        cents = [[rhu(x, 6) for x in v] for _, v in by_id[:k]]
+        assign = {}
+        for _ in range(iterations):
+            assign = {}
+            for i, v in rows:
+                best = min(range(len(cents)), key=lambda c: (rhu(d2(v, cents[c]), 4), c))
+                assign[i] = (best, rhu(d2(v, cents[best]), 4))
+            new = []
+            for c, cen in enumerate(cents):
+                mem = [v for i, v in rows if assign[i][0] == c]
+                if mem:
+                    new.append(
+                        [rhu(sum(m[d] for m in mem) / len(mem), 6) for d in range(DIMS)]
+                    )
+                else:
+                    new.append(cen)
+            cents = new
+        return assign, cents
+
+    rng = random.Random(89)
+    for trial in range(3):
+        n = rng.randrange(12, 40)
+        k = rng.randrange(2, 6)
+        iters = rng.randrange(1, 4)
+        rows = [
+            (i, [rng.randrange(-1600, 1600) / 16.0 for _ in range(DIMS)])
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assigned, cents = kmeans_lloyd(df, k=k, iterations=iters, dims=DIMS)
+        got = {
+            r["id"]: (r["cluster_id"], r["d2_r"]) for r in assigned.collect()
+        }
+        want_assign, want_cents = py_kmeans(rows, k, iters)
+        assert got == want_assign, (trial, k, iters)
+        assert cents == want_cents, (trial, k, iters)
