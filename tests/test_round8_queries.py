@@ -368,3 +368,59 @@ def test_dedup_minhash_capped_matches_python(spark):
             mid = members[0]
             want |= {(mid, m) for m in members[1:]}
     assert got == want
+
+
+def test_kmeans_cluster_topics_matches_python(spark):
+    """Query-level twin of the randomized Lloyd-contract test
+    (test_round8_ops): python Lloyd (k=8, 2 rounds, 64 dims, the exact
+    grid contract) over the REAL sf0.001 embeddings, then per-cluster
+    token counts and top-3 by (count desc, token asc). Carries the
+    operator docstring's accepted ~1e-12 ULP risk on the 1e-6 centroid
+    grid — unstructured, negligible, and shared with the DuckDB oracle."""
+    got = sorted(
+        (r["cluster_id"], r["token"], r["n_occurrences"], r["rank"])
+        for r in Q.queries()["kmeans_cluster_topics"](spark, SF).collect()
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    rows = sorted(
+        (r.vec_id, np.asarray(r.embedding, dtype=np.float32).astype(np.float64))
+        for r in emb.itertuples()
+    )
+    cents = [[_round_half_up(float(x), 6) for x in v] for _, v in rows[:8]]
+    assign = {}
+    for _ in range(2):
+        assign = {}
+        for vid, v in rows:
+            best = min(
+                range(8),
+                key=lambda c: (
+                    _round_half_up(float(sum((x - y) ** 2 for x, y in zip(v, cents[c]))), 4),
+                    c,
+                ),
+            )
+            assign[vid] = best
+        new = []
+        for c in range(8):
+            mem = [v for vid, v in rows if assign[vid] == c]
+            if mem:
+                new.append(
+                    [_round_half_up(float(sum(m[d] for m in mem) / len(mem)), 6) for d in range(64)]
+                )
+            else:
+                new.append(cents[c])
+        cents = new
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    cnt = Counter()
+    for r in docs.itertuples():
+        if r.doc_id in assign:
+            for t in _tokens(r.text):
+                cnt[(assign[r.doc_id], t)] += 1
+    want = []
+    per = defaultdict(list)
+    for (cid, tok), n in cnt.items():
+        per[cid].append((tok, n))
+    for cid, items in per.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (tok, n) in enumerate(items[:3], start=1):
+            want.append((cid, tok, n, rank))
+    assert got == sorted(want)
