@@ -18,6 +18,10 @@ strategies:
   Order is only partition-stable — fine when keys are unique or when an
   explicit ``order_col`` in the data provides the real ordering. This is the
   100 TB path: no Python round-trip, full pushdown, splittable files.
+  Documented divergences from ``csv.reader`` (pinned by test_csv_fuzz):
+  empty unquoted cells read as NULL (``emptyValue``), and a line that is a
+  single whitespace-only field is silently skipped by the univocity parser
+  (a line containing a delimiter or quoted field is kept).
 """
 
 from __future__ import annotations
