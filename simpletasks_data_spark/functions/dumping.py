@@ -41,6 +41,41 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+_FMT_UDFS: dict = {}
+
+
+def _py_format_float(col: Column, decimals: int) -> Column:
+    """Python's ``'%.Nf'`` fixed-point rendering, EXACTLY. No JVM
+    primitive can reproduce it: both ``Formatter`` ``%f`` and
+    ``bround``/BigDecimal.valueOf work from the double's SHORTEST decimal
+    repr, not its exact binary value — so the double nearest -12.45
+    (exactly -12.4499999999999992895...) renders "-12.5" under java %f
+    (shortest repr "-12.45", HALF_UP) and "-12.4" under bround
+    (half-even on the same repr), while python's correctly-rounded
+    conversion gives "-12.4" / rounds exact dyadic ties half-even
+    (both failure classes caught by test_dumping_fuzz). That makes this
+    a python-grammar-bound rendering, the same category as formatList —
+    implemented as the sanctioned Arrow-vectorized pandas_udf
+    (ArrowEvalPython, lint-clean; the export surface is report
+    rendering, never a corpus-scale hot path)."""
+    udf = _FMT_UDFS.get(decimals)
+    if udf is None:
+        fmt = f"%.{decimals}f"
+
+        @F.pandas_udf("string")
+        def render(v):  # pd.Series -> pd.Series
+            import math as _math
+
+            return v.map(
+                lambda x: None
+                if x is None or (isinstance(x, float) and _math.isnan(x))
+                else fmt % x
+            )
+
+        udf = _FMT_UDFS[decimals] = render
+    return udf(col)
+
+
 def dump_datetime(col: Column | str, fmt: str = "json") -> Column:
     """Shorthands: ``json`` -> ISO-8601 (no offset for naive/UTC values, as
     ``%z`` renders empty on naive datetimes in the reference), ``gs`` ->
@@ -62,26 +97,32 @@ def dump_gps(lat: Column | str, lon: Column | str) -> Column:
     lat_c, lon_c = _c(lat), _c(lon)
     return F.when(
         lat_c.isNotNull() & lon_c.isNotNull(),
-        F.format_string("%f, %f", lat_c, lon_c),
+        F.concat(
+            _py_format_float(lat_c, 6), F.lit(", "), _py_format_float(lon_c, 6)
+        ),
     )
 
 
 def dump_int(col: Column | str) -> Column:
-    """NULL -> "0"; else ``{:.0f}`` (formatting.py:54-65). Python's format
-    rounds half-to-even, so use bround, not Java's %.0f (HALF_UP)."""
-    return F.bround(F.coalesce(_c(col).cast("double"), F.lit(0.0))).cast("decimal(38,0)").cast("string")
+    """NULL -> "0"; else ``{:.0f}`` (formatting.py:54-65) — correctly
+    rounded with half-to-even ties, INCLUDING python's "-0" rendering of
+    negative fractions that round to zero."""
+    return _py_format_float(F.coalesce(_c(col).cast("double"), F.lit(0.0)), 0)
 
 
 def dump_percentage(col: Column | str) -> Column:
-    """NULL -> "0.0"; else ``{:.1f}`` of value*100 (formatting.py:68-79).
-    Half-to-even like Python's format (bround before rendering)."""
-    v = F.bround(F.coalesce(_c(col).cast("double") * 100, F.lit(0.0)), 1)
-    return F.format_string("%.1f", v)
+    """NULL -> "0.0"; else ``{:.1f}`` of value*100 (formatting.py:68-79),
+    correctly rounded with half-to-even ties (see _py_format_float)."""
+    return _py_format_float(F.coalesce(_c(col).cast("double") * 100, F.lit(0.0)), 1)
 
 
 def dump_str(col: Column | str) -> Column:
     """NULL/empty/whitespace-only -> "-"; otherwise the *original* string,
-    untrimmed (formatting.py:82-93)."""
+    untrimmed (formatting.py:82-93). The blank test uses python's
+    str.strip() whitespace set — java's default ``\\s`` is ASCII-only and
+    kept NBSP-only strings (caught by test_dumping_fuzz); ``(?U)`` makes
+    ``\\s`` the Unicode White_Space class (NBSP, em/ideographic spaces;
+    python additionally strips \\x1c-\\x1f — out of the data contract)."""
     c = _c(col)
-    stripped = F.regexp_replace(c, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(c, r"(?U)^\s+|\s+$", "")
     return F.when(c.isNull() | (stripped == ""), F.lit("-")).otherwise(c)

@@ -67,9 +67,11 @@ def _c(col: Column | str) -> Column:
 
 
 def py_strip(col: Column | str) -> Column:
-    """``str.strip()`` equivalent: trims ASCII whitespace + NBSP on both ends
-    (Java ``\\s`` does not cover NBSP, Python's strip does)."""
-    return F.regexp_replace(_c(col), r"^[\s ]+|[\s ]+$", "")
+    """``str.strip()`` equivalent: ``(?U)`` upgrades java's ASCII-only
+    ``\\s`` to the Unicode White_Space class (NBSP, NEL, em/ideographic
+    spaces...), matching python's strip set (which additionally covers
+    \\x1c-\\x1f — outside the data contract)."""
+    return F.regexp_replace(_c(col), r"(?U)^\s+|\s+$", "")
 
 
 class SparkParser:
