@@ -137,6 +137,17 @@ _CHECK_FIRST = [
     "cluster_aware_holdout_split",
     "logreg_urgent_orders",
     "knn_quantized_rescore",
+    # -- changed this round: dump_int/dump_percentage/dump_gps moved to
+    #    exact python %.Nf semantics (Arrow pandas_udf; java %f and
+    #    bround both mis-round shortest-repr ties), dump_str/py_strip to
+    #    the (?U) Unicode whitespace class. parse_roundtrip covers the
+    #    parser+dump_str+dump_percentage surface, time_gps_dump the %f
+    #    gps leg; export_formatted (dump_int) is pinned by the same
+    #    sf0.01 oracle re-check plus test_dumping_fuzz. The two displaced
+    #    first-timers (bpe_encode_stats, kmeans_cluster_topics) gained
+    #    independent python references this round (test_round8_queries). --
+    "parse_roundtrip",
+    "time_gps_dump",
     # -- changed this round: the exact-Jaccard PPJoin + the MinHash eval
     #    now feed from the materialized _hset_store / signature store
     #    (r7 verdict item 6) instead of rebuilding their shingle frames --
