@@ -109,6 +109,10 @@ def kmeans_lloyd(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     ).localCheckpoint(eager=True)
     init_rows = base.orderBy("id").limit(k).select("vec").collect()  # c: topk
+    if not init_rows:
+        # degenerate-input guard (r8 empty-corpus sweep): zero vectors
+        # would otherwise surface as an opaque analyzer error downstream
+        raise ValueError("kmeans_lloyd: empty embedding frame")
     cents = [[_round_half_up(x, 6) for x in r["vec"]] for r in init_rows]
     assigned = None
     for _ in range(iterations):
@@ -193,6 +197,10 @@ def pca_power_top1(
         F.round(F.avg(F.element_at(arr, d + 1)), 6).alias(f"m{d}") for d in range(dims)
     ]
     mrow = emb.agg(*mean_aggs).collect()[0]  # c: 1row
+    if mrow["m0"] is None:
+        # degenerate-input guard (r8 empty-corpus sweep): avg over zero
+        # rows is NULL — fail loudly instead of float(None) downstream
+        raise ValueError("pca_power_top1: empty embedding frame")
     mu = [mrow[f"m{d}"] for d in range(dims)]
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
     base = emb.select(

@@ -3290,7 +3290,10 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_records_per_file=200,
         sort_within_partitions=("doc_id",),
     )
-    back = spark.read.parquet(out_dir)
+    # explicit schema on the read-back: an EMPTY corpus writes only the
+    # partition directory skeleton and schema inference fails (r8
+    # empty-corpus sweep); identical rows on non-empty data
+    back = spark.read.schema(docs.schema).parquet(out_dir)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
@@ -9222,6 +9225,14 @@ def _logreg_gd_multi(
         for ci, (_cond, mask) in enumerate(chains):
             active = (1, mask[0], mask[1])
             n = row[f"n_{ci}"]
+            if not n:
+                # degenerate-input guard (r8 empty-corpus sweep): an empty
+                # chain yields NULL gradient sums — fail loudly instead of
+                # float(None) deep in the update
+                raise ValueError(
+                    f"logreg GD: chain {ci} selects 0 rows — empty or "
+                    "over-filtered feature frame"
+                )
             ws[ci] = [
                 _round_half_up(
                     ws[ci][k] + lr * (float(row[f"s{k}_{ci}"]) / n / 1e9), 6
@@ -13361,7 +13372,12 @@ def partitioned_parquet_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.withColumn("o_year", F.year("o_orderdate")).write.mode(
         "overwrite"
     ).partitionBy("o_year").parquet(out_dir)
-    back = spark.read.parquet(out_dir).where(F.col("o_year") == 1995)
+    # explicit schema: an EMPTY write leaves no files to infer from (r8
+    # empty-corpus sweep); identical plan incl. PartitionFilters otherwise
+    back_schema = orders.withColumn("o_year", F.year("o_orderdate")).schema
+    back = (
+        spark.read.schema(back_schema).parquet(out_dir).where(F.col("o_year") == 1995)
+    )
     return back.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
