@@ -13,6 +13,9 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 only = set(sys.argv[2:])
 spark = get_spark()
 con = duckdb.connect()
+# Spill outside the repo: the default temp_directory is ./.tmp, and a big
+# sweep once left a 423 MB scratch binary that got committed.
+con.execute("SET temp_directory='/tmp/duckdb_scratch'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 

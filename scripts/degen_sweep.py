@@ -33,6 +33,32 @@ def build(tag: str) -> str:
     return d
 
 
+# The documented loud-error family for EMPTY inputs: every acceptable
+# empty-corpus failure must be a ValueError matching one of these
+# patterns (descriptive, operator-named — never a bare TypeError /
+# AssertionError / ArrowInvalid).  Any failure outside this list is a
+# regression and flips the exit code.
+import re
+
+EMPTY_ALLOWED = [
+    r"^logreg GD: chain \d+ selects 0 rows",
+    r"^kmeans_lloyd: empty embedding frame",
+    r"^pca_power_top1: empty embedding frame",
+    r"^knn_bruteforce_blas: empty candidate embedding frame",
+    r"^merge_write_dry_run: dry-run produced zero created/updated rows",
+    r"^streaming_late_data_drop: empty events table",
+    r"^streaming_left_outer_attribution: events table has \d+ rows",
+    r"^AcidTable\.read: table '.*' has no committed snapshots",
+]
+
+
+def _allowed_empty(exc: Exception) -> bool:
+    if not isinstance(exc, ValueError):
+        return False
+    first = (str(exc).splitlines() or [""])[0]
+    return any(re.search(p, first) for p in EMPTY_ALLOWED)
+
+
 def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "tiny"
     d = build(tag)
@@ -41,7 +67,7 @@ def main() -> int:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    fails = []
+    fails, unexpected = [], []
     qs = e.queries()
     for name, fn in qs.items():
         try:
@@ -49,9 +75,20 @@ def main() -> int:
         except Exception as ex:
             msg = (str(ex).splitlines() or ["<no message>"])[0][:160]
             fails.append((name, type(ex).__name__, msg))
-            print(f"FAIL  {name}  {type(ex).__name__}: {msg}", flush=True)
-    print(f"==== {tag}: {len(fails)} failures / {len(qs)} queries")
-    return 1 if (tag == "tiny" and fails) else 0
+            ok = tag == "empty" and _allowed_empty(ex)
+            if not ok:
+                unexpected.append(name)
+            print(
+                f"{'fail-ok' if ok else 'FAIL':8s}{name}  "
+                f"{type(ex).__name__}: {msg}",
+                flush=True,
+            )
+    print(f"==== {tag}: {len(fails)} failures / {len(qs)} queries"
+          + (f", {len(unexpected)} OUTSIDE the loud-error family: {unexpected}"
+             if tag == "empty" else ""))
+    if tag == "tiny":
+        return 1 if fails else 0
+    return 1 if unexpected else 0
 
 
 if __name__ == "__main__":

@@ -64,16 +64,14 @@ def _py_format_float(col: Column, decimals: int) -> Column:
 
         @F.pandas_udf("string")
         def render(v):  # pd.Series -> pd.Series
-            import math as _math
-
-            return v.map(
-                lambda x: None
-                if x is None or (isinstance(x, float) and _math.isnan(x))
-                else fmt % x
-            )
+            return v.map(lambda x: None if x is None else fmt % x)
 
         udf = _FMT_UDFS[decimals] = render
-    return udf(col)
+    # NULL and NaN are indistinguishable inside the udf (a NULL double
+    # arrives in the float64 pandas batch as NaN), so NULL is screened
+    # JVM-side; a genuine NaN then renders python-style as "nan"/"-nan"
+    # — matching the reference's '{:.Nf}'.format(nan) — not NULL.
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(udf(col))
 
 
 def dump_datetime(col: Column | str, fmt: str = "json") -> Column:

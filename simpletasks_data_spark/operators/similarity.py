@@ -414,6 +414,8 @@ def knn_bruteforce_blas(
             f"candidate side has {len(cand)} rows > max_candidate_rows="
             f"{max_candidate_rows}; shard it or use an ANN operator"
         )
+    if not len(cand):
+        raise ValueError("knn_bruteforce_blas: empty candidate embedding frame")
     c_ids = cand["_id"].to_numpy(dtype=np.int64)
     c_mat = np.stack(cand["_v"].to_numpy()).astype(np.float64)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))

@@ -449,7 +449,11 @@ class TxnTable:
         schema = self._schema_at(version) if version >= 0 else self.schema
         if version == -1:
             if schema is None:
-                raise ValueError("empty table with no known schema")
+                raise ValueError(
+                    f"AcidTable.read: table '{self.path}' has no committed"
+                    " snapshots and no declared schema — empty or"
+                    " never-written table"
+                )
             return self.spark.createDataFrame([], schema)
         files = self._files_at(version)
         if prune:

@@ -33,6 +33,30 @@ def test_dump_int_and_percentage_fuzz(spark):
         assert r["p"] == want_p, v
 
 
+def test_dump_nan_inf_render_python_style(spark):
+    """NaN/Inf inputs render python-style ('nan'/'inf'), matching the
+    reference's '{:.Nf}'.format — NOT NULL (r8 ADVICE: the pandas_udf
+    used to fold NaN into NULL) and NOT java's 'NaN'. NULL stays NULL
+    through dump_gps and coalesces to '0'/'0.0' in dump_int/percentage."""
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(nan, nan), (inf, -inf), (None, nan), (1.5, None)],
+        "lat double, lon double",
+    )
+    rows = df.select(
+        D.dump_gps("lat", "lon").alias("g"),
+        D.dump_int("lat").alias("i"),
+        D.dump_percentage("lat").alias("p"),
+    ).collect()
+    assert rows[0]["g"] == "nan, nan"
+    assert rows[0]["i"] == "{:.0f}".format(nan) == "nan"
+    assert rows[0]["p"] == "{:.1f}".format(nan * 100) == "nan"
+    assert rows[1]["g"] == "inf, -inf"
+    assert rows[1]["i"] == "inf"
+    assert rows[2]["g"] is None and rows[2]["i"] == "0" and rows[2]["p"] == "0.0"
+    assert rows[3]["g"] is None
+
+
 def test_dump_gps_fuzz(spark):
     rng = random.Random(6)
     pairs = [(None, 1.0), (1.0, None), (None, None), (48.85, 2.35)]
