@@ -31,10 +31,14 @@ identical bytes — the same trick as ``graph.pagerank``):
 - assignment: squared L2 distance rounded to the 1e-4 grid, argmin with
   centroid-id tie-break (``array_min`` over (d2_r, cid) structs —
   struct ordering is lexicographic);
-- update: each new centroid element = ``round(avg, 6)``; an empty
-  cluster keeps its previous centroid;
-- quantization bounds cross-engine float-accumulation drift (different
-  summation orders differ in the last ulp; the grids absorb it).
+- update: each new centroid element is computed from an INTEGER
+  sufficient statistic — per-row components quantize to nano-units
+  (``floor(x*1e9 + 0.5)``, the identical IEEE op in every engine), sum
+  exactly (DECIMAL(38,0) here / HUGEINT in DuckDB), and divide once on
+  the driver before the 1e-6 rounding — so the trajectory is fully
+  independent of partitioning and summation order (the same pattern as
+  ``queries._logreg_gd_multi`` / ``graph.pagerank``); an empty cluster
+  keeps its previous centroid.
 """
 
 from __future__ import annotations
@@ -55,6 +59,16 @@ def _round_half_up(x: float, digits: int) -> float:
     for why repr, not the exact binary expansion)."""
     q = decimal.Decimal(1).scaleb(-digits)
     return float(decimal.Decimal(repr(float(x))).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+
+def _qnano(c: Column) -> Column:
+    """Per-row nano-unit quantization for integer sufficient statistics:
+    ``floor(x*1e9 + 0.5)`` is the identical IEEE double op in every
+    engine, and the DECIMAL(38,0) sum is exact — so a statistic built
+    from these sums is independent of partitioning / summation order
+    (mirrors the oracle's ``floor(x*1e9 + 0.5)`` BIGINT/HUGEINT sum;
+    same pattern as queries._logreg_gd_multi)."""
+    return F.floor(c * F.lit(1000000000.0) + F.lit(0.5)).cast("decimal(38,0)")
 
 
 def _d2(vec: Column, cen: list[float]) -> Column:
@@ -93,17 +107,12 @@ def kmeans_lloyd(
     scored against the second-to-last centroids (the ones that produced
     it). centroids: the final updated k x dims list (1e-6 grid).
 
-    ACCEPTED ULP RISK (r6 verdict item 7): the per-round centroid is a
-    float avg() rounded to 1e-6, so in principle a mean landing within
-    ~1e-12 of a half-boundary could round differently under a different
-    summation order. Unlike the logreg GD case (where resid = ±0.5
-    exactly made boundary landings STRUCTURAL and one was observed
-    live), embedding components are arbitrary continuous doubles with
-    no mechanism that concentrates their means on the decimal grid, so
-    the risk is unstructured and ~1e-12/5e-7 per mean per round. The
-    integer-sufficient-statistics rewrite (quantize per-row, sum exact
-    — see queries._logreg_gd_multi / graph.pagerank) is the upgrade
-    path if a divergence is ever observed.
+    The per-round centroid is an exact integer sufficient statistic
+    (r8 verdict item 3, closing the r6 accepted-ULP note): each member
+    component quantizes per-row to nano-units, the DECIMAL(38,0) sums
+    are exact, and the mean is one driver-side division before the
+    1e-6 rounding — the trajectory cannot depend on partitioning or
+    summation order (the logreg/pagerank pattern).
     """
     base = emb.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
@@ -118,11 +127,14 @@ def kmeans_lloyd(
     for _ in range(iterations):
         assigned = _assign(base, cents)
         aggs = [F.count(F.lit(1)).alias("n")] + [
-            F.round(F.avg(F.element_at(F.col("vec"), d + 1)), 6).alias(f"m{d}")
+            F.sum(_qnano(F.element_at(F.col("vec"), d + 1))).alias(f"s{d}")
             for d in range(dims)
         ]
         rows = {
-            r["cluster_id"]: [r[f"m{d}"] for d in range(dims)]
+            r["cluster_id"]: [
+                _round_half_up(float(r[f"s{d}"]) / r["n"] / 1e9, 6)
+                for d in range(dims)
+            ]
             for r in assigned.groupBy("cluster_id").agg(*aggs).collect()  # c: topk
         }
         cents = [rows.get(cid, cen) for cid, cen in enumerate(cents)]
@@ -184,24 +196,30 @@ def pca_power_top1(
     Per-round 1e-6 quantization of the normalized vector keeps the
     trajectory engine-exact for the unrolled SQL oracle; v0 = e_1.
 
-    ACCEPTED ULP RISK (r6 verdict item 7): each round's 64 sums are
-    float aggregations whose last ulps depend on accumulation order;
-    the normalize-then-quantize step absorbs that only while no
-    component lands within ~1e-12 of a 5e-7 boundary. As with
-    kmeans_lloyd (same note), centered-embedding products have no
-    structural mechanism that lands on the decimal grid — accepted;
-    upgrade path is the integer-sufficient-statistics pattern.
+    Every data-sized aggregation — the mean vector, each round's 64
+    X^T(Xv) sums, and the total-variance sum — is an exact integer
+    sufficient statistic (r8 verdict item 3, closing the r6
+    accepted-ULP note): per-row terms quantize to nano-units, the
+    DECIMAL(38,0) sums are exact, and the floats are reconstructed
+    once on the driver — no statistic depends on partitioning or
+    summation order. The only remaining float reductions are the
+    64-element driver-side norm and eigenvalue arithmetic, which are
+    deterministic (fixed d-order Python loops) and mirrored verbatim
+    in the oracle.
     """
     arr = as_double(vec_col)
-    mean_aggs = [
-        F.round(F.avg(F.element_at(arr, d + 1)), 6).alias(f"m{d}") for d in range(dims)
+    mean_aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(_qnano(F.element_at(arr, d + 1))).alias(f"m{d}") for d in range(dims)
     ]
     mrow = emb.agg(*mean_aggs).collect()[0]  # c: 1row
-    if mrow["m0"] is None:
-        # degenerate-input guard (r8 empty-corpus sweep): avg over zero
+    if not mrow["_n"]:
+        # degenerate-input guard (r8 empty-corpus sweep): sum over zero
         # rows is NULL — fail loudly instead of float(None) downstream
         raise ValueError("pca_power_top1: empty embedding frame")
-    mu = [mrow[f"m{d}"] for d in range(dims)]
+    mu = [
+        _round_half_up(float(mrow[f"m{d}"]) / mrow["_n"] / 1e9, 6)
+        for d in range(dims)
+    ]
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
     base = emb.select(
         F.zip_with(arr, mu_lit, lambda a, b: a - b).alias("cx")
@@ -218,18 +236,19 @@ def pca_power_top1(
             lambda acc, x: acc + x,
         )
         aggs = [F.count(F.lit(1)).alias("_n")] + [
-            F.sum(dot * F.element_at(F.col("cx"), d + 1)).alias(f"w{d}")
+            F.sum(_qnano(dot * F.element_at(F.col("cx"), d + 1))).alias(f"w{d}")
             for d in range(dims)
         ]
         row = base.agg(*aggs).collect()[0]  # c: 1row
         n_rows = row["_n"]
-        w = [row[f"w{d}"] for d in range(dims)]
+        w = [float(row[f"w{d}"]) / 1e9 for d in range(dims)]
         norm = sum(x * x for x in w) ** 0.5
         eig = norm / n_rows
         v = [_round_half_up(x / norm, 6) for x in w]
-    var_aggs = [
-        F.sum(F.element_at(F.col("cx"), d + 1) * F.element_at(F.col("cx"), d + 1))
-        for d in range(dims)
-    ]
-    total_var = sum(base.agg(*[a.alias(f"v{d}") for d, a in enumerate(var_aggs)]).collect()[0]) / n_rows  # c: 1row
+    # total variance from ONE exact integer sum over every (row, dim)
+    # cx^2 term — a single python int, so no cross-dim float ordering
+    cxd = lambda d: F.element_at(F.col("cx"), d + 1)  # noqa: E731
+    var_aggs = [F.sum(_qnano(cxd(d) * cxd(d))).alias(f"v{d}") for d in range(dims)]
+    vrow = base.agg(*var_aggs).collect()[0]  # c: 1row
+    total_var = float(sum(int(vrow[f"v{d}"]) for d in range(dims))) / 1e9 / n_rows
     return v, eig, eig / total_var

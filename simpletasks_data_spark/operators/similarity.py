@@ -44,13 +44,18 @@ def _norm_frame(df: DataFrame, id_col: str, vec_col: str, alias: str) -> DataFra
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
+    # Rank on the 1e-6 grid (engine-stable order); display-round the RAW
+    # ratio to 4. Re-rounding sim_r would DOUBLE-round: 1e-6 grid values
+    # like 0.326850 sit exactly ON 1e-4 half-boundaries, where Spark
+    # (shortest-repr HALF_UP) and other engines (binary value) disagree
+    # STRUCTURALLY — observed live at sf0.1 on knn_ivf_kmeans.
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_r").desc(), F.col("neighbor_id").asc()
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round(F.col("sim_r"), 4).alias("cosine"))
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("sim"), 4).alias("cosine"))
     )
 
 
@@ -85,7 +90,8 @@ def knn_bruteforce(
     pairs = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+        .withColumn("sim", dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("sim_r", F.round(F.col("sim"), 6))
     )
     return _ranked_topk(pairs, k)
 
@@ -125,7 +131,8 @@ def knn_ivf_signbits(
     pairs = (
         q.join(c, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+        .withColumn("sim", dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("sim_r", F.round(F.col("sim"), 6))
     )
     return _ranked_topk(pairs, k)
 
@@ -370,7 +377,8 @@ def knn_quantized_rescore(
             (c.select("neighbor_id", "c_vec", "c_norm").withColumnRenamed("neighbor_id", "_nid")),
             F.col("neighbor_id") == F.col("_nid"),
         )
-        .withColumn("sim_r", F.round(exact_dot / (F.col("q_norm") * F.col("c_norm")), 6))
+        .withColumn("sim", exact_dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("sim_r", F.round(F.col("sim"), 6))
     )
     return _ranked_topk(pairs, k)
 
@@ -470,8 +478,10 @@ def knn_bruteforce_blas(
                     if ids_[j] == qid:
                         continue
                     rank += 1
-                    sim_r = _spark_round(raw[r, j], 6)
-                    rows.append((int(qid), int(ids_[j]), rank, _spark_round(sim_r, 4)))
+                    # display-round the RAW ratio (the grid value would
+                    # double-round onto 1e-4 half-boundaries — see
+                    # _ranked_topk); ranking stays on the 1e-6 grid above
+                    rows.append((int(qid), int(ids_[j]), rank, _spark_round(raw[r, j], 4)))
                     if rank >= k:
                         break
             yield pd.DataFrame(
@@ -587,7 +597,8 @@ def hard_negatives(
     pairs = (
         q.crossJoin(c)
         .where(F.col("query_label") != F.col("neighbor_label"))
-        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+        .withColumn("sim", dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("sim_r", F.round(F.col("sim"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_r").desc(), F.col("neighbor_id").asc()
@@ -601,7 +612,7 @@ def hard_negatives(
             "neighbor_id",
             "neighbor_label",
             "rank",
-            F.round(F.col("sim_r"), 4).alias("cosine"),
+            F.round(F.col("sim"), 4).alias("cosine"),
         )
     )
 
@@ -669,7 +680,8 @@ def retrieval_eval(
     pairs = (
         q.crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_r", F.round(dot / (F.col("q_norm") * F.col("c_norm")), 6))
+        .withColumn("sim", dot / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("sim_r", F.round(F.col("sim"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_r").desc(), F.col("neighbor_id").asc()

@@ -1005,16 +1005,17 @@ n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FRO
 WITH {SQL_EMB_NORM},
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM n q JOIN n c ON q.vec_id != c.vec_id
   WHERE q.vec_id % 20 = 0
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM p
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine
 FROM r WHERE rank <= 5
 """)
 def knn_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,16 +1039,17 @@ WITH {SQL_EMB_NORM},
 cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
   WHERE q.vec_id % 20 = 0
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM p
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine
 FROM r WHERE rank <= 5
 """)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1071,15 +1073,16 @@ qp AS (
 ),
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM qp q JOIN cells c ON q.probe = c.cell AND q.vec_id != c.vec_id
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM p
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine
 FROM r WHERE rank <= 5
 """)
 def knn_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4583,15 +4586,16 @@ cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
 newb AS (SELECT vec_id + 500000 AS vec_id, v, nrm, cell FROM cells WHERE vec_id % 23 = 0),
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM newb q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM p
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine
 FROM r WHERE rank <= 5
 """)
 def knn_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5904,17 +5908,18 @@ sl AS (
 keep AS (SELECT query_id, neighbor_id FROM sl WHERE arank <= 15),
 ex AS (
   SELECT k.query_id, k.neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM keep k
   JOIN n q ON q.vec_id = k.query_id
   JOIN n c ON c.vec_id = k.neighbor_id
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM ex
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine
 FROM r WHERE rank <= 5
 """)
 def knn_quantized_rescore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6151,16 +6156,17 @@ def ngram_lm_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {SQL_EMB_NORM},
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM n q JOIN n c ON q.vec_id != c.vec_id
   WHERE q.vec_id % 20 = 0
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM p
 )
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine
 FROM r WHERE rank <= 5
 """)
 def knn_bruteforce_blas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7796,8 +7802,13 @@ def _kmeans_ctes(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
   ) WHERE rn = 1
 ),
 u{t} AS (
+  -- integer sufficient statistic: per-row nano-quantize, exact HUGEINT
+  -- sum, ONE division before the 1e-6 rounding (mirrors kmeans_lloyd)
   SELECT cid, list(m ORDER BY i) AS cen FROM (
-    SELECT a.cid, g.i, round(avg(a.e[g.i]), 6) AS m
+    SELECT a.cid, g.i,
+           round(CAST(sum(CAST(floor(a.e[g.i] * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000000.0, 6) AS m
     FROM a{t} a, generate_series(1, {dims}) AS g(i)
     GROUP BY a.cid, g.i
   ) GROUP BY cid
@@ -8858,7 +8869,9 @@ def _pca_oracle_sql(iterations: int = 8, dims: int = 64) -> str:
   FROM cx c CROSS JOIN (SELECT vv FROM {prev}) v
 ),
 w{t} AS MATERIALIZED (
-  SELECT g.d AS d, sum(dd.dot * dd.cx[g.d]) AS w
+  SELECT g.d AS d,
+         CAST(sum(CAST(floor(dd.dot * dd.cx[g.d] * 1000000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000000.0 AS w
   FROM d{t} dd CROSS JOIN generate_series(1, {dims}) AS g(d)
   GROUP BY g.d
 ),
@@ -8875,7 +8888,10 @@ WITH e AS (
 ),
 mu AS (
   SELECT list(m ORDER BY i) AS mm FROM (
-    SELECT g.i, round(avg(e.emb[g.i]), 6) AS m
+    SELECT g.i,
+           round(CAST(sum(CAST(floor(e.emb[g.i] * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000000.0, 6) AS m
     FROM e CROSS JOIN generate_series(1, {dims}) AS g(i)
     GROUP BY g.i
   )
@@ -8890,10 +8906,10 @@ v0 AS (SELECT [{e1}] AS vv),
 {", ".join(rounds)},
 stats AS (
   SELECT count(*) AS n,
-         (SELECT sum(s) FROM (
-            SELECT sum(c2.cx[g.i] * c2.cx[g.i]) AS s
-            FROM cx c2 CROSS JOIN generate_series(1, {dims}) AS g(i)
-            GROUP BY g.i)) AS totss
+         (SELECT CAST(sum(CAST(floor(c2.cx[g.i] * c2.cx[g.i]
+                                     * 1000000000.0 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1000000000.0
+          FROM cx c2 CROSS JOIN generate_series(1, {dims}) AS g(i)) AS totss
   FROM cx
 )
 SELECT round(n{iterations}.nrm / stats.n, 4) AS eigenvalue,
@@ -10185,18 +10201,19 @@ cells AS (
 ),
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM cells q JOIN cells c ON q.cid = c.cid AND q.vec_id != c.vec_id
   WHERE q.vec_id % 20 = 0
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM p
 )
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-       round(sim_r, 4) AS cosine
+       round(sim, 4) AS cosine
 FROM r WHERE rank <= 5
 """.replace("{KMEANS}", "__KM__"))
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10241,13 +10258,17 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         q.join(c, "cluster_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_r", F.round(dot / (F.col("qn") * F.col("cn")), 6))
+        .withColumn("sim", dot / (F.col("qn") * F.col("cn")))
+        .withColumn("sim_r", F.round(F.col("sim"), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_r"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", F.round("sim_r", 4).alias("cosine"))
+        # display-round the RAW ratio: re-rounding the 1e-6 grid lands ON
+        # 1e-4 half-boundaries (observed live at sf0.1: 0.326850 rendered
+        # 0.3269 here vs 0.3268 in DuckDB) — see similarity._ranked_topk
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
     )
 
 
@@ -10767,6 +10788,7 @@ lab AS (SELECT vec_id, label FROM embeddings),
 p AS (
   SELECT q.vec_id AS query_id, ql.label AS query_label,
          c.vec_id AS neighbor_id, cl.label AS neighbor_label,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM n q
   JOIN lab ql ON q.vec_id = ql.vec_id
@@ -10781,7 +10803,7 @@ r AS (
 )
 SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
        neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
-       CAST(rank AS BIGINT) AS rank, round(sim_r, 4) AS cosine
+       CAST(rank AS BIGINT) AS rank, round(sim, 4) AS cosine
 FROM r WHERE rank <= 3
 """)
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15327,16 +15349,17 @@ WITH {SQL_EMB_NORM},
 cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim,
          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
   FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
 ),
 r AS (
-  SELECT query_id, neighbor_id, sim_r,
+  SELECT query_id, neighbor_id, sim, sim_r,
          row_number() OVER (PARTITION BY query_id ORDER BY sim_r DESC, neighbor_id) AS rank
   FROM p
 ),
-best AS (SELECT query_id, neighbor_id, sim_r FROM r WHERE rank = 1)
-SELECT a.query_id AS id_a, a.neighbor_id AS id_b, round(a.sim_r, 4) AS cosine
+best AS (SELECT query_id, neighbor_id, sim FROM r WHERE rank = 1)
+SELECT a.query_id AS id_a, a.neighbor_id AS id_b, round(a.sim, 4) AS cosine
 FROM best a JOIN best b
   ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
 WHERE a.query_id < a.neighbor_id

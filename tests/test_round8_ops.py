@@ -185,10 +185,12 @@ def test_kmeans_lloyd_matches_python_reference_random(spark):
     """Randomized transcription of the kmeans_lloyd determinism contract
     (operators/clustering.py module docstring): init = k smallest-id
     vectors on the 1e-6 grid, assignment by 1e-4-rounded squared L2 with
-    centroid-id tie-break, update = round(avg, 6), empty cluster keeps
-    its centroid. Inputs are dyadic rationals (k/16) so every cross-row
-    sum is EXACT in double — the test is then bit-deterministic and
-    independent of Spark's partial-aggregation order."""
+    centroid-id tie-break, update = round of the INTEGER sufficient
+    statistic (per-row floor(x*1e9+0.5), exact sum, one division) to
+    1e-6, empty cluster keeps its centroid. The integer sum makes the
+    trajectory bit-deterministic and independent of Spark's
+    partial-aggregation order for ANY inputs."""
+    import math
     import random
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -220,7 +222,14 @@ def test_kmeans_lloyd_matches_python_reference_random(spark):
                 mem = [v for i, v in rows if assign[i][0] == c]
                 if mem:
                     new.append(
-                        [rhu(sum(m[d] for m in mem) / len(mem), 6) for d in range(DIMS)]
+                        [
+                            rhu(
+                                float(sum(math.floor(m[d] * 1e9 + 0.5) for m in mem))
+                                / len(mem) / 1e9,
+                                6,
+                            )
+                            for d in range(DIMS)
+                        ]
                     )
                 else:
                     new.append(cen)

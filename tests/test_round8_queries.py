@@ -374,9 +374,10 @@ def test_kmeans_cluster_topics_matches_python(spark):
     """Query-level twin of the randomized Lloyd-contract test
     (test_round8_ops): python Lloyd (k=8, 2 rounds, 64 dims, the exact
     grid contract) over the REAL sf0.001 embeddings, then per-cluster
-    token counts and top-3 by (count desc, token asc). Carries the
-    operator docstring's accepted ~1e-12 ULP risk on the 1e-6 centroid
-    grid — unstructured, negligible, and shared with the DuckDB oracle."""
+    token counts and top-3 by (count desc, token asc). The centroid
+    update mirrors the engine's integer sufficient statistic (per-row
+    floor(x*1e9+0.5), exact int sum, one division) — order-exact."""
+    import math as _math
     got = sorted(
         (r["cluster_id"], r["token"], r["n_occurrences"], r["rank"])
         for r in Q.queries()["kmeans_cluster_topics"](spark, SF).collect()
@@ -404,7 +405,14 @@ def test_kmeans_cluster_topics_matches_python(spark):
             mem = [v for vid, v in rows if assign[vid] == c]
             if mem:
                 new.append(
-                    [_round_half_up(float(sum(m[d] for m in mem) / len(mem)), 6) for d in range(64)]
+                    [
+                        _round_half_up(
+                            float(sum(_math.floor(m[d] * 1e9 + 0.5) for m in mem))
+                            / len(mem) / 1e9,
+                            6,
+                        )
+                        for d in range(64)
+                    ]
                 )
             else:
                 new.append(cents[c])

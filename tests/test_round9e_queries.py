@@ -238,7 +238,9 @@ def test_hard_negatives_match_python(spark):
             )
         )[:3]
         for i, (ns, c) in enumerate(sims):
-            want[(q, i + 1)] = (c, labels[c], _rhu(-ns, 4))
+            # display cosine = 4-round of the RAW ratio (no double-round)
+            raw = float(vecs[q] @ vecs[c]) / (norms[q] * norms[c])
+            want[(q, i + 1)] = (c, labels[c], _rhu(raw, 4))
     assert set(got) == set(want)
     for k, (c, lb, cos) in want.items():
         g = got[k]

@@ -155,7 +155,9 @@ def test_knn_bruteforce_matches_python(spark):
             )
         )[:5]
         for i, (ns, c) in enumerate(sims):
-            want[(q, i + 1)] = (c, _rhu(-ns, 4))
+            # display cosine = 4-round of the RAW ratio (no double-round)
+            raw = float(vecs[q] @ vecs[c]) / (norms[q] * norms[c])
+            want[(q, i + 1)] = (c, _rhu(raw, 4))
     assert set(got) == set(want)
     for k, (c, cos) in want.items():
         assert got[k][0] == c and abs(got[k][1] - cos) < 2e-4

@@ -231,7 +231,14 @@ def test_knn_ivf_kmeans_matches_python(spark):
             mem = [v for vid, v in rows if assign[vid] == c]
             if mem:
                 new.append(
-                    [_rhu(float(sum(m[d] for m in mem) / len(mem)), 6) for d in range(64)]
+                    [
+                        _rhu(
+                            float(sum(math.floor(m[d] * 1e9 + 0.5) for m in mem))
+                            / len(mem) / 1e9,
+                            6,
+                        )
+                        for d in range(64)
+                    ]
                 )
             else:
                 new.append(cents[c])
@@ -253,7 +260,10 @@ def test_knn_ivf_kmeans_matches_python(spark):
             )
         )[:5]
         for i, (ns, x) in enumerate(sims):
-            want[(q, i + 1)] = (x, _rhu(-ns, 4))
+            # display cosine = 4-round of the RAW ratio (the engine no
+            # longer re-rounds the 1e-6 ranking grid — double-rounding)
+            raw = float(vecs[q] @ vecs[x]) / (norms[q] * norms[x])
+            want[(q, i + 1)] = (x, _rhu(raw, 4))
     assert set(got) == set(want)
     for k, (x, cos) in want.items():
         assert got[k][0] == x and abs(got[k][1] - cos) < 2e-4
