@@ -149,6 +149,20 @@ _CHECK_FIRST = [
     "kmeans_embeddings",
     "pca_top_component",
     "knn_ivf_kmeans",
+    #    * knn display-cosine double-round fix (raw-ratio 4-rounding):
+    #      knn_bruteforce + blas + ivf_kmeans above already ride; the
+    #      other emitters are pinned by the local parity sweep at both
+    #      sf0.01 and sf0.1 plus batch-15 references.
+    #    * degenerate-report sweep (welch zero-rows pattern, r8 verdict
+    #      item 6): single-group/zero-variance inputs now emit zero rows
+    #      instead of NULL statistics in these six (chi2_* rides in the
+    #      backlog block below):
+    "anova_price_by_priority",
+    "cochran_armitage_priority_trend",
+    "cramers_v_priority_segment",
+    "ab_test_conversion_ztest",
+    "bh_fdr_urgent_nations",
+    "mann_kendall_daily_revenue",
     # -- never driver-checked: the FULL 22-query backlog (r8 verdict
     #    item 1 — drain to zero; riskiest/newest first) --
     "decontaminate_semantic_embeddings",
@@ -7342,6 +7356,7 @@ SELECT n0, k0, n1, k1,
              / sqrt(((k0 + k1) * 1.0 / (n0 + n1)) * (1 - (k0 + k1) * 1.0 / (n0 + n1))
                     * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
 FROM wide
+WHERE n0 > 0 AND n1 > 0 AND (k0 + k1) > 0 AND (k0 + k1) < (n0 + n1)
 """)
 def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: per-cohort view->purchase (2 h window)
@@ -7382,6 +7397,15 @@ def ab_test_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = F.col("k1") * 1.0 / F.col("n1")
     pp = (F.col("k0") + F.col("k1")) * 1.0 / (F.col("n0") + F.col("n1"))
     z = (r0 - r1) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    # degenerate-report contract (welch pattern): z needs both arms
+    # populated and a pooled rate strictly inside (0, 1) — emit ZERO
+    # rows, never a NULL z_score (a missing arm leaves n0/n1 NULL here)
+    wide = wide.where(
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & ((F.col("k0") + F.col("k1")) > 0)
+        & ((F.col("k0") + F.col("k1")) < (F.col("n0") + F.col("n1")))
+    )
     return wide.select(
         "n0", "k0", "n1", "k1",
         F.round(r0, 4).alias("rate_0"),
@@ -10091,11 +10115,15 @@ full_grid AS (
   FROM m CROSS JOIN s CROSS JOIN n
   LEFT JOIN obs ON obs.lang = m.lang AND obs.source = s.source
 )
-SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
-       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
-         AS dof,
-       CAST(any_value(total) AS BIGINT) AS n
-FROM full_grid
+SELECT * FROM (
+  SELECT round(list_reduce(
+           list((o - e) * (o - e) / e ORDER BY lang, source),
+           (acc, x) -> acc + x), 4) AS chi2,
+         CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
+           AS dof,
+         CAST(any_value(total) AS BIGINT) AS n
+  FROM full_grid
+) WHERE dof >= 1
 """)
 def chi2_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square test of independence between document language
@@ -10119,13 +10147,27 @@ def chi2_lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("rl") * F.col("cs") * 1.0 / F.col("total")).alias("e"),
         )
     )
-    return grid.agg(
-        F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 4).alias("chi2"),
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    agg = grid.agg(
+        # ordered left fold over the (lang, source)-sorted term list —
+        # the cramers_v/anova discipline: no hash-agg order can move a ulp
+        F.array_sort(
+            F.collect_list(F.struct(F.col("lang"), F.col("source"), term.alias("t")))
+        ).alias("arr"),
         ((F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1))
         .cast("long")
         .alias("dof"),
         F.any_value("total").cast("long").alias("n"),
+    ).select(
+        F.round(
+            F.aggregate(F.col("arr"), F.lit(0.0), lambda a, x: a + x["t"]), 4
+        ).alias("chi2"),
+        "dof",
+        "n",
     )
+    # degenerate-report contract (welch pattern): a 1-level factor gives
+    # dof = 0 (the test is vacuous) — emit ZERO rows
+    return agg.where(F.col("dof") >= 1)
 
 
 @register("cohort_ltv_curve", """
@@ -15432,6 +15474,7 @@ SELECT n_days, n_pairs, s_stat, var_s, z,
             WHEN z < -1.96 THEN 'decreasing'
             ELSE 'none' END AS trend
 FROM m
+WHERE var_s > 0
 """)
 def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall non-parametric trend test on 1995 daily revenue —
@@ -15497,6 +15540,9 @@ def mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_raw, 4).alias("var_s"),
         F.round(z_num / F.sqrt(var_raw), 4).alias("z"),
     )
+    # degenerate-report contract (welch pattern): a single-day or
+    # all-tied series has zero null variance — emit ZERO rows, not NULLs
+    m = m.where(F.col("var_s") > 0)
     return m.select(
         "n_days",
         "n_pairs",
@@ -16144,6 +16190,7 @@ SELECT nt AS n_rows, k AS n_groups,
              / ((CAST(qt AS DOUBLE) - sum_sq_over_n) / CAST(nt - k AS DOUBLE)),
              6) AS f_stat
 FROM tot
+WHERE k >= 2 AND nt > k
 """)
 def anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F-statistic for order price across the 5 priority
@@ -16194,6 +16241,9 @@ def anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / F.col("nt").cast("double")
     ssw = F.col("qt").cast("double") - F.col("sum_sq_over_n")
+    # degenerate-report contract (welch pattern): F needs >= 2 groups and
+    # a positive within-group df — emit ZERO rows, never NULL statistics
+    parts = parts.where((F.col("k") >= 2) & (F.col("nt") > F.col("k")))
     return parts.select(
         F.col("nt").alias("n_rows"),
         F.col("k").alias("n_groups"),
@@ -16484,6 +16534,7 @@ z AS (
                 * (1.0 - CAST(tot.xt AS DOUBLE) / CAST(tot.nt AS DOUBLE))
                 / CAST(j.n AS DOUBLE)) AS zval
   FROM j CROSS JOIN tot
+  WHERE tot.xt > 0 AND tot.xt < tot.nt
 ),
 p AS (
   SELECT n_name, n, x, zval, {_bh_pvalue_sql('zval')} AS pval FROM z
@@ -16537,6 +16588,9 @@ def bh_fdr_urgent_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     zval = (F.col("x").cast("double") / F.col("n").cast("double") - p0) / F.sqrt(
         p0 * (1.0 - p0) / F.col("n").cast("double")
     )
+    # degenerate-report contract (welch pattern): a 0 or 1 global rate
+    # zeroes every test's null variance — emit ZERO rows, never NULL z/p
+    tot = tot.where((F.col("xt") > 0) & (F.col("xt") < F.col("nt")))
     z = j.crossJoin(F.broadcast(tot)).select("n_name", "n", "x", zval.alias("zval"))  # b: 1row
     xx = F.abs(F.col("zval")) / F.sqrt(F.lit(2.0))
     tt = 1.0 / (1.0 + 0.3275911 * xx)
@@ -17299,6 +17353,7 @@ SELECT round(chi2, 4) AS chi2,
        round(sqrt(chi2 / (CAST(n AS DOUBLE)
                           * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
 FROM agg
+WHERE r >= 2 AND c >= 2
 """)
 def cramers_v_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramér's V effect size for the association between order
@@ -17359,6 +17414,9 @@ def cramers_v_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         "n",
     )
+    # degenerate-report contract (welch pattern): V divides by
+    # min(r-1, c-1) — a 1-level factor makes it undefined, emit ZERO rows
+    agg = agg.where((F.col("r") >= 2) & (F.col("c") >= 2))
     return agg.select(
         F.round(F.col("chi2"), 4).alias("chi2"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
@@ -18313,6 +18371,7 @@ SELECT nt AS n_rows, k AS n_groups,
                        - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
                          / CAST(nt AS DOUBLE))), 4) AS trend_z
 FROM s
+WHERE k >= 2 AND rt > 0 AND rt < nt
 """)
 def cochran_armitage_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran-Armitage test for a LINEAR TREND in the fulfilled-order
@@ -18343,6 +18402,12 @@ def cochran_armitage_priority_trend(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("k"),
     )
     p = F.col("rt").cast("double") / F.col("nt").cast("double")
+    # degenerate-report contract (welch pattern): the null variance is
+    # zero with a single score level or an all-0/all-1 outcome — emit
+    # ZERO rows, never a NULL trend_z
+    s = s.where(
+        (F.col("k") >= 2) & (F.col("rt") > 0) & (F.col("rt") < F.col("nt"))
+    )
     return s.select(
         F.col("nt").alias("n_rows"),
         F.col("k").alias("n_groups"),
