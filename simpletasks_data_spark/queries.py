@@ -9297,6 +9297,7 @@ def _logreg_gd_multi(
     iterations: int = 5,
     lr: float = 1.0,
     cache_key: str | None = None,
+    return_trajectory: bool = False,
 ) -> list:
     """Full-batch GD over N chains AT ONCE: ``chains`` is a list of
     ``(row_condition_or_None, (mask_x1, mask_x2))`` and each iteration
@@ -9313,11 +9314,15 @@ def _logreg_gd_multi(
     weights per (feature-store key, key, iterations, lr) for the
     session — production trains once and scores many, and four catalog
     queries consume the IDENTICAL full-frame model; training is
-    deterministic so the cache can never change a result."""
+    deterministic so the cache can never change a result.
+    ``return_trajectory=True`` returns, per chain, the list of weight
+    vectors AFTER each round (length ``iterations``) instead of only
+    the final one — the training-dynamics (dataset cartography) input;
+    trajectories bypass the cache (same determinism, rarely reused)."""
     from .operators.clustering import _round_half_up
 
     ck = None
-    if cache_key is not None:
+    if cache_key is not None and not return_trajectory:
         # Key on the feature STORE's own (sparkContext id, sf_dir) entry —
         # never id(features): a frame identity key silently re-opens a
         # stale-hit-after-GC hole the moment a caller passes a derived
@@ -9337,6 +9342,7 @@ def _logreg_gd_multi(
         return F.floor(c * F.lit(1000000000.0) + F.lit(0.5)).cast("decimal(38,0)")
 
     ws = [[0.0, 0.0, 0.0] for _ in chains]
+    traj = [[] for _ in chains]
     for _ in range(iterations):
         aggs = []
         for ci, (cond, _mask) in enumerate(chains):
@@ -9370,6 +9376,11 @@ def _logreg_gd_multi(
                 else 0.0
                 for k in range(3)
             ]
+        if return_trajectory:
+            for ci in range(len(chains)):
+                traj[ci].append(list(ws[ci]))
+    if return_trajectory:
+        return traj
     if ck is not None:
         _LOGREG_GD_CACHE[ck] = [list(w) for w in ws]
     return ws
@@ -19327,3 +19338,394 @@ def decontaminate_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataF
         (F.col("vec_id") + 500000).alias("bench_id"), "embedding"
     )
     return SIM.semantic_contamination(emb, bench, threshold=0.9, bits=8, bands=2)
+
+
+# ===========================================================================
+# Round-9 additions: training-data curation diagnostics
+# ===========================================================================
+
+
+@register("training_dynamics_cartography", f"""
+WITH {{LOGREG}},
+sc AS (
+  SELECT f.y,
+         1.0 / (1.0 + exp(-(w1.w0 + w1.w1 * f.x1 + w1.w2 * f.x2))) AS p1,
+         1.0 / (1.0 + exp(-(w2.w0 + w2.w1 * f.x1 + w2.w2 * f.x2))) AS p2,
+         1.0 / (1.0 + exp(-(w3.w0 + w3.w1 * f.x1 + w3.w2 * f.x2))) AS p3,
+         1.0 / (1.0 + exp(-(w4.w0 + w4.w1 * f.x1 + w4.w2 * f.x2))) AS p4,
+         1.0 / (1.0 + exp(-(w5.w0 + w5.w1 * f.x1 + w5.w2 * f.x2))) AS p5
+  FROM f CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3 CROSS JOIN w4 CROSS JOIN w5
+),
+m AS (
+  SELECT y * p1 + (1.0 - y) * (1.0 - p1) AS m1,
+         y * p2 + (1.0 - y) * (1.0 - p2) AS m2,
+         y * p3 + (1.0 - y) * (1.0 - p3) AS m3,
+         y * p4 + (1.0 - y) * (1.0 - p4) AS m4,
+         y * p5 + (1.0 - y) * (1.0 - p5) AS m5
+  FROM sc
+),
+c AS (
+  SELECT (m1 + m2 + m3 + m4 + m5) / 5.0 AS conf,
+         sqrt(greatest((m1*m1 + m2*m2 + m3*m3 + m4*m4 + m5*m5) / 5.0
+                       - ((m1 + m2 + m3 + m4 + m5) / 5.0)
+                         * ((m1 + m2 + m3 + m4 + m5) / 5.0), 0.0)) AS var
+  FROM m
+),
+b AS (
+  SELECT CASE WHEN var >= 0.09 THEN 'ambiguous'
+              WHEN conf >= 0.6 THEN 'easy'
+              WHEN conf < 0.4 THEN 'hard'
+              ELSE 'mid' END AS bucket,
+         conf, var
+  FROM c
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_examples,
+       round(CAST(sum(CAST(floor(conf * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000000.0, 4) AS avg_confidence,
+       round(CAST(sum(CAST(floor(var * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000000.0, 4) AS avg_variability
+FROM b GROUP BY bucket ORDER BY bucket
+""".replace("{LOGREG}", _logreg_ctes(5)))
+def training_dynamics_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography (training-dynamics data curation, after
+    Swayamdipta et al.'s data maps): score every example against the
+    logreg GD trajectory's per-ROUND weights — confidence = mean
+    true-class probability across the 5 rounds, variability = its
+    population std — then bucket the corpus into easy / hard (candidate
+    label noise) / ambiguous (the examples worth keeping for learning).
+    The trajectory comes from the shared integer-sufficient-statistic
+    GD (one agg per round); scoring is ONE pass with the 15 weight
+    literals folded into codegen — no per-round rescans. Per-row mean
+    and std are fixed-order 5-term expressions, and the per-bucket
+    averages are nano-quantized integer sums, so the report is
+    hash-exact cross-engine. At 100 TB the scoring pass is the same
+    one-scan map; buckets are dimension-bounded (4 rows)."""
+    feats = _logreg_features(spark, sf_dir)
+    traj = _logreg_gd_multi(
+        feats, [(None, (1, 1))], iterations=5, return_trajectory=True
+    )[0]
+    ms = []
+    for w0, w1, w2 in traj:
+        z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        ms.append(F.col("y") * p + (1.0 - F.col("y")) * (1.0 - p))
+    conf = (ms[0] + ms[1] + ms[2] + ms[3] + ms[4]) / 5.0
+    ss = (
+        ms[0] * ms[0] + ms[1] * ms[1] + ms[2] * ms[2] + ms[3] * ms[3] + ms[4] * ms[4]
+    ) / 5.0
+    var = F.sqrt(F.greatest(ss - conf * conf, F.lit(0.0)))
+    bucket = (
+        F.when(var >= 0.09, F.lit("ambiguous"))
+        .when(conf >= 0.6, F.lit("easy"))
+        .when(conf < 0.4, F.lit("hard"))
+        .otherwise(F.lit("mid"))
+    )
+
+    def _qn(c):
+        return F.floor(c * F.lit(1000000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+
+    rows = feats.select(bucket.alias("bucket"), conf.alias("conf"), var.alias("var"))
+    return (
+        rows.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.sum(_qn(F.col("conf"))).alias("_sc"),
+            F.sum(_qn(F.col("var"))).alias("_sv"),
+        )
+        .select(
+            "bucket",
+            "n_examples",
+            F.round(
+                F.col("_sc").cast("double") / F.col("n_examples") / 1e9, 4
+            ).alias("avg_confidence"),
+            F.round(
+                F.col("_sv").cast("double") / F.col("n_examples") / 1e9, 4
+            ).alias("avg_variability"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register("simhash_hamming_histogram", f"""
+WITH {{SIMHASH}},
+bands AS (
+  SELECT _id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY hamming ORDER BY hamming
+""".replace("{SIMHASH}", _simhash_sql(pairs=False).split("\nSELECT")[0].lstrip()[len("WITH "):]))
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration report for the SimHash dedup layer (the
+    Hamming twin of dedup_minhash_scurve): the full Hamming-distance
+    histogram of every BANDED candidate pair — no max-hamming cut — so
+    an operator choosing the dedup radius sees exactly how many pairs
+    each threshold admits and where the near-dup/background valley
+    sits. Shares the materialized signature store; the pair stage is
+    the same 8-bit-band equi-join as dedup_simhash_pairs (never
+    all-pairs), and the histogram is bounded by the 33 possible
+    distances of a 32-bit signature."""
+    sig = _simhash_store(spark, sf_dir)
+    pairs = DD.simhash_pairs_from_signatures(sig, "id", max_hamming=32)
+    return (
+        pairs.groupBy(F.col("hamming").cast("long").alias("hamming"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+@register("mixture_epoch_plan", f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({SQL_TOKENS.format(c='text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+z AS (
+  SELECT list_reduce(list(pow(CAST(n_tokens AS DOUBLE), 0.7) ORDER BY source),
+                     (acc, x) -> acc + x) AS zsum
+  FROM s
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(pow(CAST(s.n_tokens AS DOUBLE), 0.7) / z.zsum, 6) AS weight,
+       CAST(floor(3000000.0 * pow(CAST(s.n_tokens AS DOUBLE), 0.7) / z.zsum + 0.5)
+            AS BIGINT) AS planned_tokens,
+       round(3000000.0 * pow(CAST(s.n_tokens AS DOUBLE), 0.7) / z.zsum
+             / CAST(s.n_tokens AS DOUBLE), 4) AS epochs,
+       (3000000.0 * pow(CAST(s.n_tokens AS DOUBLE), 0.7) / z.zsum
+        / CAST(s.n_tokens AS DOUBLE)) > 4.0 AS repeat_risk
+FROM s CROSS JOIN z
+ORDER BY s.source
+""")
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture planner: temperature-weighted source sampling
+    (w_s ∝ tokens^0.7, the multilingual-sampling convention) against a
+    fixed token budget, reporting each source's planned token draw, the
+    implied EPOCH count over its corpus, and a >4-epoch repetition flag
+    (the empirical point of diminishing returns for repeated
+    pretraining data). Per-source token counts are exact integer sums
+    off one scan; the weight normalizer is an ordered fold over the
+    source-sorted pow terms (the anova discipline), and everything
+    downstream runs on the source-bounded frame."""
+    s = (
+        load(spark, sf_dir, "documents")
+        .select("source", TX.token_count("text").cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    z = s.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("source").alias("g"), pw.alias("t")))
+        ).alias("arr")
+    ).select(
+        F.aggregate(F.col("arr"), F.lit(0.0), lambda a, x: a + x["t"]).alias("zsum")
+    )
+    share = pw / F.col("zsum")
+    epochs = F.lit(3000000.0) * share / F.col("n_tokens").cast("double")
+    return (
+        s.crossJoin(F.broadcast(z))  # b: 1row
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("weight"),
+            F.floor(F.lit(3000000.0) * share + F.lit(0.5))
+            .cast("long")
+            .alias("planned_tokens"),
+            F.round(epochs, 4).alias("epochs"),
+            (epochs > 4.0).alias("repeat_risk"),
+        )
+        .orderBy("source")
+    )
+
+
+@register("doclen_percentile_grid", f"""
+WITH t AS (
+  SELECT doc_id, source, len({SQL_TOKENS.format(c='text')}) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+),
+q AS (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct)
+SELECT r.source, q.pct,
+       CAST(any_value(r.n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN r.rn = (q.pct * r.n + 99) // 100 THEN r.n_tok END)
+            AS BIGINT) AS len_at_pct
+FROM r JOIN q ON r.rn = (q.pct * r.n + 99) // 100
+GROUP BY r.source, q.pct
+ORDER BY r.source, q.pct
+""")
+def doclen_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source token-length percentile grid (p10..p99) — the
+    input every packing / batching / max-seq-len decision needs, with
+    DISCRETE percentiles (element at rank ceil(p*n/100), computed in
+    pure integer arithmetic) so both engines pick the identical row
+    where approximate or interpolated quantiles would drift. One window
+    rank per source; the grid is |sources| x 6 rows at any scale.
+    Production note: at 100 TB swap the exact window for the KLL/
+    bottom-k sketch (sketch_sample_quantiles) — this is the exact
+    ground-truth twin."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", TX.token_count("text").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    r = t.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    q = spark.createDataFrame([(p,) for p in (10, 25, 50, 75, 90, 99)], "pct int")
+    hit = r.join(
+        F.broadcast(q),  # b: dim
+        r["rn"] == F.floor((q["pct"] * r["n"] + 99) / 100),
+    )
+    return (
+        hit.groupBy("source", "pct")
+        .agg(
+            F.any_value("n").cast("long").alias("n_docs"),
+            F.max("n_tok").cast("long").alias("len_at_pct"),
+        )
+        .orderBy("source", "pct")
+    )
+
+
+@register("script_mix_report", """
+WITH c AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS total,
+         CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+              AS BIGINT) AS lower_c,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+              AS BIGINT) AS upper_c,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS digit_c,
+         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g'))
+              AS BIGINT) AS space_c
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(total) AS BIGINT) AS n_chars,
+       round(CAST(sum(lower_c) AS DOUBLE) / sum(total), 4) AS frac_lower,
+       round(CAST(sum(upper_c) AS DOUBLE) / sum(total), 4) AS frac_upper,
+       round(CAST(sum(digit_c) AS DOUBLE) / sum(total), 4) AS frac_digit,
+       round(CAST(sum(space_c) AS DOUBLE) / sum(total), 4) AS frac_space,
+       round(CAST(sum(total - lower_c - upper_c - digit_c - space_c) AS DOUBLE)
+             / sum(total), 4) AS frac_other
+FROM c GROUP BY lang ORDER BY lang
+""")
+def script_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language — the cheap mojibake /
+    wrong-encoding / mixed-script detector every multilingual cleaning
+    pipeline runs before tokenization (a 'en' shard with frac_other
+    spiking is a decode bug, not English). Per-doc class counts are
+    length-difference arithmetic on ASCII character classes (identical
+    regex semantics in every engine — no Unicode property classes),
+    summed exactly per language; the fractions are single divisions of
+    exact integers. One scan, language-bounded output."""
+    d = load(spark, sf_dir, "documents")
+
+    def cls(pat):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("long")
+
+    c = d.select(
+        "lang",
+        F.length("text").cast("long").alias("total"),
+        cls("[a-z]").alias("lower_c"),
+        cls("[A-Z]").alias("upper_c"),
+        cls("[0-9]").alias("digit_c"),
+        cls(" ").alias("space_c"),
+    )
+    tot = F.sum("total").cast("double")
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("total").cast("long").alias("n_chars"),
+            F.round(F.sum("lower_c").cast("double") / tot, 4).alias("frac_lower"),
+            F.round(F.sum("upper_c").cast("double") / tot, 4).alias("frac_upper"),
+            F.round(F.sum("digit_c").cast("double") / tot, 4).alias("frac_digit"),
+            F.round(F.sum("space_c").cast("double") / tot, 4).alias("frac_space"),
+            F.round(
+                F.sum(
+                    F.col("total")
+                    - F.col("lower_c")
+                    - F.col("upper_c")
+                    - F.col("digit_c")
+                    - F.col("space_c")
+                ).cast("double")
+                / tot,
+                4,
+            ).alias("frac_other"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register("hubness_report_embeddings", f"""
+WITH {SQL_EMB_NORM},
+cells AS (SELECT vec_id, v, nrm, {_ivf_bucket_sql('v')} AS cell FROM n),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim_r
+  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id != c.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim_r DESC, neighbor_id) AS rank
+  FROM p
+),
+occ AS (
+  SELECT neighbor_id, CAST(count(*) AS BIGINT) AS k_occ
+  FROM r WHERE rank <= 3 GROUP BY neighbor_id
+),
+allv AS (
+  SELECT e.vec_id, coalesce(occ.k_occ, 0) AS k_occ
+  FROM e LEFT JOIN occ ON occ.neighbor_id = e.vec_id
+)
+SELECT k_occ AS k_occurrences, CAST(count(*) AS BIGINT) AS n_vectors
+FROM allv GROUP BY k_occ ORDER BY k_occ
+""")
+def hubness_report_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnosis for the retrieval index: the k-occurrence
+    distribution N_3(x) — how many vectors' top-3 lists each vector
+    appears in. A healthy space concentrates near 3; a heavy right
+    tail (hub vectors appearing in hundreds of lists) is the
+    high-dimensional pathology that silently degrades kNN recall and
+    is the standard argument for mutual-kNN filtering
+    (mutual_knn_match_embeddings). Candidate generation is the
+    declared-recall sign-bit cell equi-join over ALL vectors (k=3 per
+    query via the per-cell window) — never all-pairs — and the
+    histogram output is bounded by max k-occurrence."""
+    emb = load(spark, sf_dir, "embeddings")
+    topk = SIM.knn_ivf_signbits(emb, emb, k=3, bits=6).select("neighbor_id")
+    occ = topk.groupBy("neighbor_id").agg(F.count(F.lit(1)).cast("long").alias("k_occ"))
+    allv = (
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+        .join(occ, "neighbor_id", "left")
+        .select(F.coalesce("k_occ", F.lit(0)).cast("long").alias("k_occ"))
+    )
+    return (
+        allv.groupBy(F.col("k_occ").alias("k_occurrences"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("k_occurrences")
+    )
