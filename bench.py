@@ -235,6 +235,12 @@ BENCH_QUERIES = [
     # pipelines — the census cost is the shared store build)
     "crossdup_layer_matrix",
     "dedup_cluster_size_histogram",
+    # round-9 curation diagnostics: the four with data-sized joins or
+    # multi-round trajectories (mixture/script reports are single-agg)
+    "training_dynamics_cartography",
+    "simhash_hamming_histogram",
+    "hubness_report_embeddings",
+    "doclen_percentile_grid",
 ]
 
 
