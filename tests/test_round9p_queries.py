@@ -173,3 +173,33 @@ def test_acid_log_replay_matches_python(spark, tmp_path):
         want = sorted(zip(expect[v].o_orderkey.astype(int), expect[v].o_orderstatus))
         assert via_table == want, f"TxnTable.read v{v}"
         assert via_log_rows == want, f"python log replay v{v}"
+
+
+def test_acid_checkpoint_replay_matches_python(spark, tmp_path):
+    """Cross the checkpoint boundary (checkpoint_every=10): TxnTable
+    resolves snapshots from the newest checkpoint + tail, while the
+    python reference replays EVERY commit from 0 — the two must agree
+    at every version, pinning that checkpoints are pure accelerators
+    and never change snapshot contents."""
+    from pyspark.sql import functions as F
+
+    from simpletasks_data_spark.plans.acid import TxnTable
+    from simpletasks_data_spark.queries import load
+
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    t = TxnTable(spark, str(tmp_path / "acid_ck"), checkpoint_every=10)
+    for m in range(12):  # versions 0..11; checkpoint lands at v10
+        t.append(orders.where(F.col("o_orderkey") % 12 == m).coalesce(1))
+    log_dir = str(tmp_path / "acid_ck" / "_txn_log")
+    assert any(n.endswith(".checkpoint.json") for n in os.listdir(log_dir))
+    src = orders.toPandas()
+    for v in (0, 9, 10, 11):
+        via_table = sorted(
+            int(r["o_orderkey"]) for r in t.read(version=v).collect()
+        )
+        via_log = _py_replay(str(tmp_path / "acid_ck"), v)
+        want = sorted(
+            int(k) for k in src.o_orderkey[src.o_orderkey % 12 <= v].tolist()
+        )
+        assert via_table == want, f"TxnTable.read v{v}"
+        assert sorted(via_log.o_orderkey.astype(int)) == want, f"replay v{v}"
