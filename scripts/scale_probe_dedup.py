@@ -152,6 +152,17 @@ def probe(spark, sf_dir: str, label: str) -> dict:
     n_verified = verified.count()
     t_join = time.time() - t0
 
+    # -- MinHash -> banded pairs -> connected components (the cluster
+    #    store consumers measured per r8 verdict item 4) --
+    import simpletasks_data_spark.queries as QQ
+
+    t0 = time.time()
+    n_mh_pairs = QQ.queries()["dedup_minhash"](spark, sf_dir).count()
+    t_minhash = time.time() - t0
+    t0 = time.time()
+    n_cluster_rows = QQ.queries()["dedup_clusters"](spark, sf_dir).count()
+    t_clusters = time.time() - t0
+
     n_docs = docs.count()
     return {
         "scale": label,
@@ -161,9 +172,13 @@ def probe(spark, sf_dir: str, label: str) -> dict:
         "n_raw_pair_groups": n_pair_groups,
         "n_candidates": n_candidates,
         "n_verified_pairs": n_verified,
+        "n_minhash_pairs": n_mh_pairs,
+        "n_cluster_rows": n_cluster_rows,
         "t_store_sec": round(t_store, 2),
         "t_shapes_sec": round(t_shapes, 2),
         "t_ppjoin_sec": round(t_join, 2),
+        "t_minhash_sec": round(t_minhash, 2),
+        "t_clusters_sec": round(t_clusters, 2),
     }
 
 

@@ -228,7 +228,9 @@ def pca_power_top1(
     v = [1.0] + [0.0] * (dims - 1)
     eig = 0.0
     n_rows = None
-    for _ in range(iterations):
+    total_var = None
+    cxd = lambda d: F.element_at(F.col("cx"), d + 1)  # noqa: E731
+    for t in range(iterations):
         v_lit = F.array(*[F.lit(float(x)) for x in v])
         dot = F.aggregate(
             F.zip_with(F.col("cx"), v_lit, lambda a, b: a * b),
@@ -236,19 +238,20 @@ def pca_power_top1(
             lambda acc, x: acc + x,
         )
         aggs = [F.count(F.lit(1)).alias("_n")] + [
-            F.sum(_qnano(dot * F.element_at(F.col("cx"), d + 1))).alias(f"w{d}")
-            for d in range(dims)
+            F.sum(_qnano(dot * cxd(d))).alias(f"w{d}") for d in range(dims)
         ]
+        if t == 0:
+            # total variance rides round 1's scan (one job saved): ONE
+            # exact integer sum over every (row, dim) cx^2 term — a
+            # single python int, so no cross-dim float ordering either
+            aggs += [F.sum(_qnano(cxd(d) * cxd(d))).alias(f"v{d}") for d in range(dims)]
         row = base.agg(*aggs).collect()[0]  # c: 1row
         n_rows = row["_n"]
+        if t == 0:
+            total_var_int = sum(int(row[f"v{d}"]) for d in range(dims))
         w = [float(row[f"w{d}"]) / 1e9 for d in range(dims)]
         norm = sum(x * x for x in w) ** 0.5
         eig = norm / n_rows
         v = [_round_half_up(x / norm, 6) for x in w]
-    # total variance from ONE exact integer sum over every (row, dim)
-    # cx^2 term — a single python int, so no cross-dim float ordering
-    cxd = lambda d: F.element_at(F.col("cx"), d + 1)  # noqa: E731
-    var_aggs = [F.sum(_qnano(cxd(d) * cxd(d))).alias(f"v{d}") for d in range(dims)]
-    vrow = base.agg(*var_aggs).collect()[0]  # c: 1row
-    total_var = float(sum(int(vrow[f"v{d}"]) for d in range(dims))) / 1e9 / n_rows
+    total_var = float(total_var_int) / 1e9 / n_rows
     return v, eig, eig / total_var
