@@ -606,3 +606,48 @@ def test_driver_collects_are_declared_bounded():
         "driver collects without a declared bound (see COLLECT_TAG_VOCAB):\n"
         + "\n".join(bad)
     )
+
+
+# --- grid double-round lint (round 9) ----------------------------------------
+# round(round(x, 6), 4) is a STRUCTURAL cross-engine divergence: a 1e-6
+# decimal-grid value like 0.326850 sits exactly ON a 1e-4 half-boundary,
+# where Spark's round (HALF_UP over the shortest decimal repr) and a
+# binary-value rounder (DuckDB) legitimately disagree — observed live at
+# sf0.1 on the knn display cosine. Rule: never re-round a finer decimal
+# grid to a coarser one; display values round the RAW expression, and
+# grid-to-integer scaling (round(x_grid * 10^grid_digits)) is the one
+# safe composition (the value lands ~0.5 away from any tie).
+def test_oracles_never_reround_a_finer_grid():
+    import re
+
+    bad = []
+    for name, sql in Q._ORACLES.items():
+        # re-rounding a *_r grid column to fewer digits
+        for m in re.finditer(r"round\(\s*(\w+_r)\s*,\s*(\d+)\s*\)", sql):
+            bad.append(f"{name}: {m.group(0)} re-rounds grid column {m.group(1)}")
+        # nested round(round(x, a) ..., possibly scaled: allowed ONLY when
+        # the inner grid is scaled to integers by 10^a before the outer
+        for m in re.finditer(r"round\(\s*round\((?:[^()]|\([^()]*\))*,\s*(\d+)\)", sql):
+            frag = sql[m.start() : m.start() + 160].replace("\n", " ")
+            a = int(m.group(1))
+            if f"* {10 ** a}" not in frag.replace("1000000.0", "1000000"):
+                bad.append(f"{name}: nested round without 10^{a} scale-out: {frag[:100]}")
+    assert not bad, "grid double-rounds in oracle SQL:\n" + "\n".join(bad)
+
+
+def test_engine_never_rerounds_a_grid_column():
+    """Package-wide source lint: F.round applied to a column whose name
+    ends in `_r` (the grid-suffix convention) is the same structural
+    double-round on the engine side."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(Q.__file__).parent
+    bad = []
+    pat = re.compile(r"F\.round\(\s*(?:F\.col\()?[\"'](\w+_r)[\"']")
+    for path in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            m = pat.search(line)
+            if m:
+                bad.append(f"{path.name}:{i} F.round on grid column {m.group(1)!r}")
+    assert not bad, "engine-side grid double-rounds:\n" + "\n".join(bad)
