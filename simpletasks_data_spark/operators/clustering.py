@@ -34,7 +34,8 @@ identical bytes — the same trick as ``graph.pagerank``):
 - update: each new centroid element is computed from an INTEGER
   sufficient statistic — per-row components quantize to nano-units
   (``floor(x*1e9 + 0.5)``, the identical IEEE op in every engine), sum
-  exactly (DECIMAL(38,0) here / HUGEINT in DuckDB), and divide once on
+  exactly (paired-BIGINT split sums here, recombined on the driver /
+  HUGEINT in DuckDB — same integer), and divide once on
   the driver before the 1e-6 rounding — so the trajectory is fully
   independent of partitioning and summation order (the same pattern as
   ``queries._logreg_gd_multi`` / ``graph.pagerank``); an empty cluster
@@ -61,14 +62,38 @@ def _round_half_up(x: float, digits: int) -> float:
     return float(decimal.Decimal(repr(float(x))).quantize(q, rounding=decimal.ROUND_HALF_UP))
 
 
+_LO_BITS = 31
+_LO_MASK = (1 << _LO_BITS) - 1
+
+
 def _qnano(c: Column) -> Column:
-    """Per-row nano-unit quantization for integer sufficient statistics:
-    ``floor(x*1e9 + 0.5)`` is the identical IEEE double op in every
-    engine, and the DECIMAL(38,0) sum is exact — so a statistic built
-    from these sums is independent of partitioning / summation order
-    (mirrors the oracle's ``floor(x*1e9 + 0.5)`` BIGINT/HUGEINT sum;
+    """Per-row nano-unit quantization: ``floor(x*1e9 + 0.5)`` is the
+    identical IEEE double op in every engine and yields a BIGINT here
+    (mirrors the oracle's ``floor(x*1e9 + 0.5)`` HUGEINT-summed term;
     same pattern as queries._logreg_gd_multi)."""
-    return F.floor(c * F.lit(1000000000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    return F.floor(c * F.lit(1000000000.0) + F.lit(0.5))
+
+
+def _qsum(q: Column, name: str) -> list[Column]:
+    """Exact integer sum of a nano-quantized BIGINT as a PAIR of BIGINT
+    sums (round-10 perf recovery, VERDICT r9 item 1b): the long splits
+    into ``hi = q >> 31`` (arithmetic shift = floor division, correct
+    for negatives) and ``lo = q & (2^31-1)`` so that
+    ``q == hi*2^31 + lo`` exactly; both partial sums stay comfortably
+    inside BIGINT (|hi| <= |q|/2^31, 0 <= lo < 2^31, so ~2^33 rows before
+    overflow at our magnitudes) and the driver reconstructs the SAME
+    exact integer the old DECIMAL(38,0) sum produced — pure long codegen
+    instead of per-row decimal conversion, identical statistic, so the
+    DuckDB HUGEINT oracles are untouched."""
+    return [
+        F.sum(F.shiftright(q, _LO_BITS)).alias(f"{name}_hi"),
+        F.sum(q.bitwiseAND(F.lit(_LO_MASK))).alias(f"{name}_lo"),
+    ]
+
+
+def _qget(row, name: str) -> int:
+    """Recombine a :func:`_qsum` pair into the exact Python integer sum."""
+    return int(row[f"{name}_hi"]) * (1 << _LO_BITS) + int(row[f"{name}_lo"])
 
 
 def _d2(vec: Column, cen: list[float]) -> Column:
@@ -109,10 +134,11 @@ def kmeans_lloyd(
 
     The per-round centroid is an exact integer sufficient statistic
     (r8 verdict item 3, closing the r6 accepted-ULP note): each member
-    component quantizes per-row to nano-units, the DECIMAL(38,0) sums
-    are exact, and the mean is one driver-side division before the
-    1e-6 rounding — the trajectory cannot depend on partitioning or
-    summation order (the logreg/pagerank pattern).
+    component quantizes per-row to nano-units, the paired-BIGINT sums
+    (:func:`_qsum`) recombine to the exact integer, and the mean is one
+    driver-side division before the 1e-6 rounding — the trajectory
+    cannot depend on partitioning or summation order (the
+    logreg/pagerank pattern).
     """
     base = emb.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
@@ -126,18 +152,31 @@ def kmeans_lloyd(
     assigned = None
     for _ in range(iterations):
         assigned = _assign(base, cents)
-        aggs = [F.count(F.lit(1)).alias("n")] + [
-            F.sum(_qnano(F.element_at(F.col("vec"), d + 1))).alias(f"s{d}")
-            for d in range(dims)
+        # posexplode + groupBy(cluster_id, d) instead of a dims-wide
+        # single-row agg (round-10 perf recovery): the wide form spent
+        # 1-2s/round BUILDING 64-128 Column expressions driver-side and
+        # planning/codegen-ing the giant aggregate; this plan is ~10
+        # expressions regardless of dims. Shuffle volume is identical
+        # (map-side partial agg collapses each partition to k*dims tiny
+        # rows either way), so the 100 TB story is unchanged.
+        exploded = assigned.select(
+            "cluster_id", F.posexplode("vec").alias("d", "x")
+        )
+        agg = exploded.groupBy("cluster_id", "d").agg(
+            F.count(F.lit(1)).alias("n"), *_qsum(_qnano(F.col("x")), "s")
+        )
+        sums: dict[int, dict[int, float]] = {}
+        for r in agg.collect():  # c: topk
+            # float() of the exact integer FIRST (one correctly-rounded
+            # conversion, same as the old float(Decimal) and the oracle's
+            # HUGEINT::DOUBLE cast), then the float divisions
+            sums.setdefault(r["cluster_id"], {})[r["d"]] = _round_half_up(
+                float(_qget(r, "s")) / r["n"] / 1e9, 6
+            )
+        cents = [
+            [sums[cid][d] for d in range(dims)] if cid in sums else cen
+            for cid, cen in enumerate(cents)
         ]
-        rows = {
-            r["cluster_id"]: [
-                _round_half_up(float(r[f"s{d}"]) / r["n"] / 1e9, 6)
-                for d in range(dims)
-            ]
-            for r in assigned.groupBy("cluster_id").agg(*aggs).collect()  # c: topk
-        }
-        cents = [rows.get(cid, cen) for cid, cen in enumerate(cents)]
     return assigned, cents
 
 
@@ -191,8 +230,10 @@ def pca_power_top1(
     ONE hash agg computing the 64 sums of ``(x-μ)·v · (x-μ)_d`` — i.e.
     the matrix-vector product X^T(Xv) WITHOUT materializing the
     covariance matrix (64×64 sums) or shuffling anything data-sized.
-    The centered row projects to a real column first so codegen reuses
-    it across the 64 extraction terms (HOF lambdas are not CSE'd).
+    Both the centered row AND the per-round dot product project to real
+    columns below the aggregate so codegen evaluates each once per row
+    across the 64 extraction terms (HOF lambdas are not CSE'd; the
+    round-9 regression came from inlining the dot into all 64 sums).
     Per-round 1e-6 quantization of the normalized vector keeps the
     trajectory engine-exact for the unrolled SQL oracle; v0 = e_1.
 
@@ -200,24 +241,33 @@ def pca_power_top1(
     X^T(Xv) sums, and the total-variance sum — is an exact integer
     sufficient statistic (r8 verdict item 3, closing the r6
     accepted-ULP note): per-row terms quantize to nano-units, the
-    DECIMAL(38,0) sums are exact, and the floats are reconstructed
-    once on the driver — no statistic depends on partitioning or
-    summation order. The only remaining float reductions are the
-    64-element driver-side norm and eigenvalue arithmetic, which are
-    deterministic (fixed d-order Python loops) and mirrored verbatim
-    in the oracle.
+    paired-BIGINT sums (:func:`_qsum`) recombine to the exact integer,
+    and the floats are reconstructed once on the driver — no statistic
+    depends on partitioning or summation order. The remaining float
+    reductions are driver-side and deterministic here (fixed d-order
+    Python loops); note the one residual cross-engine order-sensitive
+    float sum is the oracle's 64-term ``sum(w*w)`` norm, which DuckDB
+    aggregates in hash GROUP BY emission order, not this loop's d-order
+    — at 64 well-scaled terms no divergence has ever been observed, but
+    it is order-sensitive in principle (unlike the integer statistics,
+    which are order-free by construction).
     """
     arr = as_double(vec_col)
-    mean_aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(_qnano(F.element_at(arr, d + 1))).alias(f"m{d}") for d in range(dims)
-    ]
-    mrow = emb.agg(*mean_aggs).collect()[0]  # c: 1row
-    if not mrow["_n"]:
-        # degenerate-input guard (r8 empty-corpus sweep): sum over zero
-        # rows is NULL — fail loudly instead of float(None) downstream
+    # mean vector via posexplode + groupBy(d): same tiny-plan rationale
+    # as the kmeans_lloyd update step (round-10 perf recovery)
+    mrows = (
+        emb.select(F.posexplode(arr).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("_n"), *_qsum(_qnano(F.col("x")), "m"))
+        .collect()  # c: topk
+    )
+    if not mrows:
+        # degenerate-input guard (r8 empty-corpus sweep): zero rows
+        # would otherwise surface as float(None) downstream
         raise ValueError("pca_power_top1: empty embedding frame")
+    by_d = {r["d"]: r for r in mrows}
     mu = [
-        _round_half_up(float(mrow[f"m{d}"]) / mrow["_n"] / 1e9, 6)
+        _round_half_up(float(_qget(by_d[d], "m")) / by_d[d]["_n"] / 1e9, 6)
         for d in range(dims)
     ]
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
@@ -229,7 +279,6 @@ def pca_power_top1(
     eig = 0.0
     n_rows = None
     total_var = None
-    cxd = lambda d: F.element_at(F.col("cx"), d + 1)  # noqa: E731
     for t in range(iterations):
         v_lit = F.array(*[F.lit(float(x)) for x in v])
         dot = F.aggregate(
@@ -237,19 +286,31 @@ def pca_power_top1(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        aggs = [F.count(F.lit(1)).alias("_n")] + [
-            F.sum(_qnano(dot * cxd(d))).alias(f"w{d}") for d in range(dims)
-        ]
+        # Project the dot product to a REAL column below the explode
+        # (round-10 perf recovery, VERDICT r9 item 1a): HOF lambdas are
+        # not CSE'd, so inlining `dot` into each of the 64 sums made the
+        # round O(dims^2) multiply-adds per row; here codegen evaluates
+        # it once per row. The per-dim sums run as posexplode +
+        # groupBy(d) instead of a dims-wide single-row agg — the wide
+        # form spent 1-2s/round BUILDING 64-128 Column expressions
+        # driver-side and planning the giant aggregate (the actual r9
+        # regression mechanism); this plan is ~10 expressions regardless
+        # of dims, and shuffle volume is identical (map-side partial agg
+        # collapses each partition to dims tiny rows either way).
+        exploded = base.select(dot.alias("dot"), F.posexplode("cx").alias("d", "x"))
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        aggs += _qsum(_qnano(F.col("dot") * F.col("x")), "w")
         if t == 0:
             # total variance rides round 1's scan (one job saved): ONE
             # exact integer sum over every (row, dim) cx^2 term — a
             # single python int, so no cross-dim float ordering either
-            aggs += [F.sum(_qnano(cxd(d) * cxd(d))).alias(f"v{d}") for d in range(dims)]
-        row = base.agg(*aggs).collect()[0]  # c: 1row
-        n_rows = row["_n"]
+            aggs += _qsum(_qnano(F.col("x") * F.col("x")), "tv")
+        rows = exploded.groupBy("d").agg(*aggs).collect()  # c: topk
+        by_d = {r["d"]: r for r in rows}
+        n_rows = by_d[0]["_n"]
         if t == 0:
-            total_var_int = sum(int(row[f"v{d}"]) for d in range(dims))
-        w = [float(row[f"w{d}"]) / 1e9 for d in range(dims)]
+            total_var_int = sum(_qget(by_d[d], "tv") for d in range(dims))
+        w = [float(_qget(by_d[d], "w")) / 1e9 for d in range(dims)]
         norm = sum(x * x for x in w) ** 0.5
         eig = norm / n_rows
         v = [_round_half_up(x / norm, 6) for x in w]
