@@ -48,7 +48,7 @@ EMPTY_ALLOWED = [
     r"^merge_write_dry_run: dry-run produced zero created/updated rows",
     r"^streaming_late_data_drop: empty events table",
     r"^streaming_left_outer_attribution: events table has \d+ rows",
-    r"^AcidTable\.read: table '.*' has no committed snapshots",
+    r"^TxnTable\.read: table '.*' has no committed snapshots",
 ]
 
 

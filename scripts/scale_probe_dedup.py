@@ -25,11 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 THRESHOLD = 0.6
-K = 2  # the PPJoin's k-prefix extension (operators/dedupe.py)
 
 
 def build_sf1(spark) -> str:
@@ -97,50 +95,15 @@ def probe(spark, sf_dir: str, label: str) -> dict:
     n_hashes = hstream.count()
     t_store = time.time() - t0
 
-    # -- PPJoin stage shapes (mirrors operators/dedupe.ngram_jaccard_pairs) --
+    # -- PPJoin stage shapes: the PRODUCTION stage expressions, imported
+    # from operators/dedupe._ppjoin_prefix_stages (ADVICE r9 item 4 —
+    # a hand-copied mirror here silently desynchronized from operator
+    # changes; now any change to the operator IS the probe's shapes) --
     t0 = time.time()
     sizes = hstream.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = hstream.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = hstream.join(dfreq, "h").withColumn(
-        "rn", F.row_number().over(Window.partitionBy("_id").orderBy("df", "h"))
-    )
-    prefix = ranked.join(sizes, "_id").select("_id", "h", "rn", "sz").where(
-        F.col("rn") <= F.floor(F.lit(1.0 - THRESHOLD) * F.col("sz")) + K
-    ).localCheckpoint(eager=True)
-    n_prefix_rows = prefix.count()
-    pa, pb = prefix.alias("a"), prefix.alias("b")
-    t = F.lit(THRESHOLD)
-    groups = (
-        pa.join(
-            pb,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a._id") < F.col("b._id"))
-            & (F.col("b.sz") >= F.ceil(t * F.col("a.sz")))
-            & (F.col("a.sz") >= F.ceil(t * F.col("b.sz"))),
-        )
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.sz").alias("psz_a"),
-            F.col("b.sz").alias("psz_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.max("a.rn").alias("mra"),
-            F.max("b.rn").alias("mrb"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    n_pair_groups = groups.count()
-    min_overlap = F.ceil(t / (1.0 + THRESHOLD) * (F.col("psz_a") + F.col("psz_b")))
-    cand = groups.where(
-        (F.col("cnt") >= F.least(F.lit(K), min_overlap))
-        & (
-            F.col("cnt")
-            + F.least(F.col("psz_a") - F.col("mra"), F.col("psz_b") - F.col("mrb"))
-            >= min_overlap
-        )
-    )
+    prefix, groups, cand = DD._ppjoin_prefix_stages(hstream, sizes, THRESHOLD)
+    n_prefix_rows = prefix.localCheckpoint(eager=True).count()
+    n_pair_groups = groups.localCheckpoint(eager=True).count()
     n_candidates = cand.count()
     t_shapes = time.time() - t0
 

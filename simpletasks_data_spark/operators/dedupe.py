@@ -169,6 +169,76 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     )
 
 
+PPJOIN_K = 2  # k-prefix extension: one extra prefix element buys cnt>=2
+
+
+def _ppjoin_prefix_stages(
+    sh: DataFrame, sizes: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PPJoin candidate-generation stages, shared VERBATIM between
+    :func:`ngram_jaccard_pairs` (production) and
+    ``scripts/scale_probe_dedup.py`` (measurement) so the probe's stage
+    shapes can never silently desynchronize from the operator (ADVICE
+    r9 item 4).
+
+    Input: ``sh`` = (_id, h) distinct shingle hashes, ``sizes`` =
+    (_id, sz). Returns lazy ``(prefix, groups, cand)``:
+
+    - ``prefix``: per-doc rarest-first prefix rows (rn <=
+      floor((1-t)*sz) + PPJOIN_K);
+    - ``groups``: raw prefix pair-groups after the equi-join + length
+      filter, aggregated per (id_a, id_b) with cnt / max-rank stats —
+      the stage whose growth the sf1 probe tracks;
+    - ``cand``: ``groups`` after the k-prefix count and positional
+      upper-bound filters (columns id_a, id_b, psz_a, psz_b, cnt, mra,
+      mrb).
+    """
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "h").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("_id").orderBy(F.col("df"), F.col("h"))
+        ),
+    )
+    prefix = ranked.join(sizes, "_id").select("_id", "h", "rn", "sz").where(
+        F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + PPJOIN_K
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    t = F.lit(threshold)
+    min_overlap = F.ceil(t / (1.0 + threshold) * (F.col("psz_a") + F.col("psz_b")))
+    groups = (
+        pa.join(
+            pb,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.col("b.sz") >= F.ceil(t * F.col("a.sz")))
+            & (F.col("a.sz") >= F.ceil(t * F.col("b.sz"))),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sz").alias("psz_a"),
+            F.col("b.sz").alias("psz_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("a.rn").alias("mra"),
+            F.max("b.rn").alias("mrb"),
+        )
+    )
+    cand = groups.where(
+        (F.col("cnt") >= F.least(F.lit(PPJOIN_K), min_overlap))
+        & (
+            F.col("cnt")
+            + F.least(F.col("psz_a") - F.col("mra"), F.col("psz_b") - F.col("mrb"))
+            >= min_overlap
+        )
+    )
+    return prefix, groups, cand
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -241,8 +311,6 @@ def ngram_jaccard_pairs(
     scan inflates every downstream size estimate, demoting the prefix
     self-join to sort-merge and pushing whole array tables into
     broadcasts.)"""
-    from pyspark.sql import Window
-
     if hashed_shingles is not None:
         sh = hashed_shingles.select("_id", "h")
     else:
@@ -254,53 +322,8 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))  # shingles already distinct
 
     if prefix_filter:
-        dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        ranked = sh.join(dfreq, "h").withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("_id").orderBy(F.col("df"), F.col("h"))
-            ),
-        )
-        K = 2  # k-prefix extension: one extra prefix element buys cnt>=2
-        prefix = ranked.join(sizes, "_id").select("_id", "h", "rn", "sz").where(
-            F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + K
-        )
-        pa, pb = prefix.alias("a"), prefix.alias("b")
-        t = F.lit(threshold)
-        min_overlap = F.ceil(
-            t / (1.0 + threshold) * (F.col("psz_a") + F.col("psz_b"))
-        )
-        cand = (
-            pa.join(
-                pb,
-                (F.col("a.h") == F.col("b.h"))
-                & (F.col("a._id") < F.col("b._id"))
-                & (F.col("b.sz") >= F.ceil(t * F.col("a.sz")))
-                & (F.col("a.sz") >= F.ceil(t * F.col("b.sz"))),
-            )
-            .groupBy(
-                F.col("a._id").alias("id_a"),
-                F.col("b._id").alias("id_b"),
-                F.col("a.sz").alias("psz_a"),
-                F.col("b.sz").alias("psz_b"),
-            )
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.max("a.rn").alias("mra"),
-                F.max("b.rn").alias("mrb"),
-            )
-            .where(
-                (F.col("cnt") >= F.least(F.lit(K), min_overlap))
-                & (
-                    F.col("cnt")
-                    + F.least(
-                        F.col("psz_a") - F.col("mra"), F.col("psz_b") - F.col("mrb")
-                    )
-                    >= min_overlap
-                )
-            )
-            .select("id_a", "id_b")
-        )
+        _, _, cand = _ppjoin_prefix_stages(sh, sizes, threshold)
+        cand = cand.select("id_a", "id_b")
         hsets = sh.groupBy("_id").agg(F.sort_array(F.collect_list("h")).alias("hs"))
         shared = (
             cand.join(

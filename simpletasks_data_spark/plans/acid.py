@@ -450,7 +450,7 @@ class TxnTable:
         if version == -1:
             if schema is None:
                 raise ValueError(
-                    f"AcidTable.read: table '{self.path}' has no committed"
+                    f"TxnTable.read: table '{self.path}' has no committed"
                     " snapshots and no declared schema — empty or"
                     " never-written table"
                 )

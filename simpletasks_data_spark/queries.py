@@ -19591,9 +19591,13 @@ def doclen_percentile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
     )
     q = spark.createDataFrame([(p,) for p in (10, 25, 50, 75, 90, 99)], "pct int")
-    hit = r.join(
-        F.broadcast(q),  # b: dim
-        r["rn"] == F.floor((q["pct"] * r["n"] + 99) / 100),
+    # `div` = pure long integer division (ADVICE r9: the F.floor((..)/100)
+    # double path could pick the wrong rank once pct*n+99 > 2^53,
+    # contradicting the integer-arithmetic contract; all-positive here so
+    # div == floor, matching the oracle's // exactly)
+    hit = r.alias("r").join(
+        F.broadcast(q).alias("q"),  # b: dim
+        F.expr("r.rn = (q.pct * r.n + 99) div 100"),
     )
     return (
         hit.groupBy("source", "pct")
