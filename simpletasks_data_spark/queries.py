@@ -122,7 +122,81 @@ def _fresh_scratch_dir(name: str, sf_dir: str) -> str:
 # float to the front in this order; the remainder keep registration
 # order behind them.
 _CHECK_FIRST = [
-    # ==== round-9 window (driver checks the first 50) ====
+    # ==== round-10 window (driver checks the first 50) ====
+    # -- changed this round (regression gate):
+    #    * clustering perf recovery (r9 verdict item 1): kmeans_lloyd /
+    #      pca_power_top1 per-dim statistics now run as posexplode +
+    #      groupBy(d) with paired-BIGINT exact sums (same integers as the
+    #      old DECIMAL(38,0)); the power-iteration dot projects once per
+    #      row. Same trajectories, 2-2.5x faster.
+    "pca_top_component",
+    "kmeans_embeddings",
+    "kmeans_cluster_topics",
+    "knn_ivf_kmeans",
+    #    * doclen_percentile_grid target rank moved to pure long `div`
+    #      (r9 ADVICE item 2) — also one of the six first-timers below.
+    "doclen_percentile_grid",
+    #    * multimodal_decode rebuilt on REAL container parsing (r9
+    #      verdict item 4): mixed PNG/PPM/WAV/garbage corpus, header
+    #      sniff with CRC-verified PNG IHDR, new (fmt, width, height,
+    #      ok) schema.
+    "multimodal_decode",
+    #    * PPJoin candidate stages extracted to _ppjoin_prefix_stages
+    #      (shared with the scale probe; r9 ADVICE item 4) — same
+    #      expressions, but the two PPJoin-fed queries ride the gate:
+    "dedup_ngram_jaccard",
+    "dedup_minhash_eval",
+    #    * TxnTable.read empty-table message rename (r9 ADVICE item 1;
+    #      guard path only):
+    "streaming_acid_sink",
+    # -- never driver-checked (the 5 remaining r9-staged newcomers;
+    #    doclen_percentile_grid above is the 6th) --
+    "training_dynamics_cartography",
+    "simhash_hamming_histogram",
+    "mixture_epoch_plan",
+    "script_mix_report",
+    "hubness_report_embeddings",
+    # -- stalest rotation (last driver row r2/r3; all pinned every run
+    #    by the local oracle-parity suite) --
+    "asof_join_last_purchase",
+    "customers_without_orders_antijoin",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "dedup_simhash_signatures",
+    "events_hourly_rollup",
+    "events_json_extract",
+    "events_sessionize",
+    "field_relation_join",
+    "knn_bruteforce",
+    "knn_ivf_multiprobe",
+    "knn_ivf_signbits",
+    "multimodal_features",
+    "pivot_revenue_by_status",
+    "pyparser_roundtrip",
+    "q17_small_quantity_revenue",
+    "q4_late_orders_semijoin",
+    "rollup_returnflag_status",
+    "salted_agg_order_priority",
+    "salted_join_supplier_revenue",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "text_stats",
+    "top_parts_per_brand",
+    "acid_replace_where",
+    "acid_snapshot_rollup",
+    "bpe_train_merges",
+    "capped_sessions",
+    "communities_suppliers",
+    "curation_funnel",
+    "dedup_clusters",
+    "dedup_containment",
+    # ---- position 51+ from here: previous windows retained for
+    #      documentation ----
+    # ==== round-9 window (historical) ====
     # -- changed this round (regression gate):
     #    * dumping NaN contract (r8 ADVICE item 3): _py_format_float now
     #      screens NULL JVM-side and renders genuine NaN/Inf python-style
@@ -1530,25 +1604,43 @@ from .operators.multimodal import (  # noqa: E402
 
 
 @register("multimodal_decode", """
-WITH m AS (
-  SELECT doc_id AS media_id, md5(text) AS h,
-         16 + octet_length(CAST(text AS BLOB)) AS n_bytes
-  FROM documents
-)
-SELECT media_id,
-       CAST(1 + CAST(concat('0x', substr(h, 1, 2)) AS INT) % 64 AS INT) AS width,
-       CAST(1 + CAST(concat('0x', substr(h, 3, 2)) AS INT) % 64 AS INT) AS height,
-       CAST(n_bytes AS BIGINT) AS n_bytes,
-       TRUE AS ok
-FROM m
+SELECT doc_id AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'ppm' WHEN 2 THEN 'wav'
+            ELSE NULL END AS fmt,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 4 ELSE NULL END AS INT)
+         AS width,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 4 ELSE NULL END AS INT)
+         AS height,
+       (doc_id % 4 <> 3) AS ok
+FROM documents
 """)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode plumbing: payload bytes -> intrinsic metadata through
-    Arrow-batched mapInPandas (stub kernel: first bytes; see
-    operators/multimodal.py)."""
+    """REAL mixed-container metadata decode (round-10, replacing the r9
+    byte-derived stand-in): the corpus is split by doc_id%4 into real
+    PNG (5x5, CRC'd zlib IDAT), real PPM P6 (4x4), real RIFF/WAVE
+    PCM16, and deliberately-unparseable fake payloads; decode_metadata
+    sniffs each container and parses its actual header (PNG IHDR is
+    CRC-verified before the dimensions are trusted). The oracle predicts
+    format + dimensions + ok per class from the encoders' parameters —
+    so a decoder that guessed dimensions from raw bytes (the old stub)
+    or skipped CRC/chunk validation (garbage class must land ok=false)
+    cannot pass. n_bytes is project out: zlib output length isn't
+    SQL-predictable for the PNG class."""
+    from .operators.multimodal import encode_png, encode_ppm, encode_wav
+
     docs = load(spark, sf_dir, "documents")
-    media = attach_fake_payloads(docs, "doc_id", "text")
-    return decode_metadata(media)
+    cls = F.col("doc_id") % 4
+    media = (
+        encode_png(docs.where(cls == 0), "doc_id", "text", side=5)
+        .unionByName(encode_ppm(docs.where(cls == 1), "doc_id", "text", side=4))
+        .unionByName(encode_wav(docs.where(cls == 2), "doc_id", "text"))
+        .unionByName(
+            attach_fake_payloads(docs.where(cls == 3), "doc_id", "text").select(
+                "media_id", "payload"
+            )
+        )
+    )
+    return decode_metadata(media).select("media_id", "fmt", "width", "height", "ok")
 
 
 _MM_FEAT_KCOLS = ",\n       ".join(

@@ -30,14 +30,32 @@ def test_multimodal_payload_schema(spark):
     assert row.meta.modality == "image"
 
 
-def test_multimodal_decode_deterministic(spark):
-    docs = Q.load(spark, SF, "documents")
-    media = attach_fake_payloads(docs, "doc_id", "text")
-    d1 = {r.media_id: (r.width, r.height, r.n_bytes) for r in decode_metadata(media).collect()}
-    d2 = {r.media_id: (r.width, r.height, r.n_bytes) for r in decode_metadata(media).collect()}
-    assert d1 == d2
-    assert len(d1) == docs.count()
-    assert all(1 <= w <= 64 and 1 <= h <= 64 for (w, h, _) in d1.values())
+def test_multimodal_decode_real_sniff(spark):
+    from simpletasks_data_spark.operators.multimodal import (
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    docs = Q.load(spark, SF, "documents").limit(12)
+    n = docs.count()
+    png = {r.media_id: r for r in decode_metadata(
+        encode_png(docs, "doc_id", "text", side=5)).collect()}
+    assert len(png) == n
+    assert all(r.fmt == "png" and r.ok and (r.width, r.height) == (5, 5)
+               for r in png.values())
+    ppm = decode_metadata(encode_ppm(docs, "doc_id", "text", side=4)).collect()
+    assert all(r.fmt == "ppm" and r.ok and (r.width, r.height) == (4, 4) for r in ppm)
+    wav = decode_metadata(encode_wav(docs, "doc_id", "text")).collect()
+    assert all(r.fmt == "wav" and r.ok and r.width is None for r in wav)
+    # unparseable payloads -> ok=false, never a task failure
+    fake = decode_metadata(attach_fake_payloads(docs, "doc_id", "text")).collect()
+    assert all(r.fmt is None and not r.ok and r.width is None for r in fake)
+    assert all(r.n_bytes > 0 for r in fake)
+    # determinism of the whole sniff across runs
+    png2 = {r.media_id: r for r in decode_metadata(
+        encode_png(docs, "doc_id", "text", side=5)).collect()}
+    assert {k: tuple(v) for k, v in png.items()} == {k: tuple(v) for k, v in png2.items()}
 
 
 def test_multimodal_features_shape(spark):

@@ -94,15 +94,21 @@ def test_multimodal_ahash_hamming1_matches_python(spark):
 
 
 def test_multimodal_decode_matches_python(spark):
+    # round-10: the query now splits the corpus into real PNG / PPM /
+    # WAV / deliberately-unparseable classes by doc_id%4 and decodes
+    # REAL headers; the independent expectation is the per-class
+    # (fmt, dims, ok) contract of the encoders' parameters.
     got = {
-        r["media_id"]: (r["width"], r["height"], r["n_bytes"], r["ok"])
+        r["media_id"]: (r["fmt"], r["width"], r["height"], r["ok"])
         for r in Q.queries()["multimodal_decode"](spark, SF).collect()
     }
-    want = {}
-    for r in _docs().itertuples():
-        b = hashlib.md5(r.text.encode("utf-8")).digest() + r.text.encode("utf-8")
-        n = len(b)
-        want[int(r.doc_id)] = (1 + b[0] % 64, 1 + b[1 % n] % 64, n, True)
+    by_cls = {
+        0: ("png", 5, 5, True),
+        1: ("ppm", 4, 4, True),
+        2: ("wav", None, None, True),
+        3: (None, None, None, False),
+    }
+    want = {int(r.doc_id): by_cls[int(r.doc_id) % 4] for r in _docs().itertuples()}
     assert got == want
 
 
