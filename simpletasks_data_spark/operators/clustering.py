@@ -96,19 +96,59 @@ def _qget(row, name: str) -> int:
     return int(row[f"{name}_hi"]) * (1 << _LO_BITS) + int(row[f"{name}_lo"])
 
 
-def _d2(vec: Column, cen: list[float]) -> Column:
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal, and CAST('..' AS DOUBLE) parses it correctly-rounded — the
+    identical double the Python float holds (constant-folded once)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+# Row-count threshold where the UNROLLED codegen assign overtakes the
+# compact HOF assign: the unrolled k x dims expression tree costs
+# ~1.5-2s/round of driver-side analysis (constant w.r.t. data) but runs
+# ~10x faster per row (codegen vs interpreted HOF — measured in
+# scripts/scale_probe_ml.py at 2M rows); the HOF tree is ~free to plan
+# but interpreted. Both produce bit-identical values (same left-assoc
+# order; squares are +0.0, so the fold's 0.0 seed is exact) — pinned by
+# tests/test_round3_ops.py::test_assign_strategies_identical.
+UNROLL_MIN_ROWS = 100_000
+
+
+def _d2_hof(vec: Column, cen: list[float]) -> Column:
+    """Squared L2 distance as zip_with + aggregate: a ~10-node tree the
+    optimizer plans instantly; evaluation is interpreted per row."""
     lit = F.array(*[F.lit(float(c)) for c in cen])
     sq = F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y))
     return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _assign(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+def _d2_unrolled(vec_name: str, cen: list[float]) -> Column:
+    """Squared L2 distance as ONE parsed, UNROLLED left-associative sum
+    — plain expressions participate in codegen where the HOF is
+    interpreted per row. Left-assoc `+` matches the HOF fold order
+    term-for-term, so the two strategies are bit-identical."""
+    terms = " + ".join(
+        f"(element_at({vec_name}, {d + 1}) - {_dlit(c)}) * "
+        f"(element_at({vec_name}, {d + 1}) - {_dlit(c)})"
+        for d, c in enumerate(cen)
+    )
+    return F.expr(terms)
+
+
+def _assign(
+    base: DataFrame, cents: list[list[float]], unroll: bool = False
+) -> DataFrame:
     """(id, vec) -> (id, vec, cluster_id, d2_r): nearest centroid by
-    1e-4-rounded squared L2, ties to the smaller centroid id."""
+    1e-4-rounded squared L2, ties to the smaller centroid id. ``unroll``
+    picks the codegen distance strategy for data-sized inputs (see
+    UNROLL_MIN_ROWS); values are bit-identical either way."""
     cand = F.array(
         *[
             F.struct(
-                F.round(_d2(F.col("vec"), cen), 4).alias("d2_r"),
+                F.round(
+                    _d2_unrolled("vec", cen) if unroll else _d2_hof(F.col("vec"), cen),
+                    4,
+                ).alias("d2_r"),
                 F.lit(cid).cast("long").alias("cid"),
             )
             for cid, cen in enumerate(cents)
@@ -149,16 +189,20 @@ def kmeans_lloyd(
         # would otherwise surface as an opaque analyzer error downstream
         raise ValueError("kmeans_lloyd: empty embedding frame")
     cents = [[_round_half_up(x, 6) for x in r["vec"]] for r in init_rows]
+    # size-adaptive assign strategy (values identical either way): the
+    # checkpointed base makes this count ~free
+    unroll = base.count() >= UNROLL_MIN_ROWS
     assigned = None
     for _ in range(iterations):
-        assigned = _assign(base, cents)
-        # posexplode + groupBy(cluster_id, d) instead of a dims-wide
-        # single-row agg (round-10 perf recovery): the wide form spent
-        # 1-2s/round BUILDING 64-128 Column expressions driver-side and
-        # planning/codegen-ing the giant aggregate; this plan is ~10
-        # expressions regardless of dims. Shuffle volume is identical
-        # (map-side partial agg collapses each partition to k*dims tiny
-        # rows either way), so the 100 TB story is unchanged.
+        assigned = _assign(base, cents, unroll=unroll)
+        # Update step: posexplode + groupBy(cluster_id, d) — a ~10-
+        # expression plan regardless of dims (a dims-wide agg costs
+        # 1-2s/round of driver-side construction + analysis, the r9
+        # regression mechanism). cluster_id is an attribute of the
+        # Generate's CHILD here, so the argmin is computed once per row
+        # and carried through the explode (requiredChildOutput) — see
+        # the hoist trap note in pca_power_top1. Map-side partial agg
+        # collapses each partition to <= k*dims tiny rows.
         exploded = assigned.select(
             "cluster_id", F.posexplode("vec").alias("d", "x")
         )
@@ -280,24 +324,35 @@ def pca_power_top1(
     n_rows = None
     total_var = None
     for t in range(iterations):
-        v_lit = F.array(*[F.lit(float(x)) for x in v])
-        dot = F.aggregate(
-            F.zip_with(F.col("cx"), v_lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # Round plan (round-10 final shape, measured across three
+        # alternatives — see SCALING.md "Round-10 batch"):
+        #
+        #   Project(cx, dot) -> Generate posexplode(cx) -> groupBy(d)
+        #
+        # * the dot product is one UNROLLED left-associative chain in
+        #   its OWN select BELOW the explode: plain expressions run
+        #   inside codegen where a zip_with/aggregate HOF is interpreted
+        #   per row, and a projection that lives in the Generate's
+        #   child is computed once per row and carried through the
+        #   explode (requiredChildOutput). HOIST TRAP (measured ~5x
+        #   slower per round at 2M rows): aliasing dot in the SAME
+        #   select as posexplode places the Project ABOVE Generate and
+        #   re-evaluates it per exploded row — O(dims^2);
+        # * left-assoc `+` matches the HOF fold order term-for-term so
+        #   the trajectory and the unrolled SQL oracle are bit-identical
+        #   (the fold's 0.0 seed only shifts the sign of an all-zero
+        #   dot, which floor(q+0.5) erases);
+        # * posexplode + groupBy(d) keeps the plan ~10 expressions
+        #   regardless of dims (a dims-wide agg costs 1-2s/round of
+        #   driver construction + analysis — the r9 regression); the
+        #   partial agg collapses each partition to dims tiny rows, so
+        #   shuffle volume is independent of row count (measured flat
+        #   0.8 MB/round from sf0.1 to x1000).
+        dot_sql = " + ".join(
+            f"element_at(cx, {d + 1}) * {_dlit(v[d])}" for d in range(dims)
         )
-        # Project the dot product to a REAL column below the explode
-        # (round-10 perf recovery, VERDICT r9 item 1a): HOF lambdas are
-        # not CSE'd, so inlining `dot` into each of the 64 sums made the
-        # round O(dims^2) multiply-adds per row; here codegen evaluates
-        # it once per row. The per-dim sums run as posexplode +
-        # groupBy(d) instead of a dims-wide single-row agg — the wide
-        # form spent 1-2s/round BUILDING 64-128 Column expressions
-        # driver-side and planning the giant aggregate (the actual r9
-        # regression mechanism); this plan is ~10 expressions regardless
-        # of dims, and shuffle volume is identical (map-side partial agg
-        # collapses each partition to dims tiny rows either way).
-        exploded = base.select(dot.alias("dot"), F.posexplode("cx").alias("d", "x"))
+        stage = base.selectExpr("cx", f"({dot_sql}) AS dot")
+        exploded = stage.select("dot", F.posexplode("cx").alias("d", "x"))
         aggs = [F.count(F.lit(1)).alias("_n")]
         aggs += _qsum(_qnano(F.col("dot") * F.col("x")), "w")
         if t == 0:

@@ -30,6 +30,26 @@ def test_kmeans_partitions_input_and_separates_obvious_clusters(spark):
     assert len(cents) == 2 and all(len(c) == 4 for c in cents)
 
 
+def test_assign_strategies_identical(spark):
+    # the HOF and unrolled-codegen assign strategies must be
+    # bit-identical (same left-assoc order; squares are +0.0) — the
+    # size-adaptive switch in kmeans_lloyd relies on it
+    from simpletasks_data_spark.operators.clustering import _assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.selectExpr(
+        "vec_id AS id", "CAST(embedding AS array<double>) AS vec"
+    )
+    cents = [
+        [((cid * 31 + d) % 17 - 8) / 16.0 for d in range(64)] for cid in range(5)
+    ]
+    a = {r["id"]: (r["cluster_id"], r["d2_r"])
+         for r in _assign(base, cents, unroll=False).collect()}
+    b = {r["id"]: (r["cluster_id"], r["d2_r"])
+         for r in _assign(base, cents, unroll=True).collect()}
+    assert a == b and len(a) == base.count()
+
+
 def test_kmeans_report_members_sum_to_corpus(spark):
     rows = [(i, [float(i % 7), float((i * 3) % 5), 0.0, 1.0]) for i in range(50)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
