@@ -651,3 +651,53 @@ def test_engine_never_rerounds_a_grid_column():
             if m:
                 bad.append(f"{path.name}:{i} F.round on grid column {m.group(1)!r}")
     assert not bad, "engine-side grid double-rounds:\n" + "\n".join(bad)
+
+
+# ---- round-10 section ------------------------------------------------------
+# UnboundedFollowing window frames are O(rows^2) per partition: Spark's
+# UnboundedFollowingWindowFunctionFrame re-scans current..end for every
+# row (only growing / whole-partition / sliding frames are incremental).
+# nearest_in_1d's "next" probe was silently quadratic — 12.0 -> 2.9s at
+# sf0.1 after moving to last(ignorenulls) over the REVERSED total order
+# with a growing frame. Rule: a shrinking frame is allowed only over a
+# BOUNDED spine (per-day histograms), each allowlisted here with its
+# bound.
+def test_no_unbounded_following_frames_on_data_sized_windows():
+    import pathlib
+    import re
+
+    allow = {
+        # survival_km_first_purchase: suffix sum over the <=~400-row
+        # per-day duration histogram (d <= observation window)
+        "queries.py:w_suffix",
+        # timeseries_forward_fill_nation: next-value probe over the
+        # per-day spine (bounded by the date range)
+        "queries.py:wnext",
+        # ib_ops_independent reference twins, if any, stay test-side
+    }
+    pkg = pathlib.Path(Q.__file__).parent
+    bad = []
+    # full-text match: the original nearest_in_1d bug spanned lines
+    # (`rowsBetween(\n    1, Window.unboundedFollowing\n)`), so a
+    # per-line scan would miss it
+    pat = re.compile(r"rowsBetween\(\s*([^)]*?unboundedFollowing[^)]*?)\)", re.S)
+    for path in sorted(pkg.rglob("*.py")):
+        text = path.read_text()
+        for m in pat.finditer(text):
+            frame = " ".join(m.group(1).split())
+            # whole-partition frames (unboundedPreceding..unboundedFollowing)
+            # are computed once per partition — incremental, allowed
+            if "unboundedPreceding" in frame:
+                continue
+            line_no = text.count("\n", 0, m.start()) + 1
+            # variable being assigned: nearest `name =` looking backwards
+            head = text[: m.start()]
+            vm = re.findall(r"(\w+)\s*=[^=]", head[-300:])
+            var = vm[-1] if vm else "?"
+            key = f"{path.name}:{var}"
+            if key not in allow:
+                bad.append(f"{path.name}:{line_no} shrinking frame '{frame}' "
+                           f"(var {var!r}) — O(rows^2) per partition; "
+                           "reverse the order and use a growing frame, or "
+                           "allowlist with a documented row bound")
+    assert not bad, "\n".join(bad)
