@@ -40,6 +40,9 @@ ROUNDS = {
     "kmeans_embeddings": 3,
     "pagerank_customer_supplier": 10,
     "ppr_seeded_customers": 10,
+    # sorted-merge 1-D NN (propensity matching): not iterative; rides
+    # the graph leg because it needs only the orders table
+    "propensity_match_urgent": 1,
 }
 
 
@@ -174,10 +177,15 @@ def main() -> None:
         for q in ("pca_top_component", "kmeans_embeddings"):
             seen = run(spark, q, d, tag, seen)
     if "graph" in which:
-        for q in ("pagerank_customer_supplier", "ppr_seeded_customers"):
+        gq = (
+            "pagerank_customer_supplier",
+            "ppr_seeded_customers",
+            "propensity_match_urgent",
+        )
+        for q in gq:
             seen = run(spark, q, BASE, "sf0.1", seen)
         d = build_graph(spark, 10)
-        for q in ("pagerank_customer_supplier", "ppr_seeded_customers"):
+        for q in gq:
             seen = run(spark, q, d, "x10", seen)
     spark.stop()
 
