@@ -65,6 +65,18 @@ def _round_half_up(x: float, digits: int) -> float:
 _LO_BITS = 31
 _LO_MASK = (1 << _LO_BITS) - 1
 
+# Count gate for the paired-BIGINT split (VERDICT r10 item 1): the lo
+# partial sums values in [0, 2^31), so a SIGNED 64-bit sum is safe up to
+# 2^32 addends; the hi partial is |q|/2^31-bounded and far safer at our
+# nano-unit magnitudes. Above this row count PER GROUP the caller must
+# take the wide (DECIMAL(38,0)) path — Spark's non-ANSI long sum wraps
+# SILENTLY, and for pca a "group" is the whole corpus, so a 100 TB run
+# (tens of billions of rows) would otherwise corrupt the exact statistic
+# the determinism contract rests on. 2^31 keeps 2x headroom below the
+# true 2^32 bound. Tests shrink this to force the gate
+# (tests/test_round3_ops.py::test_qsum_wide_gate_*).
+_QSUM_SAFE_ROWS = 1 << 31
+
 
 def _qnano(c: Column) -> Column:
     """Per-row nano-unit quantization: ``floor(x*1e9 + 0.5)`` is the
@@ -74,17 +86,25 @@ def _qnano(c: Column) -> Column:
     return F.floor(c * F.lit(1000000000.0) + F.lit(0.5))
 
 
-def _qsum(q: Column, name: str) -> list[Column]:
+def _qsum(q: Column, name: str, wide: bool = False) -> list[Column]:
     """Exact integer sum of a nano-quantized BIGINT as a PAIR of BIGINT
     sums (round-10 perf recovery, VERDICT r9 item 1b): the long splits
     into ``hi = q >> 31`` (arithmetic shift = floor division, correct
     for negatives) and ``lo = q & (2^31-1)`` so that
     ``q == hi*2^31 + lo`` exactly; both partial sums stay comfortably
-    inside BIGINT (|hi| <= |q|/2^31, 0 <= lo < 2^31, so ~2^33 rows before
-    overflow at our magnitudes) and the driver reconstructs the SAME
-    exact integer the old DECIMAL(38,0) sum produced — pure long codegen
-    instead of per-row decimal conversion, identical statistic, so the
-    DuckDB HUGEINT oracles are untouched."""
+    inside BIGINT (|hi| <= |q|/2^31, 0 <= lo < 2^31, so the lo sum is
+    the binding bound: safe to 2^32 addends) and the driver reconstructs
+    the SAME exact integer the old DECIMAL(38,0) sum produced — pure
+    long codegen instead of per-row decimal conversion, identical
+    statistic, so the DuckDB HUGEINT oracles are untouched.
+
+    ``wide=True`` is the count-gated fallback (VERDICT r10 item 1):
+    ONE DECIMAL(38,0) sum, exact to ~10^38 — callers switch to it when a
+    group's row count can reach :data:`_QSUM_SAFE_ROWS`, because past
+    that the paired-long partials wrap silently (non-ANSI long sum).
+    Both paths yield the identical integer via :func:`_qget`."""
+    if wide:
+        return [F.sum(q.cast("decimal(38,0)")).alias(f"{name}_w")]
     return [
         F.sum(F.shiftright(q, _LO_BITS)).alias(f"{name}_hi"),
         F.sum(q.bitwiseAND(F.lit(_LO_MASK))).alias(f"{name}_lo"),
@@ -92,8 +112,35 @@ def _qsum(q: Column, name: str) -> list[Column]:
 
 
 def _qget(row, name: str) -> int:
-    """Recombine a :func:`_qsum` pair into the exact Python integer sum."""
+    """Recombine a :func:`_qsum` result (either form) into the exact
+    Python integer sum."""
+    if f"{name}_w" in row.__fields__:
+        return int(row[f"{name}_w"])
     return int(row[f"{name}_hi"]) * (1 << _LO_BITS) + int(row[f"{name}_lo"])
+
+
+def _count_and_validate(df: DataFrame, vec: Column, dims: int, op: str) -> int:
+    """ONE scan returning the exact row count after failing loudly on
+    NULL or wrong-length vectors (ADVICE r10: ``posexplode`` silently
+    DROPS a NULL array, so without this guard the integer statistics
+    would quietly compute over the non-null subset with a smaller n —
+    the opposite of the documented fail-loud contract). The count also
+    feeds the :data:`_QSUM_SAFE_ROWS` wide-sum gate, so the scan does
+    double duty."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(vec.isNull() | (F.size(vec) != dims), 1).otherwise(0)
+        ).alias("bad"),
+    ).first()
+    if row["n"] == 0:
+        raise ValueError(f"{op}: empty embedding frame")
+    if row["bad"]:
+        raise ValueError(
+            f"{op}: {row['bad']} rows with NULL or wrong-length "
+            f"(!= {dims}) vectors — refusing to silently drop them"
+        )
+    return int(row["n"])
 
 
 def _dlit(x: float) -> str:
@@ -183,15 +230,16 @@ def kmeans_lloyd(
     base = emb.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
     ).localCheckpoint(eager=True)
+    # fail-loud NULL/ragged guard + exact count in one scan over the
+    # checkpoint (~free); the count drives BOTH the assign strategy and
+    # the wide-sum overflow gate. Per-(cluster,d) group counts are
+    # bounded by n_base, so gating on the total is conservative-correct.
+    n_base = _count_and_validate(base, F.col("vec"), dims, "kmeans_lloyd")
+    wide = n_base >= _QSUM_SAFE_ROWS
     init_rows = base.orderBy("id").limit(k).select("vec").collect()  # c: topk
-    if not init_rows:
-        # degenerate-input guard (r8 empty-corpus sweep): zero vectors
-        # would otherwise surface as an opaque analyzer error downstream
-        raise ValueError("kmeans_lloyd: empty embedding frame")
     cents = [[_round_half_up(x, 6) for x in r["vec"]] for r in init_rows]
-    # size-adaptive assign strategy (values identical either way): the
-    # checkpointed base makes this count ~free
-    unroll = base.count() >= UNROLL_MIN_ROWS
+    # size-adaptive assign strategy (values identical either way)
+    unroll = n_base >= UNROLL_MIN_ROWS
     assigned = None
     for _ in range(iterations):
         assigned = _assign(base, cents, unroll=unroll)
@@ -207,7 +255,7 @@ def kmeans_lloyd(
             "cluster_id", F.posexplode("vec").alias("d", "x")
         )
         agg = exploded.groupBy("cluster_id", "d").agg(
-            F.count(F.lit(1)).alias("n"), *_qsum(_qnano(F.col("x")), "s")
+            F.count(F.lit(1)).alias("n"), *_qsum(_qnano(F.col("x")), "s", wide=wide)
         )
         sums: dict[int, dict[int, float]] = {}
         for r in agg.collect():  # c: topk
@@ -297,26 +345,29 @@ def pca_power_top1(
     which are order-free by construction).
     """
     arr = as_double(vec_col)
+    src = emb.select(arr.alias("v"))
+    # fail-loud NULL/ragged guard + exact count in one column-pruned
+    # scan; also empty-frame guard (r8) and the wide-sum overflow gate —
+    # pca's "group" is the whole corpus per dimension, so at 100 TB the
+    # paired-long partials would wrap silently without this.
+    n_src = _count_and_validate(src, F.col("v"), dims, "pca_power_top1")
+    wide = n_src >= _QSUM_SAFE_ROWS
     # mean vector via posexplode + groupBy(d): same tiny-plan rationale
     # as the kmeans_lloyd update step (round-10 perf recovery)
     mrows = (
-        emb.select(F.posexplode(arr).alias("d", "x"))
+        src.select(F.posexplode("v").alias("d", "x"))
         .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("_n"), *_qsum(_qnano(F.col("x")), "m"))
+        .agg(F.count(F.lit(1)).alias("_n"), *_qsum(_qnano(F.col("x")), "m", wide=wide))
         .collect()  # c: topk
     )
-    if not mrows:
-        # degenerate-input guard (r8 empty-corpus sweep): zero rows
-        # would otherwise surface as float(None) downstream
-        raise ValueError("pca_power_top1: empty embedding frame")
     by_d = {r["d"]: r for r in mrows}
     mu = [
         _round_half_up(float(_qget(by_d[d], "m")) / by_d[d]["_n"] / 1e9, 6)
         for d in range(dims)
     ]
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
-    base = emb.select(
-        F.zip_with(arr, mu_lit, lambda a, b: a - b).alias("cx")
+    base = src.select(
+        F.zip_with(F.col("v"), mu_lit, lambda a, b: a - b).alias("cx")
     ).localCheckpoint(eager=True)
 
     v = [1.0] + [0.0] * (dims - 1)
@@ -354,12 +405,12 @@ def pca_power_top1(
         stage = base.selectExpr("cx", f"({dot_sql}) AS dot")
         exploded = stage.select("dot", F.posexplode("cx").alias("d", "x"))
         aggs = [F.count(F.lit(1)).alias("_n")]
-        aggs += _qsum(_qnano(F.col("dot") * F.col("x")), "w")
+        aggs += _qsum(_qnano(F.col("dot") * F.col("x")), "w", wide=wide)
         if t == 0:
             # total variance rides round 1's scan (one job saved): ONE
             # exact integer sum over every (row, dim) cx^2 term — a
             # single python int, so no cross-dim float ordering either
-            aggs += _qsum(_qnano(F.col("x") * F.col("x")), "tv")
+            aggs += _qsum(_qnano(F.col("x") * F.col("x")), "tv", wide=wide)
         rows = exploded.groupBy("d").agg(*aggs).collect()  # c: topk
         by_d = {r["d"]: r for r in rows}
         n_rows = by_d[0]["_n"]

@@ -227,3 +227,51 @@ def test_png_corrupt_payload_tolerance(spark):
     )
     got = {r["media_id"]: r["ok"] for r in decode_png(media).collect()}
     assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_qsum_wide_gate_kmeans_identical(spark, monkeypatch):
+    # force the DECIMAL(38,0) wide path (VERDICT r10 item 1) by shrinking
+    # the safe-rows gate to 1 and prove the gated run reproduces the
+    # paired-BIGINT trajectory bit-for-bit — same exact integer statistic
+    from simpletasks_data_spark.operators import clustering
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, cents_narrow = kmeans_lloyd(df, k=3, iterations=3, dims=4)
+    monkeypatch.setattr(clustering, "_QSUM_SAFE_ROWS", 1)
+    _, cents_wide = kmeans_lloyd(df, k=3, iterations=3, dims=4)
+    assert cents_wide == cents_narrow
+
+
+def test_qsum_wide_gate_pca_identical(spark, monkeypatch):
+    from simpletasks_data_spark.operators import clustering
+    from simpletasks_data_spark.operators.clustering import pca_power_top1
+
+    rows = [(i, [float(i) * 0.3 - 6.0, float(i % 5), 0.25, -1.5])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    narrow = pca_power_top1(df, iterations=4, dims=4)
+    monkeypatch.setattr(clustering, "_QSUM_SAFE_ROWS", 1)
+    wide = pca_power_top1(df, iterations=4, dims=4)
+    assert wide == narrow
+
+
+def test_qsum_narrow_wraps_where_wide_survives(spark, monkeypatch):
+    # why the gate exists: shrink the split to 2 lo bits so the hi
+    # partial sum demonstrably wraps (Spark's non-ANSI long sum is
+    # silent mod-2^64) on a handful of rows, while the DECIMAL(38,0)
+    # wide path still recombines the exact integer — the same failure
+    # mode ~2^32 rows/group would trigger at the real 31-bit split
+    from simpletasks_data_spark.operators import clustering
+    from simpletasks_data_spark.operators.clustering import _qget, _qsum
+
+    monkeypatch.setattr(clustering, "_LO_BITS", 2)
+    monkeypatch.setattr(clustering, "_LO_MASK", (1 << 2) - 1)
+    n, q = 16, 1 << 62  # hi = q >> 2 = 2^60; 16 addends -> 2^64 == wrap to 0
+    df = spark.createDataFrame([(q,)] * n, "q long")
+    row = df.agg(
+        *_qsum(F.col("q"), "s"), *_qsum(F.col("q"), "t", wide=True)
+    ).first()
+    assert _qget(row, "t") == n * q  # wide: exact
+    assert _qget(row, "s") != n * q  # narrow: silently wrapped
