@@ -49,12 +49,19 @@ class CsvSource(Source):
         delimiter: str = ",",
         quote: str = '"',
         encoding: str = "UTF-8",
+        splittable: bool = False,
     ) -> None:
         """``engine`` (for ordered reads): ``"datasource"`` (default) = the
         Spark 4 Python DataSource connector (``datasource.py``) — exact
         file order plus correct multi-line quoted records, matching the
         reference's ``csv.reader``; ``"rdd"`` = text RDD + ``from_csv``
-        per line (no multi-line records)."""
+        per line (no multi-line records).
+
+        ``splittable`` (datasource engine only): byte-range-split each
+        file on line boundaries so one large file reads on every core;
+        the total order is preserved, but multi-line quoted records are
+        NOT supported on this path (see ``datasource.py`` module doc) —
+        leave False for files that may contain them."""
         super().__init__(mapping, mode=mode, name=name)
         self.path = path
         self.num_columns = num_columns
@@ -63,6 +70,7 @@ class CsvSource(Source):
         self.delimiter = delimiter
         self.quote = quote
         self.encoding = encoding
+        self.splittable = splittable
 
     def _csv_schema(self, spark: SparkSession) -> T.StructType:
         n = self.num_columns
@@ -86,6 +94,7 @@ class CsvSource(Source):
                 .option("delimiter", self.delimiter)
                 .option("quote", self.quote)
                 .option("encoding", self.encoding.lower())
+                .option("splittable", "true" if self.splittable else "false")
                 .load()
             )
         if self.ordered:

@@ -8,16 +8,40 @@ query planning — partition listing on the driver, per-partition readers on
 executors, Arrow-batched transfer.
 
 ``OrderedCsvDataSource`` is both the demo and a genuinely better exact-
-order CSV path than the text-RDD route in ``csv.py``: each file is one
-partition read with Python's ``csv.reader`` (correct multi-line quoted
-records, unlike per-line ``from_csv``), and ``_src_pos`` encodes
-``(file_index << 40) | line_index`` — a total order consistent with
-file-then-line order without a driver-side counting pass.
+order CSV path than the text-RDD route in ``csv.py``: files are read with
+Python's ``csv.reader`` (correct multi-line quoted records, unlike
+per-line ``from_csv``), and ``_src_pos`` encodes a total order consistent
+with file-then-line order without a driver-side counting pass.
+
+Two partitioning strategies (VERDICT r10 item 2):
+
+- **per-file** (default): one partition per file; supports multi-line
+  quoted records because a single reader sees the whole byte stream.
+  ``_src_pos = (file_idx << 40) | line_idx``.
+- **splittable** (``option("splittable", "true")``): each file splits
+  into byte ranges aligned to line boundaries (Hadoop
+  ``LineRecordReader`` semantics: a split owns every line that STARTS in
+  ``[start, end)``; a reader with ``start > 0`` backs up one byte and
+  discards through the first ``\\n`` so boundary lines are read exactly
+  once). A single multi-GB dropped-export CSV — the shape this import
+  engine exists for — then reads on every core instead of one.
+  ``_src_pos = (file_idx << 40) | (split_idx << 28) | line_in_split``:
+  splits are enumerated in byte order, so the encoding sorts identically
+  to the global file-then-line order, and split 0 of file 0 yields the
+  dense ``0, 1, 2, ...`` prefix the merge's header-skip predicate
+  (``operators/merge.py:130`` ``_src_pos > header_n``) relies on. A
+  file that fits in one split produces positions bit-identical to the
+  per-file path. CONTRACT: no multi-line quoted records (a quoted
+  embedded newline would be torn at a split boundary — keep the per-file
+  default for those files) and a newline-safe encoding (UTF-8/latin-1:
+  ``0x0A`` never occurs inside a multi-byte sequence; UTF-16 would
+  break).
 
 Usage:
     spark.dataSource.register(OrderedCsvDataSource)
     df = (spark.read.format("ordered_csv")
-          .option("path", "/data/in.csv").option("ncols", "6").load())
+          .option("path", "/data/in.csv").option("ncols", "6")
+          .option("splittable", "true").load())
 """
 
 from __future__ import annotations
@@ -26,11 +50,21 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 SRC_POS = "_src_pos"
 
+# splittable-mode _src_pos layout: file_idx << 40 | split_idx << 28 | line
+_SPLIT_BITS = 12  # <= 4096 splits per file
+_LINE_BITS = 28  # < 268M lines per split (a split line is >= 2 bytes)
+_MAX_SPLITS = 1 << _SPLIT_BITS
+_DEFAULT_SPLIT_SIZE = 32 * 1024 * 1024
+
 
 class _CsvFilePartition(InputPartition):
-    def __init__(self, path: str, file_idx: int):
+    def __init__(self, path: str, file_idx: int, split_idx: int = 0,
+                 start: int = 0, end: int | None = None):
         self.path = path
         self.file_idx = file_idx
+        self.split_idx = split_idx
+        self.start = start
+        self.end = end  # None = whole file (per-file mode)
 
 
 class OrderedCsvReader(DataSourceReader):
@@ -50,7 +84,38 @@ class OrderedCsvReader(DataSourceReader):
         return found
 
     def partitions(self):
-        return [_CsvFilePartition(p, i) for i, p in enumerate(self._paths())]
+        import os
+
+        if self.options.get("splittable", "false").lower() != "true":
+            return [_CsvFilePartition(p, i) for i, p in enumerate(self._paths())]
+        split_size = int(self.options.get("split_size", str(_DEFAULT_SPLIT_SIZE)))
+        parts = []
+        for i, p in enumerate(self._paths()):
+            size = os.path.getsize(p)
+            n = max(1, min((size + split_size - 1) // split_size, _MAX_SPLITS))
+            bounds = [size * j // n for j in range(n + 1)]
+            parts += [
+                _CsvFilePartition(p, i, j, bounds[j], bounds[j + 1])
+                for j in range(n)
+            ]
+        return parts
+
+    def _read_lines_split(self, f, start: int, end: int):
+        """Yield raw line bytes whose first byte lies in [start, end) —
+        the LineRecordReader ownership rule, so consecutive splits
+        partition the file's lines exactly. ``f`` is a binary stream."""
+        if start > 0:
+            # Back up one byte: if it is '\n', `start` begins a line we
+            # own; otherwise discard the partial line (owned upstream).
+            f.seek(start - 1)
+            f.readline()
+        else:
+            f.seek(0)
+        while f.tell() < end:
+            line = f.readline()
+            if not line:
+                break
+            yield line
 
     def read(self, partition: _CsvFilePartition):
         import csv
@@ -58,10 +123,31 @@ class OrderedCsvReader(DataSourceReader):
         delimiter = self.options.get("delimiter", ",")
         quotechar = self.options.get("quote", '"')
         encoding = self.options.get("encoding", "utf-8")
-        base = partition.file_idx << 40
-        with open(partition.path, "r", encoding=encoding, newline="") as f:
-            reader = csv.reader(f, delimiter=delimiter, quotechar=quotechar)
+        if partition.end is None:
+            base = partition.file_idx << (_SPLIT_BITS + _LINE_BITS)
+            with open(partition.path, "r", encoding=encoding, newline="") as f:
+                reader = csv.reader(f, delimiter=delimiter, quotechar=quotechar)
+                for line_idx, row in enumerate(reader):
+                    cells = list(row)[: self.ncols]
+                    cells += [None] * (self.ncols - len(cells))
+                    yield tuple(cells) + (base | line_idx,)
+            return
+        base = (partition.file_idx << (_SPLIT_BITS + _LINE_BITS)) | (
+            partition.split_idx << _LINE_BITS
+        )
+        with open(partition.path, "rb") as f:
+            lines = (
+                ln.decode(encoding)
+                for ln in self._read_lines_split(f, partition.start, partition.end)
+            )
+            reader = csv.reader(lines, delimiter=delimiter, quotechar=quotechar)
             for line_idx, row in enumerate(reader):
+                if line_idx >= (1 << _LINE_BITS):
+                    raise ValueError(
+                        f"ordered_csv: split {partition.split_idx} of "
+                        f"{partition.path} exceeds {1 << _LINE_BITS} lines; "
+                        "raise split_size"
+                    )
                 cells = list(row)[: self.ncols]
                 cells += [None] * (self.ncols - len(cells))
                 yield tuple(cells) + (base | line_idx,)
@@ -69,7 +155,8 @@ class OrderedCsvReader(DataSourceReader):
 
 class OrderedCsvDataSource(DataSource):
     """format name: ``ordered_csv``; options: path (file/dir/glob), ncols,
-    delimiter, quote, encoding."""
+    delimiter, quote, encoding, splittable ("true" enables byte-range
+    splits — no multi-line quoted records), split_size (bytes)."""
 
     @classmethod
     def name(cls) -> str:

@@ -142,3 +142,39 @@ def test_rdd_engine_roundtrip_fuzz(spark, tmp_path):
             for r in rows
         ]
         assert got == want, (trial, got, want)
+
+
+def test_splittable_matches_perfile_fuzz(spark, tmp_path):
+    # splittable mode must reproduce the per-file read EXACTLY (same
+    # cells, same order) for any no-multiline CSV at any split size —
+    # including boundaries inside quoted cells, on '\r' of a '\r\n',
+    # or mid multi-byte UTF-8 (0x0A never occurs inside a sequence)
+    from simpletasks_data_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    rng = random.Random(8861)
+    for trial in range(8):
+        d = tmp_path / f"s{trial}"
+        d.mkdir()
+        for fi in range(rng.randrange(1, 3)):
+            rows = _rand_table(rng, LINE_ALPHABET, max_cols=4)
+            _write(d / f"f{fi}.csv", rows)
+        ncols = 4
+        base = (
+            spark.read.format("ordered_csv")
+            .option("path", str(d))
+            .option("ncols", str(ncols))
+        )
+        perfile = [
+            tuple(r[f"_c{i}"] for i in range(ncols))
+            for r in base.load().orderBy(SRC_POS).collect()
+        ]
+        split = [
+            tuple(r[f"_c{i}"] for i in range(ncols))
+            for r in base.option("splittable", "true")
+            .option("split_size", str(rng.randrange(4, 64)))
+            .load()
+            .orderBy(SRC_POS)
+            .collect()
+        ]
+        assert split == perfile, (trial, split, perfile)

@@ -440,3 +440,43 @@ def test_fixed_width_source_slices_trims_and_merges(spark, tmp_path):
     got = {r.id: (r.name, r.qty) for r in job.result_df.collect()}
     assert got == {1: ("gamma", 99), 2: ("beta", 7), 3: (None, 5)}
     assert res["created"] == 3
+
+
+def test_ordered_csv_datasource_splittable(spark, tmp_path):
+    """Byte-range splits (VERDICT r10 item 2): a single file torn into
+    many line-aligned splits must come back in exact file order with
+    strictly increasing positions, and quoted-comma cells must survive
+    a boundary landing anywhere (no multi-line records on this path)."""
+    import os
+
+    from simpletasks_data_spark.sources.datasource import (
+        OrderedCsvReader,
+        register_datasources,
+    )
+
+    p = os.path.join(tmp_path, "big.csv")
+    with open(p, "w", encoding="utf-8", newline="") as f:
+        for i in range(500):
+            f.write(f'{i},"v,{i}",tail{i}\r\n')
+    register_datasources(spark)
+    df = (
+        spark.read.format("ordered_csv")
+        .option("path", p)
+        .option("ncols", "3")
+        .option("splittable", "true")
+        .option("split_size", "256")  # ~tens of splits over this file
+        .load()
+        .orderBy("_src_pos")
+    )
+    rows = df.collect()
+    assert [r._c0 for r in rows] == [str(i) for i in range(500)]
+    assert [r._c1 for r in rows] == [f"v,{i}" for i in range(500)]
+    pos = [r._src_pos for r in rows]
+    assert pos == sorted(pos) and len(set(pos)) == 500
+    # the planner really did split the file
+    reader = OrderedCsvReader(
+        {"path": p, "splittable": "true", "split_size": "256"}, 3
+    )
+    assert len(reader.partitions()) > 10
+    # split 0 carries the dense 0..N prefix the header-skip gate needs
+    assert pos[:3] == [0, 1, 2]
