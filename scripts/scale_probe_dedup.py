@@ -101,9 +101,16 @@ def probe(spark, sf_dir: str, label: str) -> dict:
     # changes; now any change to the operator IS the probe's shapes) --
     t0 = time.time()
     sizes = hstream.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    prefix, groups, cand = DD._ppjoin_prefix_stages(hstream, sizes, THRESHOLD)
-    n_prefix_rows = prefix.localCheckpoint(eager=True).count()
-    n_pair_groups = groups.localCheckpoint(eager=True).count()
+    # materialize hook (ADVICE r10): each stage is checkpointed before
+    # the next consumes it, so stage counts/timings measure ONE stage
+    # over materialized input — the pre-refactor chained methodology —
+    # while the stage expressions stay the shared production code
+    prefix, groups, cand = DD._ppjoin_prefix_stages(
+        hstream, sizes, THRESHOLD,
+        materialize=lambda d: d.localCheckpoint(eager=True),
+    )
+    n_prefix_rows = prefix.count()
+    n_pair_groups = groups.count()
     n_candidates = cand.count()
     t_shapes = time.time() - t0
 

@@ -173,7 +173,7 @@ PPJOIN_K = 2  # k-prefix extension: one extra prefix element buys cnt>=2
 
 
 def _ppjoin_prefix_stages(
-    sh: DataFrame, sizes: DataFrame, threshold: float
+    sh: DataFrame, sizes: DataFrame, threshold: float, materialize=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The PPJoin candidate-generation stages, shared VERBATIM between
     :func:`ngram_jaccard_pairs` (production) and
@@ -192,6 +192,13 @@ def _ppjoin_prefix_stages(
     - ``cand``: ``groups`` after the k-prefix count and positional
       upper-bound filters (columns id_a, id_b, psz_a, psz_b, cnt, mra,
       mrb).
+
+    ``materialize`` (ADVICE r10): optional per-stage hook applied to
+    ``prefix`` and ``groups`` before the next stage consumes them.
+    Production passes None (fully lazy, one plan); the scale probe
+    passes ``lambda d: d.localCheckpoint(eager=True)`` so each stage is
+    timed over a materialized input instead of recomputing upstream
+    lineage — the pre-refactor chained-checkpoint methodology.
     """
     from pyspark.sql import Window
 
@@ -205,6 +212,8 @@ def _ppjoin_prefix_stages(
     prefix = ranked.join(sizes, "_id").select("_id", "h", "rn", "sz").where(
         F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + PPJOIN_K
     )
+    if materialize is not None:
+        prefix = materialize(prefix)
     pa, pb = prefix.alias("a"), prefix.alias("b")
     t = F.lit(threshold)
     min_overlap = F.ceil(t / (1.0 + threshold) * (F.col("psz_a") + F.col("psz_b")))
@@ -228,6 +237,8 @@ def _ppjoin_prefix_stages(
             F.max("b.rn").alias("mrb"),
         )
     )
+    if materialize is not None:
+        groups = materialize(groups)
     cand = groups.where(
         (F.col("cnt") >= F.least(F.lit(PPJOIN_K), min_overlap))
         & (
