@@ -169,33 +169,43 @@ def _d2_hof(vec: Column, cen: list[float]) -> Column:
     return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _d2_unrolled(vec_name: str, cen: list[float]) -> Column:
-    """Squared L2 distance as ONE parsed, UNROLLED left-associative sum
-    — plain expressions participate in codegen where the HOF is
-    interpreted per row. Left-assoc `+` matches the HOF fold order
-    term-for-term, so the two strategies are bit-identical."""
-    terms = " + ".join(
-        f"(element_at({vec_name}, {d + 1}) - {_dlit(c)}) * "
-        f"(element_at({vec_name}, {d + 1}) - {_dlit(c)})"
-        for d, c in enumerate(cen)
-    )
-    return F.expr(terms)
-
-
 def _assign(
     base: DataFrame, cents: list[list[float]], unroll: bool = False
 ) -> DataFrame:
     """(id, vec) -> (id, vec, cluster_id, d2_r): nearest centroid by
     1e-4-rounded squared L2, ties to the smaller centroid id. ``unroll``
     picks the codegen distance strategy for data-sized inputs (see
-    UNROLL_MIN_ROWS); values are bit-identical either way."""
+    UNROLL_MIN_ROWS); values are bit-identical either way.
+
+    The unroll branch emits the WHOLE k-centroid argmin as ONE SQL
+    string (r10 verdict item 6, measured in SCALING.md round-11): one
+    parse owns the k x dims tree instead of k F.expr calls composed
+    through py4j Column ops — plan construction drops ~3x (0.68 ->
+    0.23 s at k=8, dims=64), a per-round driver saving that is constant
+    in data size. The analyzed tree is identical term-for-term, so
+    values (and the unrolled-CTE oracles) are untouched — pinned by
+    test_assign_strategies_identical."""
+    if unroll:
+        structs = ", ".join(
+            "struct(round("
+            + " + ".join(
+                f"(element_at(vec, {d + 1}) - {_dlit(c)}) * "
+                f"(element_at(vec, {d + 1}) - {_dlit(c)})"
+                for d, c in enumerate(cen)
+            )
+            + f", 4) AS d2_r, CAST({cid} AS BIGINT) AS cid)"
+            for cid, cen in enumerate(cents)
+        )
+        return (
+            base.selectExpr("*", f"array_min(array({structs})) AS _best")
+            .withColumn("cluster_id", F.col("_best.cid"))
+            .withColumn("d2_r", F.col("_best.d2_r"))
+            .drop("_best")
+        )
     cand = F.array(
         *[
             F.struct(
-                F.round(
-                    _d2_unrolled("vec", cen) if unroll else _d2_hof(F.col("vec"), cen),
-                    4,
-                ).alias("d2_r"),
+                F.round(_d2_hof(F.col("vec"), cen), 4).alias("d2_r"),
                 F.lit(cid).cast("long").alias("cid"),
             )
             for cid, cen in enumerate(cents)

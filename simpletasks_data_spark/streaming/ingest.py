@@ -33,6 +33,43 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+REPLAY_SHUFFLE_PARTITIONS = 4
+
+
+def replay_tuned(fn):
+    """Decorator for bounded streaming REPLAY queries (VERDICT r10 item
+    3): scope ``spark.sql.shuffle.partitions`` down to
+    :data:`REPLAY_SHUFFLE_PARTITIONS` for the duration of the call.
+
+    Every micro-batch of a stateful query schedules one state-store
+    task per shuffle partition per stateful operator, so a 3-batch
+    replay at the session's 32 partitions pays ~hundreds of near-empty
+    state tasks — the census floor (measured at sf0.1:
+    streaming_left_outer_attribution 19.0 -> 4.4 s, identical output).
+    Semantics are untouched — same batches, same watermark passage,
+    same exactly-once sinks; only the state partition count changes,
+    which is a sizing knob, not a meaning knob (production streams size
+    it to key cardinality x cluster, not to a local replay). The conf
+    is restored on exit; the DataFrame these queries return reads a
+    completed in-memory/committed sink, so post-return execution is
+    batch and unaffected.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(REPLAY_SHUFFLE_PARTITIONS)
+        )
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return wrapper
+
+
 def events_schema() -> T.StructType:
     return T.StructType(
         [
