@@ -132,7 +132,7 @@ def _count_and_validate(df: DataFrame, vec: Column, dims: int, op: str) -> int:
         F.sum(
             F.when(vec.isNull() | (F.size(vec) != dims), 1).otherwise(0)
         ).alias("bad"),
-    ).first()
+    ).first()  # c: 1row
     if row["n"] == 0:
         raise ValueError(f"{op}: empty embedding frame")
     if row["bad"]:

@@ -123,7 +123,80 @@ def _fresh_scratch_dir(name: str, sf_dir: str) -> str:
 # float to the front in this order; the remainder keep registration
 # order behind them.
 _CHECK_FIRST = [
-    # ==== round-10 window (driver checks the first 50) ====
+    # ==== round-11 window (driver checks the first 50) ====
+    # -- changed this round (regression gate):
+    #    * paired-BIGINT overflow gate + fail-loud NULL/ragged-vec guard
+    #      (r10 verdict item 1 / ADVICE): kmeans_lloyd / pca_power_top1
+    #      count rows up front and switch _qsum to one DECIMAL(38,0)
+    #      sum when a group can reach 2^31 rows; same integers below the
+    #      gate. Plus the unrolled assign now parses as ONE SQL string
+    #      (identical tree, ~3x cheaper plan construction):
+    "pca_top_component",
+    "kmeans_embeddings",
+    "kmeans_cluster_topics",
+    "knn_ivf_kmeans",
+    #    * splittable ordered CSV (r10 verdict item 2): byte-range
+    #      line-aligned partitions behind option("splittable"); the
+    #      default per-file path rides the same partition-listing code:
+    "csv_import_roundtrip",
+    #    * replay_tuned decorator (r10 verdict item 3): all 16 bounded
+    #      streaming replays now scope shuffle partitions to 4 for the
+    #      call (state-store task floor; semantics untouched):
+    "streaming_acid_sink",
+    "streaming_capped_sessions",
+    "streaming_click_attribution",
+    "streaming_dynamic_gap_sessions",
+    "streaming_exact_dedup",
+    "streaming_foreachbatch_merge",
+    "streaming_hll_distinct_users",
+    "streaming_hourly_rollup",
+    "streaming_late_data_drop",
+    "streaming_left_outer_attribution",
+    "streaming_minhash_dedup",
+    "streaming_running_totals",
+    "streaming_sessions",
+    "streaming_sliding_windows",
+    "streaming_static_enrichment",
+    "streaming_trending_topk",
+    #    * session-level cluster store (r10 verdict item 4):
+    #      dedup_clusters memoizes its checkpointed result per
+    #      (session, sf_dir); the five composed consumers ride:
+    "dedup_clusters",
+    "cluster_aware_holdout_split",
+    "crossdup_layer_matrix",
+    "dedup_retained_corpus",
+    "dedup_rate_by_source",
+    "dedup_canonical_by_quality",
+    #    * PPJoin stages grew the probe-only materialize hook (ADVICE
+    #      r10; production path expression-identical):
+    "dedup_ngram_jaccard",
+    # -- stalest rotation (last driver row r3, plus one r4; all pinned
+    #    every run by the local oracle-parity suite) --
+    "dedup_containment",
+    "dedup_minhash_verified",
+    "dedup_passages",
+    "dedup_semantic_clusters",
+    "expectations_orders",
+    "format_list_roundtrip",
+    "merge_multi_source",
+    "merge_write_commit",
+    "multimodal_png_roundtrip",
+    "multimodal_ppm_roundtrip",
+    "overlap_join_order_windows",
+    "profile_orders",
+    "q5_local_supplier_volume",
+    "quality_unigram_logprob",
+    "range_join_purchase_clicks",
+    "rolling_7d_active_users",
+    "scd2_user_state",
+    "sketch_cms_heavy_hitters",
+    "supplier_triangles",
+    "survival_km_first_purchase",
+    "temperature_mixture_langs",
+    "acid_compaction",
+    # ---- position 51+ from here: previous windows retained for
+    #      documentation ----
+    # ==== round-10 window (historical) ====
     # -- changed this round (regression gate):
     #    * clustering perf recovery (r9 verdict item 1): kmeans_lloyd /
     #      pca_power_top1 per-dim statistics now run as posexplode +
@@ -199,8 +272,6 @@ _CHECK_FIRST = [
     "curation_funnel",
     "dedup_clusters",
     "dedup_containment",
-    # ---- position 51+ from here: previous windows retained for
-    #      documentation ----
     # ==== round-9 window (historical) ====
     # -- changed this round (regression gate):
     #    * dumping NaN contract (r8 ADVICE item 3): _py_format_float now
