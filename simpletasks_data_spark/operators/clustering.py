@@ -34,8 +34,10 @@ identical bytes — the same trick as ``graph.pagerank``):
 - update: each new centroid element is computed from an INTEGER
   sufficient statistic — per-row components quantize to nano-units
   (``floor(x*1e9 + 0.5)``, the identical IEEE op in every engine), sum
-  exactly (paired-BIGINT split sums here, recombined on the driver /
-  HUGEINT in DuckDB — same integer), and divide once on
+  exactly (paired-BIGINT split sums below :data:`_QSUM_SAFE_ROWS`
+  rows, one DECIMAL(38,0) sum above it — the count-gated overflow
+  fallback; recombined on the driver / HUGEINT in DuckDB — same
+  integer either way), and divide once on
   the driver before the 1e-6 rounding — so the trajectory is fully
   independent of partitioning and summation order (the same pattern as
   ``queries._logreg_gd_multi`` / ``graph.pagerank``); an empty cluster
