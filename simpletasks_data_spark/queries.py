@@ -1021,6 +1021,9 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.passage_dedupe(_corpus(spark, sf_dir), "id", "text", seg_tokens=10)
 
 
+_NGRAM_PAIRS_STORE: Dict[tuple, DataFrame] = {}
+
+
 @register("dedup_ngram_jaccard", f"""
 WITH {SQL_CORPUS},
 n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
@@ -1046,11 +1049,21 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Feed the PPJoin from the store's materialized distinct hash stream
     # (r7 verdict item 6): no text re-normalization or shingle re-hash
-    # per call — the corpus text is not re-read at all.
-    return DD.ngram_jaccard_pairs(
+    # per call — the corpus text is not re-read at all. The verified
+    # pairs are themselves a session store (the r10-item-4
+    # _CLUSTER_STORE pattern): deterministic, bounded (threshold-
+    # surviving pairs only), keyed by (sparkContext id, sf_dir), reused
+    # by crossdup_layer_matrix instead of re-running the PPJoin.
+    key = (id(spark.sparkContext), sf_dir)
+    hit = _NGRAM_PAIRS_STORE.get(key)
+    if hit is not None:
+        return hit
+    out = DD.ngram_jaccard_pairs(
         _corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6,
         hashed_shingles=_hstream_store(spark, sf_dir),
-    )
+    ).localCheckpoint(eager=True)
+    _NGRAM_PAIRS_STORE[key] = out
+    return out
 
 
 # Estimate-then-verify pruning threshold for the verified MinHash family:

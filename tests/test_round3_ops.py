@@ -275,3 +275,22 @@ def test_qsum_narrow_wraps_where_wide_survives(spark, monkeypatch):
     ).first()
     assert _qget(row, "t") == n * q  # wide: exact
     assert _qget(row, "s") != n * q  # narrow: silently wrapped
+
+
+def test_clustering_rejects_null_and_ragged_vectors(spark):
+    # ADVICE r10: posexplode silently DROPS a NULL array, so without the
+    # up-front guard the statistics would quietly shrink n; both
+    # operators must fail loudly instead
+    from simpletasks_data_spark.operators.clustering import pca_power_top1
+
+    rows = [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="NULL or wrong-length"):
+        kmeans_lloyd(df, k=2, iterations=1, dims=2)
+    with pytest.raises(ValueError, match="NULL or wrong-length"):
+        pca_power_top1(df, iterations=1, dims=2)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL or wrong-length"):
+        kmeans_lloyd(ragged, k=2, iterations=1, dims=2)
