@@ -855,6 +855,33 @@ _SIGNATURE_STORE: Dict[tuple, tuple] = {}
 _CO_SUPPLY_STORE: Dict[tuple, DataFrame] = {}
 
 
+_TRADE_PAIRS_STORE: Dict[tuple, DataFrame] = {}
+
+
+def _trade_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer<->supplier trade pairs ``(c, s)`` (raw keys)
+    from orders x lineitem, materialized once per session+sf_dir —
+    pagerank, personalized pagerank, and HITS all start from this same
+    frame and each re-ran the join+distinct (the _co_supply_store
+    pattern; at scale this is the co-occurrence table the pipeline
+    materializes once). Per-query node-id encodings (offset / parity
+    tag) are cheap projections over it."""
+    key = (id(spark.sparkContext), sf_dir)
+    ent = _TRADE_PAIRS_STORE.get(key)
+    if ent is not None:
+        return ent
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _TRADE_PAIRS_STORE[key] = pairs
+    return pairs
+
+
 def _co_supply_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier co-supply support frame ``(u, v, n)`` (u < v, n = shared
     orders as BIGINT), materialized once per session+sf_dir — six graph
@@ -7242,15 +7269,8 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components."""
     from .operators.graph import pagerank
 
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select(
-            F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + 1000000).alias("s"),
-        )
-        .distinct()
+    pairs = _trade_pairs_store(spark, sf_dir).select(
+        "c", (F.col("s") + 1000000).alias("s")
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -11947,15 +11967,8 @@ def ppr_seeded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     it (sf ~ 7 for +1e6)."""
     from .operators.graph import pagerank
 
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
+    pairs = _trade_pairs_store(spark, sf_dir).select(
+        (F.col("c") * 2).alias("c"), (F.col("s") * 2 + 1).alias("s")
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -13520,14 +13533,7 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvector-centrality sibling of pagerank/PPR in the graph
     family."""
     _U = 100000000  # 1e8 micro-units = the 1e-8 score grid
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _trade_pairs_store(spark, sf_dir)
     h = e.select("c").distinct().select(
         F.col("c").alias("id"), F.lit(_U).cast("long").alias("h")
     )
