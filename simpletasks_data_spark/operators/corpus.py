@@ -29,7 +29,7 @@ pipelines per the build brief.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -392,6 +392,7 @@ def bm25_related_docs(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_permille: int = 100,
+    tf_frame: Optional[DataFrame] = None,
 ) -> DataFrame:
     """BM25 "more-like-this" retrieval: every document whose id hashes
     into the query stratum (``id % query_mod == 0``) retrieves its
@@ -426,13 +427,20 @@ def bm25_related_docs(
     scores engine-exact rather than approximated. Set
     ``max_df_permille = 1000`` to disable.
     """
-    t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    tok = t.select(id_col, F.explode("_toks").alias("token"))
-    tf = (
-        tok.groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    if tf_frame is not None:
+        # Caller-provided (id, token, tf) term-frequency table — the
+        # session-store pattern: the tf shuffle is the only data-sized
+        # stage here, so retrieval stacks that score the same corpus
+        # twice (BM25 + Jaccard in hybrid RRF) build it once.
+        tf = tf_frame
+    else:
+        t = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        tok = t.select(id_col, F.explode("_toks").alias("token"))
+        tf = (
+            tok.groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .localCheckpoint(eager=False)
+        )
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(
@@ -707,6 +715,7 @@ def jaccard_related_docs(
     id_col: str = "doc_id",
     query_mod: int = 97,
     k: int = 5,
+    tok_frame: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Token-set Jaccard "more-like-this" retrieval: each query-stratum
     document (``id % query_mod == 0``) ranks the corpus by
@@ -727,13 +736,20 @@ def jaccard_related_docs(
     Returns (query_id, id_col, rank, jaccard); rank by 1e-6-rounded
     jaccard then id.
     """
-    tok = (
-        docs.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    if tok_frame is not None:
+        # Caller-provided DISTINCT (id, token) stream. A (id, token, tf)
+        # term-frequency table projected to its keys is exactly this
+        # frame (groupBy keys are distinct), so the hybrid-RRF stack
+        # derives it from the shared tf store with zero extra shuffles.
+        tok = tok_frame.select(F.col(id_col), F.col("token"))
+    else:
+        tok = (
+            docs.select(
+                F.col(id_col),
+                F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
     sz = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
     q = (
         tok.where((F.col(id_col) % query_mod) == 0)

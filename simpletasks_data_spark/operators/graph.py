@@ -71,14 +71,26 @@ def connected_components(
         .select("id", F.least(F.col("id"), F.col("_mn")).alias("lab"))
         .localCheckpoint(eager=True)
     )
-
+    # Gated node-side broadcast (guide-of-record §3.1, the pagerank
+    # pattern): the label frame is NODE-bounded, the edge frame is not;
+    # the checkpointed frames carry no stats so Spark would sort-merge
+    # and re-shuffle the edge frame every round. Deterministic metrics
+    # at sf0.1 (scripts/ab_metrics.py, percolation = 3 CC runs):
+    # shuffle 15.0 -> 1.8 MB, executor CPU 44 -> 32 s. Wall-clock A/B
+    # first suggested a regression — that was host-throughput noise
+    # (2x control swings); decide iterative-join strategy from plan
+    # metrics, not wall seconds, on this box.
+    _bcast_nodes = lab.count() <= 2_000_000
     for _ in range(max_iter):
         # min over self + neighbor labels (one shuffle on id). The self
         # rows carry a marker so the SAME aggregation also yields the old
         # label — the convergence check then rides the round's observation
         # instead of costing a third join.
+        _lab_u = lab.withColumnRenamed("id", "u")
+        if _bcast_nodes:
+            _lab_u = F.broadcast(_lab_u)  # b: gated
         nbr = (
-            edges.join(lab.withColumnRenamed("id", "u"), "u")
+            edges.join(_lab_u, "u")
             .select(F.col("v").alias("id"), "lab", F.lit(False).alias("_self"))
         )
         new = (
@@ -92,9 +104,12 @@ def connected_components(
         )
         # path halving: lab(u) <- lab(lab(u)); labels are node ids, so the
         # label frame itself is the pointer table
+        _ptr = lab.select(F.col("id").alias("lab"), F.col("lab").alias("_ll"))
+        if _bcast_nodes:
+            _ptr = F.broadcast(_ptr)  # b: gated
         new = (
             new.join(
-                lab.select(F.col("id").alias("lab"), F.col("lab").alias("_ll")),
+                _ptr,
                 "lab",
                 "left",
             )
@@ -251,6 +266,7 @@ def pagerank(
     reset_ids: Optional[DataFrame] = None,
     reset_id_col: str = "id",
     checkpoint_interval: int = 3,
+    broadcast_nodes_limit: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge frame: ``(id,
     score)`` after ``iterations`` synchronous rounds of
@@ -309,6 +325,16 @@ def pagerank(
         )
         nr = nodes.join(seeds, "id", "left").na.fill({"_rn": 0})
     nr = nr.localCheckpoint(eager=True)
+    # Join strategy (guide-of-record §3.1): the per-round score and
+    # contribution frames are NODE-bounded while ``ed`` is EDGE-sized;
+    # Spark plans the round join as sort-merge because the checkpointed
+    # frames carry no usable stats, which sorts + exchanges the edge
+    # frame every round. While the node set is provably small (runtime
+    # count against an explicit cap — the lint's `gated` class), hint
+    # the node-sized side so the edge frame is never shuffled; larger
+    # graphs keep the SMJ path unchanged. ~16 bytes/row -> the cap
+    # bounds the built relation to ~32 MB, well inside broadcast range.
+    _bcast_nodes = nr.count() <= broadcast_nodes_limit
     # p0 = 1.0 per (seed) node on the grid
     if reset_ids is None:
         scores = nr.select("id", F.lit(unit).cast("long").alias("_sn"))
@@ -320,13 +346,18 @@ def pagerank(
             .alias("_sn"),
         )
     for it in range(iterations):
+        su = scores.withColumnRenamed("id", "u")
+        if _bcast_nodes:
+            su = F.broadcast(su)  # b: gated
         contrib = (
-            ed.join(scores.withColumnRenamed("id", "u"), "u")
+            ed.join(su, "u")
             .groupBy(F.col("v").alias("id"))
             .agg(
                 F.sum(F.round(F.col("_sn") / F.col("_d")).cast("long")).alias("_in")
             )
         )
+        if _bcast_nodes:
+            contrib = F.broadcast(contrib)  # b: gated
         scores = nr.join(contrib, "id", "left").select(
             "id",
             (
@@ -443,14 +474,24 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     like pagerank/connected_components above, per-round checkpoints cut
     lineage on real clusters.
     """
+    # Cut the plan once (r11): without a checkpoint the caller's edge
+    # pipeline (e.g. the top-K support cut behind communities) re-executes
+    # inside EVERY round's join — 4x the edge subtree per query.
     und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     nodes = und.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("community", F.col("id"))
+    # Gated node-side broadcast (the pagerank/CC pattern; labels are
+    # node-bounded, und is edge-sized). The count also materializes the
+    # und checkpoint before the rounds reference it three times.
+    _bcast_nodes = nodes.count() <= 2_000_000
     for _ in range(iterations):
+        _lab_src = labels.withColumnRenamed("id", "src")
+        if _bcast_nodes:
+            _lab_src = F.broadcast(_lab_src)  # b: gated
         nb = (
-            und.join(labels.withColumnRenamed("id", "src"), "src")
+            und.join(_lab_src, "src")
             .groupBy(F.col("dst").alias("id"), "community")
             .agg(F.count(F.lit(1)).alias("w"))
         )
@@ -715,8 +756,13 @@ def bfs_reach(edges: DataFrame, seeds: DataFrame, radius: int = 3) -> DataFrame:
     frontier = visited
     out = None
     for r in range(1, radius + 1):
+        # Gated frontier-side broadcast (the pagerank pattern): the
+        # frontier is (seed-cohort x reach)-bounded while the adjacency
+        # is edge-sized; both frames are checkpointed, so the runtime
+        # count is cheap. Larger cohorts keep the SMJ path.
+        _f = F.broadcast(frontier) if frontier.count() <= 2_000_000 else frontier  # b: gated
         nxt = (
-            frontier.join(und, frontier["node"] == und["src"])
+            _f.join(und, _f["node"] == und["src"])
             .select("seed", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["seed", "node"], "left_anti")
@@ -765,8 +811,13 @@ def sssp_bounded(
         F.lit(0).cast("long").alias("dist"),
     ).localCheckpoint(eager=True)
     for _ in range(max_hops):
+        # Gated frontier-side broadcast (the pagerank/CC pattern): the
+        # distance frame is (seed-cohort x reached)-bounded, the
+        # adjacency is edge-sized; dist is checkpointed each round so
+        # the runtime count is cheap and exact.
+        _d = F.broadcast(dist) if dist.count() <= 2_000_000 else dist  # b: gated
         relaxed = (
-            dist.join(und, dist["node"] == und["a"])
+            _d.join(und, _d["node"] == und["a"])
             .select("src_id", F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
         dist = (
