@@ -170,6 +170,24 @@ _CHECK_FIRST = [
     #    * PPJoin stages grew the probe-only materialize hook (ADVICE
     #      r10; production path expression-identical):
     "dedup_ngram_jaccard",
+    #    * r11 OPTIMIZATION session (gated node-side broadcasts in the
+    #      iterative graph operators; percolation thread overlap; shared
+    #      tf store for the retrieval stack; verified-pairs store feeding
+    #      the eval's truth leg; plan cuts in pipeline/mad_outliers; LPA
+    #      edge-frame checkpoint) — every query whose execution path
+    #      changed rides the regression gate:
+    "pagerank_customer_supplier",
+    "ppr_seeded_customers",
+    "hits_customer_supplier",
+    "graph_percolation_supplier",
+    "communities_suppliers",
+    "sssp_hub_suppliers",
+    "graph_reach_hubs",
+    "bm25_related_docs",
+    "hybrid_rrf_retrieval",
+    "dedup_minhash_eval",
+    "pipeline_pretraining_corpus",
+    "mad_outliers_by_segment",
     # -- stalest rotation (last driver row r3, plus one r4; all pinned
     #    every run by the local oracle-parity suite) --
     "dedup_containment",
@@ -16754,6 +16772,13 @@ def mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tail itself is what you're hunting."""
     from .operators.profile import exact_group_median
 
+    # Cut the plan at the two reused frames (r11, ab_metrics): the
+    # median kernel scans its input twice and ``v``/``d`` each feed
+    # multiple consumers, so the orders x customer join subtree
+    # re-evaluated ~7x inside one action (36 parquet scans / 183
+    # operators in the physical plan). Two narrow lazy checkpoints
+    # bring it to one evaluation each — the same intermediate a
+    # production pipeline would persist between the passes.
     v = (
         load(spark, sf_dir, "orders")
         .select("o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
@@ -16764,13 +16789,14 @@ def mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
         )
         .select(F.col("c_mktsegment").alias("seg"), "cents")
+        .localCheckpoint(eager=False)
     )
     med = exact_group_median(v, ["seg"], "cents").select(
         "seg", "n", F.col("median").alias("med")
     )
     d = v.join(F.broadcast(med), "seg").select(  # b: grid
         "seg", "med", "n", F.abs(F.col("cents") - F.col("med")).alias("adev")
-    )
+    ).localCheckpoint(eager=False)
     mad = exact_group_median(d.select("seg", "adev"), ["seg"], "adev").select(
         "seg", F.col("median").alias("mad")
     )
@@ -17023,6 +17049,13 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. At 100 TB this is the same plan with bigger scans — no stage
     holds per-corpus state. The oracle recomputes the whole chain from
     the proven stage fragments."""
+    # NOTE (r11, ab_metrics): a round-robin _ensure_parallelism spread
+    # here MULTIPLIED total work ~17x (2.3 -> 40 executor-CPU-s) — the
+    # exchange splits the collapsed projection so the HOF-heavy
+    # expressions (tokens/langid/fingerprint) lose common-subexpression
+    # reuse and re-evaluate per consumer. The plan cut below is the
+    # right fix; the single-task scan stage is a test-SF row-group
+    # artifact (at scale the scan has >= cores partitions).
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.select(
         "doc_id", "text", TX.tokens("text").alias("toks")
@@ -17032,7 +17065,16 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang = cand.withColumn("lang", TX.lang_id("text")).where(F.col("lang") != "und")
     fp = lang.withColumn("fpr", TX.fingerprint("text"))
     w = Window.partitionBy("fpr").orderBy("doc_id")
-    dd = fp.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    # Cut the plan once (r11, ab_metrics): ``dd`` feeds BOTH the
+    # decontamination join and the survivors anti-join, and without a
+    # checkpoint the whole scan -> tokens -> langid -> fingerprint ->
+    # window subtree re-evaluated SIX times inside one action (6
+    # parquet scans / 12 Windows in the physical plan).
+    dd = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .localCheckpoint(eager=False)
+    )
     dec = CP.decontaminate(
         dd.select("doc_id", "text"), bench, "text", "doc_id", n=3, threshold=0.5
     )
