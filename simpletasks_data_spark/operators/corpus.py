@@ -887,6 +887,12 @@ def suffix_ranks(
         )
         alphabet = paired.select("_r", "_r2").distinct()
         ranked, _ = global_row_number(alphabet, ["_r", "_r2"], "_nr")
+        # (r11 measured: an explicit gated broadcast of the rank map here
+        # changed NOTHING — identical stages/shuffle bytes; AQE already
+        # rewrites this join to broadcast at runtime because the rank map
+        # comes out of a materialized exchange with exact sizes. The
+        # iterative-graph operators need the hint only because their
+        # checkpointed frames hide sizes from the planner.)
         pos = (
             paired.join(ranked, ["_r", "_r2"])
             .select("_doc", "_pos", F.col("_nr").alias("_r"))
