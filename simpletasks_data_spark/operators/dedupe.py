@@ -761,24 +761,38 @@ def containment_pairs(
     the CONTAINED document; both directions of a mutual near-dup pair
     emit.
     """
-    from pyspark.sql import Window
-
-    # four consumers (sets, df-rank, prefix, candidate B-side) — cut the
-    # plan once so the corpus is normalized + shingled exactly once
+    # two consumers of the raw shingle rows (df agg, candidate B-side) —
+    # cut the plan once so the corpus is normalized + shingled exactly once
     sh = _shingle_frame(df, id_col, text_col, n).localCheckpoint(eager=False)
-    sets = sh.groupBy("_id").agg(
-        F.collect_list("sh").alias("arr"), F.count(F.lit(1)).alias("sz")
-    )
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = sh.join(dfreq, "sh").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("_id").orderBy(F.asc("_df"), F.col("sh"))
-        ),
+    # Fused per-doc aggregation (r11, ab_metrics): ONE groupBy over the
+    # df-annotated shingle rows yields the verify arrays, the set sizes,
+    # AND the rarest-first prefix — slice(array_sort(struct(_df, sh)))
+    # selects exactly the rows the old row_number window kept (same
+    # (asc _df, asc sh) total order; shingles are distinct per doc), but
+    # without a second full exchange+sort of the shingle frame or the
+    # separate sets-size join. The frame feeds THREE consumers (prefix
+    # explode, verify A-side, verify B-side), so it is plan-cut once —
+    # the un-checkpointed original re-ran the aggregation per consumer.
+    prefix_len = (
+        F.floor(F.lit(1.0 - threshold) * F.size("_wl")) + 1
+    ).cast("int")
+    sets = (
+        sh.join(dfreq, "sh")
+        .groupBy("_id")
+        .agg(F.collect_list(F.struct(F.col("_df"), F.col("sh"))).alias("_wl"))
+        .select(
+            "_id",
+            F.transform("_wl", lambda x: x["sh"]).alias("arr"),
+            F.size("_wl").cast("long").alias("sz"),
+            F.transform(
+                F.slice(F.array_sort("_wl"), F.lit(1), prefix_len),
+                lambda x: x["sh"],
+            ).alias("_pref"),
+        )
+        .localCheckpoint(eager=False)
     )
-    prefix = ranked.join(sets.select("_id", "sz"), "_id").where(
-        F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
-    )
+    prefix = sets.select("_id", F.explode("_pref").alias("sh"))
     cand = (
         prefix.alias("a")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") != F.col("b._id")))

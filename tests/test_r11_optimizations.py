@@ -90,6 +90,39 @@ def test_minhash_eval_store_and_cold_paths_agree(spark):
     assert cold == warm
 
 
+def test_containment_fused_prefix_matches_bruteforce(spark):
+    """The r11 fused per-doc aggregation (array_sort(struct(df, sh)) +
+    slice replacing the row_number window) must keep containment_pairs
+    EXACT: compare against brute-force distinct-shingle containment on
+    the real sf0.001 corpus."""
+    from simpletasks_data_spark.functions.text import normalize_text
+    from simpletasks_data_spark.operators.dedupe import containment_pairs
+
+    corpus = Q._corpus(spark, SF)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(corpus, "id", "text", n=12, threshold=0.9).collect()
+    }
+    n = 12
+    docs = {
+        r["id"]: r["_n"]
+        for r in corpus.select("id", normalize_text("text").alias("_n")).collect()
+    }
+    sets = {
+        i: {t[k : k + n] for k in range(max(len(t) - n + 1, 1))}
+        for i, t in docs.items()
+    }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = round(len(sa & sb) / len(sa), 4)
+            if c >= 0.9:
+                want[(a, b)] = c
+    assert got == want
+
+
 def test_percolation_thread_pool_report_complete(spark):
     """The overlapped percentile sweeps must still emit exactly the
     three report rows in (50, 90, 99) with a non-shrinking threshold."""
