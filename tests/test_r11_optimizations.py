@@ -90,6 +90,18 @@ def test_minhash_eval_store_and_cold_paths_agree(spark):
     assert cold == warm
 
 
+def test_als_factors_store_hit_matches_rebuild(spark):
+    """The session-level ALS factor store must return exactly what a
+    cold rebuild computes (deterministic integer micro-factors)."""
+    q = Q.queries()
+    key = (id(spark.sparkContext), SF)
+    Q._ALS_FACTORS_STORE.pop(key, None)
+    cold = _rows(q["als_factors_retail"](spark, SF), ["id", "role", "fx_micro", "fy_micro"])
+    assert key in Q._ALS_FACTORS_STORE
+    warm = _rows(q["als_factors_retail"](spark, SF), ["id", "role", "fx_micro", "fy_micro"])
+    assert cold == warm and len(cold) > 0
+
+
 def test_containment_fused_prefix_matches_bruteforce(spark):
     """The r11 fused per-doc aggregation (array_sort(struct(df, sh)) +
     slice replacing the row_number window) must keep containment_pairs
