@@ -847,14 +847,19 @@ def suffix_ranks(
     each round doubles the compared span by re-ranking the PAIR
     (rank[pos], rank[pos + span]).
 
-    The scale discipline per round: the pair frame groups to its
+    The scale discipline per round: the (rank[pos], rank[pos+span])
+    pair is a ``lead(rank, span)`` window per doc — positions are the
+    contiguous 1..len(doc) integers by construction, so the lead IS the
+    +span self-join, for one exchange of the position frame instead of
+    the sort-merge join's two (r11 rewrite; the window sort is by the
+    in-doc position, never a global sort). The pair frame groups to its
     DISTINCT pairs (the alphabet of the next round — contracts fast),
     the distinct frame gets an exact dense rank via the range-exchange
     + offset-map pattern (operators/ranking.global_row_number — a
     sampled range partition, never a single-task sort), and positions
-    re-join their new rank by pair key. No stage ever globally sorts
-    the position frame itself; at 100 TB the position frame is the
-    big side of plain equi-joins only.
+    re-join their new rank by pair key. Per-round intermediates are
+    LAZY checkpoints — the rank map's own materialization job pulls
+    them through, so a round costs two jobs, not three.
 
     Returns (``id_col``, pos, rank) with pos 1-based and rank the dense
     rank of the suffix's first ``window`` chars under binary collation
@@ -878,13 +883,20 @@ def suffix_ranks(
     ).localCheckpoint(eager=True)
 
     span = 1
+    wdoc = Window.partitionBy("_doc").orderBy("_pos")
     while span < window:
-        nxt = pos.select(
-            "_doc", (F.col("_pos") - span).alias("_pos"), F.col("_r").alias("_r2")
-        )
-        paired = pos.join(nxt, ["_doc", "_pos"], "left").select(
-            "_doc", "_pos", "_r", F.coalesce("_r2", F.lit(-1)).alias("_r2")
-        )
+        # Positions are contiguous 1..len per doc, so the row `span`
+        # ahead in position order IS position+span: lead() replaces the
+        # (_doc, _pos) sort-merge self-join. Lazy checkpoint: `paired`
+        # feeds both the alphabet and the rank re-join; global_row_number's
+        # eager alphabet checkpoint materializes it (and the previous
+        # round's pos) in the same job, so the window runs once per round.
+        paired = pos.select(
+            "_doc",
+            "_pos",
+            "_r",
+            F.coalesce(F.lead("_r", span).over(wdoc), F.lit(-1)).alias("_r2"),
+        ).localCheckpoint(eager=False)
         alphabet = paired.select("_r", "_r2").distinct()
         ranked, _ = global_row_number(alphabet, ["_r", "_r2"], "_nr")
         # (r11 measured: an explicit gated broadcast of the rank map here
@@ -896,7 +908,7 @@ def suffix_ranks(
         pos = (
             paired.join(ranked, ["_r", "_r2"])
             .select("_doc", "_pos", F.col("_nr").alias("_r"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         span *= 2
     return pos.select(

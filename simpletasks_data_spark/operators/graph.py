@@ -144,13 +144,18 @@ def connected_components_bigstar(
     label propagation (even with path halving) degrades to O(log diameter)
     rounds over a frame that stays large.
 
-    Per round exactly TWO jobs (one per phase), each: symmetrize the
-    (checkpointed) edge frame, per-node min aggregation, emit-join,
-    canonicalize + distinct, checkpoint with an Observation carrying the
-    edge count and an order-independent checksum — convergence is
+    Per round exactly ONE job: both phases are window passes (min over
+    the neighbor partition — the same key the old groupBy+self-join pair
+    shuffled twice), composed into a single plan that ends in
+    canonicalize + distinct, checkpointed with an Observation carrying
+    the edge count and an order-independent checksum — convergence is
     "small-star output identical two rounds running", detected from the
-    observation, costing no extra action. At the fixed point the edge set
-    is a star forest rooted at each component's min id.
+    observation, costing no extra action. (r11: the groupBy+join form
+    cost ~5 exchanges + 2 actions per round; the window form is
+    set-identical — min is duplicate-insensitive, and the end-of-round
+    distinct subsumes the intermediate one — at 3 exchanges + 1 action.)
+    At the fixed point the edge set is a star forest rooted at each
+    component's min id.
 
     - large-star: every node links its LARGER neighbors to its smallest
       known node (min of self + neighborhood) — long chains fold toward
@@ -158,6 +163,8 @@ def connected_components_bigstar(
     - small-star: every node links its smaller-or-equal neighbors (plus
       itself) to their min — consolidating the partial stars.
     """
+    from pyspark.sql import Window
+
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -180,34 +187,40 @@ def connected_components_bigstar(
 
     prev_sig = None
     for _ in range(max_iter):
-        # ---- large-star ----
+        # ---- large-star (window form) ----
+        # min(self + neighborhood) per node u is a window min over the
+        # symmetrized frame; rows with v > u emit (big=v, small=least(u, mn)).
+        # b <= u < v, so the emitted pair is already canonical (big, small)
+        # and never degenerate.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
         ls = (
-            sym.join(mins, "u")
+            sym.withColumn("_mn", F.min("v").over(Window.partitionBy("u")))
             .where(F.col("v") > F.col("u"))
             .select(
-                F.col("v").alias("a"), F.least(F.col("u"), F.col("_mn")).alias("b")
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("_mn")).alias("v"),
             )
         )
-        e_ls = (
-            ls.where(F.col("a") != F.col("b"))
-            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-            .distinct()
-        )
-        e_ls, _ = _checkpoint_observed(e_ls)
-
-        # ---- small-star ----
-        sym2 = e_ls.union(e_ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        smaller = sym2.where(F.col("v") < F.col("u"))
-        mins2 = smaller.groupBy("u").agg(F.min("v").alias("_mn"))
-        ss = (
-            smaller.join(mins2, "u")
-            .select(F.col("v").alias("a"), F.col("_mn").alias("b"))
-            .unionByName(
-                mins2.select(F.col("u").alias("a"), F.col("_mn").alias("b"))
-            )
-        )
+        # ---- small-star (window form) ----
+        # ls rows are (u=big, v=small): exactly the old `smaller` frame.
+        # Every row links its small end to the group min; the rows that
+        # ACHIEVE the min additionally emit the (big, min) self link —
+        # duplicates (from skipping the intermediate distinct) collapse in
+        # the end-of-round distinct and cannot move a min.
+        ann = ls.withColumn("_mn", F.min("v").over(Window.partitionBy("u")))
+        ss = ann.select(
+            F.explode(
+                F.when(
+                    F.col("v") == F.col("_mn"),
+                    F.array(
+                        F.struct(F.col("v").alias("x"), F.col("_mn").alias("y")),
+                        F.struct(F.col("u").alias("x"), F.col("_mn").alias("y")),
+                    ),
+                ).otherwise(
+                    F.array(F.struct(F.col("v").alias("x"), F.col("_mn").alias("y")))
+                )
+            ).alias("_e")
+        ).select(F.col("_e.x").alias("a"), F.col("_e.y").alias("b"))
         e_ss = (
             ss.where(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
@@ -846,33 +859,102 @@ def hyperball_neighborhood(
     md5 hash (operators/sketches.hll_prepare), so estimates are
     engine-exact and the oracle can replay the rounds in SQL.
 
-    Per round exactly one equi-join (neighbor registers) + one max agg
-    on the checkpointed (node, bucket, reg) frame — the bounded-rounds
-    discipline of :func:`sssp_bounded`. State is <= m rows per node.
+    State is PACKED: one ``array<int>[m]`` register column per node
+    (slot value 0 = empty register; a real rho is always >= 1), so the
+    per-round exchange moves |nodes| array rows instead of |nodes| x m
+    (node, bucket, reg) rows — r11: ~64x fewer shuffle rows, ~3x fewer
+    bytes, and the per-element max partially aggregates map-side. Per
+    round exactly one equi-join (gated node-side broadcast — the
+    pagerank pattern; the self-merge rides a self-loop row per node, so
+    there is no union) + one packed max agg; the estimate pass is
+    map-only HOF arithmetic over the array plus one global agg, where
+    the row-oriented layout paid a full (id, bucket) exchange per tick.
 
     Returns one row per t in 0..radius:
     ``(radius, n_nodes, est_reach)`` where est_reach = sum of per-node
     HLL ball-size estimates (each rounded to 4 before the sum, matching
-    the SQL twin).
+    the SQL twin). Register values, the max-merge, and the finalize
+    formula are bit-identical to operators/sketches.hll_prepare /
+    hll_finalize (z = sum over occupied registers of 2^-reg, plus one
+    per empty register — dyadic terms, order-exact).
     """
-    from .sketches import hll_finalize, hll_prepare
+    m = 1 << b
+    wbits = 60 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
 
+    # Materialize the edge projection BEFORE symmetrizing (the
+    # connected_components discipline): und references it FOUR times
+    # (sym twice, self-loops twice more), so an un-materialized caller
+    # pipeline would execute 4x inside the und job (measured r11: the
+    # hyperball edge-cut build went 1x -> 4x the moment the self-loop
+    # union landed; this checkpoint pins it at 1x).
+    e0 = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).localCheckpoint(
+        eager=True
+    )
+    sym = e0.unionAll(e0.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    # Self-loop per node (every node appears as _a after symmetrizing):
+    # each round's max-merge then includes the node's own registers via
+    # the same join, with no extra union branch.
     und = (
-        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
-        .unionAll(edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b")))
+        sym.unionAll(sym.select("_a", F.col("_a").alias("_b")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = und.select(F.col("_a").alias("id")).distinct()
-    regs = (
-        hll_prepare(nodes.withColumn("_val", F.col("id")), "_val", ["id"], b=b)
-        .groupBy("id", "_bucket")
-        .agg(F.max("_rho").alias("_reg"))
-        .localCheckpoint(eager=True)
+    # Packed init (map-only): the node's single hashed value occupies one
+    # register slot; all other slots hold the empty marker 0.
+    h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    nodes = (
+        und.select(F.col("_a").alias("id"))
+        .distinct()
+        .withColumn("_h", h)
+        .select(
+            "id",
+            F.pmod(F.col("_h"), F.lit(m)).alias("_bucket"),
+            F.shiftright(F.col("_h"), b).alias("_w"),
+        )
+        .withColumn(
+            "_rho",
+            F.when(F.col("_w") == 0, F.lit(wbits + 1)).otherwise(
+                F.lit(wbits + 1) - F.length(F.bin(F.col("_w")))
+            ),
+        )
     )
+    regs = nodes.select(
+        "id",
+        F.array(
+            *[
+                F.when(F.col("_bucket") == i, F.col("_rho"))
+                .otherwise(F.lit(0))
+                .cast("int")
+                for i in range(m)
+            ]
+        ).alias("_regs"),
+    ).localCheckpoint(eager=False)
+    # Gated node-side broadcast (the pagerank/CC pattern): the register
+    # frame is node-bounded; the count is ALSO the round-0 materializer
+    # (it pulls the lazy regs and und checkpoints through in one job).
+    # ~m*4 bytes/row keeps 500k nodes ~128 MB.
+    _bcast_nodes = regs.count() <= 500_000
+    _merge = F.expr(
+        "array(" + ", ".join(f"max(_regs[{i}])" for i in range(m)) + ")"
+    ).alias("_regs")
 
     def _tick(t: int, r: DataFrame) -> DataFrame:
-        est = hll_finalize(r.withColumnRenamed("_reg", "_reg"), ["id"], b=b)
+        # hll_finalize over the packed array, map-side: z = sum of 2^-reg
+        # over occupied slots + (# empty slots), exactly the row form's
+        # sum(2^-reg) + (m - count).
+        occ = F.filter(F.col("_regs"), lambda x: x > 0)
+        z = F.aggregate(
+            occ, F.lit(0.0), lambda acc, x: acc + F.pow(F.lit(2.0), -x)
+        ) + (F.lit(m) - F.size(occ))
+        v = (F.lit(m) - F.size(occ)).cast("double")
+        raw = F.lit(alpha * m * m) / z
+        linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+        est = r.select(
+            F.round(
+                F.when((raw <= 2.5 * m) & (v > 0), linear).otherwise(raw), 4
+            ).alias("est_distinct")
+        )
         return est.agg(
             F.lit(t).cast("long").alias("radius"),
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -881,14 +963,11 @@ def hyperball_neighborhood(
 
     out = _tick(0, regs)
     for t in range(1, radius + 1):
-        neigh = (
-            und.join(regs, und["_b"] == regs["id"])
-            .select(F.col("_a").alias("id"), "_bucket", "_reg")
-        )
+        r_in = F.broadcast(regs) if _bcast_nodes else regs  # b: gated
         regs = (
-            regs.unionByName(neigh)
-            .groupBy("id", "_bucket")
-            .agg(F.max("_reg").alias("_reg"))
+            und.join(r_in, und["_b"] == r_in["id"])
+            .groupBy(und["_a"].alias("id"))
+            .agg(_merge)
             .localCheckpoint(eager=True)
         )
         out = out.unionByName(_tick(t, regs))

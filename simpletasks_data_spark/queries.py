@@ -125,6 +125,13 @@ def _fresh_scratch_dir(name: str, sf_dir: str) -> str:
 _CHECK_FIRST = [
     # ==== round-11 window (driver checks the first 50) ====
     # -- changed this round (regression gate):
+    #    * session 3: window-form big-star rounds (CC), packed HyperBall
+    #      registers, lead()-paired suffix doubling, single-SQL Hilbert:
+    "dbscan_embeddings_grid",
+    "dedup_clusters_bigstar",
+    "graph_hyperball_suppliers",
+    "suffix_ranks_corpus",
+    "hilbert_layout_orders",
     #    * paired-BIGINT overflow gate + fail-loud NULL/ragged-vec guard
     #      (r10 verdict item 1 / ADVICE): kmeans_lloyd / pca_power_top1
     #      count rows up front and switch _qsum to one DECIMAL(38,0)
@@ -15350,35 +15357,39 @@ FROM bucketed GROUP BY bucket"""
 def with_hilbert_index_16(df: DataFrame, x, y, out_col: str = "d") -> DataFrame:
     """Append the 16-bit x 16-bit Hilbert index of integer Columns
     ``x``, ``y`` as ``out_col`` — the top-down xy2d walk, REIFIED into
-    chained projections (the DataFrame twin of the oracle's CTE chain).
-    Composing all 16 steps as one nested Column expression multiplies
-    the tree ~5x per step and blows the analyzer at ~5^16 nodes
-    (observed OOM); one projection per step keeps expressions tiny but
-    pays 16 eager Dataset analyses (~9 s of driver time). The shipped
-    shape inlines TWO steps per projection — 8 analyses of ~25-node
-    expressions, the measured sweet spot (~2.5 s build). The remaining
-    wall cost is one-time codegen of the fused map stage; per-row work
-    is ~100 integer branches, so the cost is FIXED, not row-scaled —
-    at cluster data sizes it amortizes to zero. No UDF, no shuffle.
-    Exported for tests."""
+    a 16-subquery SQL chain (the literal twin of the oracle's CTE
+    chain). Composing all 16 steps as one nested Column expression
+    multiplies the tree ~5x per step and blows the analyzer at ~5^16
+    nodes (observed OOM); chained ``select`` calls keep expressions tiny
+    but pay one eager Dataset analysis per call (measured r10: ~9 s at
+    16 calls, ~2.5 s at the shipped 8). The r11 shape hands the WHOLE
+    chain to the parser as ONE ``spark.sql`` statement — one parse + one
+    analysis of 16 linear Projects (CollapseProject leaves them alone:
+    each step's _hx/_hy feed ~4 non-cheap uses), measured ~0.2 s build.
+    The remaining wall cost is one-time codegen of the fused map stage;
+    per-row work is ~100 integer branches, so the cost is FIXED, not
+    row-scaled — at cluster data sizes it amortizes to zero. No UDF,
+    no shuffle. Exported for tests."""
     base = [c for c in df.columns if c not in ("_hx", "_hy", out_col)]
     cur = df.select(
         *base, x.cast("long").alias("_hx"), y.cast("long").alias("_hy"),
         F.lit(0).cast("long").alias(out_col),
     )
-    steps = list(range(15, -1, -1))
-    for k in range(0, len(steps), 2):
-        hx, hy, hd = F.col("_hx"), F.col("_hy"), F.col(out_col)
-        for i in steps[k : k + 2]:
-            s = 1 << i
-            rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-            ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
-            nx = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hy).otherwise(hy)).otherwise(hx)
-            ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - hx).otherwise(hx)).otherwise(hy)
-            hd = hd + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
-            hx, hy = nx, ny
-        cur = cur.select(*base, hx.alias("_hx"), hy.alias("_hy"), hd.alias(out_col))
-    return cur.drop("_hx", "_hy")
+    keep = "".join(f"`{c}`, " for c in base)
+    ctes = ["h16 AS (SELECT * FROM {src})"]
+    for i in range(15, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (_hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (_hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        nx = f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - _hy ELSE _hy END) ELSE _hx END)"
+        ny = f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - _hx ELSE _hx END) ELSE _hy END)"
+        nd = f"(`{out_col}` + CAST({s * s} AS BIGINT) * (({rx} * 3) ^ {ry}))"
+        ctes.append(
+            f"h{i} AS (SELECT {keep}{nx} AS _hx, {ny} AS _hy,"
+            f" {nd} AS `{out_col}` FROM h{i + 1})"
+        )
+    sql = "WITH " + ",\n".join(ctes) + f"\nSELECT {keep}`{out_col}` FROM h0"
+    return df.sparkSession.sql(sql, src=cur)
 
 
 @register("hilbert_layout_orders", _hilbert16_sql())

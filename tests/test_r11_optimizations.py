@@ -135,6 +135,112 @@ def test_containment_fused_prefix_matches_bruteforce(spark):
     assert got == want
 
 
+def test_bigstar_window_form_matches_minlabel_cc(spark):
+    """The r11 window-form big-star round (two window mins + one explode
+    replacing the two groupBy+self-join phases) must produce exactly the
+    same components as min-label propagation on an adversarial mix:
+    a long chain (the shape big-star exists for), stars, duplicate and
+    reversed edges, and an isolated pair."""
+    import random
+
+    from simpletasks_data_spark.operators.graph import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(100, 160)]  # 61-node chain
+    edges += [(500, 500 + k) for k in range(1, 9)]  # star
+    edges += [(900, 901)]  # isolated pair
+    edges += [(rng.randrange(100, 170), rng.randrange(100, 170)) for _ in range(40)]
+    edges += [(b, a) for a, b in edges[:30]]  # reversed duplicates
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = _rows(connected_components_bigstar(df, "a", "b"), ["id", "component"])
+    want = _rows(connected_components(df, "a", "b"), ["id", "component"])
+    assert got == want and len(got) > 0
+
+
+def test_hyperball_packed_matches_row_form_exactly(spark):
+    """The r11 packed-register layout (one array<int>[m] per node,
+    self-loop merge, map-side finalize) must reproduce the row-form
+    (node, bucket, reg) math BIT-FOR-BIT: replicate hll_prepare/
+    hll_finalize in Python over exact BFS balls and require equality of
+    the rounded estimates, not a tolerance."""
+    import hashlib
+    import math
+
+    from simpletasks_data_spark.operators.graph import hyperball_neighborhood
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (5, 10)]
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    b, m, wbits, radius = 6, 64, 54, 3
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def reg(node):
+        h = int(hashlib.md5(str(node).encode()).hexdigest()[:15], 16)
+        w = h >> b
+        rho = (wbits + 1) if w == 0 else (wbits + 1) - w.bit_length()
+        return h % m, rho
+
+    def est(ball):
+        regs = {}
+        for x in ball:
+            bk, rho = reg(x)
+            regs[bk] = max(regs.get(bk, 0), rho)
+        z = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+        v = float(m - len(regs))
+        raw = alpha * m * m / z
+        out = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+        return round(out, 4)
+
+    want = []
+    for t in range(radius + 1):
+        total = 0.0
+        for n in adj:
+            ball = {n}
+            for _ in range(t):
+                ball |= {w for x in ball for w in adj.get(x, ())}
+            total += est(ball)
+        want.append(round(total, 4))
+
+    rows = {r["radius"]: r for r in hyperball_neighborhood(df, "u", "v", radius=radius, b=b).collect()}
+    assert all(rows[t]["n_nodes"] == len(adj) for t in range(radius + 1))
+    got = [rows[t]["est_reach"] for t in range(radius + 1)]
+    assert got == want
+
+
+def test_suffix_ranks_lead_matches_dense_rank(spark):
+    """The r11 lead()-window pairing (replacing the (doc, pos+span)
+    self-join) must keep suffix_ranks identical to the direct dense rank
+    of the 8-char windows, on multi-doc strings with heavy repetition."""
+    import random
+
+    from simpletasks_data_spark.operators.corpus import suffix_ranks
+
+    rng = random.Random(7)
+    docs = [
+        (1, "banana" * 5),
+        (2, "abracadabra"),
+        (3, "".join(rng.choice("ab") for _ in range(120))),
+        (4, "".join(rng.choice("abcz") for _ in range(77))),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, s: string")
+    got = {
+        (r["doc_id"], r["pos"]): r["rank"]
+        for r in suffix_ranks(df, "doc_id", "s", window=8).collect()
+    }
+    suf = [(d, p + 1, s[p : p + 8]) for d, s in docs for p in range(len(s))]
+    uniq = {w: i + 1 for i, w in enumerate(sorted({w for _, _, w in suf}))}
+    want = {(d, p): uniq[w] for d, p, w in suf}
+    assert got == want
+
+
 def test_percolation_thread_pool_report_complete(spark):
     """The overlapped percentile sweeps must still emit exactly the
     three report rows in (50, 90, 99) with a non-shrinking threshold."""
