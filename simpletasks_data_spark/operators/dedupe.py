@@ -799,6 +799,23 @@ def containment_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    # Pin the verify parallelism (r11, measured): the candidate pairs are
+    # BYTE-small (~6 MB at sf0.1) but each row costs an array_intersect
+    # over ~KB document arrays, so AQE's byte-based coalesce shrank the
+    # distinct's exchange to 2 partitions and serialized ~12 s of verify
+    # CPU onto 2 tasks (wall 5.2 -> 12.0 s). The repartition key is
+    # xxhash64 of the pair, NOT the pair columns themselves: a same-key
+    # repartition gets folded into the distinct's ENSURE_REQUIREMENTS
+    # exchange (measured — and that origin stays AQE-coalescible), while
+    # a distinct expression keeps this a REPARTITION_BY_NUM exchange,
+    # which AQE never coalesces. The count is cluster-derived
+    # (defaultParallelism), not a local constant, and the frame is the
+    # POST-dedup candidate set, so the extra exchange moves only bounded
+    # pair rows.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism,
+        F.xxhash64("id_a", "id_b"),
+    )
     set_a = sets.select(
         F.col("_id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sz_a")
     )
