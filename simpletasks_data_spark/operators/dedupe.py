@@ -869,8 +869,13 @@ def exact_substring_spans(
     """
     from ..functions.text import token_ngrams
 
-    t = docs.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    # r11: spread the narrow (id, text) projection before the span
+    # explode when the scan is under-split (one row group = one task for
+    # the whole map stage). Single consumer below — no CSE-loss risk.
+    t = _ensure_parallelism(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).select(
+        "_id", tokens(F.col("_t")).alias("_toks")
     ).where(F.size("_toks") >= window)
     spans = t.select(
         "_id", F.explode(token_ngrams(F.col("_toks"), window)).alias("span")

@@ -82,6 +82,15 @@ def knn_bruteforce(
         broadcast_candidates = emb.count() <= max_broadcast_rows
     if broadcast_candidates:
         c = F.broadcast(c)  # b: gated
+        # Spread the streamed probe side (r11, measured): the query
+        # stratum usually arrives as ONE scan split, serializing the
+        # |q| x |c| dot-product loop on one task (~1.5 s at sf0.1).
+        # Safe because the candidate side's strategy is pinned by the
+        # broadcast hint (no join can re-shape — the bm25
+        # counter-lesson); no-op once the scan has >= cores splits.
+        from .dedupe import _ensure_parallelism
+
+        q = _ensure_parallelism(q)
     dot = F.aggregate(
         F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda x, y: x * y),
         F.lit(0.0),
@@ -345,6 +354,10 @@ def knn_quantized_rescore(
     codes = c.select("neighbor_id", "c_scale", "c_norm", "c_codes")
     if broadcast_candidates:
         codes = F.broadcast(codes)  # b: gated
+        # Spread the streamed probe side (r11) — see knn_bruteforce.
+        from .dedupe import _ensure_parallelism
+
+        q = _ensure_parallelism(q)
     int_dot = F.aggregate(
         F.zip_with(F.col("q_codes"), F.col("c_codes"), lambda x, y: x * y),
         F.lit(0.0),

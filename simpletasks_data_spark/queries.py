@@ -132,6 +132,18 @@ _CHECK_FIRST = [
     "graph_hyperball_suppliers",
     "suffix_ranks_corpus",
     "hilbert_layout_orders",
+    #    * session 3, serialized-stage audit: AQE-coalesce pin on the
+    #      containment verify, probe-side spreads (knn family,
+    #      permutation relabeling, substring spans), multi-consumer
+    #      tokenize plan-cuts (token budget, JSD):
+    "dedup_containment",
+    "knn_bruteforce",
+    "knn_quantized_rescore",
+    "matryoshka_recall_eval",
+    "permutation_test_urgent_price",
+    "token_budget_selection",
+    "jsd_drift_by_source",
+    "dedup_exact_substrings",
     #    * paired-BIGINT overflow gate + fail-loud NULL/ragged-vec guard
     #      (r10 verdict item 1 / ADVICE): kmeans_lloyd / pca_power_top1
     #      count rows up front and switch _qsum to one DECIMAL(38,0)
@@ -11114,7 +11126,12 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket = 10000*n_dist DIV n_tok), so the oracle agrees bit-for-bit.
     See operators/corpus.budget_select_by_quality for the 100 TB shape:
     ordered state is ONE bucket, never the corpus."""
-    docs = load(spark, sf_dir, "documents")
+    # r11: plan-cut `d` — it feeds the budget agg, the bucket histogram,
+    # AND the final keep-select, so the un-cut tokenize ran once per
+    # consumer (measured: two ~1 s single-task stages at sf0.1). A scan
+    # spread before the tokenize was ALSO tried and reverted: ~10% wall
+    # for 2.3x CPU and 2x shuffle (the text payload rides the exchange).
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
     tok = docs.select("doc_id", "source", F.explode(TX.tokens("text")).alias("t"))
     d = tok.groupBy("doc_id").agg(
         F.first("source").alias("source"),
@@ -11123,7 +11140,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.withColumn(
         "q", ((F.lit(10000) * F.col("n_dist")) / F.col("n_tok")).cast("long").cast("double")
-    )
+    ).localCheckpoint(eager=False)
     budget = d.agg(
         ((F.sum("n_tok") * 6) / 10).cast("long").alias("_budget")
     )
@@ -14746,10 +14763,18 @@ def permutation_test_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame
     extreme (n_as_extreme/n_perms is the p-value). perm=0 carries the
     real labels. At 100 TB the cross-with-perms factor is the only
     cost knob — B scales linearly, rows never reshuffle."""
-    f = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
-        F.floor("o_totalprice").cast("long").alias("y"),
+    # Spread the narrow pre-cross projection (r11, measured): the orders
+    # scan is one split at sf0.1, so the 20-way crossed md5 relabeling
+    # (3M hashed rows, ~1.7 s CPU) ran on ONE task. Pure map pipeline —
+    # both join sides are pinned broadcasts, so no join can re-shape
+    # (the bm25 counter-lesson); no-op at scale where the scan has >=
+    # cores splits.
+    f = DD._ensure_parallelism(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+            F.floor("o_totalprice").cast("long").alias("y"),
+        )
     )
     perms = spark.range(20).select(F.col("id").cast("int").alias("perm"))
     hashed = F.conv(
@@ -15137,7 +15162,14 @@ def jsd_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "source", F.explode(TX.tokens("text")).alias("token")
     )
-    cs = docs.groupBy("source", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # r11 plan-cut: cs feeds FOUR consumers (ts / ct / tt / terms), so
+    # the un-cut tokenize+explode+agg ran once per consumer (measured:
+    # three ~1 s single-task stages at sf0.1 — the token_budget class).
+    cs = (
+        docs.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     ts = cs.groupBy("source").agg(F.sum("c").alias("ts"))
     ct = cs.groupBy("token").agg(F.sum("c").alias("ct"))
     tt = cs.agg(F.sum("c").alias("tt"))
