@@ -38,11 +38,16 @@ def global_row_number(
     ``out_col`` appended, total row count). One range exchange + one
     per-partition window; no single-partition stage."""
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Lazy checkpoint: the counts collect below is the materializing
+    # action (one job instead of two per call — r11; ~15 catalog queries
+    # ride this kernel). The _pid values are assigned during that job
+    # and FROZEN by the checkpoint, so the offset map and the window
+    # read identical pids — the same guarantee the eager form had.
     ordered = (
         df.repartitionByRange(n_parts, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["_pid"]: r["n"]
@@ -121,11 +126,13 @@ def _global_running(
     FNS = {"sum": F.sum, "min": F.min, "max": F.max}
     keys = [*partition_by, *order_by]
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Lazy checkpoint — the totals collect materializes it (one job per
+    # call, not two); see the global_row_number note.
     ordered = (
         df.repartitionByRange(n_parts, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     gcols = ["_pid", *partition_by]
     totals = ordered.groupBy(*gcols).agg(
