@@ -17,11 +17,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== [1/4] full local suite =="
-python -m pytest tests/ -x -q
+echo "== [1/4] full local suite (incl. FULL sf0.001 parity sweep) =="
+SPARK_GRAFT_FULL_PARITY=1 python -m pytest tests/ -x -q
 
-echo "== [2/4] sf0.01 oracle-parity sweep (driver SF) =="
-SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 \
+echo "== [2/4] FULL sf0.01 oracle-parity sweep (driver SF) =="
+SPARK_GRAFT_FULL_PARITY=1 SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 \
     python -m pytest tests/test_oracle_parity.py -q
 
 if [[ "${1:-}" != "--fast" ]]; then

@@ -239,13 +239,17 @@ def kmeans_lloyd(
     cannot depend on partitioning or summation order (the
     logreg/pagerank pattern).
     """
+    # LAZY checkpoint: the fail-loud NULL/ragged guard below is the
+    # materializing action (the ranking-kernel pattern, r11 §15), so the
+    # gate count costs ZERO extra jobs — round 11's eager checkpoint +
+    # separate count() paid one full scan job per call and drove the
+    # driver-measured kmeans_embeddings 0.50x regression (VERDICT r11
+    # item 3). The count drives BOTH the assign strategy and the
+    # wide-sum overflow gate. Per-(cluster,d) group counts are bounded
+    # by n_base, so gating on the total is conservative-correct.
     base = emb.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec")
-    ).localCheckpoint(eager=True)
-    # fail-loud NULL/ragged guard + exact count in one scan over the
-    # checkpoint (~free); the count drives BOTH the assign strategy and
-    # the wide-sum overflow gate. Per-(cluster,d) group counts are
-    # bounded by n_base, so gating on the total is conservative-correct.
+    ).localCheckpoint(eager=False)
     n_base = _count_and_validate(base, F.col("vec"), dims, "kmeans_lloyd")
     wide = n_base >= _QSUM_SAFE_ROWS
     init_rows = base.orderBy("id").limit(k).select("vec").collect()  # c: topk
@@ -378,9 +382,13 @@ def pca_power_top1(
         for d in range(dims)
     ]
     mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    # LAZY checkpoint: round 1's collect materializes it (r11 §15
+    # ranking-kernel pattern) — the eager form paid a dedicated
+    # materialization job per call; rounds 2..n still read the
+    # checkpointed bytes, never the source scan.
     base = src.select(
         F.zip_with(F.col("v"), mu_lit, lambda a, b: a - b).alias("cx")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     v = [1.0] + [0.0] * (dims - 1)
     eig = 0.0

@@ -949,32 +949,6 @@ def _co_supply_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup
 
 
-_DOC_TF_STORE: Dict[tuple, DataFrame] = {}
-
-
-def _doc_tf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents term-frequency table ``(doc_id, token, tf)``,
-    materialized once per session+sf_dir — the ONE data-sized (doc,
-    token) shuffle behind the lexical-retrieval family. BM25 (standalone
-    and inside hybrid RRF) and token-set Jaccard all reduce this same
-    frame; its keys projected out are exactly the distinct (doc, token)
-    stream Jaccard needs. Production keeps this persisted next to the
-    index — it IS the term-frequency side of an inverted index."""
-    key = (id(spark.sparkContext), sf_dir)
-    ent = _DOC_TF_STORE.get(key)
-    if ent is not None:
-        return ent
-    docs = load(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    _DOC_TF_STORE[key] = tf
-    return tf
-
-
 def _signature_store(spark: SparkSession, sf_dir: str):
     """Returns (hrows, sig): hrows = (_id, _ck, _h) hashed shingle rows
     with the doc's content key; sig = (id, signature) MinHash frame over
@@ -1113,10 +1087,6 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.passage_dedupe(_corpus(spark, sf_dir), "id", "text", seg_tokens=10)
 
 
-_NGRAM_PAIRS_STORE: Dict[tuple, DataFrame] = {}
-_ALS_FACTORS_STORE: Dict[tuple, DataFrame] = {}
-
-
 @register("dedup_ngram_jaccard", f"""
 WITH {SQL_CORPUS},
 n AS (SELECT id, {SQL_NORM.format(c='text')} AS norm FROM corpus),
@@ -1142,21 +1112,14 @@ WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.6
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Feed the PPJoin from the store's materialized distinct hash stream
     # (r7 verdict item 6): no text re-normalization or shingle re-hash
-    # per call — the corpus text is not re-read at all. The verified
-    # pairs are themselves a session store (the r10-item-4
-    # _CLUSTER_STORE pattern): deterministic, bounded (threshold-
-    # surviving pairs only), keyed by (sparkContext id, sf_dir), reused
-    # by crossdup_layer_matrix instead of re-running the PPJoin.
-    key = (id(spark.sparkContext), sf_dir)
-    hit = _NGRAM_PAIRS_STORE.get(key)
-    if hit is not None:
-        return hit
-    out = DD.ngram_jaccard_pairs(
+    # per call — the corpus text is not re-read at all. The r11
+    # verified-pairs RESULT memo is gone (VERDICT r11 item 3 /
+    # gaming-flag: a memo hit is not a measurement); every call runs the
+    # prefix-filter + verify pipeline from the input-level hash stream.
+    return DD.ngram_jaccard_pairs(
         _corpus(spark, sf_dir), "id", "text", n=5, threshold=0.6,
         hashed_shingles=_hstream_store(spark, sf_dir),
-    ).localCheckpoint(eager=True)
-    _NGRAM_PAIRS_STORE[key] = out
-    return out
+    )
 
 
 # Estimate-then-verify pruning threshold for the verified MinHash family:
@@ -2284,9 +2247,6 @@ FROM cc JOIN sz USING (cluster_id)
 """
 
 
-_CLUSTER_STORE: Dict[tuple, DataFrame] = {}
-
-
 @register("dedup_clusters", _DEDUP_CLUSTERS_SQL)
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clustering step of the fuzzy-dedup pipeline: fold the verified
@@ -2321,18 +2281,13 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures, buckets, and jaccards) — the oracle is unchanged. At
     # crawl-corpus dup rates (30-50% exact dups) the contraction removes
     # that fraction of the candidate join's input.
-    # Session-level result store (VERDICT r10 item 4): five catalog
-    # queries consume the IDENTICAL cluster frame (holdout split, layer
-    # matrix, retained corpus, rate-by-source, canonical-by-quality) and
-    # each previously re-ran the verify+CC pipeline. The result is
-    # deterministic, tiny (one row per clustered doc), and keyed by
-    # (sparkContext id, sf_dir) like _signature_store, so sf0.01 oracle
-    # runs stay isolated from sf0.1 bench runs. At scale this store is a
-    # materialized table the pipeline writes once.
-    _store_key = (id(spark.sparkContext), sf_dir)
-    _hit = _CLUSTER_STORE.get(_store_key)
-    if _hit is not None:
-        return _hit
+    # The r11 session-level RESULT memo is gone (VERDICT r11 item 3 /
+    # gaming-flag): every call — including each of the five composed
+    # consumers — re-runs the contraction + candidates + verify + CC
+    # from the input-level signature/hset stores, so its bench seconds
+    # reflect computation actually performed. The within-call
+    # checkpoints below remain: cand feeds the two-sided verify join and
+    # the CC rounds consume their own frame repeatedly.
     _, sig = _signature_store(spark, sf_dir)
     hsets, mm = _hset_store(spark, sf_dir)
     groups = mm.groupBy("_ck").agg(
@@ -2352,11 +2307,7 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("_n") >= 2) & (F.col("_id") != F.col("_rep")))
         .select(F.col("_rep").alias("id_a"), F.col("_id").alias("id_b"))
     )
-    out = dedup_clusters(ver.unionByName(star_edges)).localCheckpoint(
-        eager=True
-    )  # c: clusters (bounded: one row per clustered doc)
-    _CLUSTER_STORE[_store_key] = out
-    return out
+    return dedup_clusters(ver.unionByName(star_edges))
 
 
 @register("dedup_clusters_bigstar", _DEDUP_CLUSTERS_SQL)
@@ -8249,11 +8200,15 @@ def bm25_related_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary where median df is ~80%, so a production-style 10%
     ceiling would vacuously empty the result — on a natural Zipfian
     corpus set max_df_permille ≈ 100."""
+    # r12: the r11 session tf store is gone from this path (VERDICT r11
+    # item 4: the evidence didn't demonstrate a win and the driver
+    # regressed it 0.71x twice). The operator's internal lazy-checkpoint
+    # tf build already shares the one data-sized (doc, token) shuffle
+    # across dl/dfreq/qterms/scored within the call.
     return CP.bm25_related_docs(
         load(spark, sf_dir, "documents"),
         k=5,
         max_df_permille=900,
-        tf_frame=_doc_tf_store(spark, sf_dir),
     )
 
 
@@ -9374,23 +9329,15 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subsample is a FILTER on the per-doc hash-stream / signature
     # tables (per-doc computations commute with the row filter), so
     # neither leg re-normalizes text or re-hashes shingles.
-    # Truth leg: Jaccard between two documents is independent of the
-    # rest of the corpus, so the subsample's exact-Jaccard pairs (same
-    # n=5 shingles, same 0.6 threshold, same hash stream) are EXACTLY
-    # the full-corpus verified pairs filtered to subsample ids. When a
-    # session already built the (lossless, PPJoin-exact) ngram-pairs
-    # store, consume it instead of re-running the prefix-filter
-    # pipeline; a cold session keeps the direct subsample PPJoin.
-    _pairs_hit = _NGRAM_PAIRS_STORE.get((id(spark.sparkContext), sf_dir))
-    if _pairs_hit is not None:
-        truth = _pairs_hit.where(
-            (F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0)
-        ).select("id_a", "id_b")
-    else:
-        truth = DD.ngram_jaccard_pairs(
-            corpus, "id", "text", n=5, threshold=0.6,
-            hashed_shingles=_hstream_store(spark, sf_dir).where(F.col("_id") % 4 == 0),
-        ).select("id_a", "id_b")
+    # Truth leg: the direct subsample PPJoin over the (input-level)
+    # hash-stream store, filtered to subsample ids BEFORE the prefix
+    # machinery — quadratic candidate work happens on the 25% sample
+    # only. (The r11 branch that read the verified-pairs result memo is
+    # gone — VERDICT r11 item 3.)
+    truth = DD.ngram_jaccard_pairs(
+        corpus, "id", "text", n=5, threshold=0.6,
+        hashed_shingles=_hstream_store(spark, sf_dir).where(F.col("_id") % 4 == 0),
+    ).select("id_a", "id_b")
     _, sig_all = _signature_store(spark, sf_dir)
     sig = sig_all.where(F.col("id") % 4 == 0)
     cand = DD.minhash_pairs_from_signatures(sig, "id", num_hashes=16, bands=4).select(
@@ -11362,7 +11309,17 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion step only ever touches the 20*N_systems retrieved rows per
     query, never the corpus (operators/corpus.rrf_fuse)."""
     docs = load(spark, sf_dir, "documents")
-    tf = _doc_tf_store(spark, sf_dir)
+    # WITHIN-CALL tf reuse (guide §2.4): BM25 and Jaccard score the same
+    # corpus, so the one data-sized (doc, token) shuffle is built once
+    # per call and consumed by both systems — a lazy checkpoint the
+    # first action materializes. (The r11 cross-query session store is
+    # gone — VERDICT r11 items 3/4.)
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     bm25 = CP.bm25_related_docs(
         docs, k=20, max_df_permille=900, tf_frame=tf
     ).select("query_id", "doc_id", "rank")
@@ -12659,17 +12616,15 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("giant_frac"),
         )
 
-    # The three percentile sweeps are INDEPENDENT iterative CC runs over
-    # disjoint-threshold edge cuts of the same checkpointed frame; each
-    # round is a small shuffle that leaves most cores idle, so overlap
-    # them (three driver threads, FIFO scheduler back-fills the tails).
-    # Build order is deterministic and the union below fixes row order
-    # semantics (unordered), so results are identical to the sequential
-    # loop.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        reports = list(pool.map(_report, (50, 90, 99)))
+    # The three percentile sweeps run SEQUENTIALLY. Round 11 overlapped
+    # them with a 3-thread pool (guide §2.6) and the driver measured it
+    # anti-scaling at local[32]: 12.4 s at 32 cores vs 3.3 s at 8
+    # (VERDICT r11 item 2) — three concurrent iterative CC drivers issue
+    # interleaved tiny-stage job waves whose scheduling + context-switch
+    # cost at full width exceeds the tail back-fill it buys. On a real
+    # cluster the overlap pattern belongs at the JOB level (independent
+    # queries), not inside one operator.
+    reports = [_report(q) for q in (50, 90, 99)]
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
@@ -13431,14 +13386,11 @@ def als_factors_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
     (log-ratings keep factors O(10)); beyond that the moment sums swap
     to DECIMAL(38,0), same shape. Returns integer micro-factors per
     (id, role)."""
-    # Session-level result store (r11; the dedup_clusters/_co_supply
-    # pattern): the factor frame is deterministic and node-bounded
-    # (|users| + |items| rows), and als_recommend_topk re-ran the whole
-    # ratings build + both half-steps to get it.
-    _store_key = (id(spark.sparkContext), sf_dir)
-    _hit = _ALS_FACTORS_STORE.get(_store_key)
-    if _hit is not None:
-        return _hit
+    # The r11 session-level RESULT memo is gone (VERDICT r11 item 3 /
+    # gaming-flag): every call — including als_recommend_topk's — runs
+    # the ratings build and both half-steps. The within-call
+    # checkpoints below remain (r feeds both half-steps; u1 feeds v1
+    # and the output union).
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -13492,9 +13444,8 @@ def als_factors_retail(spark: SparkSession, sf_dir: str) -> DataFrame:
             v1.select(F.col("k").cast("long").alias("id"), F.lit("item").alias("role"),
                       F.col("fx").alias("fx_micro"), F.col("fy").alias("fy_micro"))
         )
-        .localCheckpoint(eager=True)  # c: bounded (|users|+|items| factor rows)
+        .localCheckpoint(eager=False)  # c: bounded (|users|+|items| factor rows)
     )
-    _ALS_FACTORS_STORE[_store_key] = out
     return out
 
 
