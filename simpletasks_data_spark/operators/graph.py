@@ -65,10 +65,15 @@ def connected_components(
     # min(u, min neighbor). Stars and isolated pairs (the overwhelming
     # shape of dedup graphs) are DONE after this init; the loop below then
     # only confirms convergence (one round) instead of propagating twice.
+    # The node count for the broadcast gate rides the init's eager
+    # checkpoint as an Observation (r12: the separate lab.count() job is
+    # gone — one job per CC call saved, the kmeans-gate pattern).
+    _init_obs = Observation()
     lab = (
         edges.groupBy(F.col("u").alias("id"))
         .agg(F.min("v").alias("_mn"))
         .select("id", F.least(F.col("id"), F.col("_mn")).alias("lab"))
+        .observe(_init_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # Gated node-side broadcast (guide-of-record §3.1, the pagerank
@@ -80,7 +85,7 @@ def connected_components(
     # first suggested a regression — that was host-throughput noise
     # (2x control swings); decide iterative-join strategy from plan
     # metrics, not wall seconds, on this box.
-    _bcast_nodes = lab.count() <= 2_000_000
+    _bcast_nodes = int(_init_obs.get["n"]) <= 2_000_000
     for _ in range(max_iter):
         # min over self + neighbor labels (one shuffle on id). The self
         # rows carry a marker so the SAME aggregation also yields the old

@@ -12587,48 +12587,79 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum") * 100 >= F.col("q") * F.col("n"))
         .groupBy("q")
         .agg(F.min("c").alias("t"))
-        .localCheckpoint(eager=True)
     )
-    def _report(q: int) -> DataFrame:
-        tq = F.broadcast(thr.where(F.col("q") == q).select("t"))  # b: 1row
-        e = ec.crossJoin(tq).where(F.col("c") >= F.col("t"))
-        cc = connected_components(e, "u", "v")
-        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cnt"))
-        stats = (
-            sizes.agg(
-                F.lit(q).cast("long").alias("support_pctile"),
-                F.sum("cnt").cast("long").alias("n_nodes"),
-                F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("giant_size"),
-            )
-            .crossJoin(F.broadcast(tq.select(F.col("t").alias("threshold"))))  # b: 1row
-            .crossJoin(
-                F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))  # b: 1row
-            )
+    # The thresholds are EXACTLY 3 bounded rows — collect them (the
+    # ranking-kernel O(1)-metadata pattern) so the sweeps below fold into
+    # plain literals instead of three broadcast cross-joins.
+    trows = {int(r["q"]): int(r["t"]) for r in thr.collect()}  # c: 3 rows
+
+    # ONE level-tagged CC run replaces the three independent sweeps
+    # (r12; VERDICT r11 item 1a). Round 11 overlapped the three runs
+    # with a 3-thread pool, which the driver measured anti-scaling at
+    # local[32] (12.4 s at 32 cores vs 3.3 s at 8); sequential runs pay
+    # 3x the per-round job floor. Both miss the algebra: the three edge
+    # cuts are nested filters of the SAME checkpointed frame and edges
+    # never cross levels, so CC over the union of level-tagged node ids
+    # (composite id = 4*node + level) computes all three component sets
+    # in one round loop — per-level labels are exactly 4*label + level
+    # because min() distributes over the per-level id order. Rounds =
+    # max over levels instead of sum; shuffle bytes per round are the
+    # same three frames batched into one exchange.
+    lvls = F.array(
+        *[
+            F.struct(F.lit(i).alias("l"), F.lit(trows[q]).alias("t"))
+            for i, q in enumerate(sorted(trows))
+        ]
+    )
+    e3 = ec.select(
+        "u",
+        "v",
+        F.explode(F.filter(lvls, lambda s: F.col("c") >= s["t"])).alias("_s"),
+    ).select(
+        (F.col("u") * 4 + F.col("_s.l")).alias("cu"),
+        (F.col("v") * 4 + F.col("_s.l")).alias("cv"),
+    )
+    if trows:
+        cc = connected_components(e3, "cu", "cv")
+        sizes = cc.groupBy(
+            F.pmod("id", F.lit(4)).alias("_l"), "component"
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        lstats = sizes.groupBy("_l").agg(
+            F.sum("cnt").cast("long").alias("n_nodes"),
+            F.max("cnt").cast("long").alias("giant_size"),
         )
-        return stats.select(
+        ecnt = e3.groupBy(F.pmod("cu", F.lit(4)).alias("_l")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges")
+        )
+    qrows = [(int(q), i, trows[q]) for i, q in enumerate(sorted(trows))]
+    qframe = spark.createDataFrame(
+        qrows, "support_pctile long, _l int, threshold long"
+    )
+    if not trows:
+        return qframe.select(
             "support_pctile",
-            F.col("threshold").cast("long").alias("threshold"),
+            "threshold",
+            F.lit(0).cast("long").alias("n_nodes"),
+            F.lit(0).cast("long").alias("n_edges"),
+            F.lit(0).cast("long").alias("giant_size"),
+            F.lit(0.0).alias("giant_frac"),
+        )
+    return (
+        qframe.join(lstats, "_l", "left")
+        .join(ecnt, "_l", "left")
+        .select(
+            "support_pctile",
+            "threshold",
             F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
-            "n_edges",
-            "giant_size",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("giant_size", F.lit(0)).alias("giant_size"),
             F.round(
-                F.col("giant_size") / F.greatest(F.col("n_nodes"), F.lit(1)), 4
+                F.coalesce("giant_size", F.lit(0))
+                / F.greatest(F.coalesce("n_nodes", F.lit(0)), F.lit(1)),
+                4,
             ).alias("giant_frac"),
         )
-
-    # The three percentile sweeps run SEQUENTIALLY. Round 11 overlapped
-    # them with a 3-thread pool (guide §2.6) and the driver measured it
-    # anti-scaling at local[32]: 12.4 s at 32 cores vs 3.3 s at 8
-    # (VERDICT r11 item 2) — three concurrent iterative CC drivers issue
-    # interleaved tiny-stage job waves whose scheduling + context-switch
-    # cost at full width exceeds the tail back-fill it buys. On a real
-    # cluster the overlap pattern belongs at the JOB level (independent
-    # queries), not inside one operator.
-    reports = [_report(q) for q in (50, 90, 99)]
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 def _shapley_oracle_sql(iterations: int = 5, lr: float = 1.0) -> str:
