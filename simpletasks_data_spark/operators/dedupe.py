@@ -792,10 +792,24 @@ def containment_pairs(
         )
         .localCheckpoint(eager=False)
     )
-    prefix = sets.select("_id", F.explode("_pref").alias("sh"))
+    # Size filter INSIDE the candidate join (r12, measured at sf0.1:
+    # 281k -> 169k distinct candidates, distinct input 612k -> 392k):
+    # both join sides ride out of the checkpointed `sets` frame carrying
+    # their doc's shingle-set size, so pairs that cannot reach the
+    # containment threshold (|B| < t*|A|) are dropped BEFORE the
+    # distinct exchange and never reach the array verify. The b-side
+    # explode of `arr` is the same rows as the raw shingle frame, one
+    # extra long per row.
+    prefix = sets.select("_id", "sz", F.explode("_pref").alias("sh"))
+    bside = sets.select("_id", "sz", F.explode("arr").alias("sh"))
     cand = (
         prefix.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a._id") != F.col("b._id")))
+        .join(
+            bside.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a._id") != F.col("b._id"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+        )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
@@ -825,7 +839,7 @@ def containment_pairs(
     verified = (
         cand.join(set_a, "id_a")
         .join(set_b, "id_b")
-        .where(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+        # |B| >= t*|A| already enforced inside the candidate join
         .withColumn(
             "containment",
             F.round(
