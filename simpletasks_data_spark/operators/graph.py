@@ -342,7 +342,6 @@ def pagerank(
             .withColumn("_rn", F.lit(reset_n).cast("long"))
         )
         nr = nodes.join(seeds, "id", "left").na.fill({"_rn": 0})
-    nr = nr.localCheckpoint(eager=True)
     # Join strategy (guide-of-record §3.1): the per-round score and
     # contribution frames are NODE-bounded while ``ed`` is EDGE-sized;
     # Spark plans the round join as sort-merge because the checkpointed
@@ -352,7 +351,13 @@ def pagerank(
     # the node-sized side so the edge frame is never shuffled; larger
     # graphs keep the SMJ path unchanged. ~16 bytes/row -> the cap
     # bounds the built relation to ~32 MB, well inside broadcast range.
-    _bcast_nodes = nr.count() <= broadcast_nodes_limit
+    # The gate count rides the eager checkpoint as an Observation (r12):
+    # no dedicated count() job.
+    _nr_obs = Observation()
+    nr = nr.observe(_nr_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    _bcast_nodes = int(_nr_obs.get["n"]) <= broadcast_nodes_limit
     # p0 = 1.0 per (seed) node on the grid
     if reset_ids is None:
         scores = nr.select("id", F.lit(unit).cast("long").alias("_sn"))
@@ -768,29 +773,34 @@ def bfs_reach(edges: DataFrame, seeds: DataFrame, radius: int = 3) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     seed_col = seeds.columns[0]
-    visited = seeds.select(
-        F.col(seed_col).alias("seed"), F.col(seed_col).alias("node")
-    ).localCheckpoint(eager=True)
-    frontier = visited
+    _v_obs = Observation()
+    visited = (
+        seeds.select(F.col(seed_col).alias("seed"), F.col(seed_col).alias("node"))
+        .observe(_v_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    frontier, n_frontier = visited, int(_v_obs.get["n"])
     out = None
     for r in range(1, radius + 1):
         # Gated frontier-side broadcast (the pagerank pattern): the
         # frontier is (seed-cohort x reach)-bounded while the adjacency
-        # is edge-sized; both frames are checkpointed, so the runtime
-        # count is cheap. Larger cohorts keep the SMJ path.
-        _f = F.broadcast(frontier) if frontier.count() <= 2_000_000 else frontier  # b: gated
+        # is edge-sized. The frontier size rides each round's eager
+        # checkpoint as an Observation (r12) — no per-round count() job.
+        _f = F.broadcast(frontier) if n_frontier <= 2_000_000 else frontier  # b: gated
+        _n_obs = Observation()
         nxt = (
             _f.join(und, _f["node"] == und["src"])
             .select("seed", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["seed", "node"], "left_anti")
+            .observe(_n_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         cnt = nxt.groupBy("seed").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
         cnt = cnt.select("seed", F.lit(r).cast("long").alias("radius"), "n_new")
         out = cnt if out is None else out.unionByName(cnt)
-        frontier = nxt
+        frontier, n_frontier = nxt, int(_n_obs.get["n"])
     return out
 
 
@@ -823,27 +833,37 @@ def sssp_bounded(
         .localCheckpoint(eager=False)
     )
     src_col = sources.columns[0]
-    dist = sources.select(
-        F.col(src_col).alias("src_id"),
-        F.col(src_col).alias("node"),
-        F.lit(0).cast("long").alias("dist"),
-    ).localCheckpoint(eager=True)
+    _d_obs = Observation()
+    dist = (
+        sources.select(
+            F.col(src_col).alias("src_id"),
+            F.col(src_col).alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .observe(_d_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_dist = int(_d_obs.get["n"])
     for _ in range(max_hops):
         # Gated frontier-side broadcast (the pagerank/CC pattern): the
         # distance frame is (seed-cohort x reached)-bounded, the
-        # adjacency is edge-sized; dist is checkpointed each round so
-        # the runtime count is cheap and exact.
-        _d = F.broadcast(dist) if dist.count() <= 2_000_000 else dist  # b: gated
+        # adjacency is edge-sized. The frame size rides each round's
+        # eager checkpoint as an Observation (r12) — no per-round
+        # count() job.
+        _d = F.broadcast(dist) if n_dist <= 2_000_000 else dist  # b: gated
         relaxed = (
             _d.join(und, _d["node"] == und["a"])
             .select("src_id", F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
         )
+        _r_obs = Observation()
         dist = (
             dist.unionByName(relaxed)
             .groupBy("src_id", "node")
             .agg(F.min("dist").cast("long").alias("dist"))
+            .observe(_r_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        n_dist = int(_r_obs.get["n"])
     return dist
 
 
@@ -883,6 +903,13 @@ def hyperball_neighborhood(
     hll_finalize (z = sum over occupied registers of 2^-reg, plus one
     per empty register — dyadic terms, order-exact).
     """
+    # Packed-layout budget (ADVICE r11): the init array and the
+    # max-merge each emit ~m expressions into the plan, so b beyond 8
+    # (m=256, ~512 expressions/round) hits analyzer/codegen blowup long
+    # before the estimate gains precision — fail loudly instead of
+    # hanging the driver. (Row-oriented HLL is the shape for larger m.)
+    if not 4 <= b <= 8:
+        raise ValueError(f"hyperball_neighborhood: b={b} outside the packed-register budget 4..8")
     m = 1 << b
     wbits = 60 - b
     alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -938,8 +965,10 @@ def hyperball_neighborhood(
     # Gated node-side broadcast (the pagerank/CC pattern): the register
     # frame is node-bounded; the count is ALSO the round-0 materializer
     # (it pulls the lazy regs and und checkpoints through in one job).
-    # ~m*4 bytes/row keeps 500k nodes ~128 MB.
-    _bcast_nodes = regs.count() <= 500_000
+    # Gate on estimated BYTES (rows * m * 4 <= 128 MB), not a fixed row
+    # count (ADVICE r11): the per-row register payload scales with
+    # m = 2^b, so a row-count cap only bounds the broadcast at b=6.
+    _bcast_nodes = regs.count() * m * 4 <= (128 << 20)
     _merge = F.expr(
         "array(" + ", ".join(f"max(_regs[{i}])" for i in range(m)) + ")"
     ).alias("_regs")
