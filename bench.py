@@ -295,16 +295,20 @@ def main() -> None:
 
     q = catalog.queries()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         # Two runs, report the min: the first run pays one-off JVM/codegen
-        # compilation that isn't the query's steady-state cost.
-        best = None
+        # compilation that isn't the query's steady-state cost. BOTH runs
+        # are recorded in bench_full.json (r12, VERDICT r11 item 3
+        # transparency): a run-1 >> run-2 gap exposes any session-store
+        # build cost the min would otherwise hide.
+        rr = []
         for _ in range(2):
             t0 = time.perf_counter()
             q[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            rr.append(round(time.perf_counter() - t0, 3))
+        runs[name] = rr
+        timings[name] = min(rr)
         print(json.dumps({"query": name, "sec": timings[name]}), flush=True)
 
     total = round(sum(timings.values()), 3)
@@ -313,6 +317,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -391,13 +391,17 @@ def pagerank(
                 ).cast("long")
             ).alias("_sn"),
         )
-        # checkpoint every few rounds, not every round: the eager
-        # materialization is the per-round fixed cost, while a 3-round
-        # lineage is still cheap to plan/execute (measured at sf0.1:
-        # every-round 13.3s, every-3 8.2s, never 9.8s) — values are
-        # identical either way
+        # checkpoint every few rounds, LAZILY (r12 round-chaining,
+        # VERDICT r11 item 9): the score frame has a single downstream
+        # consumer per round (the next round's gated-broadcast join
+        # side), so the per-checkpoint materialization job folds into
+        # the caller's final action — localCheckpoint still caches the
+        # frame on first touch and truncates lineage, which is what the
+        # r11 eager-interval measurement (every-round 13.3s, every-3
+        # 8.2s, never 9.8s) actually paid for; the eager jobs were pure
+        # per-round fixed cost. Values identical either way.
         if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
-            scores = scores.localCheckpoint(eager=True)
+            scores = scores.localCheckpoint(eager=False)
     return scores.select(
         "id", (F.col("_sn").cast("double") / F.lit(float(unit))).alias("score")
     )

@@ -123,7 +123,76 @@ def _fresh_scratch_dir(name: str, sf_dir: str) -> str:
 # float to the front in this order; the remainder keep registration
 # order behind them.
 _CHECK_FIRST = [
-    # ==== round-11 window (driver checks the first 50) ====
+    # ==== round-12 window (driver checks the first 50) ====
+    # -- changed this round (regression gate):
+    #    * result-memo removal (VERDICT r11 item 3): dedup_clusters and
+    #      its five consumers, the PPJoin pairs family, ALS — every call
+    #      now recomputes from input-level stores:
+    "dedup_clusters",
+    "cluster_aware_holdout_split",
+    "crossdup_layer_matrix",
+    "dedup_retained_corpus",
+    "dedup_rate_by_source",
+    "dedup_canonical_by_quality",
+    "dedup_cluster_size_histogram",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_eval",
+    "als_factors_retail",
+    "als_recommend_topk",
+    #    * tf-store revert (item 4): bm25 back to the per-call tf path,
+    #      hybrid builds tf once per call for both scorers:
+    "bm25_related_docs",
+    "hybrid_rrf_retrieval",
+    #    * percolation: one level-tagged CC run replaces 3 sweeps;
+    #      CC init gate rides an Observation (all CC consumers):
+    "graph_percolation_supplier",
+    "dedup_semantic_clusters",
+    #    * kmeans/pca lazy count-gate (item 1b):
+    "kmeans_embeddings",
+    "kmeans_cluster_topics",
+    "knn_ivf_kmeans",
+    "pca_top_component",
+    #    * Observation-folded broadcast gates + lazy round chaining
+    #      (pagerank/ppr rounds, HITS half-steps, bfs/sssp gates,
+    #      HyperBall bytes-gate):
+    "pagerank_customer_supplier",
+    "ppr_seeded_customers",
+    "hits_customer_supplier",
+    "sssp_hub_suppliers",
+    "graph_reach_hubs",
+    "graph_hyperball_suppliers",
+    #    * containment size-filter inside the candidate join:
+    "dedup_containment",
+    #    * streaming LSH fold: epoch-partitioned state, 2 jobs/batch:
+    "streaming_minhash_dedup",
+    # -- stalest rotation (never/oldest driver rows; all pinned every
+    #    run by the local oracle-parity suite's default window) --
+    "suffix_ranks_corpus",
+    "dedup_clusters_bigstar",
+    "dbscan_embeddings_grid",
+    "hilbert_layout_orders",
+    "knn_bruteforce",
+    "knn_quantized_rescore",
+    "matryoshka_recall_eval",
+    "permutation_test_urgent_price",
+    "token_budget_selection",
+    "jsd_drift_by_source",
+    "dedup_exact_substrings",
+    "csv_import_roundtrip",
+    "pipeline_pretraining_corpus",
+    "mad_outliers_by_segment",
+    "communities_suppliers",
+    "dedup_minhash_verified",
+    "dedup_passages",
+    "expectations_orders",
+    "merge_multi_source",
+    "q5_local_supplier_volume",
+    "range_join_purchase_clicks",
+    "supplier_triangles",
+    "temperature_mixture_langs",
+    # ---- position 51+ from here: previous windows retained for
+    #      documentation ----
+    # ==== round-11 window (historical) ====
     # -- changed this round (regression gate):
     #    * session 3: window-form big-star rounds (CC), packed HyperBall
     #      registers, lead()-paired suffix doubling, single-SQL Hilbert:
@@ -13632,6 +13701,14 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _norm(raw_df, out_col):
         mx = raw_df.agg(F.max("raw").alias("_mx"))
+        # LAZY checkpoint (r12 round-chaining, VERDICT r11 item 9): each
+        # half-step's frame has a single downstream consumer (the next
+        # half-step's gated broadcast side; the last also feeds the
+        # output union), so the 8 per-call eager materialization jobs
+        # chain into the final action — localCheckpoint caches each
+        # frame on first touch, so the raw_df double reference (mx
+        # subtree + main) still evaluates once, and lineage stays
+        # truncated per half-step.
         return raw_df.crossJoin(F.broadcast(mx)).select(  # b: 1row
             "id",
             F.round(
@@ -13641,7 +13718,7 @@ def hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias(out_col),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     # Gated node-side broadcast (operators/graph.pagerank pattern, r11):
     # the score frames are node-bounded, ``e`` is edge-sized; hinting
