@@ -887,10 +887,19 @@ def suffix_ranks(
     while span < window:
         # Positions are contiguous 1..len per doc, so the row `span`
         # ahead in position order IS position+span: lead() replaces the
-        # (_doc, _pos) sort-merge self-join. Lazy checkpoint: `paired`
-        # feeds both the alphabet and the rank re-join; global_row_number's
-        # eager alphabet checkpoint materializes it (and the previous
-        # round's pos) in the same job, so the window runs once per round.
+        # (_doc, _pos) sort-merge self-join. SKEW BOUND this assumes
+        # (ADVICE r11): the lead window partitions by _doc only, so ONE
+        # document's whole position frame lands on a single task — fine
+        # for document-sized texts (the pipeline's unit), but a multi-GB
+        # single document would need sub-bucketing into contiguous
+        # position ranges with a boundary fix-up; the old equi-join
+        # hashed on (_doc, _pos) and did not have this bound.
+        # Lazy checkpoint: `paired` feeds both the alphabet and the rank
+        # re-join; global_row_number's counts collect materializes it
+        # (and the previous round's pos) in the same job, so the window
+        # runs once per round. (An r12 attempt to fold the distinct into
+        # a full-frame dense rank measured WORSE — the _pid window
+        # re-exchanges the full frame; see OPTIMIZATION_r12.md §7.)
         paired = pos.select(
             "_doc",
             "_pos",

@@ -12660,7 +12660,7 @@ def graph_percolation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The thresholds are EXACTLY 3 bounded rows — collect them (the
     # ranking-kernel O(1)-metadata pattern) so the sweeps below fold into
     # plain literals instead of three broadcast cross-joins.
-    trows = {int(r["q"]): int(r["t"]) for r in thr.collect()}  # c: 3 rows
+    trows = {int(r["q"]): int(r["t"]) for r in thr.collect()}  # c: topk
 
     # ONE level-tagged CC run replaces the three independent sweeps
     # (r12; VERDICT r11 item 1a). Round 11 overlapped the three runs
@@ -15460,7 +15460,18 @@ def with_hilbert_index_16(df: DataFrame, x, y, out_col: str = "d") -> DataFrame:
     The remaining wall cost is one-time codegen of the fused map stage;
     per-row work is ~100 integer branches, so the cost is FIXED, not
     row-scaled — at cluster data sizes it amortizes to zero. No UDF,
-    no shuffle. Exported for tests."""
+    no shuffle. Exported for tests.
+
+    Requires the df-kwarg ``spark.sql(sql, src=cur)`` form (PySpark
+    >= 3.5; this repo targets Spark 4.x), which string-formats the
+    whole statement — identifiers containing ``{``/``}`` (legal in
+    Spark under backticks) would corrupt it, so they are rejected
+    loudly (ADVICE r11)."""
+    if any("{" in c or "}" in c for c in df.columns):
+        raise ValueError(
+            "with_hilbert_index_16: column names containing '{' or '}' "
+            "break the spark.sql format substitution; rename them first"
+        )
     base = [c for c in df.columns if c not in ("_hx", "_hy", out_col)]
     cur = df.select(
         *base, x.cast("long").alias("_hx"), y.cast("long").alias("_hy"),

@@ -2,10 +2,10 @@
 harness runs at sf0.01.
 
 Default run (VERDICT r11 item 5: the full 337-query sweep pushed the
-default suite past the driver's pytest timeout): the FIRST 60 queries in
+default suite past the driver's pytest timeout): the FIRST 50 queries in
 catalog order. Catalog order is the ``_CHECK_FIRST`` rotation, so this
 window always covers every query changed in the current round plus the
-stalest rotation — a superset of the driver's own first-50 sample.
+stalest rotation — the same sample the driver's correctness gate takes.
 
 Full sweep (all ~337 oracle-declared queries) runs with
 ``SPARK_GRAFT_FULL_PARITY=1 python -m pytest tests/test_oracle_parity.py``
@@ -24,7 +24,7 @@ from oracle_harness import compare  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
-DEFAULT_WINDOW = 60
+DEFAULT_WINDOW = 50
 
 _declared = set(Q.queries()) & set(Q.oracle_sql())
 if os.environ.get("SPARK_GRAFT_FULL_PARITY"):
